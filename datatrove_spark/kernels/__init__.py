@@ -1,0 +1,57 @@
+"""Pure-Python text kernels (Spark-free, unit-testable, executor-safe).
+
+Every parity-critical algorithm lives here; the Spark layer
+(`datatrove_spark.operators`) only wires these into vectorized pandas UDFs.
+"""
+
+from .c4 import (  # noqa: F401
+    CODE_C4_QUALITY,
+    DEFAULT_C4_QUALITY,
+    C4QualityConfig,
+    badwords_hit,
+    build_badwords_regex,
+    c4_paragraphs,
+    c4_quality,
+)
+from .fineweb import DEFAULT_FINEWEB_QUALITY, FineWebQualityConfig, fineweb_quality  # noqa: F401
+from .gopher import DEFAULT_GOPHER_QUALITY, STOP_WORDS, GopherQualityConfig, gopher_quality  # noqa: F401
+from .hashing import hamming64, sha1_i64, sha1_u32, sha1_u64, simhash64, to_i64  # noqa: F401
+from .lid import STOPWORD_SETS, FastTextLID, NgramBayesLID, default_lid, stopword_lid  # noqa: F401
+from .minhash import (  # noqa: F401
+    DEFAULT_MINHASH,
+    MinhashConfig,
+    band_keys,
+    jaccard,
+    minhash_signature,
+    minhash_signature_matrix,
+    permutation_params,
+    shingle_hashes,
+)
+from .perplexity import InterpolatedLM, KenLMModel, ccnet_normalize  # noqa: F401
+from .pii import DEFAULT_SCRUBBER, PiiScrubber, is_public_ip  # noqa: F401
+from .quality import (  # noqa: F401
+    count_tokens_bpe_ish,
+    count_tokens_whitespace,
+    doc_stats,
+    fingerprint64,
+    line_stats,
+    word_stats,
+)
+from .repetition import (  # noqa: F401
+    dup_fractions,
+    dup_ngram_chars,
+    gopher_repetition,
+    top_ngram_chars,
+)
+from .text import (  # noqa: F401
+    PUNCTUATION_SET,
+    TERMINAL_PUNCTUATION,
+    NormConfig,
+    is_symbol_token,
+    ngrams,
+    normalize_text,
+    split_lines,
+    split_paragraphs,
+    split_sentences,
+    tokenize_words,
+)

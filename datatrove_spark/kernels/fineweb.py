@@ -1,0 +1,57 @@
+"""FineWeb quality heuristics.
+
+Semantics re-derived from the reference
+(`/root/reference/src/datatrove/pipeline/filters/fineweb_quality_filter.py:33-56`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .repetition import dup_fractions
+from .text import TERMINAL_PUNCTUATION, tokenize_words
+
+_STOP_CHARS = tuple(TERMINAL_PUNCTUATION)
+
+
+@dataclass(frozen=True)
+class FineWebQualityConfig:
+    line_punct_thr: float = 0.12
+    line_punct_exclude_zero: bool = False
+    short_line_thr: float = 0.67
+    short_line_length: int = 30
+    char_duplicates_ratio: float = 0.01
+    new_line_ratio: float = 0.3
+
+
+DEFAULT_FINEWEB_QUALITY = FineWebQualityConfig()
+
+
+def fineweb_quality(
+    text: str, cfg: FineWebQualityConfig = DEFAULT_FINEWEB_QUALITY
+) -> tuple[bool, str | None]:
+    """(keep, drop_reason); check order mirrors fineweb_quality_filter.py:33-56."""
+    lines = [ln for ln in text.split("\n") if ln.strip() != ""]
+    if not lines:
+        return False, "empty"
+
+    punct_ratio = sum(1 for ln in lines if ln.endswith(_STOP_CHARS)) / len(lines)
+    if punct_ratio < cfg.line_punct_thr and not (
+        punct_ratio == 0 and cfg.line_punct_exclude_zero
+    ):
+        return False, "line_punct_ratio"
+
+    short_ratio = sum(1 for ln in lines if len(ln) <= cfg.short_line_length) / len(lines)
+    if short_ratio > cfg.short_line_thr:
+        return False, "short_line_ratio"
+
+    dup_chars = dup_fractions(lines)[1]
+    non_newline_chars = len(text.replace("\n", ""))
+    if non_newline_chars and dup_chars / non_newline_chars > cfg.char_duplicates_ratio:
+        return False, "char_dup_ratio"
+
+    n_words = len(tokenize_words(text))
+    if n_words and text.count("\n") / n_words > cfg.new_line_ratio:
+        return False, "list_ratio"
+
+    return True, None

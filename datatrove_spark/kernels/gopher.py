@@ -1,0 +1,88 @@
+"""Gopher quality heuristics (arXiv:2112.11446 §A.1.1).
+
+Semantics re-derived from the reference
+(`/root/reference/src/datatrove/pipeline/filters/gopher_quality_filter.py:61-125`).
+Check order matters: the FIRST failing rule supplies the drop reason, so the
+sequence below mirrors the reference exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .text import is_symbol_token, tokenize_words
+
+STOP_WORDS = frozenset({"the", "be", "to", "of", "and", "that", "have", "with"})
+
+
+@dataclass(frozen=True)
+class GopherQualityConfig:
+    min_doc_words: int | None = 50
+    max_doc_words: int | None = 100_000
+    min_avg_word_length: float | None = 3
+    max_avg_word_length: float | None = 10
+    max_symbol_word_ratio: float | None = 0.1
+    max_bullet_lines_ratio: float | None = 0.9
+    max_ellipsis_lines_ratio: float | None = 0.3
+    min_alpha_words_ratio: float | None = 0.8
+    min_stop_words: int | None = 2
+    stop_words: frozenset[str] = field(default=STOP_WORDS)
+
+
+DEFAULT_GOPHER_QUALITY = GopherQualityConfig()
+
+
+def gopher_quality(
+    text: str, cfg: GopherQualityConfig = DEFAULT_GOPHER_QUALITY
+) -> tuple[bool, str | None]:
+    """(keep, drop_reason) for one document."""
+    words = tokenize_words(text)
+    n_words = len(words)
+    if n_words == 0:
+        # the reference divides by len(words); empty docs are degenerate —
+        # label as too short, the only sensible bucket.
+        return False, "gopher_short_doc"
+
+    content_words = [w for w in words if not is_symbol_token(w)]
+    n_content = len(content_words)
+
+    if cfg.min_doc_words and n_content < cfg.min_doc_words:
+        return False, "gopher_short_doc"
+    if cfg.max_doc_words and n_content > cfg.max_doc_words:
+        return False, "gopher_long_doc"
+
+    avg_len = (sum(len(w) for w in content_words) / n_content) if n_content else 0.0
+    if cfg.min_avg_word_length and avg_len < cfg.min_avg_word_length:
+        return False, "gopher_below_avg_threshold"
+    if cfg.max_avg_word_length and avg_len > cfg.max_avg_word_length:
+        return False, "gopher_above_avg_threshold"
+
+    if cfg.max_symbol_word_ratio and text.count("#") / n_words > cfg.max_symbol_word_ratio:
+        return False, "gopher_too_many_hashes"
+    if (
+        cfg.max_symbol_word_ratio
+        and (text.count("...") + text.count("…")) / n_words > cfg.max_symbol_word_ratio
+    ):
+        return False, "gopher_too_many_ellipsis"
+
+    lines = text.splitlines()
+    if lines:
+        if cfg.max_bullet_lines_ratio:
+            n_bullet = sum(1 for ln in lines if ln.lstrip().startswith(("•", "-")))
+            if n_bullet / len(lines) > cfg.max_bullet_lines_ratio:
+                return False, "gopher_too_many_bullets"
+        if cfg.max_ellipsis_lines_ratio:
+            n_ell = sum(1 for ln in lines if ln.rstrip().endswith(("...", "…")))
+            if n_ell / len(lines) > cfg.max_ellipsis_lines_ratio:
+                return False, "gopher_too_many_end_ellipsis"
+
+    if cfg.min_alpha_words_ratio:
+        n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+        if n_alpha / n_words < cfg.min_alpha_words_ratio:
+            return False, "gopher_below_alpha_threshold"
+
+    if cfg.min_stop_words:
+        if len(cfg.stop_words.intersection(words)) < cfg.min_stop_words:
+            return False, "gopher_enough_stop_words"
+
+    return True, None

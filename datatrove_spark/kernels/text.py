@@ -1,0 +1,149 @@
+"""Pure-Python text kernels shared by every quality filter.
+
+These re-derive (not port) the behavior of the reference's text utilities
+(`/root/reference/src/datatrove/utils/text.py:13-317`).  They are
+deliberately Spark-free so they can be unit-tested standalone and invoked
+from vectorized pandas UDFs on executors.
+
+Parity notes
+------------
+* ``PUNCTUATION_CHARS`` / ``TERMINAL_PUNCTUATION`` are *data constants*
+  captured from the reference at build time (utils/text.py:13-181) — the
+  Gopher/FineWeb thresholds are calibrated against these exact char sets.
+* ``tokenize_words`` stands in for the reference's spaCy blank-English
+  tokenizer (utils/word_tokenizers.py:106-172).  spaCy is not available in
+  this environment; this regex tokenizer matches it on plain prose
+  (words, numbers, ellipses and punctuation marks become separate tokens)
+  and is the single tokenizer used consistently by BOTH our filters and our
+  test oracles, so keep/drop decisions are self-consistent.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+from itertools import tee
+from typing import Iterable
+
+import regex as _regex
+
+# --- character classes (data constants, reference utils/text.py:13-181) ---
+
+_CONTROL_CHARS = "".join(
+    chr(c) for rng in ((0, 9), (11, 13), (13, 32), (127, 160)) for c in range(*rng)
+)
+PUNCTUATION_CHARS = (
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+    + "«´»–—’“”„…∶━►、。〈〉《》「」【】！％（），．１：；？～"
+    + _CONTROL_CHARS
+)
+
+# Terminal sentence punctuation across scripts (reference utils/text.py:19-179).
+TERMINAL_PUNCTUATION = set(
+    "!.?։؝؞؟۔܀܁܂߹࠷࠹࠽࠾।॥၊။።፧፨᙮᜵᜶។៕៖៙៚᠃᠉᥄᥅᪨᪩᪪᪫᭚᭛᭞᭟᭽᭾᰻᰼᱾᱿‼‽⁇⁈⁉⸮⸼⹓⹔。꓿꘎꘏꛳꛷꡶꡷꣎꣏꤯꧈꧉꩝꩞꩟꫰꫱꯫﹒﹖﹗！．？｡"
+    "𐩖𐩗𐽕𐽖𐽗𐽘𐽙𐾆𐾇𐾈𐾉𑁇𑁈𑂾𑂿𑃀𑃁𑅁𑅂𑅃𑇅𑇆𑇍𑇞𑇟𑈸𑈹𑈻𑈼𑊩𑑋𑑌𑗂𑗃𑗉𑗊𑗋𑗌𑗍𑗎𑗏𑗐𑗑𑗒𑗓𑗔𑗕𑗖𑗗𑙁𑙂𑜼𑜽𑜾𑥄𑥆𑩂𑩃𑪛𑪜𑱁𑱂𑻷𑻸"
+    "\U00011f43\U00011f44𖩮𖩯𖫵𖬷𖬸𖭄𖺘𛲟𝪈"
+)
+
+PUNCTUATION_SET = set(PUNCTUATION_CHARS) | TERMINAL_PUNCTUATION
+_PUNCT_TO_SPACE = {ord(c): " " for c in PUNCTUATION_CHARS}
+
+TERMINAL_PUNCTUATION_STR = "".join(sorted(TERMINAL_PUNCTUATION))
+
+
+# --- word tokenization ------------------------------------------------------
+
+# words (letters incl. marks, inner apostrophes/hyphens) | numbers | ellipsis
+# run | any other single non-space char.
+_WORD_RE = _regex.compile(
+    r"\p{L}[\p{L}\p{M}]*(?:['’\-]\p{L}[\p{L}\p{M}]*)*"
+    r"|\p{N}+(?:[.,]\p{N}+)*"
+    r"|\.\.\.|…"
+    r"|\S",
+    _regex.UNICODE,
+)
+
+
+def tokenize_words(text: str) -> list[str]:
+    """Split text into word-level tokens (see module docstring for parity)."""
+    return _WORD_RE.findall(text)
+
+
+def is_symbol_token(tok: str) -> bool:
+    """True when every char of the token is punctuation (non-word token)."""
+    return all(ch in PUNCTUATION_SET for ch in tok)
+
+
+# --- normalization (reference utils/text.py:185-257) ------------------------
+
+@dataclass
+class NormConfig:
+    lowercase: bool = True
+    collapse_whitespace: bool = True
+    strip_punctuation: bool = True
+    strip_diacritics: bool = True
+    digits_to_zero: bool = True
+
+
+_NUM_RE = _regex.compile(r"\p{Nd}+([.,،٫⎖⎗⎘]{1}\p{Nd}+)?", _regex.UNICODE)
+_WS_RE = re.compile(r"\s+")
+
+DEFAULT_NORM = NormConfig()
+
+
+def normalize_text(text: str, cfg: NormConfig = DEFAULT_NORM) -> str:
+    """Recall-oriented normalization used before hashing/shingling.
+
+    Same transformation order as the reference's ``simplify_text``
+    (utils/text.py:212-257): lowercase → digit folding → punctuation→space →
+    whitespace collapse → NFD diacritic strip.
+    """
+    if cfg.lowercase:
+        text = text.lower()
+    if cfg.digits_to_zero:
+        text = _NUM_RE.sub("0", text)
+    if cfg.strip_punctuation:
+        text = text.translate(_PUNCT_TO_SPACE)
+    if cfg.collapse_whitespace:
+        text = _WS_RE.sub(" ", text.strip())
+    if cfg.strip_diacritics:
+        text = "".join(
+            c for c in unicodedata.normalize("NFD", text) if unicodedata.category(c) != "Mn"
+        )
+    return text.strip()
+
+
+def ngrams(seq: Iterable, n: int):
+    """Sliding n-gram windows (reference utils/text.py:261-267)."""
+    its = tee(seq, n)
+    for i, it in enumerate(its):
+        for _ in range(i):
+            next(it, None)
+    return zip(*its)
+
+
+# --- sentence / paragraph splitting ----------------------------------------
+
+# Sentence split: terminal punctuation run followed by whitespace.  The
+# reference delegates to per-language sentence tokenizers
+# (utils/word_tokenizers.py); this regex matches the common English case and
+# is used consistently on both the Spark and oracle sides.
+_SENT_RE = re.compile(r"(?<=[.!?！？。])[\"'”’)\]]*\s+")
+_PARA_RE = re.compile(r"\n{2,}")
+_LINE_RE = re.compile(r"\n+")
+
+
+def split_sentences(text: str) -> list[str]:
+    parts = [p for p in _SENT_RE.split(text) if p.strip()]
+    return parts if parts else ([text] if text.strip() else [])
+
+
+def split_paragraphs(text: str) -> list[str]:
+    """Paragraphs = blocks separated by blank lines (utils/text.py:289-303)."""
+    return _PARA_RE.split(text.strip())
+
+
+def split_lines(text: str) -> list[str]:
+    """Lines, collapsing runs of newlines (gopher_repetition_filter.py:107)."""
+    return _LINE_RE.split(text)

@@ -1,0 +1,281 @@
+"""Kernel parity tests against the reference's own fixture expectations.
+
+Each case mirrors /root/reference/tests/pipeline/filters/test_filters.py,
+test_pii_removal.py — same inputs, same expected drop reasons / outputs.
+"""
+
+import pytest
+
+from datatrove_spark.kernels import (
+    DEFAULT_FINEWEB_QUALITY,
+    C4QualityConfig,
+    FineWebQualityConfig,
+    GopherQualityConfig,
+    PiiScrubber,
+    c4_paragraphs,
+    c4_quality,
+    default_lid,
+    fineweb_quality,
+    gopher_quality,
+    gopher_repetition,
+    normalize_text,
+    stopword_lid,
+    tokenize_words,
+)
+from datatrove_spark.kernels.minhash import (
+    DEFAULT_MINHASH,
+    jaccard,
+    minhash_signature,
+    permutation_params,
+    shingle_hashes,
+)
+
+from .fixtures_reference import (
+    EMAIL_TEST_INPUT,
+    EMAIL_TEST_OUTPUT,
+    IP_TEST_INPUT,
+    IP_TEST_OUTPUT,
+    TEXT_LF_1,
+    TEXT_LF_2,
+    TEXT_LF_3,
+    TEXT_LF_4,
+)
+
+
+# --- gopher repetition (test_filters.py:50-67) -------------------------------
+
+@pytest.mark.parametrize(
+    "text,reason",
+    [
+        ("I am your father.\n" * 4, "dup_line_frac"),
+        ("I am your father.\n\n" * 4, "dup_para_frac"),
+        (
+            "I am groot.\n\n" + "You are a wizard.\n\n" + "I am your father.\n\n" + f"{'x' * 30}.\n\n" * 2,
+            "dup_para_char_frac",
+        ),
+        (
+            "I am groot.\n" + "You are a wizard.\n" + "I am your father.\n" + f"{'x' * 40}.\n" * 2,
+            "dup_line_char_frac",
+        ),
+        ("I am Frank, I am Frank, I am Frank", "top_2_gram"),
+        ("I am Frank, you are Jhon. I am Frank. I am Frank you are Jhon", "top_3_gram"),
+        ("I am a solo traveller " * 4 + TEXT_LF_1, "duplicated_5_n_grams"),
+    ],
+)
+def test_gopher_repetition_drops(text, reason):
+    keep, got = gopher_repetition(text)
+    assert keep is False
+    assert got == reason
+
+
+def test_gopher_repetition_keeps_clean_text():
+    assert gopher_repetition(TEXT_LF_1) == (True, None)
+
+
+# --- gopher quality (test_filters.py:69-77) ----------------------------------
+
+GQ = GopherQualityConfig(min_doc_words=10, max_doc_words=1000)
+
+
+@pytest.mark.parametrize(
+    "text,reason",
+    [
+        ("I am too small...", "gopher_short_doc"),
+        ("I am " * 20, "gopher_below_avg_threshold"),
+        ("interconnection " * 20, "gopher_above_avg_threshold"),
+        ("# comment " * 20, "gopher_too_many_hashes"),
+        ("... comment " * 20, "gopher_too_many_ellipsis"),
+        (
+            "the ./!*?<><> apple <?////> orange  ++ interconnection !<>??? have" * 20,
+            "gopher_below_alpha_threshold",
+        ),
+    ],
+)
+def test_gopher_quality_drops(text, reason):
+    keep, got = gopher_quality(text, GQ)
+    assert keep is False
+    assert got == reason
+
+
+def test_gopher_quality_keeps_clean_text():
+    assert gopher_quality(TEXT_LF_1, GQ) == (True, None)
+
+
+# --- C4 (test_filters.py:155-215) --------------------------------------------
+
+GOOD_C4_TEXT = (
+    "This is a well-written paragraph with several sentences.\n"
+    "The content continues with more good information here.\n"
+    "Another important point is being made in this line.\n"
+    "We can see that this document has quality content.\n"
+    "Finally, the conclusion wraps everything up nicely.\n"
+    "An additional sentence to ensure we pass the threshold."
+)
+
+
+def test_c4_keeps_quality_text():
+    new_text, keep, reason = c4_quality(GOOD_C4_TEXT)
+    assert keep and reason is None
+    assert new_text == GOOD_C4_TEXT
+
+
+def test_c4_lorem_ipsum():
+    text = (
+        "This is a sentence with lorem ipsum dolor sit amet.\n"
+        "Another sentence with proper punctuation.\n"
+        "More content to fill out the document.\n"
+        "Even more content is needed to pass the check.\n"
+        "The final sentence of the document."
+    )
+    assert c4_quality(text)[1:] == (False, "lorem_ipsum")
+
+
+def test_c4_curly_bracket():
+    text = (
+        "This is some code with a { bracket.\n"
+        "Another sentence follows this one.\n"
+        "More content to fill out the document.\n"
+        "Even more content is needed to pass.\n"
+        "The final sentence of the document."
+    )
+    assert c4_quality(text)[1:] == (False, "curly_bracket")
+    # code-corpus profile: curly brackets are fine
+    code_cfg = C4QualityConfig(filter_curly_bracket=False)
+    assert c4_quality(text, code_cfg)[1] is True
+
+
+def test_c4_too_few_sentences():
+    assert c4_quality("Just one sentence.")[1:] == (False, "too_few_sentences")
+
+
+def test_c4_policy_line_removed():
+    cfg = C4QualityConfig(min_num_sentences=-1, min_words_per_line=-1)
+    new_text, keep, _ = c4_quality(
+        "This site uses cookies for tracking.\nAnother valid line here today.", cfg
+    )
+    assert keep
+    assert "cookies" not in new_text
+    assert new_text == "Another valid line here today."
+
+
+def test_c4_paragraphs():
+    para = "x" * 250
+    assert c4_paragraphs(f"{para}\n{para}\n{para}") == (True, None)
+    keep, reason = c4_paragraphs("short\nshort\nshort")
+    assert keep is False and "paragraphs" in reason
+
+
+# --- FineWeb (test_filters.py:218-252) ----------------------------------------
+
+def test_fineweb_empty():
+    assert fineweb_quality("") == (False, "empty")
+
+
+def test_fineweb_line_punct_ratio():
+    cfg = FineWebQualityConfig(line_punct_thr=0.5)
+    text = "No punctuation here\nAnother line without any\nStill nothing"
+    assert fineweb_quality(text, cfg) == (False, "line_punct_ratio")
+
+
+def test_fineweb_short_lines():
+    cfg = FineWebQualityConfig(short_line_thr=0.5, short_line_length=30, line_punct_thr=0.0)
+    assert fineweb_quality("hi.\nbye.\nok.\nno.\nyes.", cfg) == (False, "short_line_ratio")
+
+
+def test_fineweb_keeps_quality_text():
+    text = (
+        "This is a well-written paragraph that ends with proper punctuation.\n"
+        "The content here is substantial and has meaningful information.\n"
+        "Quality filtering ensures that only the best documents pass through.\n"
+        "Each line here is long enough and ends with a terminal punctuation mark.\n"
+        "This document should pass all the quality checks applied by the filter."
+    )
+    assert fineweb_quality(text, DEFAULT_FINEWEB_QUALITY) == (True, None)
+
+
+def test_fineweb_list_heavy():
+    cfg = FineWebQualityConfig(new_line_ratio=0.1)
+    keep, reason = fineweb_quality("\n".join(["a"] * 50), cfg)
+    assert keep is False
+
+
+# --- PII scrub (test_pii_removal.py) -------------------------------------------
+
+def test_pii_golden_matrices():
+    scrubber = PiiScrubber(email_replacements=("EMAIL",), ip_replacements=("IP",))
+    assert scrubber.scrub(IP_TEST_INPUT) == IP_TEST_OUTPUT
+    assert scrubber.scrub(EMAIL_TEST_INPUT) == EMAIL_TEST_OUTPUT
+
+
+def test_pii_round_robin_resets_per_doc():
+    scrubber = PiiScrubber()
+    out = scrubber.scrub("a@b.com c@d.org e@f.net")
+    assert out == "email@example.com firstname.lastname@example.org email@example.com"
+    # second doc starts again from pool index 0
+    assert scrubber.scrub("x@y.com") == "email@example.com"
+
+
+def test_pii_phone_extension():
+    scrubber = PiiScrubber(remove_phones=True)
+    out = scrubber.scrub("call +1 212 555 0188 or (44) 20-7946-0958 now")
+    assert "555" not in out.replace("+1-555", "")  # replaced with pool values
+    assert "0958" not in out
+    # too few digits: untouched
+    assert scrubber.scrub("version 1.2.3 build 45") == "version 1.2.3 build 45"
+
+
+# --- language id ----------------------------------------------------------------
+
+def test_ngram_lid_matches_reference_language_fixture():
+    # mirrors test_filters.py:86-104 (en/fr/pt/it fixtures)
+    lid = default_lid()
+    for text, expected in [
+        (TEXT_LF_1, "en"),
+        (TEXT_LF_2, "fr"),
+        (TEXT_LF_3, "pt"),
+        (TEXT_LF_4, "it"),
+    ]:
+        (lang, score), scores = lid.predict(text)
+        assert lang == expected, f"{expected=} got {lang} ({scores})"
+        assert 0.0 < score <= 1.0
+
+
+def test_stopword_lid_basic():
+    lang, score = stopword_lid("the cat sat on the mat and that was that")
+    assert lang == "en" and score > 0.2
+
+
+# --- normalization + minhash -----------------------------------------------------
+
+def test_normalize_text():
+    assert normalize_text("Hello,  WORLD! 123") == "hello world 0"
+    assert normalize_text("Café déjà-vu") == "cafe deja vu"
+
+
+def test_tokenizer_splits_punct():
+    assert tokenize_words("I am your father.") == ["I", "am", "your", "father", "."]
+    assert tokenize_words("wait... what?") == ["wait", "...", "what", "?"]
+
+
+def test_minhash_estimates_jaccard():
+    # mirrors tests/pipeline/dedup/test_minhash.py:55-63 — estimated similarity
+    # within ±0.21 of true shingle Jaccard across an overlap ladder.
+    base_words = [f"w{i}" for i in range(120)]
+    a_, b_ = permutation_params(DEFAULT_MINHASH)
+    base = " ".join(base_words)
+    for frac in (0.0, 0.25, 0.5, 0.75, 1.0):
+        n_shared = int(len(base_words) * frac)
+        other = " ".join(base_words[:n_shared] + [f"z{i}" for i in range(len(base_words) - n_shared)])
+        s1 = minhash_signature(base, a_, b_)
+        s2 = minhash_signature(other, a_, b_)
+        est = sum(x == y for x, y in zip(s1, s2)) / len(s1)
+        true_j = jaccard(
+            set(shingle_hashes(base, 5).tolist()), set(shingle_hashes(other, 5).tolist())
+        )
+        assert abs(est - true_j) <= 0.21, f"{frac=} {est=} {true_j=}"
+
+
+def test_minhash_identical_docs_identical_sigs():
+    a_, b_ = permutation_params()
+    t = "some identical document text repeated here for shingling purposes ok"
+    assert minhash_signature(t, a_, b_) == minhash_signature(t, a_, b_)
