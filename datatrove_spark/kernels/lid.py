@@ -69,7 +69,11 @@ _SEED_TEXT = {
         "esta é uma frase que escrevemos para mostrar o idioma e as palavras "
         "mais comuns em português o a de que e do da em um para é com não "
         "uma os no se na por mais as dos como mas foi ao ele das tem à seu "
-        "sua ou ser quando muito há nos já está eu também só pelo pela até"
+        "sua ou ser quando muito há nos já está eu também só pelo pela até "
+        "um mago nunca chega tarde nem cedo ele chega precisamente na hora "
+        "que pretende a informação e a educação são coisas que pertencem à "
+        "nação os corações e as lições não ficam velhos senhores trabalham "
+        "amanhã cedo vocês chegam depois falamos sobre aquilo tudo obrigado"
     ),
 }
 
@@ -112,9 +116,12 @@ class NgramBayesLID:
         for lang, logp in self.model.items():
             oov = logp[""]
             raw[lang] = sum(c * logp.get(g, oov) for g, c in grams.items()) / n
-        # softmax over per-gram-normalized log-likelihoods → pseudo-posterior
+        # softmax over per-gram-normalized log-likelihoods → pseudo-posterior.
+        # TEMPERATURE sharpens the distribution so confident predictions clear
+        # the reference's 0.65 keep threshold (fastText-like score scale).
+        TEMPERATURE = 40.0
         mx = max(raw.values())
-        exps = {lang: math.exp(v - mx) for lang, v in raw.items()}
+        exps = {lang: math.exp(TEMPERATURE * (v - mx)) for lang, v in raw.items()}
         z = sum(exps.values())
         scores = {lang: v / z for lang, v in exps.items()}
         best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
