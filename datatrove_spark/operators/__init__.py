@@ -1,0 +1,63 @@
+"""Spark DataFrame operators wired over the pure-Python kernels."""
+
+from .ann import (  # noqa: F401
+    cosine_topk,
+    embedding_neardup,
+    lsh_cosine_topk,
+    with_lsh_bucket,
+    with_unit_norm,
+)
+from .base import (  # noqa: F401
+    apply_native_filter,
+    apply_text_filter,
+    apply_text_rewrite_filter,
+    dropped,
+    ensure_channel,
+    kept,
+)
+from .dedup import (  # noqa: F401
+    connected_components,
+    drop_exact_duplicates,
+    exact_dedup,
+    jaccard_neardup_pairs,
+    minhash_band_table,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_decontaminate,
+    ngram_shingles,
+    sentence_dedup,
+    simhash_dedup,
+)
+from .filters import (  # noqa: F401
+    c4_badwords_filter,
+    c4_code_quality_filter,
+    c4_paragraph_filter,
+    c4_quality_filter,
+    fineweb_quality_filter,
+    gopher_quality_filter,
+    gopher_repetition_filter,
+    lambda_filter,
+    length_filter,
+    mean_word_logprob_column,
+    regex_filter,
+    sampler_filter,
+    unigram_logprob_filter,
+)
+from .formatters import fix_text_encoding, pii_scrub, symbol_lines_remover  # noqa: F401
+from .language import (  # noqa: F401
+    annotate_language,
+    annotate_perplexity,
+    annotate_stopword_language,
+    language_filter,
+    perplexity_filter,
+)
+from .stats import (  # noqa: F401
+    drop_reason_summary,
+    histogram,
+    summary_stats,
+    top_k_groups,
+    with_doc_stats,
+    with_line_stats,
+    with_token_count,
+    with_word_stats,
+)

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (engine extension, SURVEY.md
+"beyond the reference": ANN + embedding-cosine near-dup).
+
+Embeddings are ``array<float>`` columns.  Two paths:
+
+* ``cosine_topk``        — exact brute-force top-k (native F.aggregate dot
+  products against a broadcast query set); the correctness baseline.
+* ``lsh_cosine_topk``    — random-hyperplane LSH bucketing; only docs sharing
+  a bucket with the query are scored.  The 100 TB path: candidate generation
+  is a hash-partitioned semi-join instead of a full scan.
+* ``embedding_neardup``  — all pairs with cosine ≥ τ via LSH buckets +
+  exact verify, into the keep/drop channel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ArrayType, IntegerType
+
+from .base import apply_native_filter, ensure_channel
+
+
+def _norm_col(vec_col: str):
+    return F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec") -> DataFrame:
+    """L2-normalize once up front so cosine = dot product downstream."""
+    nrm = _norm_col(vec_col)
+    return df.withColumn(
+        out_col,
+        F.when(nrm > 0, F.transform(F.col(vec_col), lambda x: x / nrm)).otherwise(F.col(vec_col)),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, score, rank).
+
+    The query set is broadcast; the corpus is scanned once — the classic
+    brute-force kNN plan (no shuffle until the final per-query top-k window,
+    which is tiny).  Scores are rounded for cross-engine reproducibility.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    joined = corpus.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("_cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(F.aggregate(F.col("_qvec"), F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate(F.col("_cvec"), F.lit(0.0), lambda a, x: a + x * x))
+    score = dot / (qn * cn)
+    if round_decimals is not None:
+        score = F.round(score, round_decimals)
+    scored = joined.select("query_id", "neighbor_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    gen = np.random.default_rng(seed)
+    return gen.standard_normal((n_planes, dim)).astype("float64")
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id — vectorized numpy matmul per
+    Arrow batch; the plane matrix ships once in the closure."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(IntegerType())
+    def _udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        signs = (mat @ planes.T) > 0
+        powers = (1 << np.arange(planes.shape[0]))
+        return pd.Series((signs @ powers).astype("int32"))
+
+    return df.withColumn(out_col, _udf(F.col(vec_col)))
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing the query's LSH
+    bucket.  Recall < 1.0 by construction; bucket width (n_planes) trades
+    recall vs. candidate count."""
+    c = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "lsh_bucket"
+    )
+    q = with_lsh_bucket(queries, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "lsh_bucket"
+    )
+    joined = c.join(F.broadcast(q), "lsh_bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("_cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(F.aggregate(F.col("_qvec"), F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate(F.col("_cvec"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop near-duplicate embeddings (cosine ≥ threshold); candidates from
+    shared LSH bucket, exact cosine verify, min-id survives per pair-graph
+    (transitively via repeated application the graph is near-clique)."""
+    df = ensure_channel(df)
+    b = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "lsh_bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, x: a * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ln = F.sqrt(F.aggregate(F.col("l._v"), F.lit(0.0), lambda a, x: a + x * x))
+    rn = F.sqrt(F.aggregate(F.col("r._v"), F.lit(0.0), lambda a, x: a + x * x))
+    dups = (
+        l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("keep_id"), F.col("r.id").alias("dup_id"), (dot / (ln * rn)).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("dup_id")
+        .distinct()
+    )
+    out = df.join(dups, df[id_col] == dups["dup_id"], "left")
+    out = apply_native_filter(out, F.col("dup_id").isNull(), "embedding_neardup")
+    return out.drop("dup_id")

@@ -1,0 +1,152 @@
+"""Filter-operator plumbing: the keep/drop_reason channel.
+
+The reference's filter contract is ``filter(doc) -> bool | (False, reason)``
+with dropped docs optionally persisted per reason
+(`/root/reference/src/datatrove/pipeline/filters/base_filter.py:20-82`).
+In Spark the document stream is a DataFrame and the exclusion channel is a
+pair of columns:
+
+* ``keep: boolean``      — survives the pipeline so far
+* ``drop_reason: string`` — reason from the FIRST filter that dropped the row
+  (NULL while kept), mirroring the reference's first-failure semantics.
+
+``apply_text_filter`` wires a vectorized batch kernel into that channel as a
+pandas UDF.  Already-dropped rows are masked out INSIDE the batch (cheap
+vectorized skip) so expensive kernels only run on surviving rows — the Spark
+equivalent of the reference's pipelined early exit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+KEEP = "keep"
+REASON = "drop_reason"
+
+FILTER_RESULT = StructType(
+    [
+        StructField("keep", BooleanType(), False),
+        StructField("drop_reason", StringType(), True),
+    ]
+)
+
+REWRITE_RESULT = StructType(
+    [
+        StructField("text", StringType(), True),
+        StructField("keep", BooleanType(), False),
+        StructField("drop_reason", StringType(), True),
+    ]
+)
+
+# batch kernel: list[str] -> iterable[(keep, reason)]
+BatchFilterFn = Callable[[list[str]], Iterable[tuple[bool, str | None]]]
+# rewrite kernel: list[str] -> iterable[(new_text, keep, reason)]
+BatchRewriteFn = Callable[[list[str]], Iterable[tuple[str, bool, str | None]]]
+
+
+def ensure_channel(df: DataFrame) -> DataFrame:
+    """Add keep/drop_reason columns if the frame doesn't carry them yet."""
+    cols = set(df.columns)
+    if KEEP not in cols:
+        df = df.withColumn(KEEP, F.lit(True))
+    if REASON not in cols:
+        df = df.withColumn(REASON, F.lit(None).cast("string"))
+    return df
+
+
+def _masked_apply(texts: pd.Series, keeps: pd.Series, fn: BatchFilterFn) -> pd.DataFrame:
+    out_keep = keeps.copy()
+    out_reason = pd.Series([None] * len(texts), dtype=object)
+    mask = keeps.fillna(False).astype(bool)
+    if mask.any():
+        results = list(fn(texts[mask].fillna("").tolist()))
+        out_keep[mask] = [r[0] for r in results]
+        out_reason[mask] = [r[1] for r in results]
+    return pd.DataFrame({"keep": out_keep.astype(bool), "drop_reason": out_reason})
+
+
+def apply_text_filter(
+    df: DataFrame,
+    fn: BatchFilterFn,
+    text_col: str = "text",
+    result_col: str = "_fr",
+) -> DataFrame:
+    """Run a batch (keep, reason) kernel over surviving rows."""
+    df = ensure_channel(df)
+
+    @F.pandas_udf(FILTER_RESULT)
+    def _udf(texts: pd.Series, keeps: pd.Series) -> pd.DataFrame:
+        return _masked_apply(texts, keeps, fn)
+
+    df = df.withColumn(result_col, _udf(F.col(text_col), F.col(KEEP)))
+    df = (
+        df.withColumn(
+            REASON,
+            F.when(F.col(KEEP) & ~F.col(f"{result_col}.keep"), F.col(f"{result_col}.drop_reason"))
+            .otherwise(F.col(REASON)),
+        )
+        .withColumn(KEEP, F.col(KEEP) & F.col(f"{result_col}.keep"))
+        .drop(result_col)
+    )
+    return df
+
+
+def apply_text_rewrite_filter(
+    df: DataFrame,
+    fn: BatchRewriteFn,
+    text_col: str = "text",
+    result_col: str = "_fr",
+) -> DataFrame:
+    """Fused filter+projection (e.g. C4: drops lines AND may drop the doc)."""
+    df = ensure_channel(df)
+
+    @F.pandas_udf(REWRITE_RESULT)
+    def _udf(texts: pd.Series, keeps: pd.Series) -> pd.DataFrame:
+        out_text = texts.copy()
+        out_keep = keeps.copy()
+        out_reason = pd.Series([None] * len(texts), dtype=object)
+        mask = keeps.fillna(False).astype(bool)
+        if mask.any():
+            results = list(fn(texts[mask].fillna("").tolist()))
+            out_text[mask] = [r[0] for r in results]
+            out_keep[mask] = [r[1] for r in results]
+            out_reason[mask] = [r[2] for r in results]
+        return pd.DataFrame(
+            {"text": out_text, "keep": out_keep.astype(bool), "drop_reason": out_reason}
+        )
+
+    df = df.withColumn(result_col, _udf(F.col(text_col), F.col(KEEP)))
+    df = (
+        df.withColumn(
+            REASON,
+            F.when(F.col(KEEP) & ~F.col(f"{result_col}.keep"), F.col(f"{result_col}.drop_reason"))
+            .otherwise(F.col(REASON)),
+        )
+        .withColumn(text_col, F.when(F.col(KEEP), F.col(f"{result_col}.text")).otherwise(F.col(text_col)))
+        .withColumn(KEEP, F.col(KEEP) & F.col(f"{result_col}.keep"))
+        .drop(result_col)
+    )
+    return df
+
+
+def apply_native_filter(df: DataFrame, condition, reason: str) -> DataFrame:
+    """Pure-Catalyst predicate (rlike, length, …) into the same channel —
+    zero Python, full codegen."""
+    df = ensure_channel(df)
+    failed = F.col(KEEP) & ~condition
+    return df.withColumn(REASON, F.when(failed, F.lit(reason)).otherwise(F.col(REASON))).withColumn(
+        KEEP, F.col(KEEP) & (condition | ~F.col(KEEP))
+    )
+
+
+def kept(df: DataFrame) -> DataFrame:
+    return ensure_channel(df).filter(F.col(KEEP))
+
+
+def dropped(df: DataFrame) -> DataFrame:
+    return ensure_channel(df).filter(~F.col(KEEP))

@@ -1,0 +1,452 @@
+"""Deduplication operators (SURVEY.md §2.6) — Spark-native shuffles replace
+the reference's external merge-sorts over binary signature files.
+
+The reference implements every dedup as a multi-stage file job: signature
+dump → sorted merge → cluster → filter (dedup/minhash.py, sentence_dedup.py,
+exact_dedup.py).  Here each becomes one lazy DataFrame plan:
+
+* exact       — hash → window rank (shuffle by hash; AQE handles skew)
+* minhash LSH — pandas-UDF signatures → posexplode bands → groupBy bucket →
+                edge list → distributed connected components → anti-join
+* sentence    — 3-sentence span hashes → first-owner wins → span-removal rewrite
+* simhash     — 64-bit fingerprints, banded for candidate generation, hamming
+                verify (extension operator, not in reference)
+* n-gram decontamination — broadcast semi-join against an eval-set index
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
+
+from ..kernels.hashing import sha1_i64, simhash64
+from ..kernels.minhash import DEFAULT_MINHASH, MinhashConfig, minhash_signature_matrix, permutation_params
+from ..kernels.text import normalize_text, split_sentences, tokenize_words
+from .base import apply_native_filter, ensure_channel
+
+# --------------------------------------------------------------------------
+# exact dedup (reference dedup/exact_dedup.py:29-66: hash of content, highest
+# priority / lowest id survives)
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Tag duplicates into the keep/drop channel; survivor = highest priority
+    then lowest id per content hash."""
+    df = ensure_channel(df)
+    content = F.col(text_col)
+    if normalize:
+        # cheap native normalization proxy (full normalize_text is Python);
+        # exact dedup on raw bytes is the default, like the reference.
+        content = F.lower(content)
+    df = df.withColumn("_h", F.sha2(content, 256))
+    order = [F.col(id_col).asc()]
+    if priority_col:
+        order.insert(0, F.col(priority_col).desc())
+    w = Window.partitionBy("_h").orderBy(*order)
+    df = df.withColumn("_rn", F.row_number().over(w))
+    df = apply_native_filter(df, F.col("_rn") == 1, "exact_duplicate")
+    return df.drop("_h", "_rn")
+
+
+def drop_exact_duplicates(df: DataFrame, **kwargs) -> DataFrame:
+    return exact_dedup(df, **kwargs).filter(F.col("keep"))
+
+
+# --------------------------------------------------------------------------
+# distributed connected components (replaces the reference's driver-memory
+# union-find, dedup/minhash.py:537-558 / tools/fast_mh3)
+# --------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """(src, dst) edge list → (id, component) with component = min reachable id.
+
+    Iterative min-label propagation.  LSH dedup components are near-cliques
+    (diameter 2-3), so this converges in a handful of rounds; localCheckpoint
+    cuts the lineage each round so plans stay bounded.
+    """
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .union(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id, "inner")
+            .select(sym.src.alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+# --------------------------------------------------------------------------
+# minhash LSH dedup (reference dedup/minhash.py 4-stage job; FineWeb config
+# 5-grams, 14 buckets x 8 hashes — examples/fineweb.py:80-91)
+# --------------------------------------------------------------------------
+
+_SIG_SCHEMA = ArrayType(LongType())
+
+
+def minhash_signatures(
+    df: DataFrame,
+    cfg: MinhashConfig = DEFAULT_MINHASH,
+    text_col: str = "text",
+    out_col: str = "minhash_sig",
+) -> DataFrame:
+    """Stage 1: per-doc signature column (null = too short to fingerprint)."""
+    a, b = permutation_params(cfg)
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(minhash_signature_matrix(texts.fillna("").tolist(), a, b, cfg))
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))
+
+
+def minhash_band_table(
+    df: DataFrame,
+    cfg: MinhashConfig = DEFAULT_MINHASH,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Stage 2 input: (id, band_idx, band_hash) — one row per LSH band.
+
+    The band is reduced to a single 64-bit hash (xxhash64 over the band's
+    minhash values) so the shuffle key is fixed-width — the Spark analogue of
+    the reference's per-bucket binary signature files.
+    """
+    r = cfg.hashes_per_bucket
+    bands = F.array(
+        *[
+            F.xxhash64(F.lit(bi), *[F.col(sig_col)[bi * r + j] for j in range(r)]).alias(f"b{bi}")
+            for bi in range(cfg.num_buckets)
+        ]
+    )
+    return (
+        df.filter(F.col(sig_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.posexplode(bands).alias("band_idx", "band_hash"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    cfg: MinhashConfig = DEFAULT_MINHASH,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full 4-stage LSH dedup into the keep/drop channel.
+
+    Candidate semantics match the reference (minhash.py:454-497): any two docs
+    sharing ONE full band are duplicates — no post-verification — then
+    connected components cluster them and the smallest id per cluster
+    survives (minhash.py:623-688 keeps one doc per cluster).
+    """
+    df = ensure_channel(df)
+    sigs = minhash_signatures(df, cfg, text_col)
+    bands = minhash_band_table(sigs, cfg, id_col)
+
+    # bucket-join: docs sharing (band_idx, band_hash); min id per bucket is the
+    # cluster seed — emit star edges (seed, member) instead of all pairs to
+    # keep edge count linear in bucket size (vs quadratic pair explosion).
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.min("id").alias("seed"), F.collect_list("id").alias("members")
+    )
+    edges = (
+        buckets.filter(F.size("members") > 1)
+        .select(F.col("seed").alias("src"), F.explode("members").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    comps = connected_components(edges)
+
+    survivors_drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_dup_id")
+    )
+    out = sigs.join(
+        survivors_drop, sigs[id_col] == survivors_drop["_dup_id"], "left"
+    )
+    out = apply_native_filter(out, F.col("_dup_id").isNull(), "minhash_duplicate")
+    return out.drop("_dup_id")
+
+
+# --------------------------------------------------------------------------
+# sentence dedup (reference dedup/sentence_dedup.py: hash every
+# n_sentences-span; first owner keeps it, later docs lose the span)
+# --------------------------------------------------------------------------
+
+_SPAN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("span_hash", LongType(), False),
+            StructField("sent_idx", IntegerType(), False),
+        ]
+    )
+)
+
+
+def _span_hashes(text: str, n_sentences: int) -> list:
+    sents = split_sentences(text)
+    if len(sents) < n_sentences:
+        return []
+    spans = []
+    for i in range(len(sents) - n_sentences + 1):
+        key = normalize_text(" ".join(sents[i : i + n_sentences]))
+        spans.append((sha1_i64(key), i))
+    return spans
+
+
+def sentence_dedup(
+    df: DataFrame,
+    n_sentences: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_to_keep_doc: int = 0,
+) -> DataFrame:
+    """Remove sentence spans already seen in an earlier document
+    (sentence_dedup.py:133-146 span hashing; :294-378 rewrite).
+
+    A span's owner is the doc with the smallest (id, sent_idx); every other
+    occurrence is removed from its doc.  The doc text is rewritten to the
+    surviving sentences; docs reduced below ``min_words_to_keep_doc`` are
+    dropped with reason 'sentence_dedup_too_short'.
+    """
+    df = ensure_channel(df)
+
+    @F.pandas_udf(_SPAN_SCHEMA)
+    def _spans_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([_span_hashes(t, n_sentences) for t in texts.fillna("")])
+
+    with_spans = df.withColumn("_spans", _spans_udf(F.col(text_col)))
+    spans = with_spans.select(
+        F.col(id_col).alias("id"), F.explode("_spans").alias("s")
+    ).select("id", F.col("s.span_hash").alias("span_hash"), F.col("s.sent_idx").alias("sent_idx"))
+
+    w = Window.partitionBy("span_hash").orderBy(F.col("id").asc(), F.col("sent_idx").asc())
+    losers = (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_owner", F.first("id").over(w))
+        .filter((F.col("_rn") > 1) & (F.col("_owner") != F.col("id")))
+        .groupBy("id")
+        .agg(F.collect_set("sent_idx").alias("_remove_idx"))
+    )
+
+    joined = with_spans.join(losers, with_spans[id_col] == losers["id"], "left").drop("id")
+
+    rewrite_schema = StructType(
+        [StructField("text", StringType(), True), StructField("n_words", IntegerType(), False)]
+    )
+
+    @F.pandas_udf(rewrite_schema)
+    def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.DataFrame:
+        out_text, out_words = [], []
+        for text, rem in zip(texts.fillna(""), removes):
+            if rem is None or len(rem) == 0:
+                out_text.append(text)
+                out_words.append(len(tokenize_words(text)))
+                continue
+            sents = split_sentences(text)
+            drop = set()
+            for start in rem:
+                drop.update(range(start, min(start + n_sentences, len(sents))))
+            kept = [s for i, s in enumerate(sents) if i not in drop]
+            new_text = " ".join(kept).strip()
+            out_text.append(new_text)
+            out_words.append(len(tokenize_words(new_text)))
+        return pd.DataFrame({"text": out_text, "n_words": out_words})
+
+    joined = joined.withColumn("_rw", _rewrite_udf(F.col(text_col), F.col("_remove_idx")))
+    joined = joined.withColumn(text_col, F.col("_rw.text"))
+    if min_words_to_keep_doc > 0:
+        joined = apply_native_filter(
+            joined, F.col("_rw.n_words") >= min_words_to_keep_doc, "sentence_dedup_too_short"
+        )
+    return joined.drop("_rw", "_remove_idx", "_spans")
+
+
+# --------------------------------------------------------------------------
+# simhash near-dup (extension)
+# --------------------------------------------------------------------------
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints over word shingles, banded into
+    4x16-bit chunks (any chunk equality → candidate, guarantees recall for
+    hamming ≤ 3), hamming-verified, CC-clustered, min-id survives."""
+    df = ensure_channel(df)
+
+    @F.pandas_udf(LongType())
+    def _sim_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            words = normalize_text(t).split()
+            shingles = (
+                [" ".join(words[i : i + shingle_size]) for i in range(len(words) - shingle_size + 1)]
+                if len(words) >= shingle_size
+                else ([" ".join(words)] if words else [])
+            )
+            out.append(simhash64(shingles))
+        return pd.Series(out, dtype="int64")
+
+    sims = df.withColumn("simhash", _sim_udf(F.col(text_col)))
+    chunks = sims.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("src"),
+            F.col("r.id").alias("dst"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    verified = cand.filter(
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming
+    ).select("src", "dst")
+    comps = connected_components(verified)
+    dup_ids = comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias("_dup_id"))
+    out = sims.join(dup_ids, sims[id_col] == dup_ids["_dup_id"], "left")
+    out = apply_native_filter(out, F.col("_dup_id").isNull(), "simhash_duplicate")
+    return out.drop("_dup_id")
+
+
+# --------------------------------------------------------------------------
+# n-gram decontamination (reference decont/n_grams.py:52-229)
+# --------------------------------------------------------------------------
+
+
+def ngram_shingles(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Native shingling: (id-preserving) exploded n-gram strings over
+    whitespace tokens of lower-cased text — pure Catalyst (split + transform +
+    slice), no Python."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1), lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+        ),
+    ).otherwise(F.array())
+    return df.withColumn("_grams", grams)
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop training docs containing any n-gram present in the eval set
+    (decont/n_grams.py:215-229).  The eval index is tiny → broadcast semi-join."""
+    train_df = ensure_channel(train_df)
+    eval_grams = (
+        ngram_shingles(eval_df, n, text_col)
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+    )
+    train_grams = ngram_shingles(train_df, n, text_col).select(
+        F.col(id_col).alias("_cid"), F.explode("_grams").alias("gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "gram", "left_semi").select("_cid").distinct()
+    )
+    out = train_df.join(contaminated, train_df[id_col] == contaminated["_cid"], "left")
+    out = apply_native_filter(out, F.col("_cid").isNull(), "decontamination")
+    return out.drop("_cid")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs (extension; candidate generation by
+# shared shingle → exact Jaccard — no approximation, SQL-oracle-able)
+# --------------------------------------------------------------------------
+
+
+def jaccard_neardup_pairs(
+    df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for all pairs with shingle-set Jaccard ≥ threshold.
+
+    Candidates come from sharing at least one shingle (exact — any pair with
+    J>0 shares one), so recall is 1.0; the group-by computes exact overlap
+    counts.  At 100 TB this is the verification stage after LSH; standalone it
+    is quadratic-safe only because shared-shingle buckets bound the join.
+    """
+    grams = (
+        ngram_shingles(df, n, text_col)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct("_grams")).alias("gram"))
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    g1 = grams.alias("g1")
+    g2 = grams.alias("g2")
+    inter = (
+        g1.join(g2, (F.col("g1.gram") == F.col("g2.gram")) & (F.col("g1.id") < F.col("g2.id")))
+        .groupBy(F.col("g1.id").alias("id_a"), F.col("g2.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

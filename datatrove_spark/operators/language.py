@@ -1,0 +1,150 @@
+"""Language-ID and perplexity scoring operators.
+
+The north-rule pattern (SURVEY.md §2.8): the model rides to executors ONCE
+(small models via closure/broadcast, big .bin files via ``--py-files`` /
+``SparkFiles``), is materialized lazily as a per-process singleton, and is
+batch-invoked from an Arrow pandas UDF — never per-row Python.
+
+Reference semantics: utils/lid.py:53-59 (newline→space, argmax over scores,
+keep if score > threshold), language_filter.py:43-65.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from ..kernels.lid import STOPWORD_SETS, FastTextLID, NgramBayesLID
+from ..kernels.perplexity import InterpolatedLM
+from .base import apply_native_filter, ensure_channel
+
+LID_RESULT = StructType(
+    [
+        StructField("language", StringType(), True),
+        StructField("language_score", DoubleType(), True),
+    ]
+)
+
+# per-executor-process model singletons, keyed by a caller-chosen tag; the
+# closure ships only the (small) serialized dict / file path, the heavy
+# object is built at most once per worker process.
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _singleton(tag: str, factory):
+    model = _MODEL_CACHE.get(tag)
+    if model is None:
+        model = factory()
+        _MODEL_CACHE[tag] = model
+    return model
+
+
+def annotate_language(
+    df: DataFrame,
+    model_dict: dict | None = None,
+    fasttext_path: str | None = None,
+    text_col: str = "text",
+    model_tag: str = "default_lid",
+) -> DataFrame:
+    """Adds ``language`` + ``language_score`` columns.
+
+    ``fasttext_path`` (a SparkFiles-distributed .bin) wins when given and the
+    fasttext package is importable; otherwise the serialized NgramBayesLID
+    profile is used.
+    """
+
+    @F.pandas_udf(LID_RESULT)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        def build():
+            if fasttext_path is not None:
+                try:
+                    return FastTextLID(fasttext_path)
+                except ImportError:
+                    pass
+            return NgramBayesLID(model_dict)
+
+        model = _singleton(model_tag, build)
+        langs, scores = [], []
+        for t in texts.fillna(""):
+            (lang, score), _ = model.predict(t)
+            langs.append(lang)
+            scores.append(float(score))
+        return pd.DataFrame({"language": langs, "language_score": scores})
+
+    return df.withColumn("_lid", _udf(F.col(text_col))).select(
+        "*", "_lid.language", "_lid.language_score"
+    ).drop("_lid")
+
+
+def language_filter(
+    df: DataFrame,
+    languages: list[str] | None = None,
+    threshold: float = 0.65,
+    label_only: bool = False,
+    **annotate_kwargs,
+) -> DataFrame:
+    """Annotate + (optionally) drop (language_filter.py:43-65): keep when the
+    detected language is in ``languages`` with score > threshold."""
+    df = annotate_language(df, **annotate_kwargs)
+    if label_only:
+        return ensure_channel(df)
+    cond = F.col("language_score") > threshold
+    if languages:
+        cond = cond & F.col("language").isin(languages)
+    return apply_native_filter(df, cond, "language_id")
+
+
+def annotate_stopword_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """SQL-reproducible stopword-ratio LID (kernels.lid.stopword_lid) done
+    natively in Catalyst: per-language stopword hit ratio over whitespace
+    tokens, argmax with alphabetical tie-break.  Zero Python."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.greatest(F.size(words), F.lit(1))
+    scored = []
+    for lang in sorted(STOPWORD_SETS):
+        sw = F.array(*[F.lit(w) for w in sorted(STOPWORD_SETS[lang])])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+        scored.append(F.struct((hits / n).alias("score"), F.lit(lang).alias("lang")))
+    # array_max over (score, lang) structs picks highest score; on ties the
+    # LARGER lang string wins, so order langs descending... instead make the
+    # tie-break explicit: compare (score, reverse-rank) — encode rank so that
+    # alphabetically-first wins ties.
+    ranked = [
+        F.struct(
+            s["score"].alias("score"),
+            F.lit(len(scored) - i).alias("rank"),
+            s["lang"].alias("lang"),
+        )
+        for i, s in enumerate(scored)
+    ]
+    best = F.array_max(F.array(*ranked))
+    return df.withColumn("sw_language", best["lang"]).withColumn(
+        "sw_language_score", F.round(best["score"], 6)
+    )
+
+
+def annotate_perplexity(
+    df: DataFrame,
+    lm_dict: dict,
+    text_col: str = "text",
+    out_col: str = "perplexity",
+    model_tag: str = "default_lm",
+) -> DataFrame:
+    """KenLM-style perplexity column (utils/perplexity.py:125-138 convention:
+    10^(−logsum/len) rounded to 1 decimal), broadcast-singleton LM."""
+
+    @F.pandas_udf(DoubleType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        lm = _singleton(model_tag, lambda: InterpolatedLM(lm_dict))
+        return pd.Series([lm.perplexity(t) for t in texts.fillna("")])
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))
+
+
+def perplexity_filter(
+    df: DataFrame, lm_dict: dict, max_perplexity: float, **kwargs
+) -> DataFrame:
+    df = annotate_perplexity(df, lm_dict, **kwargs)
+    return apply_native_filter(df, F.col("perplexity") <= max_perplexity, "perplexity")

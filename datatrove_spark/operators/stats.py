@@ -1,0 +1,161 @@
+"""Statistics operators (SURVEY.md §2.5).
+
+The reference's stats subsystem (pipeline/stats/*) computes per-doc metrics,
+groups them (summary / histogram / fqdn / suffix), and merges per-rank JSON
+shards in a second stage (stats/merger.py).  In Spark the partial+final merge
+is Catalyst's default aggregation — each of these is ONE groupBy plan.
+
+Doc/line-level metrics are pure native expressions (whole-stage codegen, no
+Python); word-level metrics that need the tokenizer go through one pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+from ..kernels.quality import count_tokens_bpe_ish, word_stats
+
+
+def with_doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Native per-doc metrics (reference stats/doc_stats.py:14-50)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    safe_n = F.greatest(n, F.lit(1))
+    return (
+        df.withColumn("length", n)
+        .withColumn(
+            "white_space_ratio",
+            (n - F.length(F.regexp_replace(t, r"\s", ""))) / safe_n,
+        )
+        .withColumn(
+            "digit_ratio", (n - F.length(F.regexp_replace(t, r"[0-9]", ""))) / safe_n
+        )
+        .withColumn(
+            "uppercase_ratio", (n - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / safe_n
+        )
+        .withColumn(
+            "non_alpha_digit_ratio",
+            F.length(F.regexp_replace(t, r"[A-Za-z0-9]", "")) / safe_n,
+        )
+    )
+
+
+def with_line_stats(
+    df: DataFrame, text_col: str = "text", short_line: int = 30, long_line: int = 2000
+) -> DataFrame:
+    """Native line metrics (reference stats/line_stats.py:25-90)."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    safe = F.greatest(n_lines, F.lit(1))
+    lens = F.transform(lines, F.length)
+    return (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("avg_line_length", F.aggregate(lens, F.lit(0), lambda acc, x: acc + x) / safe)
+        .withColumn(
+            "short_line_ratio",
+            F.size(F.filter(lens, lambda x: x <= short_line)) / safe,
+        )
+        .withColumn(
+            "long_line_ratio",
+            F.size(F.filter(lens, lambda x: x >= long_line)) / safe,
+        )
+    )
+
+
+_WORD_STATS_SCHEMA = StructType(
+    [
+        StructField("n_words", IntegerType(), False),
+        StructField("avg_word_length", DoubleType(), False),
+        StructField("stop_word_ratio", DoubleType(), False),
+        StructField("type_token_ratio", DoubleType(), False),
+    ]
+)
+
+
+def with_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer-dependent word metrics (reference stats/word_stats.py:20-85)
+    — single pandas UDF, Arrow-batched."""
+
+    @F.pandas_udf(_WORD_STATS_SCHEMA)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        rows = [word_stats(t) for t in texts.fillna("")]
+        return pd.DataFrame(
+            {
+                "n_words": [r["n_words"] for r in rows],
+                "avg_word_length": [r["avg_word_length"] for r in rows],
+                "stop_word_ratio": [r["stop_word_ratio"] for r in rows],
+                "type_token_ratio": [r["type_token_ratio"] for r in rows],
+            }
+        )
+
+    return df.withColumn("_ws", _udf(F.col(text_col))).select("*", "_ws.*").drop("_ws")
+
+
+def with_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "token_count", mode: str = "whitespace"
+) -> DataFrame:
+    """Token counting (reference pipeline/tokens/counter.py:7-56).
+
+    'whitespace' is native Catalyst; 'bpe' uses the GPT-2-style regex
+    pretokenizer in a pandas UDF (deterministic HF-tokenizer stand-in)."""
+    if mode == "whitespace":
+        return df.withColumn(
+            out_col, F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+        )
+
+    @F.pandas_udf(IntegerType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([count_tokens_bpe_ish(t) for t in texts.fillna("")])
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))
+
+
+def summary_stats(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """count/sum/mean/min/max/stddev per group (reference stats/base.py:89-125
+    + merger.py — partial/final merge is native)."""
+    aggs = [
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("total"),
+        F.avg(value_col).alias("mean"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.stddev_pop(value_col).alias("std_dev"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def histogram(df: DataFrame, value_col: str, decimals: int = 0) -> DataFrame:
+    """Rounded-value histogram (reference stats/base.py:63-87 'histogram'
+    grouping): value → count, total chars analogue omitted."""
+    return (
+        df.groupBy(F.round(F.col(value_col), decimals).alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+def top_k_groups(
+    df: DataFrame, group_col: str, k: int = 100_000, order_col: str = "n"
+) -> DataFrame:
+    """Top-k truncation (reference stats/base.py:118-124 heapq.nlargest →
+    rank window)."""
+    counted = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col(order_col).desc(), F.col(group_col).asc())
+    return counted.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def drop_reason_summary(df: DataFrame) -> DataFrame:
+    """Per-reason removal counts — the exclusion-writer side channel
+    (base_filter.py:62-82) as one aggregation."""
+    return (
+        df.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("reason"))
+    )

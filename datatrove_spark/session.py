@@ -1,0 +1,54 @@
+"""SparkSession factory with the scale-oriented defaults this engine assumes.
+
+Tuned for the 100 TB profile (SURVEY.md §4): AQE on (runtime coalescing +
+skew-join splitting), Arrow-batched pandas UDFs, parquet pushdown.  On a real
+cluster the same builder is used by ``spark-submit --py-files``; locally the
+``local[N]`` master stands in for N executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 2_000  # docs per Arrow batch handed to pandas UDFs
+
+
+def get_spark(
+    app_name: str = "datatrove-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cores}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join handling — the
+        # backstop for residual skew after our explicit repo-hash salting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for pandas UDFs — the only sanctioned Python path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        # Broadcast threshold: small dims (badword lists, LID profiles, eval
+        # n-gram indexes) always broadcast; big tables never.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.ui.explainMode", "formatted")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if shuffle_partitions is None:
+        # at local scale, shuffle width ≈ core count; on a cluster this is
+        # overridden to ~2-3x total cores via spark-submit conf.
+        try:
+            shuffle_partitions = int(cores)
+        except ValueError:
+            shuffle_partitions = 32
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -260,12 +260,17 @@ def test_tokenizer_splits_punct():
 def test_minhash_estimates_jaccard():
     # mirrors tests/pipeline/dedup/test_minhash.py:55-63 — estimated similarity
     # within ±0.21 of true shingle Jaccard across an overlap ladder.
-    base_words = [f"w{i}" for i in range(120)]
+    import itertools
+    import string
+
+    vocab = ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)]
+    base_words = vocab[:120]
+    alt_words = vocab[300:420]
     a_, b_ = permutation_params(DEFAULT_MINHASH)
     base = " ".join(base_words)
     for frac in (0.0, 0.25, 0.5, 0.75, 1.0):
         n_shared = int(len(base_words) * frac)
-        other = " ".join(base_words[:n_shared] + [f"z{i}" for i in range(len(base_words) - n_shared)])
+        other = " ".join(base_words[:n_shared] + alt_words[: len(base_words) - n_shared])
         s1 = minhash_signature(base, a_, b_)
         s2 = minhash_signature(other, a_, b_)
         est = sum(x == y for x, y in zip(s1, s2)) / len(s1)

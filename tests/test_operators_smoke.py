@@ -1,0 +1,175 @@
+"""Fast end-to-end smoke of every Spark operator on tiny in-memory frames."""
+
+import pyspark.sql.functions as F
+
+from datatrove_spark import operators as ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_filter_channel_and_gopher(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the be to of and that have with words enough here to pass the gopher size bar " * 4),
+            (2, "I am " * 20),
+        ],
+    )
+    from datatrove_spark.kernels import GopherQualityConfig
+
+    out = ops.gopher_quality_filter(df, GopherQualityConfig(min_doc_words=10, max_doc_words=1000))
+    rows = {r.doc_id: (r.keep, r.drop_reason) for r in out.collect()}
+    assert rows[1] == (True, None)
+    assert rows[2] == (False, "gopher_below_avg_threshold")
+
+
+def test_chained_filters_keep_first_reason(spark):
+    df = _docs(spark, [(1, "I am " * 20)])
+    from datatrove_spark.kernels import GopherQualityConfig
+
+    out = ops.gopher_quality_filter(df, GopherQualityConfig(min_doc_words=10))
+    out = ops.fineweb_quality_filter(out)
+    r = out.collect()[0]
+    assert (r.keep, r.drop_reason) == (False, "gopher_below_avg_threshold")
+
+
+def test_c4_rewrite(spark):
+    df = _docs(spark, [(1, "This site uses cookies for tracking.\nAnother valid line here today.")])
+    from datatrove_spark.kernels import C4QualityConfig
+
+    out = ops.c4_quality_filter(df, C4QualityConfig(min_num_sentences=-1, min_words_per_line=-1))
+    r = out.collect()[0]
+    assert r.keep and r.text == "Another valid line here today."
+
+
+def test_pii_scrub(spark):
+    df = _docs(spark, [(1, "mail me at a@b.com or ping 163.36.107.25 ok")])
+    out = ops.pii_scrub(df, remove_phones=False)
+    assert out.collect()[0].text == "mail me at email@example.com or ping 22.214.171.124 ok"
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other text")])
+    out = ops.exact_dedup(df)
+    rows = {r.doc_id: (r.keep, r.drop_reason) for r in out.collect()}
+    assert rows[1] == (True, None)
+    assert rows[2] == (False, "exact_duplicate")
+    assert rows[3] == (True, None)
+
+
+def test_minhash_dedup(spark):
+    import itertools, string
+
+    vocab = ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)]
+    base = " ".join(vocab[:100])
+    near = " ".join(vocab[:95] + ["xq xr xs xt xu".split()[i] for i in range(5)])
+    other = " ".join(vocab[200:300])
+    df = _docs(spark, [(1, base), (2, near), (3, other), (4, base)])
+    out = ops.minhash_dedup(df)
+    rows = {r.doc_id: r.keep for r in out.collect()}
+    assert rows[1] is True
+    assert rows[4] is False  # exact copy must collide
+    assert rows[2] is False  # 95% overlap → LSH collision at 14x8
+    assert rows[3] is True
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    comps = {r.id: r.component for r in ops.connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sentence_dedup(spark):
+    shared = "First shared sentence here. Second shared sentence here. Third shared sentence here."
+    doc1 = shared + " Unique tail for doc one."
+    doc2 = shared + " Different ending for doc two."
+    df = _docs(spark, [(1, doc1), (2, doc2)])
+    out = {r.doc_id: r.text for r in ops.sentence_dedup(df).collect()}
+    assert out[1] == doc1  # owner keeps the span
+    assert "shared" not in out[2]
+    assert "Different ending" in out[2]
+
+
+def test_ngram_decontaminate(spark):
+    train = _docs(spark, [(1, "a b c d e f g h"), (2, "z y x w v u t s")])
+    eval_df = _docs(spark, [(100, "c d e f g")])
+    out = {r.doc_id: (r.keep, r.drop_reason) for r in ops.ngram_decontaminate(train, eval_df, n=5).collect()}
+    assert out[1] == (False, "decontamination")
+    assert out[2] == (True, None)
+
+
+def test_jaccard_pairs(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
+    pairs = ops.jaccard_neardup_pairs(df, n=3, threshold=0.9).collect()
+    assert len(pairs) == 1 and pairs[0].id_a == 1 and pairs[0].id_b == 2
+
+
+def test_simhash_dedup(spark):
+    words = " ".join(f"tok{i}" for i in range(60))
+    df = _docs(spark, [(1, words), (2, words), (3, " ".join(f"other{i}" for i in range(60)))])
+    rows = {r.doc_id: r.keep for r in ops.simhash_dedup(df).collect()}
+    assert rows == {1: True, 2: False, 3: True}
+
+
+def test_language_and_stopword_lid(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog have to be with all of that in the house"),
+            (2, "le chien et le chat sont dans la maison avec les enfants pour une"),
+        ],
+    )
+    out = {r.doc_id: r.language for r in ops.annotate_language(df).collect()}
+    assert out == {1: "en", 2: "fr"}
+    sw = {r.doc_id: r.sw_language for r in ops.annotate_stopword_language(df).collect()}
+    assert sw == {1: "en", 2: "fr"}
+
+
+def test_perplexity_orders_clean_vs_gibberish(spark):
+    from datatrove_spark.kernels.perplexity import InterpolatedLM
+
+    corpus = ["the cat sat on the mat and the dog ran to the house"] * 5
+    lm = InterpolatedLM.train(corpus)
+    df = _docs(spark, [(1, "the cat sat on the mat"), (2, "zxqv frobnicate quux blarg")])
+    out = {r.doc_id: r.perplexity for r in ops.annotate_perplexity(df, lm.to_dict()).collect()}
+    assert out[1] < out[2]
+
+
+def test_stats_and_token_count(spark):
+    df = _docs(spark, [(1, "Hello World 123\nsecond line."), (2, "abc")])
+    out = ops.with_doc_stats(ops.with_line_stats(ops.with_token_count(df)))
+    r = {x.doc_id: x for x in out.collect()}
+    assert r[1].token_count == 5
+    assert r[1].n_lines == 2
+    assert r[2].length == 3
+
+
+def test_cosine_topk(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [1.0, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = ops.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=1)
+    top = res.collect()[0]
+    assert top.neighbor_id == 4 and top.rank == 1
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.keep for r in ops.embedding_neardup(df, dim=3, threshold=0.99).collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_sampler_and_length(spark):
+    df = _docs(spark, [(i, "x" * i) for i in range(1, 101)])
+    out = ops.sampler_filter(df, rate=0.5, seed=1)
+    n_kept = out.filter(F.col("keep")).count()
+    assert 30 < n_kept < 70
+    out2 = ops.length_filter(df, min_chars=50)
+    assert out2.filter(F.col("keep")).count() == 51
