@@ -1,0 +1,159 @@
+"""Deterministic synthetic code corpus ``(repo, path, commit, lang, content)``.
+
+Realizes BASELINE.json's input_hint + FIXTURES.md F1/F6 for tests and the
+scaling benchmark: seeded, fully distributed generation (mapInPandas over
+``spark.range`` — no driver materialization, scales to any row count), with
+
+* skewed repo sizes — ~1% of repos own ~50% of files (salting exercise),
+* labeled content classes drawn from the reference test fixtures
+  (tests/pipeline/filters/test_filters.py patterns), so the expected
+  keep/drop reason of every row is known a priori,
+* PII-laden rows (emails / public+private IPs / phones) for scrub checks,
+* exact/near-duplicate rows for dedup checks.
+
+Determinism: every column is a pure function of (row index, seed) via
+blake2-based integer hashing — independent of partitioning and row order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+SCHEMA = "repo string, path string, commit string, lang string, content string, content_class string"
+
+_WORDS = (
+    "parse token stream buffer index offset value result handler module "
+    "config loader worker thread queue batch cache entry record field "
+    "schema column table filter reduce append update delete insert select"
+).split()
+
+_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# class id → (weight, label); weights sum to 100
+_CLASSES = [
+    (52, "clean"),            # passes everything
+    (8, "too_short"),         # gopher_short_doc
+    (5, "short_words"),       # gopher_below_avg_threshold
+    (5, "hash_spam"),         # gopher_too_many_hashes
+    (5, "repeated_lines"),    # dup_line_frac
+    (5, "lorem_ipsum"),       # c4 lorem_ipsum
+    (5, "no_punct_lines"),    # fineweb line_punct_ratio (too few terminal marks)
+    (5, "pii_clean"),         # clean + emails/IPs to scrub
+    (5, "near_dup"),          # clean text duplicated with small suffix change
+    (5, "non_english"),       # French-ish content → language filter
+]
+_CLASS_LOOKUP: list[str] = []
+for w, name in _CLASSES:
+    _CLASS_LOOKUP.extend([name] * w)
+
+_FRENCH = (
+    "le chat et le chien sont dans la maison avec les enfants pour une "
+    "journée entière et ils ne veulent pas sortir parce que la pluie est "
+    "très forte dans la ville aujourd'hui alors la famille reste ensemble"
+).split()
+
+
+def _h(i: int, tag: str, mod: int) -> int:
+    digest = hashlib.blake2b(f"{tag}:{i}".encode(), digest_size=8).digest()
+    return int.from_bytes(digest, "big") % mod
+
+
+def _sentence(i: int, j: int, n_words: int = 10) -> str:
+    ws = []
+    for k in range(n_words):
+        r = _h(i, f"w{j}:{k}", 1000)
+        if r < 300:
+            ws.append(_STOP[r % len(_STOP)])
+        else:
+            ws.append(_WORDS[r % len(_WORDS)])
+    return " ".join(ws).capitalize() + "."
+
+
+def _clean_text(i: int, n_lines: int = 12) -> str:
+    # long punctuated lines, enough words/stopwords → passes all heuristics
+    return "\n".join(
+        _sentence(i, j, n_words=8 + _h(i, f"len{j}", 8)) + " " + _sentence(i, j + 100, 7)
+        for j in range(n_lines)
+    )
+
+
+def make_content(i: int) -> tuple[str, str]:
+    """(content_class, content) for global row index i."""
+    cls = _CLASS_LOOKUP[_h(i, "class", 100)]
+    if cls == "clean":
+        return cls, _clean_text(i)
+    if cls == "too_short":
+        # ~45 words: below Gopher's 50-word floor but long enough that no
+        # single n-gram exceeds the top-n-gram char thresholds (which fire on
+        # tiny docs even at count 1 — reference behavior)
+        return cls, _sentence(i, 0, 45)
+    if cls == "short_words":
+        # varied 1-2 char English function words: mean word length < 3 without
+        # n-gram repetition (which would fire first in FineWeb stage order)
+        pool = "it is so we do at on in up as of to be my no go he an if or".split()
+        ws = [pool[_h(i, f"sw{k}", len(pool))] for k in range(80)]
+        return cls, " ".join(ws) + "."
+    if cls == "hash_spam":
+        # stopword-rich varied lines so LID keeps it; 2 hashes per ~15 tokens
+        # puts the '#'-to-word ratio over Gopher's 0.1 ceiling
+        lines = [f"# {_sentence(i, j, 12)} #" for j in range(18)]
+        return cls, "\n".join(lines)
+    if cls == "repeated_lines":
+        # stopword-rich so language ID stays confidently English and the doc
+        # reaches the repetition filter
+        lead = _WORDS[_h(i, "rl", len(_WORDS))]
+        line = f"The {lead} of the value and that have to be with the table index."
+        return cls, "\n".join([line] * 8)
+    if cls == "lorem_ipsum":
+        base = _clean_text(i, 8)
+        return cls, base + "\nThis section includes lorem ipsum dolor filler text."
+    if cls == "no_punct_lines":
+        return cls, "\n".join(_sentence(i, j, 9).rstrip(".") for j in range(12))
+    if cls == "pii_clean":
+        base = _clean_text(i, 10)
+        email = f"user{_h(i, 'em', 10_000)}@mail{_h(i, 'dm', 90)}.com"
+        # half public (11.x — global), half private (10.x)
+        first_octet = 11 if _h(i, "ipk", 2) == 0 else 10
+        ip = f"{first_octet}.{_h(i, 'ip1', 256)}.{_h(i, 'ip2', 256)}.{_h(i, 'ip3', 254) + 1}"
+        phone = f"+1 {200 + _h(i, 'ph1', 700)} 555 {1000 + _h(i, 'ph2', 9000)}"
+        return cls, f"{base}\nContact {email} or {ip} or {phone} for support."
+    if cls == "near_dup":
+        # pairs share a seed: rows 2k and 2k+1 of this class differ by suffix
+        seed = i - (i % 2)
+        base = _clean_text(seed, 10)
+        return cls, base if i % 2 == 0 else base + "\nMinor trailing edit here today."
+    if cls == "non_english":
+        ws = [_FRENCH[_h(i, f"f{k}", len(_FRENCH))] for k in range(80)]
+        return cls, (" ".join(ws).capitalize() + ".")
+    raise AssertionError(cls)
+
+
+def row_for_index(i: int, n_repos: int) -> dict:
+    # skew: 1% of repos (ids < n_repos//100) own ~50% of files
+    hot = _h(i, "hot", 2) == 0
+    n_hot = max(n_repos // 100, 1)
+    repo_id = _h(i, "hrepo", n_hot) if hot else n_hot + _h(i, "crepo", max(n_repos - n_hot, 1))
+    cls, content = make_content(i)
+    return {
+        "repo": f"org{repo_id % 97}/repo{repo_id}",
+        "path": f"src/dir{_h(i, 'd', 40)}/file_{i}.py",
+        "commit": hashlib.sha1(f"c:{i}".encode()).hexdigest(),
+        "lang": "python",
+        "content": content,
+        "content_class": cls,
+    }
+
+
+def synth_corpus(spark: SparkSession, n_rows: int, n_repos: int | None = None, partitions: int = 32) -> DataFrame:
+    n_repos = n_repos or max(n_rows // 50, 10)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [row_for_index(int(i), n_repos) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, SCHEMA)

@@ -58,6 +58,10 @@ def is_public_ip(candidate: str) -> bool:
 
 
 def _is_plausible_phone(candidate: str) -> bool:
+    # dotted-quads are IP territory (incl. private IPs that must NOT be
+    # scrubbed) — never treat them as phone numbers
+    if IPV4_RE.fullmatch(candidate):
+        return False
     digits = sum(c.isdigit() for c in candidate)
     return 7 <= digits <= 15
 

@@ -25,11 +25,16 @@ def pii_scrub(
     remove_ips: bool = True,
     remove_phones: bool = True,
     public_ips_only: bool = True,
+    mask_col: str | None = None,
 ) -> DataFrame:
     """PII scrubbing (formatters/pii.py:42-94 + phone extension).
 
     The round-robin replacement counter resets per document (index 0 first) —
     deterministic under any partitioning; see kernels.pii for the rationale.
+
+    ``mask_col``: optional boolean column — rows where it is false skip the
+    scrub (text passed through), so one UDF pass serves kept-only scrubbing
+    without forking the plan.
     """
     scrubber = PiiScrubber(
         remove_emails=remove_emails,
@@ -38,11 +43,23 @@ def pii_scrub(
         public_ips_only=public_ips_only,
     )
 
-    @F.pandas_udf(StringType())
-    def _udf(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(scrubber.scrub)
+    if mask_col is None:
 
-    return df.withColumn(out_col or text_col, _udf(F.col(text_col)))
+        @F.pandas_udf(StringType())
+        def _udf(texts: pd.Series) -> pd.Series:
+            return texts.fillna("").map(scrubber.scrub)
+
+        return df.withColumn(out_col or text_col, _udf(F.col(text_col)))
+
+    @F.pandas_udf(StringType())
+    def _masked_udf(texts: pd.Series, mask: pd.Series) -> pd.Series:
+        texts = texts.fillna("")
+        m = mask.fillna(False).astype(bool)
+        out = texts.copy()
+        out[m] = texts[m].map(scrubber.scrub)
+        return out
+
+    return df.withColumn(out_col or text_col, _masked_udf(F.col(text_col), F.col(mask_col)))
 
 
 _SYMBOL_LINE_RE = re.compile(r"^[\s!-/:-@\[-`{-~]+$")

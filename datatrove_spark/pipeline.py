@@ -1,0 +1,124 @@
+"""The flagship quality pipeline over the code corpus (BASELINE.json north rule).
+
+Input table: ``(repo, path, commit, lang, content)`` — an Iceberg table of
+source-code files at production scale; parquet stands in locally.
+
+Stage order mirrors the FineWeb recipe (reference examples/fineweb.py:41-63),
+cheapest/most-selective first so expensive scorers only see survivors:
+
+  1. native length pre-filter            (pure Catalyst, codegen)
+  2. language ID (broadcast model, batch pandas UDF) + threshold filter
+  3. Gopher repetition                   (pandas UDF)
+  4. Gopher quality                      (pandas UDF)
+  5. C4 quality, code profile            (pandas UDF, rewrites text)
+  6. FineWeb quality                     (pandas UDF)
+  7. perplexity annotation               (broadcast LM, optional filter)
+  8. PII scrub on survivors              (emails/IPs/phones)
+  9. content_sha256 invariant column     (native)
+
+Every stage feeds the keep/drop_reason channel; nothing is physically removed
+until the caller splits kept/dropped — the exclusion-writer side channel
+(reference base_filter.py:62-82) is ``dropped(df).write.partitionBy("drop_reason")``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .kernels import CODE_C4_QUALITY, DEFAULT_GOPHER_QUALITY, C4QualityConfig, GopherQualityConfig
+from .kernels.fineweb import DEFAULT_FINEWEB_QUALITY, FineWebQualityConfig
+from .operators import (
+    c4_quality_filter,
+    ensure_channel,
+    fineweb_quality_filter,
+    gopher_quality_filter,
+    gopher_repetition_filter,
+    kept,
+    language_filter,
+    length_filter,
+    pii_scrub,
+)
+from .operators.language import annotate_perplexity
+
+
+@dataclass
+class QualityPipelineConfig:
+    text_col: str = "content"
+    id_cols: tuple[str, ...] = ("repo", "path", "commit")
+    min_chars: int = 10
+    max_chars: int = 1_000_000
+    languages: tuple[str, ...] | None = ("en",)
+    language_threshold: float = 0.65
+    gopher_quality: GopherQualityConfig = field(default_factory=lambda: DEFAULT_GOPHER_QUALITY)
+    c4: C4QualityConfig = field(default_factory=lambda: CODE_C4_QUALITY)
+    fineweb: FineWebQualityConfig = field(default_factory=lambda: DEFAULT_FINEWEB_QUALITY)
+    lm_dict: dict | None = None
+    max_perplexity: float | None = None
+    scrub_pii: bool = True
+    # scale knobs
+    repartition_to: int | None = None
+    salt_buckets: int = 16
+    hot_repo_threshold: int = 100_000  # files per repo before salting kicks in
+
+
+def partition_by_repo(
+    df: DataFrame, num_partitions: int, salt_buckets: int = 16, repo_col: str = "repo"
+) -> DataFrame:
+    """Explicit repo-hash repartitioning with salt for mega-repos.
+
+    Co-locates each repo's files (cache locality for per-repo models/stats)
+    while the salt term splits repos large enough to skew a partition.  AQE's
+    skew handling remains on as the backstop (SURVEY.md §4).
+    """
+    salt = F.pmod(F.xxhash64(F.col("path")), F.lit(salt_buckets))
+    return df.repartition(num_partitions, F.xxhash64(F.col(repo_col)), salt)
+
+
+def add_doc_id(df: DataFrame, cfg: QualityPipelineConfig) -> DataFrame:
+    if "doc_id" in df.columns:
+        return df
+    return df.withColumn(
+        "doc_id",
+        F.concat_ws("@", F.concat_ws("/", *[F.col(c) for c in cfg.id_cols[:-1]]), F.col(cfg.id_cols[-1])),
+    )
+
+
+def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) -> DataFrame:
+    """Full keep/drop + scrub plan.  Lazy — caller triggers execution."""
+    cfg = cfg or QualityPipelineConfig()
+    t = cfg.text_col
+    df = ensure_channel(add_doc_id(df, cfg))
+    if cfg.repartition_to:
+        df = partition_by_repo(df, cfg.repartition_to, cfg.salt_buckets)
+
+    df = length_filter(df, cfg.min_chars, cfg.max_chars, text_col=t)
+    df = language_filter(
+        df, languages=list(cfg.languages) if cfg.languages else None,
+        threshold=cfg.language_threshold, text_col=t,
+    )
+    df = gopher_repetition_filter(df, text_col=t)
+    df = gopher_quality_filter(df, cfg.gopher_quality, text_col=t)
+    df = c4_quality_filter(df, cfg.c4, text_col=t)
+    df = fineweb_quality_filter(df, cfg.fineweb, text_col=t)
+    if cfg.lm_dict is not None:
+        df = annotate_perplexity(df, cfg.lm_dict, text_col=t)
+        if cfg.max_perplexity is not None:
+            from .operators import apply_native_filter
+
+            df = apply_native_filter(df, F.col("perplexity") <= cfg.max_perplexity, "perplexity")
+    if cfg.scrub_pii:
+        # scrub only survivors (dropped rows keep original text for audit);
+        # single UDF pass via keep-mask — no plan fork, no recompute.
+        df = pii_scrub(df, text_col=t, out_col="scrubbed_content", mask_col="keep")
+    df = df.withColumn("content_sha256", F.sha2(F.col(t), 256))
+    return df
+
+
+def pipeline_outputs(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(kept, dropped) pair — the writer + exclusion-writer channels."""
+    from .operators import dropped as _dropped
+
+    return kept(df), _dropped(df)

@@ -1,0 +1,131 @@
+"""End-to-end: Spark quality pipeline vs. an independent pure-Python harness.
+
+The harness applies the SAME kernel sequence row-by-row in plain Python (the
+stand-in for running the reference implementation per row — the kernels are
+fixture-verified against the reference in test_kernels.py).  The Spark
+pipeline must match it exactly: keep/drop F1 = 1.0 and sha256 equality of
+scrubbed content on survivors — the BASELINE.json correctness gate.
+"""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from datatrove_spark.corpus import synth_corpus
+from datatrove_spark.kernels import (
+    CODE_C4_QUALITY,
+    DEFAULT_FINEWEB_QUALITY,
+    DEFAULT_GOPHER_QUALITY,
+    PiiScrubber,
+    c4_quality,
+    default_lid,
+    fineweb_quality,
+    gopher_quality,
+    gopher_repetition,
+)
+from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+N_ROWS = 300
+
+
+def reference_harness(content: str) -> tuple[bool, str | None, str]:
+    """Independent per-row re-derivation of the pipeline decision."""
+    text = content
+    if len(text) < 10:
+        return False, "too_short", text
+    if len(text) > 1_000_000:
+        return False, "too_long", text
+    (lang, score), _ = default_lid().predict(text)
+    if not (lang == "en" and score > 0.65):
+        return False, "language_id", text
+    keep, reason = gopher_repetition(text)
+    if not keep:
+        return False, reason, text
+    keep, reason = gopher_quality(text, DEFAULT_GOPHER_QUALITY)
+    if not keep:
+        return False, reason, text
+    new_text, keep, reason = c4_quality(text, CODE_C4_QUALITY)
+    if not keep:
+        return False, reason, text
+    text = new_text
+    keep, reason = fineweb_quality(text, DEFAULT_FINEWEB_QUALITY)
+    if not keep:
+        return False, reason, text
+    scrubbed = PiiScrubber(remove_phones=True).scrub(text)
+    return True, None, scrubbed
+
+
+@pytest.fixture(scope="module")
+def corpus_rows(spark):
+    df = synth_corpus(spark, N_ROWS, partitions=4)
+    return df.collect()
+
+
+@pytest.fixture(scope="module")
+def pipeline_rows(spark, corpus_rows):
+    df = spark.createDataFrame(corpus_rows).repartition(4)
+    out = quality_pipeline(df, QualityPipelineConfig())
+    return out.collect()
+
+
+def test_pipeline_matches_reference_harness_exactly(corpus_rows, pipeline_rows):
+    expected = {}
+    for r in corpus_rows:
+        expected[(r.repo, r.path, r.commit)] = reference_harness(r.content)
+
+    n = 0
+    mismatches = []
+    for r in pipeline_rows:
+        exp_keep, exp_reason, exp_text = expected[(r.repo, r.path, r.commit)]
+        n += 1
+        if (r.keep, r.drop_reason) != (exp_keep, exp_reason):
+            mismatches.append((r.path, r.keep, r.drop_reason, exp_keep, exp_reason))
+        elif exp_keep:
+            # sha256 equality on scrubbed survivors
+            exp_sha = hashlib.sha256(exp_text.encode()).hexdigest()
+            got_sha = hashlib.sha256(r.scrubbed_content.encode()).hexdigest()
+            if exp_sha != got_sha:
+                mismatches.append((r.path, "sha_mismatch"))
+    assert n == N_ROWS
+    assert not mismatches, mismatches[:5]
+
+
+def test_pipeline_class_level_expectations(pipeline_rows):
+    by_class = {}
+    for r in pipeline_rows:
+        by_class.setdefault(r.content_class, []).append(r)
+
+    def reasons(cls):
+        return {r.drop_reason for r in by_class[cls]}
+
+    assert all(r.keep for r in by_class["clean"])
+    # a small tail of too_short docs is low-confidence for LID and drops there
+    assert reasons("too_short") <= {"gopher_short_doc", "language_id"}
+    n_short = len(by_class["too_short"])
+    assert sum(r.drop_reason == "gopher_short_doc" for r in by_class["too_short"]) >= 0.9 * n_short
+    assert reasons("short_words") == {"gopher_below_avg_threshold"}
+    assert reasons("hash_spam") == {"gopher_too_many_hashes"}
+    assert reasons("repeated_lines") == {"dup_line_frac"}
+    assert reasons("lorem_ipsum") == {"lorem_ipsum"}
+    # lines without terminal punctuation die at C4 (runs before FineWeb)
+    assert reasons("no_punct_lines") == {"too_few_sentences"}
+    assert reasons("non_english") == {"language_id"}
+    assert all(r.keep for r in by_class["pii_clean"])
+
+
+def test_pii_rows_scrubbed(pipeline_rows):
+    for r in pipeline_rows:
+        if r.content_class == "pii_clean":
+            assert "@mail" not in r.scrubbed_content
+            assert " 11." not in r.scrubbed_content  # public IPs replaced
+            # private 10.x IPs must remain (reference is_global semantics)
+            if " 10." in r.content.split("\n")[-1]:
+                assert " 10." in r.scrubbed_content
+
+
+def test_language_columns_present(pipeline_rows):
+    for r in pipeline_rows:
+        assert r.language is not None
+        assert 0.0 <= r.language_score <= 1.0
+        assert r.content_sha256 is not None and len(r.content_sha256) == 64
