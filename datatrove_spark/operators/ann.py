@@ -51,9 +51,11 @@ def cosine_topk(
     which is tiny).  Scores are rounded for cross-engine reproducibility.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qvec")
     )
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cvec")
+    )
     joined = corpus.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
     dot = F.aggregate(
         F.zip_with(F.col("_qvec"), F.col("_cvec"), lambda a, b: a * b),

@@ -1,0 +1,76 @@
+"""Checkpointed execution: lineage metrics + crash-resume semantics."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.corpus import synth_corpus
+from datatrove_spark.lineage import (
+    LineageConfig,
+    committed_buckets,
+    lineage_table,
+    run_checkpointed,
+)
+from datatrove_spark.operators import gopher_quality_filter
+
+
+def _transform(df):
+    from datatrove_spark.kernels import GopherQualityConfig
+
+    return gopher_quality_filter(df, GopherQualityConfig(min_doc_words=10), text_col="content")
+
+
+def test_checkpointed_run_and_resume(spark, tmp_path):
+    out_dir = str(tmp_path / "run1")
+    src = synth_corpus(spark, 200, partitions=4)
+    cfg = LineageConfig(out_dir=out_dir, n_buckets=8, buckets_per_commit=4)
+
+    summary = run_checkpointed(spark, src, _transform, cfg)
+    assert summary["batches"] == 2
+    assert summary["rows_in"] == 200
+    assert committed_buckets(out_dir) == set(range(8))
+
+    # output written, split by keep
+    written = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert written.count() == 200
+
+    # lineage table carries per-bucket metrics with drop reasons
+    lt = lineage_table(spark, out_dir)
+    rows = lt.collect()
+    assert len(rows) == 8
+    assert sum(r.n_in for r in rows) == 200
+    assert any(json.loads(r.drop_reasons) for r in rows)
+
+    # resume: nothing left to do → no new batches, no double-write
+    summary2 = run_checkpointed(spark, src, _transform, cfg)
+    assert summary2["batches"] == 0
+    assert spark.read.parquet(os.path.join(out_dir, "data")).count() == 200
+
+
+def test_partial_commit_resume(spark, tmp_path):
+    """Simulate a crash after the first commit: only remaining buckets run."""
+    out_dir = str(tmp_path / "run2")
+    src = synth_corpus(spark, 120, partitions=4)
+    cfg = LineageConfig(out_dir=out_dir, n_buckets=4, buckets_per_commit=2)
+
+    calls = {"n": 0}
+
+    def exploding_transform(df):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return _transform(df)
+
+    try:
+        run_checkpointed(spark, src, exploding_transform, cfg)
+    except RuntimeError:
+        pass
+    done_after_crash = committed_buckets(out_dir)
+    assert done_after_crash == {0, 1}
+
+    summary = run_checkpointed(spark, src, _transform, cfg)
+    assert summary["batches"] == 1
+    assert committed_buckets(out_dir) == {0, 1, 2, 3}
+    total = spark.read.parquet(os.path.join(out_dir, "data")).count()
+    assert total == 120

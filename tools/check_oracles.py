@@ -1,0 +1,94 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
+row count + column set + order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows: list[dict]) -> str:
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            if v != v:
+                return "nan"
+            return repr(round(v, 9))
+        return str(v)
+
+    lines = sorted(",".join(f"{k}={norm(r[k])}" for k in sorted(r)) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name:24s} spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name:24s} n={len(srows)} ({time.time() - t0:.1f}s, rows-only)")
+            continue
+        try:
+            orows = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name:24s} duckdb error: {e}")
+            continue
+        cols_s = sorted(srows[0]) if srows else []
+        cols_o = sorted(orows[0]) if orows else []
+        h_s, h_o = canon(srows), canon(orows)
+        status = "OK  " if (len(srows) == len(orows) and cols_s == cols_o and h_s == h_o) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status}  {name:24s} n={len(srows)}/{len(orows)} cols={'=' if cols_s == cols_o else 'DIFF'} "
+            f"hash={'=' if h_s == h_o else f'{h_s}!={h_o}'} ({time.time() - t0:.1f}s)"
+        )
+        if status == "FAIL" and cols_s == cols_o and len(srows) == len(orows):
+            skeys = {",".join(f"{k}={r[k]}" for k in sorted(r)) for r in srows}
+            okeys = {",".join(f"{k}={r[k]}" for k in sorted(r)) for r in orows}
+            for d in sorted(skeys - okeys)[:3]:
+                print("    spark-only:", d[:200])
+            for d in sorted(okeys - skeys)[:3]:
+                print("    duck-only :", d[:200])
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
