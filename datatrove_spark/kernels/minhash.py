@@ -93,6 +93,23 @@ def minhash_signature_matrix(
     return out
 
 
+def signature_band_hashes(
+    signature: list[int], cfg: MinhashConfig = DEFAULT_MINHASH
+) -> list[int]:
+    """Collapse each LSH band of the signature to one signed-64-bit hash —
+    the fixed-width shuffle key used by the bucket join."""
+    import struct as _struct
+
+    from .hashing import sha1_i64
+
+    r = cfg.hashes_per_bucket
+    out = []
+    for bi in range(cfg.num_buckets):
+        payload = _struct.pack(f">B{r}q", bi, *signature[bi * r : (bi + 1) * r])
+        out.append(sha1_i64(payload))
+    return out
+
+
 def band_keys(signature: list[int], cfg: MinhashConfig = DEFAULT_MINHASH) -> list[str]:
     """One stable string key per LSH band: '<band_idx>:<h0>,<h1>,...'."""
     r = cfg.hashes_per_bucket

@@ -76,7 +76,16 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     (diameter 2-3), so this converges in a handful of rounds; localCheckpoint
     cuts the lineage each round so plans stay bounded.
     """
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # dedup edge sets are tiny relative to the corpus (only colliding docs) —
+    # shrink the shuffle width so each CC iteration is a small fast job.
+    n_edges = edges.count()
+    n_parts = max(1, min(64, n_edges // 500_000 + 1))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_parts)
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .union(sym.select(F.col("dst").alias("id")))
@@ -136,24 +145,32 @@ def minhash_band_table(
     df: DataFrame,
     cfg: MinhashConfig = DEFAULT_MINHASH,
     id_col: str = "doc_id",
-    sig_col: str = "minhash_sig",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Stage 2 input: (id, band_idx, band_hash) — one row per LSH band.
+    """(id, band_idx, band_hash) — one row per LSH band.
 
-    The band is reduced to a single 64-bit hash (xxhash64 over the band's
-    minhash values) so the shuffle key is fixed-width — the Spark analogue of
-    the reference's per-bucket binary signature files.
+    Each band is reduced to one 64-bit hash INSIDE the pandas UDF so the
+    DataFrame carries a single small array column (a 112-element signature
+    column referenced once per band would re-trigger the UDF per reference —
+    Python UDF expressions are not CSE'd across projections).  The fixed-width
+    band hash is the Spark analogue of the reference's per-bucket binary
+    signature files (dedup/minhash.py:324-497).
     """
-    r = cfg.hashes_per_bucket
-    bands = F.array(
-        *[
-            F.xxhash64(F.lit(bi), *[F.col(sig_col)[bi * r + j] for j in range(r)]).alias(f"b{bi}")
-            for bi in range(cfg.num_buckets)
-        ]
-    )
+    a, b = permutation_params(cfg)
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def _bands_udf(texts: pd.Series) -> pd.Series:
+        from ..kernels.minhash import signature_band_hashes
+
+        sigs = minhash_signature_matrix(texts.fillna("").tolist(), a, b, cfg)
+        return pd.Series(
+            [signature_band_hashes(s, cfg) if s is not None else None for s in sigs]
+        )
+
     return (
-        df.filter(F.col(sig_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.posexplode(bands).alias("band_idx", "band_hash"))
+        df.select(F.col(id_col).alias("id"), _bands_udf(F.col(text_col)).alias("_bands"))
+        .filter(F.col("_bands").isNotNull())
+        .select("id", F.posexplode("_bands").alias("band_idx", "band_hash"))
     )
 
 
@@ -171,8 +188,11 @@ def minhash_dedup(
     survives (minhash.py:623-688 keeps one doc per cluster).
     """
     df = ensure_channel(df)
-    sigs = minhash_signatures(df, cfg, text_col)
-    bands = minhash_band_table(sigs, cfg, id_col)
+    # band hashes computed over (id, text) only; joined back by id at the end
+    # so the expensive UDF runs exactly once.
+    bands = minhash_band_table(
+        df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col
+    ).localCheckpoint()
 
     # bucket-join: docs sharing (band_idx, band_hash); min id per bucket is the
     # cluster seed — emit star edges (seed, member) instead of all pairs to
@@ -185,15 +205,16 @@ def minhash_dedup(
         .select(F.col("seed").alias("src"), F.explode("members").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-    )
-    comps = connected_components(edges)
+    ).localCheckpoint()
 
+    if edges.isEmpty():
+        return ensure_channel(df)
+
+    comps = connected_components(edges)
     survivors_drop = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("_dup_id")
     )
-    out = sigs.join(
-        survivors_drop, sigs[id_col] == survivors_drop["_dup_id"], "left"
-    )
+    out = df.join(survivors_drop, df[id_col] == survivors_drop["_dup_id"], "left")
     out = apply_native_filter(out, F.col("_dup_id").isNull(), "minhash_duplicate")
     return out.drop("_dup_id")
 
@@ -329,7 +350,7 @@ def simhash_dedup(
         F.posexplode(
             F.array(*[F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
         ).alias("chunk_idx", "chunk_val"),
-    )
+    ).localCheckpoint()
     left = chunks.alias("l")
     right = chunks.alias("r")
     cand = (
@@ -347,9 +368,13 @@ def simhash_dedup(
         )
         .distinct()
     )
-    verified = cand.filter(
-        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming
-    ).select("src", "dst")
+    verified = (
+        cand.filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    if verified.isEmpty():
+        return ensure_channel(df.withColumn("simhash", _sim_udf(F.col(text_col))))
     comps = connected_components(verified)
     dup_ids = comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias("_dup_id"))
     out = sims.join(dup_ids, sims[id_col] == dup_ids["_dup_id"], "left")
