@@ -50,10 +50,7 @@ def main() -> None:
     n_docs = docs.count()  # warms up the JVM + file listing
 
     def docs_df():
-        # the test parquet is a single file → 1 scan partition; spread it
-        # across cores like a real multi-file input would be (the explicit
-        # partitioning the pipeline assumes at scale)
-        return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(int(cpus))
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     pipeline_cfg = QualityPipelineConfig(
         text_col="text", languages=("en",), language_threshold=0.5

@@ -1,0 +1,165 @@
+"""Fused quality-filter kernel: the whole per-document decision chain in ONE
+Arrow round-trip.
+
+The reference pipelines each document through every step inside a single
+task (Volcano pull, executor/base.py:130-138).  The Spark analogue is a
+single pandas UDF evaluating the full chain per batch — one Python worker per
+task instead of one per stage, one Arrow serialization instead of seven.
+This is the production path; the staged operators in .filters remain for
+per-stage inspection/debugging and for the oracle queries.
+
+Stage order = FineWeb recipe (examples/fineweb.py:41-63): length → LID →
+Gopher repetition → Gopher quality → C4 (rewrites text) → FineWeb →
+(optional LM perplexity) → PII scrub of survivors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import (
+    C4QualityConfig,
+    FineWebQualityConfig,
+    GopherQualityConfig,
+    PiiScrubber,
+    c4_quality,
+    fineweb_quality,
+    gopher_quality,
+    gopher_repetition,
+)
+from ..kernels.lid import NgramBayesLID
+from ..kernels.perplexity import InterpolatedLM
+from .base import ensure_channel
+from .language import _singleton
+
+FUSED_RESULT = StructType(
+    [
+        StructField("keep", BooleanType(), False),
+        StructField("drop_reason", StringType(), True),
+        StructField("language", StringType(), True),
+        StructField("language_score", DoubleType(), True),
+        StructField("text", StringType(), True),
+        StructField("scrubbed", StringType(), True),
+        StructField("perplexity", DoubleType(), True),
+    ]
+)
+
+
+def fused_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_chars: int,
+    max_chars: int,
+    languages: tuple[str, ...] | None,
+    language_threshold: float,
+    gopher_cfg: GopherQualityConfig,
+    c4_cfg: C4QualityConfig,
+    fineweb_cfg: FineWebQualityConfig,
+    lid_model_dict: dict | None = None,
+    lm_dict: dict | None = None,
+    max_perplexity: float | None = None,
+    scrub_pii: bool = True,
+    model_tag: str = "fused_lid",
+) -> DataFrame:
+    lang_set = tuple(languages) if languages else None
+
+    @F.pandas_udf(FUSED_RESULT)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        lid = _singleton(model_tag, lambda: NgramBayesLID(lid_model_dict))
+        lm = (
+            _singleton(model_tag + "_lm", lambda: InterpolatedLM(lm_dict))
+            if lm_dict is not None
+            else None
+        )
+        scrubber = PiiScrubber(remove_phones=True) if scrub_pii else None
+        rows = []
+        for text in texts.fillna(""):
+            lang = None
+            score = None
+            ppl = None
+
+            def emit(keep, reason, t):
+                rows.append(
+                    {
+                        "keep": keep,
+                        "drop_reason": reason,
+                        "language": lang,
+                        "language_score": score,
+                        "text": t,
+                        "scrubbed": (
+                            scrubber.scrub(t) if (keep and scrubber is not None) else t
+                        ),
+                        "perplexity": ppl,
+                    }
+                )
+
+            n = len(text)
+            if n < min_chars:
+                emit(False, "too_short", text)
+                continue
+            if n > max_chars:
+                emit(False, "too_long", text)
+                continue
+            (lang, score), _ = lid.predict(text)
+            score = float(score)
+            if not (
+                (lang_set is None and score > language_threshold)
+                or (lang_set is not None and lang in lang_set and score > language_threshold)
+            ):
+                emit(False, "language_id", text)
+                continue
+            keep, reason = gopher_repetition(text)
+            if not keep:
+                emit(False, reason, text)
+                continue
+            keep, reason = gopher_quality(text, gopher_cfg)
+            if not keep:
+                emit(False, reason, text)
+                continue
+            new_text, keep, reason = c4_quality(text, c4_cfg)
+            if not keep:
+                emit(False, reason, text)
+                continue
+            text = new_text  # C4 rewrites survivors (c4_filters.py:135)
+            keep, reason = fineweb_quality(text, fineweb_cfg)
+            if not keep:
+                emit(False, reason, text)
+                continue
+            if lm is not None:
+                ppl = lm.perplexity(text)
+                if max_perplexity is not None and ppl > max_perplexity:
+                    emit(False, "perplexity", text)
+                    continue
+            emit(True, None, text)
+
+        return pd.DataFrame(rows)
+
+    df = ensure_channel(df)
+    df = df.withColumn("_fq", _udf(F.col(text_col)))
+    return (
+        df.withColumn(
+            "drop_reason",
+            F.when(F.col("keep") & ~F.col("_fq.keep"), F.col("_fq.drop_reason")).otherwise(
+                F.col("drop_reason")
+            ),
+        )
+        .withColumn(text_col, F.when(F.col("keep"), F.col("_fq.text")).otherwise(F.col(text_col)))
+        .withColumn(
+            "scrubbed_content",
+            F.when(F.col("keep"), F.col("_fq.scrubbed")).otherwise(F.col(text_col)),
+        )
+        .withColumn("language", F.col("_fq.language"))
+        .withColumn("language_score", F.col("_fq.language_score"))
+        .withColumn("perplexity", F.col("_fq.perplexity"))
+        .withColumn("keep", F.col("keep") & F.col("_fq.keep"))
+        .drop("_fq")
+    )

@@ -58,6 +58,9 @@ class QualityPipelineConfig:
     lm_dict: dict | None = None
     max_perplexity: float | None = None
     scrub_pii: bool = True
+    # fused = one Arrow pass for the whole chain (production path); staged =
+    # one operator per stage (debuggable, used by the oracle queries)
+    fused: bool = True
     # scale knobs
     repartition_to: int | None = None
     salt_buckets: int = 16
@@ -93,6 +96,25 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
     df = ensure_channel(add_doc_id(df, cfg))
     if cfg.repartition_to:
         df = partition_by_repo(df, cfg.repartition_to, cfg.salt_buckets)
+
+    if cfg.fused:
+        from .operators.fused import fused_quality_filter
+
+        df = fused_quality_filter(
+            df,
+            text_col=t,
+            min_chars=cfg.min_chars,
+            max_chars=cfg.max_chars,
+            languages=cfg.languages,
+            language_threshold=cfg.language_threshold,
+            gopher_cfg=cfg.gopher_quality,
+            c4_cfg=cfg.c4,
+            fineweb_cfg=cfg.fineweb,
+            lm_dict=cfg.lm_dict,
+            max_perplexity=cfg.max_perplexity,
+            scrub_pii=cfg.scrub_pii,
+        )
+        return df.withColumn("content_sha256", F.sha2(F.col(t), 256))
 
     df = length_filter(df, cfg.min_chars, cfg.max_chars, text_col=t)
     df = language_filter(

@@ -1,0 +1,69 @@
+"""spark-submit entry point: run the quality pipeline over a corpus dir.
+
+Usage (the production invocation shape from BASELINE.json):
+
+    spark-submit --master local[8] --py-files dist/datatrove_spark.zip \\
+        tools/run_pipeline.py --input .bench_data/corpus --out /tmp/result.json
+
+Reads (repo, path, commit, lang, content) parquet, runs the full
+LID → Gopher → C4 → FineWeb → PII pipeline, forces materialization, and
+writes a one-line JSON with wall time + files/sec + keep stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--repartition", type=int, default=0)
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    df = spark.read.parquet(args.input)
+    n_rows = df.count()  # warm: file listing + JVM
+
+    cfg = QualityPipelineConfig(
+        text_col="content",
+        languages=("en",),
+        language_threshold=0.5,
+        repartition_to=args.repartition or None,
+    )
+    # warmup: spin up + import-load every Python UDF worker (steady-state
+    # throughput is the metric; worker cold-start is a per-executor constant)
+    warm = df.limit(64 * cores).repartition(cores)
+    quality_pipeline(warm, cfg).filter(F.col("keep")).count()
+
+    t0 = time.time()
+    out = quality_pipeline(df, cfg)
+    kept = out.filter(F.col("keep")).count()
+    wall = time.time() - t0
+
+    result = {
+        "n_files": n_rows,
+        "n_kept": kept,
+        "wall_sec": round(wall, 3),
+        "files_per_sec": round(n_rows / wall, 1),
+        "cores": cores,
+    }
+    with open(args.out, "w") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N parallelism).
+
+Runs the identical quality-pipeline job via ``spark-submit --py-files`` at
+local[N] and local[4N] cores (in-sandbox proxies for N and 4N executors,
+each run CPU-pinned to its core budget) over the
+same deterministic synthetic code corpus, then reports throughput at both
+levels and efficiency = (files_per_sec_4N / files_per_sec_N) / 4 into
+BENCH/BASELINE.md + BENCH/scaling.json.
+
+Usage: python tools/scaling_bench.py [--rows 100000] [--skip-generate]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA_DIR = os.path.join(REPO, ".bench_data", "corpus")
+DIST_ZIP = os.path.join(REPO, "dist", "datatrove_spark.zip")
+BENCH_DIR = os.path.join(REPO, "BENCH")
+
+
+def build_zip() -> str:
+    os.makedirs(os.path.dirname(DIST_ZIP), exist_ok=True)
+    with zipfile.ZipFile(DIST_ZIP, "w") as zf:
+        pkg = os.path.join(REPO, "datatrove_spark")
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return DIST_ZIP
+
+
+def generate_corpus(n_rows: int) -> None:
+    sys.path.insert(0, REPO)
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.session import get_spark
+
+    if os.path.exists(DATA_DIR):
+        shutil.rmtree(DATA_DIR)
+    spark = get_spark("gen-corpus", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_corpus(spark, n_rows, partitions=64).write.parquet(DATA_DIR)
+    spark.stop()
+
+
+def run_at(cores: int) -> dict:
+    out_json = os.path.join(REPO, ".bench_data", f"run_{cores}.json")
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("python") or sys.executable), "spark-submit"
+    )
+    # pin the run to exactly `cores` CPUs: a local[8] job on a 32-core box
+    # otherwise free-rides JVM/shuffle work on the idle cores, understating
+    # 4N scaling.  taskset makes each run a faithful N-core "cluster".
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
+    cmd = pin + [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--conf", "spark.sql.shuffle.partitions=" + str(max(cores, 8)),
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.driver.memory=8g",
+        "--py-files", DIST_ZIP,
+        os.path.join(REPO, "tools", "run_pipeline.py"),
+        "--input", DATA_DIR,
+        "--out", out_json,
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, cwd=REPO, capture_output=True, text=True)
+    with open(out_json) as f:
+        return json.loads(f.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument("--n-cores", type=int, default=4, help="N; the comparison runs at N and 4N cores")
+    args = ap.parse_args()
+
+    if not args.skip_generate or not os.path.exists(DATA_DIR):
+        print(f"generating corpus ({args.rows} rows)…", file=sys.stderr)
+        generate_corpus(args.rows)
+    build_zip()
+
+    n = args.n_cores
+    r_n = run_at(n)
+    r_4n = run_at(4 * n)
+    eff = (r_4n["files_per_sec"] / r_n["files_per_sec"]) / 4.0
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    summary = {
+        "n_files": r_n["n_files"],
+        "n_cores": n,
+        "localN": r_n,
+        "local4N": r_4n,
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    md = f"""# BENCH/BASELINE.md — measured throughput & scaling efficiency
+
+Identical quality-pipeline job (LID → Gopher repetition → Gopher quality →
+C4 → FineWeb → PII scrub → sha256) executed via `spark-submit --py-files
+dist/datatrove_spark.zip tools/run_pipeline.py` on the same deterministic
+synthetic code corpus (`datatrove_spark.corpus.synth_corpus`,
+{r_n["n_files"]:,} files), at two parallelism levels standing in for N and 4N
+executors.  Each run is CPU-pinned (`taskset -c 0-{{cores-1}}`) so local[N]
+really has N cores — without pinning the smaller run free-rides JVM work on
+idle cores and understates 4N scaling.
+
+| parallelism | wall sec | files/sec |
+|---|---|---|
+| local[{n}]  (N)  | {r_n["wall_sec"]} | {r_n["files_per_sec"]} |
+| local[{4 * n}] (4N) | {r_4n["wall_sec"]} | {r_4n["files_per_sec"]} |
+
+**Scaling efficiency (N → 4N)** = ({r_4n["files_per_sec"]} / {r_n["files_per_sec"]}) / 4
+= **{eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Correctness at this scale is gated separately: tests/test_pipeline.py holds
+keep/drop F1 = 1.0 + sha256 equality of scrubbed survivors against the
+per-row reference harness, and tests/test_kernels.py pins every kernel to the
+reference's own fixture expectations.
+
+Reproduce: `python tools/scaling_bench.py --rows {r_n["n_files"]} --n-cores {n}`
+"""
+    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
