@@ -1,0 +1,23 @@
+"""Scalar / column functions.
+
+The pure-Python parity kernels live in ``datatrove_spark.kernels`` (this
+package re-exports them); Spark-native column helpers are defined here.
+"""
+
+import pyspark.sql.functions as F
+
+from ..kernels import *  # noqa: F401,F403
+
+
+def content_sha256(col="content"):
+    """Per-row invariant vs the reference: sha256 of content (BASELINE.json)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def doc_id_from(repo="repo", path="path", commit="commit"):
+    """doc_id = repo/path@commit (FIXTURES.md F1 derived column)."""
+    return F.concat_ws("@", F.concat_ws("/", F.col(repo), F.col(path)), F.col(commit))
+
+
+def whitespace_token_count(col="text"):
+    return F.size(F.filter(F.split(F.col(col) if isinstance(col, str) else col, r"\s+"), lambda w: w != ""))

@@ -1,0 +1,68 @@
+"""URL filtering (reference pipeline/filters/url_filter.py:33-132).
+
+Dependency-free re-derivation: a small embedded public-suffix list replaces
+tldextract (covers the common multi-label suffixes; extend as needed), plain
+substring scan replaces the Aho-Corasick automaton (same result, fine for
+short block lists — swap in pyahocorasick when available for huge lists).
+
+Check order matches the reference: registered domain → fqdn (exact host) →
+full url → banned words → soft words (threshold) → banned subwords.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+# multi-label public suffixes (subset of the PSL relevant to test traffic)
+_TWO_LABEL_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp", "com.au",
+    "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
+    "com.tw", "com.ar", "co.za", "com.sg", "com.hk",
+}
+
+_WORD_SPLIT_RE = re.compile(r"[^a-zA-Z0-9]+")
+
+
+def split_host(url: str) -> tuple[str, str]:
+    """(fqdn, registered_domain) — tldextract-equivalent for common cases."""
+    host = urlparse(url if "://" in url else f"http://{url}").hostname or ""
+    labels = host.split(".")
+    if len(labels) < 2:
+        return host, host
+    suffix_len = 2 if ".".join(labels[-2:]) in _TWO_LABEL_SUFFIXES else 1
+    reg_labels = labels[-(suffix_len + 1):] if len(labels) > suffix_len else labels
+    return host, ".".join(reg_labels)
+
+
+@dataclass
+class UrlFilterConfig:
+    blocked_domains: frozenset[str] = field(default_factory=frozenset)
+    blocked_urls: frozenset[str] = field(default_factory=frozenset)
+    banned_words: frozenset[str] = field(default_factory=frozenset)
+    banned_subwords: tuple[str, ...] = ()
+    soft_banned_words: frozenset[str] = field(default_factory=frozenset)
+    soft_word_threshold: int = 2
+
+
+def url_filter(url: str, cfg: UrlFilterConfig) -> tuple[bool, str | None]:
+    fqdn, registered = split_host(url)
+    if registered in cfg.blocked_domains:
+        return False, "domain"
+    if fqdn in cfg.blocked_domains:
+        return False, "subdomain"
+    if url in cfg.blocked_urls:
+        return False, "url"
+    url_words = set(w.lower() for w in _WORD_SPLIT_RE.split(url) if w)
+    if cfg.banned_words and any(w in url_words for w in cfg.banned_words):
+        return False, "hard_blacklisted"
+    if cfg.soft_banned_words:
+        n_soft = sum(w in url_words for w in cfg.soft_banned_words)
+        if n_soft >= cfg.soft_word_threshold:
+            return False, "soft_blacklisted"
+    if cfg.banned_subwords:
+        normalized = " ".join(w for w in _WORD_SPLIT_RE.split(url.lower()) if w)
+        if any(sub in normalized for sub in cfg.banned_subwords):
+            return False, "blacklisted_subword"
+    return True, None

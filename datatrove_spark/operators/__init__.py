@@ -43,13 +43,20 @@ from .filters import (  # noqa: F401
     sampler_filter,
     unigram_logprob_filter,
 )
+from .classifier import classifier_filter, url_filter_op, with_fingerprint  # noqa: F401
 from .formatters import fix_text_encoding, pii_scrub, symbol_lines_remover  # noqa: F401
+from .fused import fused_quality_filter  # noqa: F401
 from .language import (  # noqa: F401
     annotate_language,
     annotate_perplexity,
     annotate_stopword_language,
     language_filter,
     perplexity_filter,
+)
+from .multimodal import (  # noqa: F401
+    attach_media_metadata,
+    extract_media_features,
+    mime_type_filter,
 )
 from .stats import (  # noqa: F401
     drop_reason_summary,
@@ -61,3 +68,4 @@ from .stats import (  # noqa: F401
     with_token_count,
     with_word_stats,
 )
+from .tokens import shuffle_documents, tokenize_documents, write_tokenized  # noqa: F401

@@ -1,0 +1,150 @@
+"""Generic supervised-classifier filter (reference fasttext_filter.py:12-111).
+
+``classifier_filter`` keeps/drops by (label, threshold) pairs at DOCUMENT,
+PARAGRAPH or SENTENCE granularity; span modes rewrite the text to the kept
+spans and store the mean label score — the reference's span logic
+(fasttext_filter.py:95-111) as explode → predict → filter → re-aggregate,
+fused into one pandas UDF pass per doc.
+
+The classifier is any object with ``predict(text) -> ((label, score), {label:
+score})``; the deterministic ``NgramBayesLID`` ships by default, a real
+fastText supervised model rides via SparkFiles on clusters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BooleanType, DoubleType, StringType, StructField, StructType
+
+from ..kernels.lid import NgramBayesLID
+from ..kernels.text import split_paragraphs, split_sentences
+from .base import ensure_channel
+from .language import _singleton
+
+DOCUMENT = "DOCUMENT"
+PARAGRAPH = "PARAGRAPH"
+SENTENCE = "SENTENCE"
+
+_RESULT = StructType(
+    [
+        StructField("keep", BooleanType(), False),
+        StructField("text", StringType(), True),
+        StructField("score", DoubleType(), True),
+    ]
+)
+
+
+def classifier_filter(
+    df: DataFrame,
+    keep_labels: list[tuple[str, float]] | None = None,
+    remove_labels: list[tuple[str, float]] | None = None,
+    model_dict: dict | None = None,
+    unit: str = DOCUMENT,
+    text_col: str = "text",
+    model_tag: str = "clf",
+) -> DataFrame:
+    """keep_labels: keep span iff any (label, min_score) matches;
+    remove_labels: drop span iff any (label, min_score) matches.
+    Exactly one of the two should be given (reference contract)."""
+    if (keep_labels is None) == (remove_labels is None):
+        raise ValueError("pass exactly one of keep_labels / remove_labels")
+
+    def split(text: str) -> list[str]:
+        if unit == DOCUMENT:
+            return [text]
+        if unit == PARAGRAPH:
+            return split_paragraphs(text)
+        return split_sentences(text)
+
+    sep = "" if unit == DOCUMENT else ("\n\n" if unit == PARAGRAPH else " ")
+
+    @F.pandas_udf(_RESULT)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        model = _singleton(model_tag, lambda: NgramBayesLID(model_dict))
+        rows = []
+        for text in texts.fillna(""):
+            spans = split(text)
+            kept, scores = [], []
+            for span in spans:
+                _, pairs = model.predict(span)
+                if keep_labels is not None:
+                    ok = any(pairs.get(lab, 0.0) >= thr for lab, thr in keep_labels)
+                else:
+                    ok = not any(pairs.get(lab, 0.0) >= thr for lab, thr in remove_labels)
+                if ok:
+                    kept.append(span)
+                    scores.append(max(pairs.values()) if pairs else 0.0)
+            rows.append(
+                {
+                    "keep": bool(kept),
+                    "text": sep.join(kept) if kept else text,
+                    "score": float(sum(scores) / len(scores)) if scores else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = ensure_channel(df)
+    df = df.withColumn("_clf", _udf(F.col(text_col)))
+    return (
+        df.withColumn(
+            "drop_reason",
+            F.when(F.col("keep") & ~F.col("_clf.keep"), F.lit("classifier")).otherwise(
+                F.col("drop_reason")
+            ),
+        )
+        .withColumn(text_col, F.when(F.col("keep") & F.col("_clf.keep"), F.col("_clf.text")).otherwise(F.col(text_col)))
+        .withColumn("classifier_score", F.col("_clf.score"))
+        .withColumn("keep", F.col("keep") & F.col("_clf.keep"))
+        .drop("_clf")
+    )
+
+
+def url_filter_op(
+    df: DataFrame,
+    cfg,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL block-list filter (reference url_filter.py:33-132) over a url
+    column; cfg is kernels.url.UrlFilterConfig."""
+    from ..kernels.url import url_filter
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("keep", BooleanType(), False),
+                StructField("drop_reason", StringType(), True),
+            ]
+        )
+    )
+    def _udf(urls: pd.Series) -> pd.DataFrame:
+        res = [url_filter(u, cfg) for u in urls.fillna("")]
+        return pd.DataFrame({"keep": [r[0] for r in res], "drop_reason": [r[1] for r in res]})
+
+    df = ensure_channel(df)
+    df = df.withColumn("_uf", _udf(F.col(url_col)))
+    return (
+        df.withColumn(
+            "drop_reason",
+            F.when(F.col("keep") & ~F.col("_uf.keep"), F.col("_uf.drop_reason")).otherwise(
+                F.col("drop_reason")
+            ),
+        )
+        .withColumn("keep", F.col("keep") & F.col("_uf.keep"))
+        .drop("_uf")
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Order-sensitive 61-bit rolling document fingerprint (engine extension;
+    cheap whole-doc identity for exact dedup / drift detection)."""
+    from pyspark.sql.types import LongType
+
+    from ..kernels.quality import fingerprint64
+
+    @F.pandas_udf(LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([fingerprint64(t) for t in texts.fillna("")], dtype="int64")
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing (engine extension; reference media subsystem is
+declared-but-unused, data.py:7-34).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata struct:
+
+    media: struct<kind: string, mime: string, width: int, height: int,
+                  duration_ms: int, n_bytes: long>
+    payload: binary
+
+The Spark-side plumbing — schemas, partitioning, mapInPandas batch shape,
+UDF signatures — is real and tested; the actual codec work (image decode,
+resampling, frame sampling) is STUBBED: this container has no image/audio
+libraries, so decode either raises NotImplementedError (strict mode) or
+produces a deterministic fake feature vector (test mode).  On a real cluster
+drop PIL/torchaudio/ffmpeg into ``_decode_image``/``_decode_audio`` — the
+dataflow around them does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "kind string, mime string, width int, height int, duration_ms int, n_bytes bigint"
+)
+
+FEATURE_DIM = 32
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """STUB — replace with PIL/cv2 decode on a real cluster."""
+    raise NotImplementedError("image decoding requires an image library (PIL/cv2)")
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """STUB — replace with soundfile/torchaudio decode on a real cluster."""
+    raise NotImplementedError("audio decoding requires an audio library")
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature vector: blake2b(payload) expanded to
+    `dim` floats in [-1, 1).  Keeps the full pipeline testable end-to-end."""
+    out = []
+    counter = 0
+    while len(out) < dim:
+        digest = hashlib.blake2b(payload + counter.to_bytes(2, "big"), digest_size=32).digest()
+        out.extend(b / 127.5 - 1.0 for b in digest)
+        counter += 1
+    return [float(x) for x in out[:dim]]
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload", mime_col: str | None = None) -> DataFrame:
+    """Derive the typed media struct from the raw binary column (sizes are
+    native; kind from mime prefix)."""
+    mime = F.col(mime_col) if mime_col else F.lit("application/octet-stream")
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.split(mime, "/")[0].alias("kind"),
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "media_features",
+    strict: bool = False,
+    batch_kind: str = "image",
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    strict=True calls the real decoder stubs (NotImplementedError in this
+    container); strict=False produces the deterministic fake features so the
+    downstream ANN/dedup path is exercised for real.
+    """
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", {out_col} array<float>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_image if batch_kind == "image" else _decode_audio
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if strict:
+                    vec = decode(raw)
+                    feats.append([float(x) for x in np.asarray(vec).ravel()[:FEATURE_DIM]])
+                else:
+                    feats.append(_fake_features(raw))
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def mime_type_filter(df: DataFrame, allowed: list[str], mime_col: str = "media.mime") -> DataFrame:
+    """Keep rows by mime type (reference media/filters/mime_filter.py:7) —
+    pure Catalyst."""
+    from .base import apply_native_filter
+
+    return apply_native_filter(df, F.col(mime_col).isin(allowed), "mime_type")

@@ -1,0 +1,78 @@
+"""Tokenization output operators (SURVEY.md §2.9 inventory).
+
+The reference's DocumentTokenizer (pipeline/tokens/tokenizer.py:281-476)
+packs HF-tokenizer ids into binary .ds files with an index + loss mask and
+shuffles docs within files.  The Spark-native shape keeps token ids as an
+``array<int>`` column (prunable, shuffle-friendly) and delegates file layout
+to the writer; in-file shuffling becomes ``orderBy(rand(seed))`` /
+hash-ordering, and the merger (tokens/merger.py) is a plain repartition+write.
+
+Without a real HF tokenizer in this container, ids come from a deterministic
+hash vocabulary (stable across runs/partitions); swap in
+``tokenizers.Tokenizer`` via SparkFiles on a real cluster — the plumbing and
+schemas stay identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..kernels.quality import _BPE_RE
+
+EOS_ID = 0
+
+
+def _hash_vocab_id(token: str, vocab_size: int) -> int:
+    digest = hashlib.blake2b(token.encode(), digest_size=4).digest()
+    return 1 + int.from_bytes(digest, "big") % (vocab_size - 1)  # 0 reserved for EOS
+
+
+def tokenize_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    vocab_size: int = 65_536,
+    append_eos: bool = True,
+) -> DataFrame:
+    """text → array<int> token ids (uint16-range by default, mirroring the
+    reference's uint16 packing, tokens/tokenizer.py:56-58)."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            ids = [_hash_vocab_id(tok, vocab_size) for tok in _BPE_RE.findall(t)]
+            if append_eos:
+                ids.append(EOS_ID)
+            out.append(ids)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))
+
+
+def shuffle_documents(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic doc-order shuffle (tokens/tokenizer.py:437-475 in-file
+    permutation → global rand(seed) ordering)."""
+    return df.orderBy(F.rand(seed))
+
+
+def write_tokenized(
+    df: DataFrame,
+    out_dir: str,
+    max_tokens_per_file: int = 100_000_000,
+    avg_doc_tokens_hint: int = 512,
+    token_col: str = "token_ids",
+) -> None:
+    """Merger stage (tokens/merger.py:15): bound tokens per output file via
+    maxRecordsPerFile ≈ max_tokens / avg_doc_tokens."""
+    max_records = max(1, max_tokens_per_file // max(avg_doc_tokens_hint, 1))
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records)
+        .parquet(out_dir)
+    )

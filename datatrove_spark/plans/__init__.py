@@ -1,0 +1,16 @@
+"""Pipeline plans: composition + checkpointed execution.
+
+* ``quality_pipeline`` — the flagship LID → heuristics → scrub plan
+* ``run_checkpointed`` — bucket-batch execution with per-partition lineage
+* ``resumable_ingest`` — Structured-Streaming alternative (growing corpora)
+"""
+
+from ..lineage import LineageConfig, committed_buckets, lineage_table, run_checkpointed  # noqa: F401
+from ..pipeline import (  # noqa: F401
+    QualityPipelineConfig,
+    add_doc_id,
+    partition_by_repo,
+    pipeline_outputs,
+    quality_pipeline,
+)
+from ..streaming import resumable_ingest  # noqa: F401

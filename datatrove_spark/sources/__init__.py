@@ -1,0 +1,25 @@
+"""Readers (SURVEY.md §2.1) — document sources normalized to the canonical
+document frame.
+
+The reference readers (pipeline/readers/*.py) share one job: list files,
+shard them by rank, parse records, and adapt arbitrary source columns into
+``Document(text, id, metadata)``.  In Spark, listing/sharding/parsing are the
+DataSource's job (with native column pruning and predicate pushdown); what
+remains is the ADAPTER — mapping source columns onto the canonical frame:
+
+    text (from ``text_key``), doc_id (from ``id_key``, else synthesized), and
+    every remaining column kept as typed columns (better than the reference's
+    untyped metadata dict: Catalyst can prune/filter them).
+
+``limit``/``skip`` mirror readers/base.py:193-222.
+"""
+
+from .readers import (  # noqa: F401
+    read_csv,
+    read_documents,
+    read_ipc,
+    read_jsonl,
+    read_parquet,
+    union_sources,
+)
+from .writers import write_documents, write_exclusions, write_jsonl, write_parquet  # noqa: F401

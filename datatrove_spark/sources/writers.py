@@ -1,0 +1,64 @@
+"""Document writers (SURVEY.md §2.2).
+
+Reference parity map:
+* DiskWriter filename templating ``${metadata_key}`` (writers/disk_base.py:166-185)
+  → ``partitionBy(col)`` directory layout;
+* max_file_size rotation (disk_base.py:268-294) → ``spark.sql.files.
+  maxRecordsPerFile``;
+* JsonlWriter gzip (writers/jsonl.py:8-50) → ``df.write.json(compression)``;
+* ParquetWriter (writers/parquet.py:11-106) → ``df.write.parquet`` (snappy
+  default, dictionary/page-index handled by parquet-mr);
+* the exclusion-writer channel (base_filter.py:62-82) → ``write_exclusions``:
+  dropped rows partitioned by drop_reason — the audit/reference-label table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _writer(df: DataFrame, partition_by: list[str] | None, max_records_per_file: int | None):
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    return w
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    _writer(df, partition_by, max_records_per_file).option("compression", compression).parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "gzip",
+) -> None:
+    _writer(df, partition_by, max_records_per_file).option("compression", compression).json(path)
+
+
+def write_documents(
+    df: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    **kw,
+) -> None:
+    {"parquet": write_parquet, "jsonl": write_jsonl}[fmt](df, out_dir, **kw)
+
+
+def write_exclusions(df: DataFrame, out_dir: str, fmt: str = "parquet", **kw) -> None:
+    """Persist dropped rows partitioned by drop_reason — one directory per
+    reason, ready for audit or for re-running a single filter's rejects."""
+    from ..operators.base import dropped
+
+    kw.setdefault("partition_by", ["drop_reason"])
+    write_documents(dropped(df), out_dir, fmt=fmt, **kw)

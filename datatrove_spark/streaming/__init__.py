@@ -1,0 +1,1 @@
+from .ingest import resumable_ingest, streaming_quality_pipeline  # noqa: F401

@@ -1,0 +1,58 @@
+"""Structured-Streaming ingest: the alternative resumability implementation.
+
+The reference is a batch system with file-level completion markers
+(executor/base.py:156-195; SURVEY.md §2.10: no streaming exists there).
+This module provides the Spark-native alternative mentioned in SURVEY §2.10:
+``Trigger.AvailableNow`` + checkpointed file source + ``foreachBatch`` — new
+corpus drops are picked up incrementally, each micro-batch runs the quality
+pipeline, and the streaming checkpoint (WAL + source offsets) makes restarts
+exactly-once without our own commit log.
+
+Use ``lineage.run_checkpointed`` when you need bucket-level lineage metrics;
+use this when the corpus arrives as a growing directory of files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def streaming_quality_pipeline(batch_df: DataFrame, batch_id: int, out_dir: str, cfg=None) -> None:
+    """foreachBatch body: run the (batch) quality pipeline on one micro-batch
+    and append results partitioned by keep."""
+    from ..pipeline import QualityPipelineConfig, quality_pipeline
+
+    out = quality_pipeline(batch_df, cfg or QualityPipelineConfig())
+    out.write.mode("append").partitionBy("keep").parquet(f"{out_dir}/data")
+
+
+def resumable_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: StructType | str,
+    cfg=None,
+    max_files_per_trigger: int = 64,
+    await_termination: bool = True,
+):
+    """Process every file currently in ``input_dir`` (and stop), resuming from
+    the streaming checkpoint on restart — files already committed in a prior
+    run are never reprocessed.
+
+    Returns the StreamingQuery (already terminated when await_termination).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    query = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .foreachBatch(lambda df, bid: streaming_quality_pipeline(df, bid, out_dir, cfg))
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,230 @@
+"""Readers/writers, URL filter, classifier, multimodal plumbing, tokenizer,
+streaming ingest."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from datatrove_spark import operators as ops
+from datatrove_spark.kernels.url import UrlFilterConfig, url_filter
+from datatrove_spark.sources import (
+    read_csv,
+    read_ipc,
+    read_jsonl,
+    read_parquet,
+    union_sources,
+    write_exclusions,
+    write_jsonl,
+    write_parquet,
+)
+
+
+# --- URL filter (reference tests/.../test_filters.py:117-135 table) ----------
+
+URL_CFG = UrlFilterConfig(
+    blocked_domains=frozenset({"blocked.com", "danger.org", "badsubdomain.nice.com"})
+)
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("https://blocked.com/some-sub-url?with=stuff", "domain"),
+        ("https://hey.danger.org/some-sub-url?with=stuff", "domain"),
+        ("http://hey.danger.org/some-sub-url?with=stuff", "domain"),
+        ("http://www.danger.org/some-sub-url?with=stuff", "domain"),
+        ("https://nice.com/some-sub-url?with=stuff", True),
+        ("https://badsubdomain.nice.com/some-sub-url?with=stuff", "subdomain"),
+        ("https://sdsd.badsubdomain.nice.com/some-sub-url?with=stuff", True),
+        ("https://blocke.dcom/some-sub-url?with=stuff", True),
+    ],
+)
+def test_url_filter_reference_table(url, expected):
+    keep, reason = url_filter(url, URL_CFG)
+    if expected is True:
+        assert keep
+    else:
+        assert not keep and reason == expected
+
+
+def test_url_filter_words_and_subwords():
+    cfg = UrlFilterConfig(
+        banned_words=frozenset({"badword"}),
+        soft_banned_words=frozenset({"soft1", "soft2", "soft3"}),
+        banned_subwords=("evilfragment",),
+        soft_word_threshold=2,
+    )
+    assert url_filter("https://x.com/a/badword/b", cfg) == (False, "hard_blacklisted")
+    assert url_filter("https://x.com/soft1/soft2", cfg) == (False, "soft_blacklisted")
+    assert url_filter("https://x.com/soft1/ok", cfg) == (True, None)
+    assert url_filter("https://x.com/myevilfragmentpage", cfg)[1] == "blacklisted_subword"
+
+
+def test_url_filter_operator(spark):
+    df = spark.createDataFrame(
+        [(1, "https://blocked.com/x"), (2, "https://nice.com/x")], ["doc_id", "url"]
+    )
+    rows = {r.doc_id: (r.keep, r.drop_reason) for r in ops.url_filter_op(df, URL_CFG).collect()}
+    assert rows == {1: (False, "domain"), 2: (True, None)}
+
+
+# --- readers / writers --------------------------------------------------------
+
+def test_reader_roundtrip_and_adapters(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour monde", "fr")], ["id", "content", "lang"]
+    )
+    jsonl_dir = str(tmp_path / "jsonl")
+    write_jsonl(src, jsonl_dir, compression="gzip")
+    back = read_jsonl(spark, jsonl_dir, text_key="content", id_key="id")
+    assert {r.doc_id: r.text for r in back.collect()} == {1: "hello world", 2: "bonjour monde"}
+    assert "lang" in back.columns  # extra columns kept as typed metadata
+
+    pq_dir = str(tmp_path / "pq")
+    write_parquet(src, pq_dir, partition_by=["lang"])
+    assert os.path.isdir(os.path.join(pq_dir, "lang=en"))
+    back2 = read_parquet(spark, pq_dir, text_key="content", id_key="id", limit=1)
+    assert back2.count() == 1
+
+    csv_path = str(tmp_path / "c.csv")
+    src.select("id", "content").toPandas().to_csv(csv_path, index=False)
+    back3 = read_csv(spark, csv_path, text_key="content", id_key="id")
+    assert back3.count() == 2
+
+    # arrow IPC
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    ipc_path = str(tmp_path / "d.arrow")
+    table = pa.table({"id": [7], "content": ["arrow doc"]})
+    with pa.ipc.new_file(ipc_path, table.schema) as w:
+        w.write_table(table)
+    back4 = read_ipc(spark, ipc_path, text_key="content", id_key="id")
+    assert back4.collect()[0].text == "arrow doc"
+
+    merged = union_sources(back.select("doc_id", "text"), back4.select("doc_id", "text"))
+    assert merged.count() == 3
+
+
+def test_exclusion_writer(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x" * 5), (2, "y" * 100)], ["doc_id", "text"])
+    out = ops.length_filter(df, min_chars=10)
+    exc_dir = str(tmp_path / "exc")
+    write_exclusions(out, exc_dir)
+    assert os.path.isdir(os.path.join(exc_dir, "drop_reason=too_short"))
+    back = spark.read.parquet(exc_dir)
+    assert back.count() == 1 and back.collect()[0].doc_id == 1
+
+
+# --- classifier filter ---------------------------------------------------------
+
+def test_classifier_filter_document_unit(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog have to be with all of that in the house"),
+            (2, "le chien et le chat sont dans la maison avec les enfants pour une"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ops.classifier_filter(df, keep_labels=[("en", 0.5)])
+    rows = {r.doc_id: (r.keep, r.drop_reason) for r in out.collect()}
+    assert rows[1] == (True, None)
+    assert rows[2] == (False, "classifier")
+
+
+def test_classifier_filter_sentence_rewrite(spark):
+    text = (
+        "the cat and the dog have to be with all of that here. "
+        "le chien et le chat sont dans la maison avec les enfants. "
+        "the house of the man is to be with the dog and the cat."
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = ops.classifier_filter(df, remove_labels=[("fr", 0.5)], unit="SENTENCE").collect()[0]
+    assert out.keep
+    assert "chien" not in out.text
+    assert "the cat and the dog" in out.text
+
+
+# --- multimodal plumbing --------------------------------------------------------
+
+def test_multimodal_features_and_mime(spark):
+    rows = [(1, bytearray(b"\x89PNG fakebytes"), "image/png"), (2, bytearray(b"RIFF fake"), "audio/wav")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    df = ops.attach_media_metadata(df, mime_col="mime")
+    meta = {r.doc_id: r.media for r in df.collect()}
+    assert meta[1].kind == "image" and meta[1].n_bytes == 14
+
+    feat = ops.extract_media_features(df, strict=False)
+    got = {r.doc_id: r.media_features for r in feat.collect()}
+    assert len(got[1]) == 32 and all(-1.0 <= v <= 1.0 for v in got[1])
+    # determinism
+    feat2 = {r.doc_id: r.media_features for r in ops.extract_media_features(df).collect()}
+    assert got == feat2
+
+    kept = ops.mime_type_filter(df, ["image/png"]).filter(F.col("keep")).collect()
+    assert [r.doc_id for r in kept] == [1]
+
+
+def test_multimodal_strict_decode_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(Exception):
+        ops.extract_media_features(df, strict=True).collect()
+
+
+# --- tokenizer ops ---------------------------------------------------------------
+
+def test_tokenize_documents(spark):
+    df = spark.createDataFrame([(1, "hello world hello hello"), (2, "")], ["doc_id", "text"])
+    out = {r.doc_id: r.token_ids for r in ops.tokenize_documents(df).collect()}
+    assert out[1][-1] == 0  # EOS
+    # GPT-2-style pretokens: ["hello", " world", " hello", " hello"]
+    assert out[1][2] == out[1][3]  # same token → same id
+    assert 1 <= out[1][0] < 65536
+    assert out[2] == [0]
+
+
+def test_write_tokenized(spark, tmp_path):
+    df = ops.tokenize_documents(
+        spark.createDataFrame([(i, f"doc number {i} words here") for i in range(20)], ["doc_id", "text"])
+    )
+    out_dir = str(tmp_path / "tok")
+    ops.write_tokenized(df, out_dir, max_tokens_per_file=50, avg_doc_tokens_hint=5)
+    files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    assert len(files) >= 2  # rotation happened
+    assert spark.read.parquet(out_dir).count() == 20
+
+
+# --- streaming ingest -------------------------------------------------------------
+
+def test_resumable_streaming_ingest(spark, tmp_path):
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.pipeline import QualityPipelineConfig
+    from datatrove_spark.streaming import resumable_ingest
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    corpus = synth_corpus(spark, 60, partitions=2)
+    corpus.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    cfg = QualityPipelineConfig()
+
+    resumable_ingest(spark, in_dir, out_dir, schema, cfg=cfg)
+    n1 = spark.read.parquet(f"{out_dir}/data").count()
+    assert n1 == 60
+
+    # restart with NO new files → checkpoint prevents reprocessing
+    resumable_ingest(spark, in_dir, out_dir, schema, cfg=cfg)
+    assert spark.read.parquet(f"{out_dir}/data").count() == 60
+
+    # drop new files → only the delta is processed (no reprocessing of the 60)
+    synth_corpus(spark, 30, partitions=1).write.mode("append").parquet(in_dir)
+    resumable_ingest(spark, in_dir, out_dir, schema, cfg=cfg)
+    assert spark.read.parquet(f"{out_dir}/data").count() == 60 + 30
+
+
+def test_fingerprint(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "acb")], ["doc_id", "text"])
+    out = {r.doc_id: r.fingerprint for r in ops.with_fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
