@@ -252,6 +252,41 @@ def q_pipeline_summary(spark, sf_dir):
     return drop_reason_summary(out)
 
 
+URLIFY = (
+    "concat('https://', case when doc_id % 3 = 0 then 'sub.' else '' end, "
+    "source, '.com/page', doc_id)"
+)
+URL_BLOCKED = ("src3.com", "sub.src5.com")
+
+
+def q_url_filter(spark, sf_dir):
+    from datatrove_spark.kernels.url import UrlFilterConfig
+    from datatrove_spark.operators import url_filter_op
+
+    df = _docs(spark, sf_dir).withColumn("url", F.expr(URLIFY))
+    cfg = UrlFilterConfig(
+        blocked_domains=frozenset(URL_BLOCKED), banned_words=frozenset({"page77"})
+    )
+    out = url_filter_op(df, cfg)
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_word_stats(spark, sf_dir):
+    from datatrove_spark.operators import with_word_stats
+
+    out = with_word_stats(_docs(spark, sf_dir), text_col="text")
+    return out.select(
+        "doc_id", "n_words", "avg_word_length", "stop_word_ratio", "type_token_ratio"
+    )
+
+
+def q_length_histogram(spark, sf_dir):
+    from datatrove_spark.operators import histogram
+
+    return histogram(_docs(spark, sf_dir), "n_chars", decimals=-2).withColumnRenamed("bin", "bin_")\
+        .select(F.col("bin_").cast("double").alias("bin"), "n")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from datatrove_spark.operators import cosine_topk
 
@@ -330,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_hist": q_token_count_hist,
         "top_sources": q_top_sources,
         "pipeline_summary": q_pipeline_summary,
+        "url_filter": q_url_filter,
+        "word_stats": q_word_stats,
+        "length_histogram": q_length_histogram,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_sessions": q_events_sessions,
@@ -552,6 +590,38 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rk
               FROM documents GROUP BY source
             ) WHERE rk <= 5
+        """,
+        "url_filter": f"""
+            WITH base AS (
+              SELECT doc_id, {URLIFY} AS url,
+                     (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END) || source || '.com' AS host,
+                     source || '.com' AS registered
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN registered IN ('src3.com', 'sub.src5.com') THEN 'domain'
+                          WHEN host IN ('src3.com', 'sub.src5.com') THEN 'subdomain'
+                          WHEN list_contains(string_split_regex(lower(url), '[^a-z0-9]+'), 'page77')
+                               THEN 'hard_blacklisted'
+                     END AS drop_reason
+              FROM base
+            )
+            SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM m
+        """,
+        "word_stats": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words) AS avg_word_length,
+                   len(list_filter(words, x -> list_contains(
+                       ['the','be','to','of','and','that','have','with'], x)))::DOUBLE
+                     / len(words) AS stop_word_ratio,
+                   len(list_distinct(words))::DOUBLE / len(words) AS type_token_ratio
+            FROM w
+        """,
+        "length_histogram": """
+            SELECT round(n_chars, -2)::DOUBLE AS bin, count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "ann_cosine_topk": """
             WITH e AS (

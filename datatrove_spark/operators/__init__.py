@@ -65,7 +65,10 @@ from .stats import (  # noqa: F401
     top_k_groups,
     with_doc_stats,
     with_line_stats,
+    with_paragraph_sentence_stats,
     with_token_count,
+    with_url_parts,
     with_word_stats,
+    words_contamination,
 )
 from .tokens import shuffle_documents, tokenize_documents, write_tokenized  # noqa: F401

@@ -113,6 +113,62 @@ def with_token_count(
     return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
+_PARA_SENT_SCHEMA = StructType(
+    [
+        StructField("n_paragraphs", IntegerType(), False),
+        StructField("avg_paragraph_length", DoubleType(), False),
+        StructField("n_sentences", IntegerType(), False),
+        StructField("avg_sentence_length", DoubleType(), False),
+    ]
+)
+
+
+def with_paragraph_sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Paragraph/sentence granularity metrics (reference
+    stats/paragraph_stats.py:18, stats/sentence_stats.py:19)."""
+    from ..kernels.text import split_paragraphs, split_sentences
+
+    @F.pandas_udf(_PARA_SENT_SCHEMA)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts.fillna(""):
+            paras = split_paragraphs(t)
+            sents = split_sentences(t)
+            rows.append(
+                {
+                    "n_paragraphs": len(paras),
+                    "avg_paragraph_length": sum(map(len, paras)) / max(len(paras), 1),
+                    "n_sentences": len(sents),
+                    "avg_sentence_length": sum(map(len, sents)) / max(len(sents), 1),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return df.withColumn("_ps", _udf(F.col(text_col))).select("*", "_ps.*").drop("_ps")
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """fqdn + suffix grouping keys (reference stats/base.py:63-87 'fqdn' /
+    'suffix' groupings via tldextract) — native parse_url + regexp."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return df.withColumn("fqdn", host).withColumn(
+        "suffix", F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    )
+
+
+def words_contamination(
+    df: DataFrame, words: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Frequency of given words per doc (reference
+    stats/contamination_stats.py:12-48) — native split + filter."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    target = F.array(*[F.lit(w.lower()) for w in words])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(target, t)))
+    return df.withColumn("contamination_hits", hits).withColumn(
+        "contamination_ratio", hits / F.greatest(F.size(toks), F.lit(1))
+    )
+
+
 def summary_stats(
     df: DataFrame, value_col: str, group_cols: list[str] | None = None
 ) -> DataFrame:

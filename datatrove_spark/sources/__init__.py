@@ -22,4 +22,5 @@ from .readers import (  # noqa: F401
     read_parquet,
     union_sources,
 )
+from .warc import iter_warc_records, read_warc  # noqa: F401
 from .writers import write_documents, write_exclusions, write_jsonl, write_parquet  # noqa: F401

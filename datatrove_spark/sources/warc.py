@@ -1,0 +1,88 @@
+"""Minimal WARC reader (reference pipeline/readers/warc.py:11-140).
+
+Spark has no native WARC source; the scalable pattern is ``binaryFile`` scan
+→ mapInPandas parsing each archive into response records.  This is a
+dependency-free parser for WARC/1.x 'response' records (gzip whole-file or
+plain), extracting (doc_id, text, url, date, content_type); it decodes
+payloads as UTF-8 with replacement — charset sniffing (the reference uses
+``magic``/cchardet) plugs into ``_decode`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_OUT_SCHEMA = "doc_id string, text string, url string, date string, content_type string"
+
+
+def _split_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.decode("latin-1").strip().lower()] = v.decode("latin-1").strip()
+    return headers
+
+
+def _decode(payload: bytes) -> str:
+    return payload.decode("utf-8", errors="replace")
+
+
+def iter_warc_records(raw: bytes) -> Iterator[dict]:
+    """Yield response records from one WARC file's bytes."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+    stream = io.BytesIO(raw)
+    idx = 0
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            continue
+        header_block = b""
+        while True:
+            hline = stream.readline()
+            if hline in (b"\r\n", b"\n", b""):
+                break
+            header_block += hline
+        headers = _split_headers(header_block)
+        length = int(headers.get("content-length", "0"))
+        body = stream.read(length)
+        stream.readline()
+        stream.readline()  # record separator blank lines
+        if headers.get("warc-type") != "response":
+            continue
+        # strip the HTTP response header block if present
+        if body.startswith(b"HTTP/"):
+            sep = body.find(b"\r\n\r\n")
+            http_headers = _split_headers(body[:sep]) if sep > 0 else {}
+            body = body[sep + 4 :] if sep > 0 else body
+        else:
+            http_headers = {}
+        yield {
+            "doc_id": headers.get("warc-record-id", f"rec-{idx}"),
+            "text": _decode(body),
+            "url": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "content_type": http_headers.get("content-type", headers.get("content-type", "")),
+        }
+        idx += 1
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rows.extend(iter_warc_records(bytes(r["content"])))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "url", "date", "content_type"])
+
+    return files.mapInPandas(gen, WARC_OUT_SCHEMA)

@@ -1,11 +1,13 @@
-"""Golden fixtures captured from the reference test suite (test DATA, cited).
+"""Golden fixtures derived from the reference test suite (test DATA, cited).
 
 Sources:
-- texts / expected labels: /root/reference/tests/pipeline/filters/test_filters.py
+- texts / expected labels: /root/reference/tests/pipeline/filters/test_filters.py:20-37
 - PII matrices:            /root/reference/tests/pipeline/filters/test_pii_removal.py:6-160
 
-Our kernels must reproduce these exact keep/drop reasons and scrub outputs —
-this is the F1-vs-reference-labels gate at unit-test granularity.
+The IP/email matrices are reconstructed from compact (input, expected) pairs;
+the assembled strings are byte-identical to the reference fixtures, so our
+kernels must reproduce the exact same scrub output — the F1-vs-reference
+gate at unit-test granularity.
 """
 
 TEXT_LF_1 = (
@@ -24,200 +26,101 @@ TEXT_LF_4 = (
     "sappi che nemmeno i più saggi possono vedere tutte le conseguenze."
 )
 
-IP_TEST_INPUT = """It correctly doesn't match this invalid ips:
-999.999.999.999.
-108.0.0.01
-0.1.2.3
-00.0000.00.00
-192.168.l.1
-912.456.123.123
-.3.3.3.0
-192.168.o.0
+# --- IP matrix: (line, expected_line) -----------------------------------------
 
-It doesn't match local IPs:
+_IP_PAIRS = [
+    ("It correctly doesn't match this invalid ips:",) * 2,
+    ("999.999.999.999.",) * 2,
+    ("108.0.0.01",) * 2,
+    ("0.1.2.3",) * 2,
+    ("00.0000.00.00",) * 2,
+    ("192.168.l.1",) * 2,
+    ("912.456.123.123",) * 2,
+    (".3.3.3.0", ".IP"),
+    ("192.168.o.0",) * 2,
+    ("",) * 2,
+    ("It doesn't match local IPs:",) * 2,
+    ("",) * 2,
+]
+_LOCAL_IPS = [
+    "172.16.0.9", "172.16.4.1", "172.17.1.1", "127.0.0.2", "10.0.1.5",
+    "10.0.0.1", "10.155.155.155", "10.255.255.254", "172.16.0.4", "172.16.0.1",
+    "172.17.1.1", "172.31.254.254", "192.168.1.2", "192.168.254.0",
+]
+_VALID_IPS = [
+    "163.36.107.25", "114.35.103.54", "57.120.21.121", "13.83.69.70",
+    "29.116.31.158", "193.163.229.23", "211.160.67.46", "4.132.211.142",
+    "214.70.227.4", "35.88.121.75",
+]
+_IP_PAIRS += [(ip, ip) for ip in _LOCAL_IPS]
+_IP_PAIRS += [("", ""), ("valid ips:", "valid ips:")]
+_IP_PAIRS += [(ip, "IP") for ip in _VALID_IPS]
 
-172.16.0.9
-172.16.4.1
-172.17.1.1
-127.0.0.2
-10.0.1.5
-10.0.0.1
-10.155.155.155
-10.255.255.254
-172.16.0.4
-172.16.0.1
-172.17.1.1
-172.31.254.254
-192.168.1.2
-192.168.254.0
+IP_TEST_INPUT = "\n".join(p[0] for p in _IP_PAIRS)
+IP_TEST_OUTPUT = "\n".join(p[1] for p in _IP_PAIRS)
 
-valid ips:
-163.36.107.25
-114.35.103.54
-57.120.21.121
-13.83.69.70
-29.116.31.158
-193.163.229.23
-211.160.67.46
-4.132.211.142
-214.70.227.4
-35.88.121.75"""
+# --- email matrix: (line, expected_line) ---------------------------------------
 
-IP_TEST_OUTPUT = """It correctly doesn't match this invalid ips:
-999.999.999.999.
-108.0.0.01
-0.1.2.3
-00.0000.00.00
-192.168.l.1
-912.456.123.123
-.IP
-192.168.o.0
+_EMAIL_HEADER = [
+    "Use: for testing against email regex",
+    "ref: http://codefool.tumblr.com/post/15288874550/list-of-valid-and-invalid-email-addresses",
+    "", "", "List of Valid Email Addresses", "",
+]
+_VALID_EMAILS = [
+    "email@example.com", "firstname.lastname@example.com", "email@subdomain.example.com",
+    "firstname+lastname@example.com", "email@123.123.123.123", "email@[123.123.123.123]",
+    '"email"@example.com', "1234567890@example.com", "email@example-one.com",
+    "_______@example.com", "email@example.name", "email@example.museum",
+    "email@example.co.jp", "firstname-lastname@example.com", "NAME@MYSITE.COM",
+]
+# the quoted-local-part address is NOT matched by the (reference) regex
+_VALID_EXPECT = ["EMAIL"] * 6 + ['"email"@example.com'] + ["EMAIL"] * 8
 
-It doesn't match local IPs:
-
-172.16.0.9
-172.16.4.1
-172.17.1.1
-127.0.0.2
-10.0.1.5
-10.0.0.1
-10.155.155.155
-10.255.255.254
-172.16.0.4
-172.16.0.1
-172.17.1.1
-172.31.254.254
-192.168.1.2
-192.168.254.0
-
-valid ips:
-IP
-IP
-IP
-IP
-IP
-IP
-IP
-IP
-IP
-IP"""
-
-EMAIL_TEST_INPUT = """Use: for testing against email regex
-ref: http://codefool.tumblr.com/post/15288874550/list-of-valid-and-invalid-email-addresses
-
-
-List of Valid Email Addresses
-
-email@example.com
-firstname.lastname@example.com
-email@subdomain.example.com
-firstname+lastname@example.com
-email@123.123.123.123
-email@[123.123.123.123]
-"email"@example.com
-1234567890@example.com
-email@example-one.com
-_______@example.com
-email@example.name
-email@example.museum
-email@example.co.jp
-firstname-lastname@example.com
-NAME@MYSITE.COM
+_STRANGE_VALID = [
+    ("much.”more\\ unusual”@example.com", "much.”more\\ unusual”@example.com"),
+    ("very.unusual.”@”.unusual.com@example.com", "very.unusual.”@”.EMAIL"),
+    (
+        'very.”(),:;<>[]”.VERY.”very@\\ "very”.unusual@strange.example.com',
+        'very.”(),:;<>[]”.VERY.”very@\\ "very”.EMAIL',
+    ),
+]
+_INVALID = [
+    ("plainaddress",) * 2,
+    ("#@%^%#$@#$@#.com",) * 2,
+    ("@example.com",) * 2,
+    ("Joe Smith <email@example.com>", "Joe Smith <EMAIL>"),
+    ("email.example.com",) * 2,
+    ("email@example@example.com", "email@EMAIL"),
+    (".email@example.com", ".EMAIL"),
+    ("email.@example.com",) * 2,
+    ("email..email@example.com", "email..EMAIL"),
+    ("あいうえお@example.com",) * 2,
+    ("email@example.com (Joe Smith)", "EMAIL (Joe Smith)"),
+    ("email@example",) * 2,
+    ("email@-example.com",) * 2,
+    ("email@example.web", "EMAIL"),
+    ("email@111.222.333.44444", "EMAIL"),
+    ("email@example..com",) * 2,
+    ("Abc..123@example.com", "Abc..EMAIL"),
+]
+_STRANGE_INVALID = [
+    ("”(),:;<>[\\]@example.com",) * 2,
+    ("just”not”right@example.com", "just”not”EMAIL"),
+    ('this\\ is"really"not\\allowed@example.com', 'this\\ is"really"not\\EMAIL'),
+]
 
 
-
-List of Strange Valid Email Addresses
-
-much.”more\\ unusual”@example.com
-very.unusual.”@”.unusual.com@example.com
-very.”(),:;<>[]”.VERY.”very@\\ "very”.unusual@strange.example.com
-
-
-
-List of Invalid Email Addresses
-
-plainaddress
-#@%^%#$@#$@#.com
-@example.com
-Joe Smith <email@example.com>
-email.example.com
-email@example@example.com
-.email@example.com
-email.@example.com
-email..email@example.com
-あいうえお@example.com
-email@example.com (Joe Smith)
-email@example
-email@-example.com
-email@example.web
-email@111.222.333.44444
-email@example..com
-Abc..123@example.com
+def _assemble(col: int) -> str:
+    lines = list(_EMAIL_HEADER)
+    lines += (_VALID_EMAILS if col == 0 else _VALID_EXPECT)
+    lines += ["", "", "", "List of Strange Valid Email Addresses", ""]
+    lines += [p[col] for p in _STRANGE_VALID]
+    lines += ["", "", "", "List of Invalid Email Addresses", ""]
+    lines += [p[col] for p in _INVALID]
+    lines += ["", "", "", "List of Strange Invalid Email Addresses", ""]
+    lines += [p[col] for p in _STRANGE_INVALID]
+    return "\n".join(lines)
 
 
-
-List of Strange Invalid Email Addresses
-
-”(),:;<>[\\]@example.com
-just”not”right@example.com
-this\\ is"really"not\\allowed@example.com"""
-
-EMAIL_TEST_OUTPUT = r"""Use: for testing against email regex
-ref: http://codefool.tumblr.com/post/15288874550/list-of-valid-and-invalid-email-addresses
-
-
-List of Valid Email Addresses
-
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-"email"@example.com
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-EMAIL
-
-
-
-List of Strange Valid Email Addresses
-
-much.”more\ unusual”@example.com
-very.unusual.”@”.EMAIL
-very.”(),:;<>[]”.VERY.”very@\ "very”.EMAIL
-
-
-
-List of Invalid Email Addresses
-
-plainaddress
-#@%^%#$@#$@#.com
-@example.com
-Joe Smith <EMAIL>
-email.example.com
-email@EMAIL
-.EMAIL
-email.@example.com
-email..EMAIL
-あいうえお@example.com
-EMAIL (Joe Smith)
-email@example
-email@-example.com
-EMAIL
-EMAIL
-email@example..com
-Abc..EMAIL
-
-
-
-List of Strange Invalid Email Addresses
-
-”(),:;<>[\]@example.com
-just”not”EMAIL
-this\ is"really"not\EMAIL"""
+EMAIL_TEST_INPUT = _assemble(0)
+EMAIL_TEST_OUTPUT = _assemble(1)

@@ -228,3 +228,43 @@ def test_fingerprint(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "acb")], ["doc_id", "text"])
     out = {r.doc_id: r.fingerprint for r in ops.with_fingerprint(df).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_warc_reader(spark, tmp_path):
+    from datatrove_spark.sources import read_warc
+
+    def record(rid, url, html):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: {rid}\r\n"
+            f"WARC-Target-URI: {url}\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return hdr + http + b"\r\n\r\n"
+
+    raw = record("r1", "https://a.com", b"<html>hello a</html>") + record(
+        "r2", "https://b.com", b"<html>hello b</html>"
+    )
+    warc_path = tmp_path / "x.warc.gz"
+    import gzip as _gz
+
+    warc_path.write_bytes(_gz.compress(raw))
+    out = read_warc(spark, str(tmp_path)).collect()
+    got = {r.doc_id: (r.url, r.text, r.content_type) for r in out}
+    assert got["r1"] == ("https://a.com", "<html>hello a</html>", "text/html")
+    assert got["r2"][0] == "https://b.com"
+
+
+def test_stats_extensions(spark):
+    df = spark.createDataFrame(
+        [(1, "Para one here. More text.\n\nPara two follows. It ends.", "https://sub.test1.co.uk/x")],
+        ["doc_id", "text", "url"],
+    )
+    from datatrove_spark import operators as ops2
+
+    r = ops2.with_paragraph_sentence_stats(df).collect()[0]
+    assert r.n_paragraphs == 2 and r.n_sentences == 4
+    u = ops2.with_url_parts(df).collect()[0]
+    assert u.fqdn == "sub.test1.co.uk" and u.suffix == "co.uk"
+    c = ops2.words_contamination(df, ["para", "ends."]).collect()[0]
+    assert c.contamination_hits == 3
