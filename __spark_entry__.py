@@ -259,6 +259,14 @@ URLIFY = (
 URL_BLOCKED = ("src3.com", "sub.src5.com")
 
 
+def q_c4_paragraphs(spark, sf_dir):
+    from datatrove_spark.operators import c4_paragraph_filter
+
+    df = _docs(spark, sf_dir).withColumn("text2", F.expr(LINEIFY))
+    out = c4_paragraph_filter(df, text_col="text2")
+    return out.select("doc_id", "keep")
+
+
 def q_url_filter(spark, sf_dir):
     from datatrove_spark.kernels.url import UrlFilterConfig
     from datatrove_spark.operators import url_filter_op
@@ -365,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_hist": q_token_count_hist,
         "top_sources": q_top_sources,
         "pipeline_summary": q_pipeline_summary,
+        "c4_paragraphs": q_c4_paragraphs,
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
         "length_histogram": q_length_histogram,
@@ -590,6 +599,15 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rk
               FROM documents GROUP BY source
             ) WHERE rk <= 5
+        """,
+        "c4_paragraphs": f"""
+            WITH base AS (
+              SELECT doc_id, string_split({LINEIFY}, chr(10)) AS lines FROM documents
+            )
+            SELECT doc_id,
+                   len(lines) >= 3
+                   AND list_sort(list_transform(lines, x -> len(x)), 'DESC')[3] >= 200 AS keep
+            FROM base
         """,
         "url_filter": f"""
             WITH base AS (

@@ -190,9 +190,7 @@ def minhash_dedup(
     df = ensure_channel(df)
     # band hashes computed over (id, text) only; joined back by id at the end
     # so the expensive UDF runs exactly once.
-    bands = minhash_band_table(
-        df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col
-    ).localCheckpoint()
+    bands = minhash_band_table(df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col)
 
     # bucket-join: docs sharing (band_idx, band_hash); min id per bucket is the
     # cluster seed — emit star edges (seed, member) instead of all pairs to
