@@ -1,0 +1,8 @@
+"""datatrove-spark: a PySpark-native large-scale text-processing engine.
+
+Layered as kernels (pure-Python parity algorithms) → operators (DataFrame
+transformations) → plans (pipeline composition, checkpointed execution).
+See README.md and COVERAGE.md for the full operator inventory.
+"""
+
+__version__ = "0.1.0"
