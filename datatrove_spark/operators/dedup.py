@@ -69,16 +69,61 @@ def drop_exact_duplicates(df: DataFrame, **kwargs) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+def _unionfind_components(edge_rows: list, spark) -> DataFrame:
+    """Driver-side union-find (path compression + union by size) — the
+    reference's cluster stage (minhash.py:537-558), used when the collision
+    graph comfortably fits on the driver.  Returns (id, component=min id)."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        for v in (src, dst):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    # component label = min member id for determinism
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    return spark.createDataFrame(rows, "id long, component long")
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """(src, dst) edge list → (id, component) with component = min reachable id.
 
-    Iterative min-label propagation.  LSH dedup components are near-cliques
-    (diameter 2-3), so this converges in a handful of rounds; localCheckpoint
-    cuts the lineage each round so plans stay bounded.
+    Hybrid strategy: LSH collision graphs are tiny relative to the corpus
+    (only colliding docs appear), so up to ``driver_threshold`` edges we run
+    classic union-find on the driver — the same choice the reference makes
+    for its cluster stage, minus its single-30h-task cost because only edges
+    (not signatures) ever leave the executors.  Larger graphs fall back to
+    distributed min-label propagation (near-clique components converge in a
+    few rounds; localCheckpoint bounds the plan each round).
     """
     # dedup edge sets are tiny relative to the corpus (only colliding docs) —
     # shrink the shuffle width so each CC iteration is a small fast job.
     n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
+        return _unionfind_components(rows, edges.sparkSession)
     n_parts = max(1, min(64, n_edges // 500_000 + 1))
     sym = (
         edges.select("src", "dst")
@@ -193,15 +238,20 @@ def minhash_dedup(
     bands = minhash_band_table(df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col)
 
     # bucket-join: docs sharing (band_idx, band_hash); min id per bucket is the
-    # cluster seed — emit star edges (seed, member) instead of all pairs to
-    # keep edge count linear in bucket size (vs quadratic pair explosion).
-    buckets = bands.groupBy("band_idx", "band_hash").agg(
-        F.min("id").alias("seed"), F.collect_list("id").alias("members")
+    # cluster seed — emit star edges (seed, member) instead of all pairs so the
+    # edge count is linear in bucket size (vs quadratic pair explosion).  The
+    # seed comes from an agg + re-join, not collect_list: a degenerate bucket
+    # (e.g. millions of identical docs at 10^12 scale) must never materialize
+    # one giant array in a single task.
+    seeds = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.min("id").alias("seed"), F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
     )
     edges = (
-        buckets.filter(F.size("members") > 1)
-        .select(F.col("seed").alias("src"), F.explode("members").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        bands.join(seeds, ["band_idx", "band_hash"])
+        .filter(F.col("id") != F.col("seed"))
+        .select(F.col("seed").alias("src"), F.col("id").alias("dst"))
         .distinct()
     ).localCheckpoint()
 

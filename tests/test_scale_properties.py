@@ -1,0 +1,110 @@
+"""Scale-discipline evidence + property-based kernel invariants."""
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datatrove_spark.kernels import (
+    PiiScrubber,
+    dup_fractions,
+    fineweb_quality,
+    gopher_quality,
+    gopher_repetition,
+    normalize_text,
+    tokenize_words,
+)
+from datatrove_spark.kernels.minhash import (
+    minhash_signature_matrix,
+    permutation_params,
+)
+
+# --- skew / salting -------------------------------------------------------------
+
+
+def test_repo_salting_balances_skewed_corpus(spark):
+    """1 mega-repo owning 50% of rows: unsalted repo-hash partitioning puts
+    half the data in one partition; salting splits it within 2x of mean."""
+    from datatrove_spark.pipeline import partition_by_repo
+
+    rows = [(f"mega/repo, file {i}".split(", ")[0], f"f{i}") for i in range(2000)]
+    rows += [(f"org/r{i % 200}", f"g{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["repo", "path"])
+
+    n_parts = 16
+    unsalted = df.repartition(n_parts, F.xxhash64("repo"))
+    salted = partition_by_repo(df, n_parts, salt_buckets=16)
+
+    def sizes(d):
+        return [
+            r.n for r in d.groupBy(F.spark_partition_id().alias("p")).agg(F.count("*").alias("n")).collect()
+        ]
+
+    worst_unsalted = max(sizes(unsalted))
+    worst_salted = max(sizes(salted))
+    assert worst_unsalted >= 2000  # the mega-repo lands whole in one partition
+    # salting splits it across buckets: worst partition shrinks >3x (residual
+    # imbalance is (repo-hash, salt)→partition collision noise; AQE handles it)
+    assert worst_salted <= worst_unsalted / 3
+
+
+# --- hypothesis invariants --------------------------------------------------------
+
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=400
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_filters_total_and_reasons_consistent(text):
+    """Every filter returns (bool, reason) with reason iff dropped; never raises."""
+    for fn in (gopher_repetition, fineweb_quality):
+        keep, reason = fn(text)
+        assert isinstance(keep, bool)
+        assert (reason is None) == keep
+    keep, reason = gopher_quality(text)
+    assert (reason is None) == keep
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_normalize_idempotent(text):
+    once = normalize_text(text)
+    assert normalize_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=20), max_size=50))
+def test_dup_fractions_bounds(elements):
+    n_dup, dup_chars = dup_fractions(elements)
+    assert 0 <= n_dup <= max(len(elements) - 1, 0)
+    assert dup_chars <= sum(map(len, elements))
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_scrubber_deterministic_and_stable(text):
+    s = PiiScrubber(remove_phones=True)
+    out1, out2 = s.scrub(text), s.scrub(text)
+    assert out1 == out2  # per-doc counter reset → order independence
+
+
+@settings(max_examples=50, deadline=None)
+@given(TEXT)
+def test_tokenizer_reconstructs_non_space_chars(text):
+    """Tokens cover every non-whitespace character in order (whitespace per
+    the tokenizer's Unicode \\s, which — unlike str.split() — keeps the
+    \\x1c-\\x1f separator control chars as tokens)."""
+    import regex as _regex
+
+    joined = "".join(tokenize_words(text))
+    assert joined == _regex.sub(r"\s+", "", text)
+
+
+def test_minhash_batch_independence():
+    """Signatures must not depend on batch composition (partition layout)."""
+    a, b = permutation_params()
+    texts = [f"alpha beta gamma delta {w} epsilon zeta eta theta" for w in ("one", "two", "three")]
+    whole = minhash_signature_matrix(texts, a, b)
+    singles = [minhash_signature_matrix([t], a, b)[0] for t in texts]
+    assert whole == singles
