@@ -19,8 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _force(df) -> int:
-    return df.count()
+def _force(df) -> None:
+    # noop sink: full materialization of every output column — count() would
+    # let Catalyst prune projection-only UDFs and under-measure
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:

@@ -436,18 +436,30 @@ def simhash_dedup(
 
 
 def ngram_shingles(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
-    """Native shingling: (id-preserving) exploded n-gram strings over
-    whitespace tokens of lower-cased text — pure Catalyst (split + transform +
-    slice), no Python."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    k = F.size(words) - F.lit(n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1), lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-        ),
-    ).otherwise(F.array())
-    return df.withColumn("_grams", grams)
+    """(id-preserving) n-gram shingle strings over whitespace tokens of
+    lower-cased text, as an ``array<string>`` column.
+
+    Implemented as an Arrow pandas UDF rather than Catalyst higher-order
+    functions: sequence+transform+slice disables whole-stage codegen and runs
+    interpreted (~20x slower, measured) — the Python batch loop wins here.
+    """
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _grams_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            words = [w for w in ws.split(t.lower()) if w]
+            out.append(
+                [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+                if len(words) >= n
+                else []
+            )
+        return pd.Series(out)
+
+    return df.withColumn("_grams", _grams_udf(F.col(text_col)))
 
 
 def ngram_decontaminate(

@@ -3,10 +3,16 @@ Arrow round-trip.
 
 The reference pipelines each document through every step inside a single
 task (Volcano pull, executor/base.py:130-138).  The Spark analogue is a
-single pandas UDF evaluating the full chain per batch — one Python worker per
-task instead of one per stage, one Arrow serialization instead of seven.
-This is the production path; the staged operators in .filters remain for
-per-stage inspection/debugging and for the oracle queries.
+single ``mapInPandas`` pass evaluating the full chain per batch — one Python
+worker per task instead of one per stage, one Arrow serialization instead of
+seven.
+
+Why mapInPandas and not a struct-returning pandas UDF: Catalyst inlines
+Python UDF expressions into every consumer, so ``filter(_fq.keep)`` +
+``select(_fq.text)`` evaluates the UDF TWICE (verified via
+explain("formatted") — two ArrowEvalPython nodes).  mapInPandas is a plan
+node, not an expression: downstream filters/projections consume its output
+columns and can never re-trigger it.
 
 Stage order = FineWeb recipe (examples/fineweb.py:41-63): length → LID →
 Gopher repetition → Gopher quality → C4 (rewrites text) → FineWeb →
@@ -15,16 +21,11 @@ Gopher repetition → Gopher quality → C4 (rewrites text) → FineWeb →
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (
-    BooleanType,
-    DoubleType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from ..kernels import (
     C4QualityConfig,
@@ -41,17 +42,76 @@ from ..kernels.perplexity import InterpolatedLM
 from .base import ensure_channel
 from .language import _singleton
 
-FUSED_RESULT = StructType(
-    [
-        StructField("keep", BooleanType(), False),
-        StructField("drop_reason", StringType(), True),
-        StructField("language", StringType(), True),
-        StructField("language_score", DoubleType(), True),
-        StructField("text", StringType(), True),
-        StructField("scrubbed", StringType(), True),
-        StructField("perplexity", DoubleType(), True),
-    ]
+_EXTRA_FIELDS = (
+    ("language", "string"),
+    ("language_score", "double"),
+    ("scrubbed_content", "string"),
+    ("perplexity", "double"),
 )
+
+
+def evaluate_document(
+    text: str,
+    min_chars: int,
+    max_chars: int,
+    lang_set: tuple[str, ...] | None,
+    language_threshold: float,
+    gopher_cfg: GopherQualityConfig,
+    c4_cfg: C4QualityConfig,
+    fineweb_cfg: FineWebQualityConfig,
+    lid,
+    lm,
+    scrubber,
+    max_perplexity: float | None,
+) -> dict:
+    """Full decision chain for one document.  Returns dict with keys
+    keep, drop_reason, language, language_score, text, scrubbed, perplexity.
+    ``text`` carries the C4 rewrite for every row that reached C4."""
+    lang = None
+    score = None
+    ppl = None
+
+    def result(keep, reason, t):
+        return {
+            "keep": keep,
+            "drop_reason": reason,
+            "language": lang,
+            "language_score": score,
+            "text": t,
+            "scrubbed": scrubber.scrub(t) if (keep and scrubber is not None) else t,
+            "perplexity": ppl,
+        }
+
+    n = len(text)
+    if n < min_chars:
+        return result(False, "too_short", text)
+    if n > max_chars:
+        return result(False, "too_long", text)
+    (lang, score), _ = lid.predict(text)
+    score = float(score)
+    if not (
+        (lang_set is None and score > language_threshold)
+        or (lang_set is not None and lang in lang_set and score > language_threshold)
+    ):
+        return result(False, "language_id", text)
+    keep, reason = gopher_repetition(text)
+    if not keep:
+        return result(False, reason, text)
+    keep, reason = gopher_quality(text, gopher_cfg)
+    if not keep:
+        return result(False, reason, text)
+    new_text, keep, reason = c4_quality(text, c4_cfg)
+    if not keep:
+        return result(False, reason, text)
+    text = new_text  # C4 rewrites survivors (c4_filters.py:135)
+    keep, reason = fineweb_quality(text, fineweb_cfg)
+    if not keep:
+        return result(False, reason, text)
+    if lm is not None:
+        ppl = lm.perplexity(text)
+        if max_perplexity is not None and ppl > max_perplexity:
+            return result(False, "perplexity", text)
+    return result(True, None, text)
 
 
 def fused_quality_filter(
@@ -71,9 +131,16 @@ def fused_quality_filter(
     model_tag: str = "fused_lid",
 ) -> DataFrame:
     lang_set = tuple(languages) if languages else None
+    df = ensure_channel(df)
 
-    @F.pandas_udf(FUSED_RESULT)
-    def _udf(texts: pd.Series) -> pd.DataFrame:
+    in_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    in_names = [n for n, _ in in_fields]
+    out_schema = ", ".join(
+        [f"`{n}` {t}" for n, t in in_fields]
+        + [f"`{n}` {t}" for n, t in _EXTRA_FIELDS if n not in in_names]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lid = _singleton(model_tag, lambda: NgramBayesLID(lid_model_dict))
         lm = (
             _singleton(model_tag + "_lm", lambda: InterpolatedLM(lm_dict))
@@ -81,85 +148,35 @@ def fused_quality_filter(
             else None
         )
         scrubber = PiiScrubber(remove_phones=True) if scrub_pii else None
-        rows = []
-        for text in texts.fillna(""):
-            lang = None
-            score = None
-            ppl = None
-
-            def emit(keep, reason, t):
-                rows.append(
-                    {
-                        "keep": keep,
-                        "drop_reason": reason,
-                        "language": lang,
-                        "language_score": score,
-                        "text": t,
-                        "scrubbed": (
-                            scrubber.scrub(t) if (keep and scrubber is not None) else t
-                        ),
-                        "perplexity": ppl,
-                    }
-                )
-
-            n = len(text)
-            if n < min_chars:
-                emit(False, "too_short", text)
-                continue
-            if n > max_chars:
-                emit(False, "too_long", text)
-                continue
-            (lang, score), _ = lid.predict(text)
-            score = float(score)
-            if not (
-                (lang_set is None and score > language_threshold)
-                or (lang_set is not None and lang in lang_set and score > language_threshold)
-            ):
-                emit(False, "language_id", text)
-                continue
-            keep, reason = gopher_repetition(text)
-            if not keep:
-                emit(False, reason, text)
-                continue
-            keep, reason = gopher_quality(text, gopher_cfg)
-            if not keep:
-                emit(False, reason, text)
-                continue
-            new_text, keep, reason = c4_quality(text, c4_cfg)
-            if not keep:
-                emit(False, reason, text)
-                continue
-            text = new_text  # C4 rewrites survivors (c4_filters.py:135)
-            keep, reason = fineweb_quality(text, fineweb_cfg)
-            if not keep:
-                emit(False, reason, text)
-                continue
-            if lm is not None:
-                ppl = lm.perplexity(text)
-                if max_perplexity is not None and ppl > max_perplexity:
-                    emit(False, "perplexity", text)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            alive = pdf["keep"].fillna(False).astype(bool)
+            out_rows = []
+            for text, is_alive in zip(texts, alive):
+                if not is_alive:
+                    out_rows.append(None)  # previously dropped: pass through
                     continue
-            emit(True, None, text)
+                out_rows.append(
+                    evaluate_document(
+                        text, min_chars, max_chars, lang_set, language_threshold,
+                        gopher_cfg, c4_cfg, fineweb_cfg, lid, lm, scrubber, max_perplexity,
+                    )
+                )
+            pdf = pdf.copy()
+            pdf["language"] = [r["language"] if r else None for r in out_rows]
+            pdf["language_score"] = [r["language_score"] if r else None for r in out_rows]
+            pdf["perplexity"] = [r["perplexity"] if r else None for r in out_rows]
+            pdf[text_col] = [
+                r["text"] if r else t for r, t in zip(out_rows, pdf[text_col])
+            ]
+            pdf["scrubbed_content"] = [
+                r["scrubbed"] if r else t for r, t in zip(out_rows, pdf[text_col])
+            ]
+            pdf["drop_reason"] = [
+                (r["drop_reason"] if r else dr)
+                for r, dr in zip(out_rows, pdf["drop_reason"])
+            ]
+            pdf["keep"] = [bool(r["keep"]) if r else False for r in out_rows]
+            yield pdf[[n for n, _ in in_fields] + [n for n, _ in _EXTRA_FIELDS if n not in in_names]]
 
-        return pd.DataFrame(rows)
-
-    df = ensure_channel(df)
-    df = df.withColumn("_fq", _udf(F.col(text_col)))
-    return (
-        df.withColumn(
-            "drop_reason",
-            F.when(F.col("keep") & ~F.col("_fq.keep"), F.col("_fq.drop_reason")).otherwise(
-                F.col("drop_reason")
-            ),
-        )
-        .withColumn(text_col, F.when(F.col("keep"), F.col("_fq.text")).otherwise(F.col(text_col)))
-        .withColumn(
-            "scrubbed_content",
-            F.when(F.col("keep"), F.col("_fq.scrubbed")).otherwise(F.col(text_col)),
-        )
-        .withColumn("language", F.col("_fq.language"))
-        .withColumn("language_score", F.col("_fq.language_score"))
-        .withColumn("perplexity", F.col("_fq.perplexity"))
-        .withColumn("keep", F.col("keep") & F.col("_fq.keep"))
-        .drop("_fq")
-    )
+    return df.mapInPandas(gen, out_schema)

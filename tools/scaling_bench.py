@@ -66,6 +66,11 @@ def run_at(cores: int) -> dict:
         "--conf", "spark.sql.shuffle.partitions=" + str(max(cores, 8)),
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.driver.memory=8g",
+        # fine-grained scan splits: default bin-packing collapses the corpus
+        # into ~cores splits → a single task wave → straggler-bound scaling
+        "--conf", "spark.sql.files.maxPartitionBytes=2m",
+        "--conf", "spark.sql.files.openCostInBytes=0",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
         "--py-files", DIST_ZIP,
         os.path.join(REPO, "tools", "run_pipeline.py"),
         "--input", DATA_DIR,
