@@ -52,7 +52,10 @@ def main() -> None:
     n_docs = docs.count()  # warms up the JVM + file listing
 
     def docs_df():
-        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # single-file test input = one unsplittable scan partition; real
+        # corpora arrive as many files, so spread the input across cores
+        # (a few-MB shuffle vs single-core Arrow-UDF execution)
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(int(cpus))
 
     pipeline_cfg = QualityPipelineConfig(
         text_col="text", languages=("en",), language_threshold=0.5
