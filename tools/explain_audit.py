@@ -1,0 +1,58 @@
+"""Plan-quality audit: explain("formatted") evidence for the scale claims.
+
+Prints, for each audited plan: scan ReadSchema (column pruning), pushed
+filters, exchange (shuffle) count, broadcast usage, and Python-eval node
+count (a fused pipeline must show exactly ONE MapInPandas).
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as m
+    from datatrove_spark.operators import minhash_dedup
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+
+    def audit(name, df):
+        p = df._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+        tree = p.split("\n\n")[0]
+        details = {
+            "exchanges": tree.count("Exchange"),
+            "map_in_pandas": tree.count("MapInPandas"),
+            "arrow_eval": tree.count("ArrowEvalPython"),
+            "broadcast": ("BroadcastHashJoin" in p) or ("BroadcastNestedLoopJoin" in p),
+            "codegen_spans": len({ln.split("codegen id :")[1].split("]")[0] for ln in p.splitlines() if "codegen id :" in ln}),
+        }
+        scans = [ln.strip() for ln in p.splitlines() if "ReadSchema" in ln or "PushedFilters" in ln]
+        print(f"== {name} ==")
+        for k, v in details.items():
+            print(f"   {k}: {v}")
+        for s in scans[:4]:
+            print(f"   {s[:150]}")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pipe = quality_pipeline(docs, QualityPipelineConfig(text_col="text", languages=("en",)))
+    audit("quality_pipeline kept(doc_id, sha)", pipe.filter(F.col("keep")).select("doc_id", "content_sha256"))
+    audit("minhash_dedup", minhash_dedup(docs, text_col="text"))
+    for q in ("lineitem_pricing", "ngram_decont", "exact_dedup", "events_sessions", "ann_cosine_topk"):
+        audit(q, m.queries()[q](spark, sf_dir))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
