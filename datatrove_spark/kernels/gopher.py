@@ -33,10 +33,13 @@ DEFAULT_GOPHER_QUALITY = GopherQualityConfig()
 
 
 def gopher_quality(
-    text: str, cfg: GopherQualityConfig = DEFAULT_GOPHER_QUALITY
+    text: str,
+    cfg: GopherQualityConfig = DEFAULT_GOPHER_QUALITY,
+    words: list[str] | None = None,
 ) -> tuple[bool, str | None]:
     """(keep, drop_reason) for one document."""
-    words = tokenize_words(text)
+    if words is None:
+        words = tokenize_words(text)
     n_words = len(words)
     if n_words == 0:
         # the reference divides by len(words); empty docs are degenerate —
@@ -77,7 +80,8 @@ def gopher_quality(
                 return False, "gopher_too_many_end_ellipsis"
 
     if cfg.min_alpha_words_ratio:
-        n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+        # w.isalpha() is the C fast path covering the common all-letter word
+        n_alpha = sum(1 for w in words if w.isalpha() or any(c.isalpha() for c in w))
         if n_alpha / n_words < cfg.min_alpha_words_ratio:
             return False, "gopher_below_alpha_threshold"
 

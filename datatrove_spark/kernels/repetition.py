@@ -36,7 +36,21 @@ def dup_fractions(elements: list[str]) -> tuple[int, int]:
     return n_dup, dup_chars
 
 
-def top_ngram_chars(words: list[str], n: int) -> int:
+def _spaced_offsets(words: list[str]) -> tuple[str, list[int]]:
+    """(" ".join(words), prefix offsets): offsets[i] = start of word i in the
+    spaced join, so ``" ".join(words[i:i+n]) == spaced[offs[i]:offs[i+n]-1]``.
+    Slicing one prejoined string replaces per-window join allocation (the
+    hottest loop of the repetition filter, profiled ~40% of pipeline CPU)."""
+    spaced = " ".join(words)
+    offs = [0] * (len(words) + 1)
+    pos = 0
+    for i, w in enumerate(words):
+        pos += len(w) + 1
+        offs[i + 1] = pos
+    return spaced, offs
+
+
+def top_ngram_chars(words: list[str], n: int, _cache=None) -> int:
     """chars(top n-gram) * count(top n-gram), n-grams joined with spaces.
 
     Matches reference ``find_top_duplicate`` + ``get_n_grams``
@@ -44,24 +58,43 @@ def top_ngram_chars(words: list[str], n: int) -> int:
     """
     if len(words) < n:
         return 0
-    counts = Counter(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    spaced, offs = _cache if _cache is not None else _spaced_offsets(words)
+    counts = Counter(
+        spaced[offs[i] : offs[i + n] - 1] for i in range(len(words) - n + 1)
+    )
     gram, cnt = counts.most_common(1)[0]
     return len(gram) * cnt
 
 
-def dup_ngram_chars(words: list[str], n: int) -> int:
+def _compact_offsets(words: list[str]) -> tuple[str, list[int]]:
+    """("".join(words), prefix offsets): ``"".join(words[i:i+n]) ==
+    compact[offs[i]:offs[i+n]]`` — byte-exact window keys without per-window
+    join allocation."""
+    compact = "".join(words)
+    offs = [0] * (len(words) + 1)
+    pos = 0
+    for i, w in enumerate(words):
+        pos += len(w)
+        offs[i + 1] = pos
+    return compact, offs
+
+
+def dup_ngram_chars(words: list[str], n: int, _cache=None) -> int:
     """Chars covered by repeated n-grams, skip-ahead scan.
 
-    Matches reference ``find_all_duplicate`` (gopher_repetition_filter.py:57-70):
-    n-grams are joined WITHOUT separator; on a repeat the cursor jumps n words
-    (non-overlapping accounting), otherwise it advances one word.
+    Matches reference ``find_all_duplicate`` (gopher_repetition_filter.py:57-70)
+    byte-exactly: n-grams are joined WITHOUT separator (window keys are slices
+    of the compact prejoin, which equal the reference's per-window joins); on
+    a repeat the cursor jumps n words (non-overlapping accounting), otherwise
+    it advances one word.
     """
+    compact, offs = _cache if _cache is not None else _compact_offsets(words)
     seen: set[str] = set()
     total = 0
     i = 0
     limit = len(words) - n + 1
     while i < limit:
-        gram = "".join(words[i : i + n])
+        gram = compact[offs[i] : offs[i + n]]
         if gram in seen:
             total += len(gram)
             i += n
@@ -79,6 +112,7 @@ def gopher_repetition(
     dup_para_char_frac: float | None = 0.2,
     top_n_grams=TOP_NGRAM_THRESHOLDS,
     dup_n_grams=DUP_NGRAM_THRESHOLDS,
+    words: list[str] | None = None,
 ) -> tuple[bool, str | None]:
     """(keep, drop_reason) with the reference's check order
     (gopher_repetition_filter.py:110-142): paragraphs → lines → top n-grams →
@@ -102,14 +136,17 @@ def gopher_repetition(
     if dup_line_char_frac and dup_chars / n_chars > dup_line_char_frac:
         return False, "dup_line_char_frac"
 
-    words = tokenize_words(text)
+    if words is None:
+        words = tokenize_words(text)
+    spaced_cache = _spaced_offsets(words)
     for n, frac in top_n_grams:
-        top_chars = top_ngram_chars(words, n)
+        top_chars = top_ngram_chars(words, n, spaced_cache)
         if top_chars and top_chars / n_chars > frac:
             return False, f"top_{n}_gram"
 
+    compact_cache = _compact_offsets(words)
     for n, frac in dup_n_grams:
-        if dup_ngram_chars(words, n) / n_chars > frac:
+        if dup_ngram_chars(words, n, compact_cache) / n_chars > frac:
             return False, f"duplicated_{n}_n_grams"
 
     return True, None

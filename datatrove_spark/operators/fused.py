@@ -94,10 +94,13 @@ def evaluate_document(
         or (lang_set is not None and lang in lang_set and score > language_threshold)
     ):
         return result(False, "language_id", text)
-    keep, reason = gopher_repetition(text)
+    from ..kernels.text import tokenize_words
+
+    words = tokenize_words(text)  # shared by both Gopher stages (same text)
+    keep, reason = gopher_repetition(text, words=words)
     if not keep:
         return result(False, reason, text)
-    keep, reason = gopher_quality(text, gopher_cfg)
+    keep, reason = gopher_quality(text, gopher_cfg, words=words)
     if not keep:
         return result(False, reason, text)
     new_text, keep, reason = c4_quality(text, c4_cfg)

@@ -47,11 +47,11 @@ def main() -> None:
     warm = df.limit(64 * cores).repartition(cores)
     quality_pipeline(warm, cfg).filter(F.col("keep")).count()
 
-    # best of 2 measured runs: steady-state throughput, shielded from
+    # best of 3 measured runs: steady-state throughput, shielded from
     # one-off VM noise (shared-host steal time)
     walls = []
     kept = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         out = quality_pipeline(df, cfg)
         kept = out.filter(F.col("keep")).count()

@@ -65,7 +65,7 @@ def run_at(cores: int) -> dict:
         "--master", f"local[{cores}]",
         "--conf", "spark.sql.shuffle.partitions=" + str(max(cores, 8)),
         "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.driver.memory=24g",
         # fine-grained scan splits: default bin-packing collapses the corpus
         # into ~cores splits → a single task wave → straggler-bound scaling
         "--conf", "spark.sql.files.maxPartitionBytes=2m",
