@@ -295,6 +295,68 @@ def q_length_histogram(spark, sf_dir):
         .select(F.col("bin_").cast("double").alias("bin"), "n")
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    from datatrove_spark.operators import jaccard_neardup_pairs
+
+    pairs = jaccard_neardup_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, text_col="text", id_col="doc_id"
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+CONTAMINATION_WORDS = ["table", "merge"]
+
+
+def q_words_contamination(spark, sf_dir):
+    from datatrove_spark.operators import words_contamination
+
+    out = words_contamination(_docs(spark, sf_dir), CONTAMINATION_WORDS, text_col="text")
+    return out.select(
+        "doc_id", "contamination_hits", F.round("contamination_ratio", 6).alias("contamination_ratio")
+    )
+
+
+def q_event_type_stats(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+def q_classifier_filter(spark, sf_dir):
+    from datatrove_spark.operators import classifier_filter
+
+    out = classifier_filter(_docs(spark, sf_dir), keep_labels=[("en", 0.4)])
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    from datatrove_spark.operators import with_fingerprint
+
+    fp = with_fingerprint(
+        _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 12)), text_col="prefix"
+    )
+    return fp.groupBy("fingerprint").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+
+
+def q_lsh_ann(spark, sf_dir):
+    from datatrove_spark.operators import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, n_planes=6)
+
+
+def q_tokenized_lengths(spark, sf_dir):
+    from datatrove_spark.operators import tokenize_documents
+
+    out = tokenize_documents(_docs(spark, sf_dir), text_col="text")
+    return out.select("doc_id", F.size("token_ids").alias("n_tokens"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from datatrove_spark.operators import cosine_topk
 
@@ -377,6 +439,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
         "length_histogram": q_length_histogram,
+        "jaccard_pairs": q_jaccard_pairs,
+        "words_contamination": q_words_contamination,
+        "event_type_stats": q_event_type_stats,
+        "classifier_filter": q_classifier_filter,
+        "fingerprint_dups": q_fingerprint_dups,
+        "lsh_ann": q_lsh_ann,
+        "tokenized_lengths": q_tokenized_lengths,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_sessions": q_events_sessions,
@@ -640,6 +709,48 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": """
             SELECT round(n_chars, -2)::DOUBLE AS bin, count(*) AS n
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "jaccard_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS gram
+              FROM documents
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.n_grams + sb.n_grams - n_inter)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE n_inter / (sa.n_grams + sb.n_grams - n_inter)::DOUBLE >= 0.5
+        """,
+        "words_contamination": """
+            WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+            SELECT doc_id,
+                   len(list_filter(words, x -> x = 'table' OR x = 'merge')) AS contamination_hits,
+                   round(len(list_filter(words, x -> x = 'table' OR x = 'merge'))::DOUBLE
+                         / greatest(len(words), 1), 6) AS contamination_ratio
+            FROM w
+        """,
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "tokenized_lengths": """
+            -- on this corpus ([a-z ]+ words) GPT-2-style pretokens == whitespace
+            -- words; +1 for the EOS id the tokenizer appends
+            SELECT doc_id, len(string_split(text, ' ')) + 1 AS n_tokens FROM documents
         """,
         "ann_cosine_topk": """
             WITH e AS (
