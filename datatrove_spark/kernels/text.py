@@ -139,6 +139,25 @@ def split_sentences(text: str) -> list[str]:
     return parts if parts else ([text] if text.strip() else [])
 
 
+def sentence_spans(text: str) -> list[tuple[int, int]]:
+    """Sentence char spans covering the whole text (the inter-sentence
+    whitespace belongs to the PRECEDING sentence), so concatenating kept spans
+    reproduces the original bytes minus removed regions — the reconstruction
+    contract of the reference's span-based sentence dedup
+    (utils/text.py:282-285 span_tokenize + dedup/sentence_dedup.py:329-378)."""
+    if not text:
+        return []
+    bounds = [m.end() for m in _SENT_RE.finditer(text)]
+    spans = []
+    prev = 0
+    for b in bounds:
+        spans.append((prev, b))
+        prev = b
+    if prev < len(text):
+        spans.append((prev, len(text)))
+    return spans
+
+
 def split_paragraphs(text: str) -> list[str]:
     """Paragraphs = blocks separated by blank lines (utils/text.py:289-303)."""
     return _PARA_RE.split(text.strip())

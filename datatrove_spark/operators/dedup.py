@@ -283,14 +283,16 @@ _SPAN_SCHEMA = ArrayType(
 
 
 def _span_hashes(text: str, n_sentences: int) -> list:
-    sents = split_sentences(text)
-    if len(sents) < n_sentences:
+    from ..kernels.text import sentence_spans
+
+    spans = sentence_spans(text)
+    if len(spans) < n_sentences:
         return []
-    spans = []
-    for i in range(len(sents) - n_sentences + 1):
-        key = normalize_text(" ".join(sents[i : i + n_sentences]))
-        spans.append((sha1_i64(key), i))
-    return spans
+    out = []
+    for i in range(len(spans) - n_sentences + 1):
+        seg = text[spans[i][0] : spans[i + n_sentences - 1][1]]
+        out.append((sha1_i64(normalize_text(seg)), i))
+    return out
 
 
 def sentence_dedup(
@@ -336,18 +338,21 @@ def sentence_dedup(
 
     @F.pandas_udf(rewrite_schema)
     def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.DataFrame:
+        from ..kernels.text import sentence_spans
+
         out_text, out_words = [], []
         for text, rem in zip(texts.fillna(""), removes):
             if rem is None or len(rem) == 0:
                 out_text.append(text)
                 out_words.append(len(tokenize_words(text)))
                 continue
-            sents = split_sentences(text)
+            spans = sentence_spans(text)
             drop = set()
             for start in rem:
-                drop.update(range(start, min(start + n_sentences, len(sents))))
-            kept = [s for i, s in enumerate(sents) if i not in drop]
-            new_text = " ".join(kept).strip()
+                drop.update(range(start, min(start + n_sentences, len(spans))))
+            # byte-exact reconstruction from surviving char spans (reference
+            # sentence_dedup.py:329-378 removes ranges, never re-joins)
+            new_text = "".join(text[a:b] for i, (a, b) in enumerate(spans) if i not in drop)
             out_text.append(new_text)
             out_words.append(len(tokenize_words(new_text)))
         return pd.DataFrame({"text": out_text, "n_words": out_words})

@@ -173,3 +173,36 @@ def test_sampler_and_length(spark):
     assert 30 < n_kept < 70
     out2 = ops.length_filter(df, min_chars=50)
     assert out2.filter(F.col("keep")).count() == 51
+
+
+def test_sentence_dedup_reference_fixture(spark):
+    """Reference fixture: tests/pipeline/dedup/test_sentence_deduplication.py
+    TEXT_0/TEXT_1 → EXPECTED_TEXT_1 (byte-exact span-based rewrite)."""
+    SENTENCE_ = "A SQUAT grey building of only thirty-four stories."
+    TEXT_0 = (
+        SENTENCE_ + " Over the main entrance the words, CENTRAL LONDON HATCHERY "
+        "AND CONDITIONING CENTRE, and, in a shield, the World State's motto, COMMUNITY, IDENTITY, STABILITY. The enormous"
+        " room on the ground floor faced towards the north. Cold for all the summer beyond the panes, for all the "
+        "tropical heat of the room itself, a harsh thin light glared through the windows, hungrily seeking some draped "
+        "lay figure, some pallid shape of academic goose-flesh, but finding only the glass and nickel and bleakly shining"
+        " porcelain of a laboratory. Wintriness responded to wintriness. The overalls of the workers were white, their "
+        "hands gloved with a pale corpse-coloured rubber. The light was frozen, dead, a ghost. Only from the yellow "
+        "barrels of the microscopes did it borrow a certain rich and living substance, lying along the polished tubes "
+        "like butter, streak after luscious streak in long recession down the work tables. And this, said the Director "
+        "opening the door, 'is the Fertilizing Room.'"
+    )
+    TEXT_1 = (
+        "Wintriness responded to wintriness. The overalls of the workers were white, their "
+        "hands gloved with a pale corpse-coloured rubber. The light was frozen, dead, a ghost. Only from the yellow "
+        "barrels of the microscopes did it borrow a certain rich and living substance, lying along the polished tubes "
+        "like butter, streak after luscious streak in long recession down the work tables. What wintriness even mean ?"
+        "If you google it you will find that pretty bus it is used as a word in this book and pretty much it."
+    )
+    EXPECTED_TEXT_1 = (
+        "What wintriness even mean ?"
+        "If you google it you will find that pretty bus it is used as a word in this book and pretty much it."
+    )
+    df = _docs(spark, [(0, TEXT_0), (1, TEXT_1)])
+    out = {r.doc_id: r.text for r in ops.sentence_dedup(df, n_sentences=3).collect()}
+    assert out[0] == TEXT_0  # first doc owns every span
+    assert out[1] == EXPECTED_TEXT_1
