@@ -212,10 +212,14 @@ def minhash_band_table(
             [signature_band_hashes(s, cfg) if s is not None else None for s in sigs]
         )
 
-    return (
-        df.select(F.col(id_col).alias("id"), _bands_udf(F.col(text_col)).alias("_bands"))
-        .filter(F.col("_bands").isNotNull())
-        .select("id", F.posexplode("_bands").alias("band_idx", "band_hash"))
+    # asNondeterministic: InferFiltersFromGenerate otherwise inserts a
+    # size()>0 pre-filter that duplicates the UDF expression (two
+    # ArrowEvalPython nodes = the whole signature computed twice).  The UDF is
+    # deterministic; the marking only disables expression duplication.
+    # posexplode drops null/empty arrays itself, so no pre-filter is needed.
+    bands_udf = _bands_udf.asNondeterministic()
+    return df.select(F.col(id_col).alias("id"), bands_udf(F.col(text_col)).alias("_bands")).select(
+        "id", F.posexplode("_bands").alias("band_idx", "band_hash")
     )
 
 
@@ -316,6 +320,7 @@ def sentence_dedup(
     def _spans_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([_span_hashes(t, n_sentences) for t in texts.fillna("")])
 
+    _spans_udf = _spans_udf.asNondeterministic()  # see minhash_band_table
     with_spans = df.withColumn("_spans", _spans_udf(F.col(text_col)))
     spans = with_spans.select(
         F.col(id_col).alias("id"), F.explode("_spans").alias("s")
@@ -464,7 +469,7 @@ def ngram_shingles(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
             )
         return pd.Series(out)
 
-    return df.withColumn("_grams", _grams_udf(F.col(text_col)))
+    return df.withColumn("_grams", _grams_udf.asNondeterministic()(F.col(text_col)))
 
 
 def ngram_decontaminate(

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the plan properties the scale story
+depends on, asserted so refactors can't silently regress them."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _plan(spark, df, mode="formatted"):
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(jvm.fromString(mode))
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_pipeline_is_single_python_pass(spark, docs):
+    """filter(keep)+select must NOT re-evaluate the fused UDF (the
+    double-ArrowEvalPython bug class)."""
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    out = quality_pipeline(docs, QualityPipelineConfig(text_col="text", languages=("en",)))
+    plan = _plan(spark, out.filter(F.col("keep")).select("doc_id", "content_sha256"))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert tree.count("ArrowEvalPython") == 0
+    assert tree.count("Exchange") == 0  # map-only plan, zero shuffles
+
+
+def test_scan_pruning_native_ops(spark, docs):
+    """Native-expression operators must prune the scan to referenced columns."""
+    from datatrove_spark.operators import exact_dedup
+
+    plan = _plan(spark, exact_dedup(docs).select("doc_id", "keep"))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "text" in read
+    assert "source" not in read and "n_chars" not in read
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).groupBy(
+        "l_returnflag"
+    ).count()
+    plan = _plan(spark, q)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed
+
+
+def test_decontamination_broadcasts_eval_index(spark, docs):
+    from datatrove_spark.operators import ngram_decontaminate
+
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _plan(spark, ngram_decontaminate(train, eval_df, n=3, text_col="text"), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_band_udf_single_eval(spark, docs):
+    """The minhash band UDF must appear exactly once in the band-table plan
+    (112-reference re-evaluation bug class)."""
+    from datatrove_spark.operators import minhash_band_table
+
+    bands = minhash_band_table(docs.select("doc_id", "text"))
+    tree = _plan(spark, bands).split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1
+
+
+def test_partial_aggregation_present(spark, docs):
+    plan = _plan(spark, docs.groupBy("source").agg(F.avg("n_chars")))
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
