@@ -295,6 +295,15 @@ def q_length_histogram(spark, sf_dir):
         .select(F.col("bin_").cast("double").alias("bin"), "n")
 
 
+def q_shingle_overlap(spark, sf_dir):
+    from datatrove_spark.operators import shingle_overlap_filter
+
+    out = shingle_overlap_filter(
+        _docs(spark, sf_dir), n=3, max_overlap=0.5, text_col="text", id_col="doc_id"
+    )
+    return out.select("doc_id", "keep", "drop_reason")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from datatrove_spark.operators import jaccard_neardup_pairs
 
@@ -439,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
         "length_histogram": q_length_histogram,
+        "shingle_overlap": q_shingle_overlap,
         "jaccard_pairs": q_jaccard_pairs,
         "words_contamination": q_words_contamination,
         "event_type_stats": q_event_type_stats,
@@ -709,6 +719,25 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": """
             SELECT round(n_chars, -2)::DOUBLE AS bin, count(*) AS n
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "shingle_overlap": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS gram
+              FROM documents
+            ), gd AS (
+              SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram
+            ), ov AS (
+              SELECT g.doc_id,
+                     sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS frac
+              FROM g JOIN gd USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ov.frac, 0.0) <= 0.5 AS keep,
+                   CASE WHEN coalesce(ov.frac, 0.0) > 0.5 THEN 'shingle_overlap' END AS drop_reason
+            FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         """,
         "jaccard_pairs": """
             WITH g AS (

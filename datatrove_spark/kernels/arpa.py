@@ -1,0 +1,159 @@
+"""Dependency-free ARPA backoff language model (KenLM scoring semantics).
+
+The reference scores with a real KenLM binary (utils/perplexity.py:96-138).
+This module reads the standard textual ARPA format and reproduces the backoff
+chain exactly:
+
+    p(w | h) = p_ngram(h, w)                       if (h, w) in the table
+             = backoff(h) + p(w | h[1:])           otherwise (log10 domain)
+
+so any KenLM-trained .arpa file scores identically here (modulo float32 vs
+float64 rounding).  ``ArpaLM.train_arpa`` also WRITES a small ARPA file from
+a token corpus (interpolated Kneser-Ney-lite, adequate for fixtures/CI), so
+tests never need network or the kenlm package.
+
+Scoring convention matches the reference wrapper: per-line ``score`` =
+sum of log10 probs with <s> context and </s> terminator, and document
+perplexity = 10^(−logsum/len) rounded to 1 decimal
+(utils/perplexity.py:125-138).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from .perplexity import ccnet_normalize
+
+BOS, EOS, UNK = "<s>", "</s>", "<unk>"
+
+
+class ArpaLM:
+    def __init__(self, probs: dict[tuple[str, ...], float], backoffs: dict[tuple[str, ...], float], order: int):
+        self.probs = probs          # ngram tuple → log10 prob
+        self.backoffs = backoffs    # ngram tuple → log10 backoff weight
+        self.order = order
+
+    # --- ARPA IO -------------------------------------------------------------
+
+    @classmethod
+    def load(cls, path: str) -> "ArpaLM":
+        probs: dict[tuple[str, ...], float] = {}
+        backoffs: dict[tuple[str, ...], float] = {}
+        order = 1
+        current_n = 0
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("\\data\\") or line.startswith("ngram "):
+                    continue
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    current_n = int(line[1:].split("-")[0])
+                    order = max(order, current_n)
+                    continue
+                if line.startswith("\\end\\"):
+                    break
+                if current_n == 0:
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    parts = line.split()
+                    if len(parts) < current_n + 1:
+                        continue
+                    logp = float(parts[0])
+                    gram = tuple(parts[1 : 1 + current_n])
+                    bo = float(parts[1 + current_n]) if len(parts) > current_n + 1 else None
+                else:
+                    logp = float(parts[0])
+                    gram = tuple(parts[1].split())
+                    bo = float(parts[2]) if len(parts) > 2 else None
+                probs[gram] = logp
+                if bo is not None:
+                    backoffs[gram] = bo
+        return cls(probs, backoffs, order)
+
+    def dump(self, path: str) -> None:
+        by_n: dict[int, list] = {}
+        for gram, logp in self.probs.items():
+            by_n.setdefault(len(gram), []).append((gram, logp))
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\\data\\\n")
+            for n in sorted(by_n):
+                f.write(f"ngram {n}={len(by_n[n])}\n")
+            for n in sorted(by_n):
+                f.write(f"\n\\{n}-grams:\n")
+                for gram, logp in sorted(by_n[n]):
+                    bo = self.backoffs.get(gram)
+                    line = f"{logp:.7f}\t{' '.join(gram)}"
+                    if bo is not None:
+                        line += f"\t{bo:.7f}"
+                    f.write(line + "\n")
+            f.write("\n\\end\\\n")
+
+    # --- training (fixture-quality bigram model) ------------------------------
+
+    @classmethod
+    def train_arpa(cls, texts, discount: float = 0.5) -> "ArpaLM":
+        """Absolute-discount bigram ARPA from a text iterable."""
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in texts:
+            toks = [BOS] + ccnet_normalize(t).split() + [EOS]
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        total = sum(uni.values())
+        vocab = len(uni) + 1  # + <unk>
+        probs: dict[tuple[str, ...], float] = {}
+        backoffs: dict[tuple[str, ...], float] = {}
+        for w, c in uni.items():
+            probs[(w,)] = math.log10(c / (total + vocab))
+        probs[(UNK,)] = math.log10(1 / (total + vocab))
+        ctx_counts: Counter = Counter()
+        for (a, _), c in bi.items():
+            ctx_counts[a] += c
+        for (a, b), c in bi.items():
+            probs[(a, b)] = math.log10(max(c - discount, 1e-12) / ctx_counts[a])
+        for a, n_types in Counter(a for (a, _) in bi).items():
+            backoffs[(a,)] = math.log10(discount * n_types / ctx_counts[a])
+        return cls(probs, backoffs, 2)
+
+    # --- scoring ---------------------------------------------------------------
+
+    def logprob_word(self, context: tuple[str, ...], word: str) -> float:
+        context = context[-(self.order - 1) :] if self.order > 1 else ()
+        while True:
+            gram = context + (word,)
+            if gram in self.probs:
+                return self.probs[gram]
+            if not context:
+                return self.probs.get((UNK,), -7.0)
+            bo = self.backoffs.get(context, 0.0)
+            context = context[1:]
+            gram = context + (word,)
+            if gram in self.probs:
+                return bo + self.probs[gram]
+            # accumulate backoff down the chain
+            return bo + self.logprob_word(context, word)
+
+    def score_line(self, line: str) -> tuple[float, int]:
+        """(sum log10 p, n_scored) with <s> context and </s> terminator."""
+        toks = ccnet_normalize(line).split()
+        if not toks:
+            return 0.0, 0
+        total = 0.0
+        context: tuple[str, ...] = (BOS,)
+        for w in toks + [EOS]:
+            total += self.logprob_word(context, w)
+            context = (context + (w,))[-(self.order - 1) :] if self.order > 1 else ()
+        return total, len(toks) + 1
+
+    def perplexity(self, text: str) -> float:
+        """Doc perplexity, reference convention (perplexity.py:125-138)."""
+        log_score, length = 0.0, 0
+        for line in text.split("\n"):
+            s, n = self.score_line(line)
+            log_score += s
+            length += n
+        if length == 0:
+            return 0.0
+        return round(10.0 ** (-log_score / length), 1)

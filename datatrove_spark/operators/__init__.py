@@ -26,6 +26,7 @@ from .dedup import (  # noqa: F401
     ngram_decontaminate,
     ngram_shingles,
     sentence_dedup,
+    shingle_overlap_filter,
     simhash_dedup,
 )
 from .filters import (  # noqa: F401

@@ -498,6 +498,44 @@ def ngram_decontaminate(
     return out.drop("_cid")
 
 
+def shingle_overlap_filter(
+    df: DataFrame,
+    n: int = 13,
+    max_overlap: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic analogue of the reference's Bloom-filter dedup
+    (dedup/bloom_filter.py:66-210: drop a doc when >80% of its 13-gram
+    shingles were already seen).  The reference's semantics are inherently
+    sequential (first doc in stream order keeps the shingles); this operator
+    is the partition-independent version: a doc is dropped when more than
+    ``max_overlap`` of its distinct shingles also occur in at least one other
+    document.  Exact, reproducible, one shuffle on the shingle key.
+    """
+    df = ensure_channel(df)
+    grams = ngram_shingles(df.select(F.col(id_col), F.col(text_col)), n, text_col).select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct("_grams")).alias("gram")
+    )
+    gram_docs = grams.groupBy("gram").agg(F.countDistinct("id").alias("n_docs"))
+    overlap = (
+        grams.join(gram_docs, "gram")
+        .groupBy("id")
+        .agg(
+            (F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)) / F.count("*")).alias(
+                "_overlap_frac"
+            )
+        )
+    )
+    out = df.join(overlap, df[id_col] == overlap["id"], "left").drop("id")
+    out = apply_native_filter(
+        out,
+        F.coalesce(F.col("_overlap_frac"), F.lit(0.0)) <= max_overlap,
+        "shingle_overlap",
+    )
+    return out.drop("_overlap_frac")
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard near-dup pairs (extension; candidate generation by
 # shared shingle → exact Jaccard — no approximation, SQL-oracle-able)

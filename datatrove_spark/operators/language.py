@@ -127,17 +127,38 @@ def annotate_stopword_language(df: DataFrame, text_col: str = "text") -> DataFra
 
 def annotate_perplexity(
     df: DataFrame,
-    lm_dict: dict,
+    lm_dict: dict | None = None,
     text_col: str = "text",
     out_col: str = "perplexity",
     model_tag: str = "default_lm",
+    arpa_path: str | None = None,
+    kenlm_paths: tuple[str, str] | None = None,
 ) -> DataFrame:
     """KenLM-style perplexity column (utils/perplexity.py:125-138 convention:
-    10^(−logsum/len) rounded to 1 decimal), broadcast-singleton LM."""
+    10^(−logsum/len) rounded to 1 decimal), broadcast-singleton LM.
+
+    Backends, in precedence order: real kenlm+sentencepiece
+    (``kenlm_paths=(model, sp)``, import-gated), dependency-free ARPA backoff
+    model (``arpa_path`` — a SparkFiles-distributed .arpa), or the
+    interpolated-LM dict (``lm_dict``)."""
 
     @F.pandas_udf(DoubleType())
     def _udf(texts: pd.Series) -> pd.Series:
-        lm = _singleton(model_tag, lambda: InterpolatedLM(lm_dict))
+        def build():
+            if kenlm_paths is not None:
+                try:
+                    from ..kernels.perplexity import KenLMModel
+
+                    return KenLMModel(*kenlm_paths)
+                except ImportError:
+                    pass
+            if arpa_path is not None:
+                from ..kernels.arpa import ArpaLM
+
+                return ArpaLM.load(arpa_path)
+            return InterpolatedLM(lm_dict)
+
+        lm = _singleton(model_tag, build)
         return pd.Series([lm.perplexity(t) for t in texts.fillna("")])
 
     return df.withColumn(out_col, _udf(F.col(text_col)))

@@ -1,1 +1,2 @@
 from .ingest import resumable_ingest, streaming_quality_pipeline  # noqa: F401
+from .windows import batch_window_counts, streaming_window_counts  # noqa: F401

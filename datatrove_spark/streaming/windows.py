@@ -1,0 +1,65 @@
+"""Event-time windowed streaming aggregations (engine extension; the
+reference has no streaming at all, SURVEY.md §2.10).
+
+``streaming_window_counts`` demonstrates the canonical Structured-Streaming
+shape for the events table: readStream → watermark → tumbling event-time
+window → aggregate → append sink.  With ``Trigger.AvailableNow`` it processes
+the current backlog exactly once and stops — results equal the batch
+equivalent (``batch_window_counts``), which the tests assert.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def batch_window_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch ground truth: per event_type tumbling-window counts + value sums."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: StructType | str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    await_termination: bool = True,
+):
+    """Checkpointed streaming version over a file source; late rows beyond the
+    watermark are dropped (state-store bounded)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    # watermarks need TIMESTAMP (tz-aware); parquet NTZ timestamps are cast
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    query = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -268,3 +268,53 @@ def test_stats_extensions(spark):
     assert u.fqdn == "sub.test1.co.uk" and u.suffix == "co.uk"
     c = ops2.words_contamination(df, ["para", "ends."]).collect()[0]
     assert c.contamination_hits == 3
+
+
+def test_streaming_window_counts_match_batch(spark, tmp_path):
+    """Streaming (AvailableNow, watermarked) window agg == batch window agg."""
+    from datatrove_spark.streaming import batch_window_counts, streaming_window_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    events.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    streaming_window_counts(spark, in_dir, out_dir, schema, window="6 hours", watermark="2 hours")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.read.parquet(f"{out_dir}/data").collect()
+    }
+    want_all = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in batch_window_counts(events, "6 hours").collect()
+    }
+    # append mode emits a window only after the watermark passes its end:
+    # the trailing windows still open at end-of-stream stay in state.  Every
+    # emitted window must match batch exactly, and all closed windows must
+    # have been emitted.
+    import datetime
+    max_start = max(k[0] for k in want_all)
+    closed = {k: v for k, v in want_all.items() if k[0] < max_start - datetime.timedelta(hours=6)}
+    assert got.items() <= want_all.items()
+    assert closed.items() <= got.items()
+    assert len(got) > 0
+
+
+def test_arpa_perplexity_operator(spark, tmp_path):
+    from datatrove_spark.kernels.arpa import ArpaLM
+    from datatrove_spark.operators import annotate_perplexity
+
+    lm = ArpaLM.train_arpa(["the cat sat on the mat and ran to the house"] * 4)
+    path = str(tmp_path / "m.arpa")
+    lm.dump(path)
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "qzx vbn jkl wrt plm")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.perplexity
+        for r in annotate_perplexity(df, arpa_path=path, model_tag="arpa_test").collect()
+    }
+    assert out[1] < out[2]
+    # matches the driver-side kernel exactly
+    assert out[1] == lm.perplexity("the cat sat on the mat")

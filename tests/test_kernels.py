@@ -284,3 +284,27 @@ def test_minhash_identical_docs_identical_sigs():
     a_, b_ = permutation_params()
     t = "some identical document text repeated here for shingling purposes ok"
     assert minhash_signature(t, a_, b_) == minhash_signature(t, a_, b_)
+
+
+# --- ARPA backoff LM (KenLM scoring semantics) ----------------------------------
+
+def test_arpa_roundtrip_and_scoring(tmp_path):
+    from datatrove_spark.kernels.arpa import ArpaLM
+
+    corpus = [
+        "the cat sat on the mat",
+        "the dog ran to the house",
+        "the cat ran to the mat",
+    ] * 3
+    lm = ArpaLM.train_arpa(corpus)
+    path = str(tmp_path / "tiny.arpa")
+    lm.dump(path)
+    lm2 = ArpaLM.load(path)
+    # round-trip preserves scores (float formatting tolerance)
+    for text in ("the cat sat", "zebra quantum flux"):
+        assert abs(lm.perplexity(text) - lm2.perplexity(text)) <= 0.1
+    # seen text scores better than gibberish, and backoff path works
+    assert lm.perplexity("the cat sat on the mat") < lm.perplexity("zebra quantum flux")
+    # bigram backoff: unseen bigram of seen words uses backoff weight
+    seen_uni = lm.logprob_word(("mat",), "dog")  # unseen bigram
+    assert seen_uni < 0
