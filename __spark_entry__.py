@@ -356,7 +356,9 @@ def q_lsh_ann(spark, sf_dir):
     from datatrove_spark.operators import lsh_cosine_topk
 
     emb = _emb(spark, sf_dir)
-    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, n_planes=6)
+    return lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, n_planes=4, n_tables=16
+    )
 
 
 def q_tokenized_lengths(spark, sf_dir):
