@@ -1,0 +1,41 @@
+"""The north-rule pipeline: quality-filter + scrub a source-code corpus
+(repo, path, commit, lang, content) with checkpointed, resumable execution
+and per-partition lineage.
+
+Run: spark-submit --py-files dist/datatrove_spark.zip \\
+        examples/code_corpus_pipeline.py <corpus_parquet> <out_dir>
+
+Re-running after a crash resumes from the last committed bucket batch.
+"""
+
+import sys
+
+from datatrove_spark.lineage import LineageConfig, lineage_table, run_checkpointed
+from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+from datatrove_spark.session import get_spark
+
+
+def main(corpus: str, out_dir: str) -> None:
+    spark = get_spark("code-corpus-pipeline")
+    df = spark.read.parquet(corpus)
+
+    cfg = QualityPipelineConfig(
+        text_col="content",
+        languages=("en",),
+        scrub_pii=True,
+        repartition_to=spark.sparkContext.defaultParallelism * 2,
+        salt_buckets=16,  # splits mega-repos across partitions
+    )
+    summary = run_checkpointed(
+        spark,
+        df,
+        lambda d: quality_pipeline(d, cfg),
+        LineageConfig(out_dir=out_dir, n_buckets=256, buckets_per_commit=32),
+    )
+    print("run summary:", summary)
+    lineage_table(spark, out_dir).orderBy("bucket").show(20, truncate=50)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,40 @@
+"""Training-data hygiene: the full dedup family + eval-set decontamination.
+
+Run: spark-submit --py-files dist/datatrove_spark.zip \\
+        examples/dedup_and_decontaminate.py <docs_parquet> <eval_parquet> <out_dir>
+"""
+
+import sys
+
+from datatrove_spark.operators import (
+    drop_reason_summary,
+    exact_dedup,
+    kept,
+    minhash_dedup,
+    ngram_decontaminate,
+    sentence_dedup,
+)
+from datatrove_spark.session import get_spark
+from datatrove_spark.sources import write_parquet
+
+
+def main(docs_path: str, eval_path: str, out_dir: str) -> None:
+    spark = get_spark("dedup-pipeline")
+    docs = spark.read.parquet(docs_path)
+    eval_df = spark.read.parquet(eval_path)
+
+    # cheap → expensive: byte-exact dups first, then LSH near-dups, then
+    # cross-document sentence spans, finally eval-overlap removal
+    df = exact_dedup(docs)
+    df = minhash_dedup(df)                       # 5-gram, 14x8 FineWeb config
+    df = sentence_dedup(df, n_sentences=3)
+    df = ngram_decontaminate(df, eval_df, n=12)
+
+    drop_reason_summary(df).show(truncate=False)
+    write_parquet(kept(df), f"{out_dir}/clean")
+    write_parquet(df.filter("NOT keep"), f"{out_dir}/removed", partition_by=["drop_reason"])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3])

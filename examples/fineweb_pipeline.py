@@ -1,0 +1,77 @@
+"""FineWeb-style web pipeline — stage-for-stage analogue of the reference's
+examples/fineweb.py, expressed as two lazy Spark plans instead of four Slurm
+jobs chained through files.
+
+reference (examples/fineweb.py:33-76)          this engine
+──────────────────────────────────────         ─────────────────────────────
+WarcReader(f"{DUMP}/segments/...")             read_warc(spark, warc_dir)
+URLFilter(exclusion_writer=...)                url_filter_op + write_exclusions
+Trafilatura(favour_precision=True)             (HTML extraction lib — plug a
+                                               pandas UDF over `text`; out of
+                                               scope in this sandbox)
+LanguageFilter()                               language_filter(threshold=0.65)
+GopherRepetitionFilter(...)                    gopher_repetition_filter
+GopherQualityFilter(...)                       gopher_quality_filter
+C4QualityFilter(filter_no_terminal_punct=F)    c4_quality_filter(cfg)
+FineWebQualityFilter(...)                      fineweb_quality_filter
+JsonlWriter(...)                               write_jsonl
+
+minhash stages 1-4 (examples/fineweb.py:95-185: 1000 sig tasks → 14x50
+bucket tasks → single 25 GB union-find task → 1000 filter tasks)
+                                               minhash_dedup(df) — one plan;
+                                               shuffle replaces the bucket
+                                               files, hybrid CC replaces the
+                                               driver union-find task
+PIIFormatter (stage 4)                         pii_scrub(mask_col="keep")
+
+Run: spark-submit --py-files dist/datatrove_spark.zip examples/fineweb_pipeline.py <warc_dir> <out_dir>
+"""
+
+import sys
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.kernels.c4 import C4QualityConfig
+from datatrove_spark.kernels.url import UrlFilterConfig
+from datatrove_spark.operators import (
+    c4_quality_filter,
+    fineweb_quality_filter,
+    gopher_quality_filter,
+    gopher_repetition_filter,
+    kept,
+    language_filter,
+    minhash_dedup,
+    pii_scrub,
+    url_filter_op,
+)
+from datatrove_spark.session import get_spark
+from datatrove_spark.sources import read_warc, write_exclusions, write_jsonl
+
+
+def main(warc_dir: str, out_dir: str) -> None:
+    spark = get_spark("fineweb-pipeline")
+
+    docs = read_warc(spark, warc_dir)
+
+    # --- main processing (one lazy plan, mirrors fineweb.py:33-76) ----------
+    df = url_filter_op(docs, UrlFilterConfig())           # blocklists ride via --py-files
+    df = language_filter(df, languages=["en"], threshold=0.65)
+    df = gopher_repetition_filter(df)
+    df = gopher_quality_filter(df)
+    # the FineWeb recipe disables C4's terminal-punct line drop (fineweb.py:58)
+    df = c4_quality_filter(df, C4QualityConfig(filter_no_terminal_punct=False))
+    df = fineweb_quality_filter(df)
+
+    write_exclusions(df, f"{out_dir}/removed")            # the exclusion writers
+    filtered = kept(df)
+
+    # --- minhash dedup + PII, then final output ------------------------------
+    deduped = kept(minhash_dedup(filtered))               # fineweb.py stages 1-4
+    final = pii_scrub(deduped)                            # fineweb.py:174-178
+    write_jsonl(final.drop("keep", "drop_reason"), f"{out_dir}/output")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,38 @@
+"""Similarity search over an embedding column: exact baseline + LSH scale path.
+
+Run: spark-submit --py-files dist/datatrove_spark.zip \\
+        examples/similarity_search.py <embeddings_parquet> <out_dir>
+"""
+
+import sys
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.operators import cosine_topk, embedding_neardup, lsh_cosine_topk
+from datatrove_spark.session import get_spark
+
+
+def main(emb_path: str, out_dir: str) -> None:
+    spark = get_spark("similarity-search")
+    emb = spark.read.parquet(emb_path)
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.limit(100)
+
+    # exact brute-force top-k: the correctness baseline (one corpus scan,
+    # queries broadcast)
+    cosine_topk(emb, queries, k=10).write.mode("overwrite").parquet(f"{out_dir}/exact_topk")
+
+    # LSH multi-table top-k: the 100 TB path — only bucket-sharing candidates
+    # are scored (recall ≈ 0.9 at b=4, L=16 on the test embeddings)
+    lsh_cosine_topk(emb, queries, dim=dim, k=10, n_planes=4, n_tables=16).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/lsh_topk")
+
+    # near-duplicate embedding removal
+    deduped = embedding_neardup(emb, dim=dim, threshold=0.95)
+    deduped.filter(F.col("keep")).write.mode("overwrite").parquet(f"{out_dir}/deduped")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
