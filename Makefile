@@ -1,0 +1,19 @@
+.PHONY: test oracles bench scaling audit zip
+
+test:
+	python -m pytest tests/ -x -q
+
+oracles:
+	python tools/check_oracles.py
+
+bench:
+	python bench.py
+
+scaling:
+	python tools/scaling_bench.py --rows 150000 --n-cores 2
+
+audit:
+	python tools/explain_audit.py
+
+zip:
+	python -c "import sys; sys.path.insert(0,'tools'); from scaling_bench import build_zip; print(build_zip())"

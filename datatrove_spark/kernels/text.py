@@ -65,9 +65,26 @@ _WORD_RE = _regex.compile(
 )
 
 
+# spaCy-style English contraction suffixes, split into their own tokens
+# ("don't" → ["do", "n't"], "we'll" → ["we", "'ll"]) — matches the blank
+# English tokenizer's suffix rules on the common cases.
+_CONTRACTION_RE = _regex.compile(
+    r"^(\p{L}+(?:['’]\p{L}+)*?)(n['’]t|['’](?:s|m|re|ve|ll|d))$", _regex.IGNORECASE
+)
+
+
 def tokenize_words(text: str) -> list[str]:
     """Split text into word-level tokens (see module docstring for parity)."""
-    return _WORD_RE.findall(text)
+    out: list[str] = []
+    for tok in _WORD_RE.findall(text):
+        if "'" in tok or "’" in tok:
+            m = _CONTRACTION_RE.match(tok)
+            if m:
+                out.append(m.group(1))
+                out.append(m.group(2))
+                continue
+        out.append(tok)
+    return out
 
 
 def is_symbol_token(tok: str) -> bool:

@@ -68,9 +68,13 @@ def test_filters_total_and_reasons_consistent(text):
 
 @settings(max_examples=200, deadline=None)
 @given(TEXT)
-def test_normalize_idempotent(text):
-    once = normalize_text(text)
-    assert normalize_text(once) == once
+def test_normalize_eventually_idempotent(text):
+    # NOT strictly idempotent — by reference parity (utils/text.py:212-257)
+    # punctuation strips BEFORE NFD, so NFD can surface a new punctuation char
+    # (e.g. U+2329 → U+3008) that only the next pass removes.  The fixpoint is
+    # reached by the second application.
+    twice = normalize_text(normalize_text(text))
+    assert normalize_text(twice) == twice
 
 
 @settings(max_examples=200, deadline=None)
