@@ -29,6 +29,7 @@ from .dedup import (  # noqa: F401
     shingle_overlap_filter,
     simhash_dedup,
 )
+from .extractors import basic_html_to_text, extract_html_text  # noqa: F401
 from .filters import (  # noqa: F401
     c4_badwords_filter,
     c4_code_quality_filter,

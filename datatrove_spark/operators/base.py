@@ -136,11 +136,13 @@ def apply_text_rewrite_filter(
 
 def apply_native_filter(df: DataFrame, condition, reason: str) -> DataFrame:
     """Pure-Catalyst predicate (rlike, length, …) into the same channel —
-    zero Python, full codegen."""
+    zero Python, full codegen.  A NULL condition (e.g. null text) counts as a
+    failure so ``keep`` stays a real boolean."""
     df = ensure_channel(df)
-    failed = F.col(KEEP) & ~condition
+    cond = F.coalesce(condition, F.lit(False))
+    failed = F.col(KEEP) & ~cond
     return df.withColumn(REASON, F.when(failed, F.lit(reason)).otherwise(F.col(REASON))).withColumn(
-        KEEP, F.col(KEEP) & (condition | ~F.col(KEEP))
+        KEEP, F.col(KEEP) & (cond | ~F.col(KEEP))
     )
 
 

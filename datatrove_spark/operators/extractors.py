@@ -1,0 +1,106 @@
+"""HTML → text extraction (reference pipeline/extractors/: Trafilatura,
+ReadabilityInscriptis, Justext — examples/fineweb.py:44 uses Trafilatura).
+
+``extract_html_text`` is a pandas-UDF extractor with three backends:
+trafilatura (import-gated, the reference default), readability+inscriptis
+(import-gated), and a dependency-free regex extractor (drops
+script/style/nav/header/footer blocks, strips tags, unescapes entities,
+collapses whitespace into paragraph structure) that keeps the pipeline
+runnable in minimal environments.
+
+The reference isolates flaky C parsers in a sandboxed child process with
+timeouts (extractors/base.py:85-223); in Spark that concern maps to
+per-batch try/except (a poisoned document yields null, never kills the task)
+plus Spark's own task retries.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType
+
+_DROP_BLOCKS_RE = re.compile(
+    r"<(script|style|noscript|svg|nav|header|footer|aside|form)\b.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_BLOCK_TAG_RE = re.compile(
+    r"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|blockquote)\b[^>]*>",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n{3,}")
+
+
+def basic_html_to_text(html_doc: str) -> str:
+    """Dependency-free extraction: boilerplate-block removal + tag strip."""
+    s = _COMMENT_RE.sub(" ", html_doc)
+    s = _DROP_BLOCKS_RE.sub(" ", s)
+    s = _BLOCK_TAG_RE.sub("\n", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _html.unescape(s)
+    s = _WS_RE.sub(" ", s)
+    s = "\n".join(line.strip() for line in s.split("\n"))
+    s = _NL_RE.sub("\n\n", s)
+    return s.strip()
+
+
+def _build_extractor(backend: str, favour_precision: bool):
+    if backend in ("trafilatura", "auto"):
+        try:
+            import trafilatura  # noqa: import-gated
+
+            def _traf(doc: str) -> str | None:
+                return trafilatura.extract(
+                    doc, favor_precision=favour_precision, include_comments=False
+                )
+
+            return _traf
+        except ImportError:
+            if backend == "trafilatura":
+                raise
+    if backend in ("readability", "auto"):
+        try:
+            from inscriptis import get_text  # noqa: import-gated
+            from readability import Document  # noqa: import-gated
+
+            def _read(doc: str) -> str | None:
+                return get_text(Document(doc).summary())
+
+            return _read
+        except ImportError:
+            if backend == "readability":
+                raise
+    return basic_html_to_text
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "text",
+    out_col: str | None = None,
+    backend: str = "auto",
+    favour_precision: bool = True,
+) -> DataFrame:
+    """Replace (or add) a text column extracted from HTML.  Failed or empty
+    extractions yield null so a downstream length_filter drops them — the
+    Spark analogue of the reference's sandboxed-extractor failure path."""
+    extract = _build_extractor(backend, favour_precision)
+
+    @F.pandas_udf(StringType())
+    def _udf(docs: pd.Series) -> pd.Series:
+        out = []
+        for doc in docs.fillna(""):
+            try:
+                text = extract(doc)
+                out.append(text if text else None)
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return df.withColumn(out_col or html_col, _udf(F.col(html_col)))

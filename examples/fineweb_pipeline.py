@@ -6,9 +6,9 @@ reference (examples/fineweb.py:33-76)          this engine
 ──────────────────────────────────────         ─────────────────────────────
 WarcReader(f"{DUMP}/segments/...")             read_warc(spark, warc_dir)
 URLFilter(exclusion_writer=...)                url_filter_op + write_exclusions
-Trafilatura(favour_precision=True)             (HTML extraction lib — plug a
-                                               pandas UDF over `text`; out of
-                                               scope in this sandbox)
+Trafilatura(favour_precision=True)             extract_html_text(backend="auto":
+                                               trafilatura when installed,
+                                               dependency-free fallback here)
 LanguageFilter()                               language_filter(threshold=0.65)
 GopherRepetitionFilter(...)                    gopher_repetition_filter
 GopherQualityFilter(...)                       gopher_quality_filter
@@ -35,7 +35,9 @@ from datatrove_spark.kernels.c4 import C4QualityConfig
 from datatrove_spark.kernels.url import UrlFilterConfig
 from datatrove_spark.operators import (
     c4_quality_filter,
+    extract_html_text,
     fineweb_quality_filter,
+    length_filter,
     gopher_quality_filter,
     gopher_repetition_filter,
     kept,
@@ -55,6 +57,8 @@ def main(warc_dir: str, out_dir: str) -> None:
 
     # --- main processing (one lazy plan, mirrors fineweb.py:33-76) ----------
     df = url_filter_op(docs, UrlFilterConfig())           # blocklists ride via --py-files
+    df = extract_html_text(df)                            # Trafilatura stage
+    df = length_filter(df, min_chars=1)                   # drop failed extractions
     df = language_filter(df, languages=["en"], threshold=0.65)
     df = gopher_repetition_filter(df)
     df = gopher_quality_filter(df)

@@ -346,3 +346,20 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     r_narrow = recall(4, 4)
     assert r_wide > 0.75
     assert r_wide >= r_narrow
+
+
+def test_html_extraction(spark):
+    from datatrove_spark.operators import extract_html_text
+
+    html_doc = (
+        "<html><head><style>.x{color:red}</style><script>var a=1;</script></head>"
+        "<body><nav>Home | About</nav><h1>Title Here</h1>"
+        "<p>First paragraph with &amp; entity.</p><p>Second one.</p>"
+        "<footer>copyright</footer></body></html>"
+    )
+    df = spark.createDataFrame([(1, html_doc), (2, "<p></p>")], ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in extract_html_text(df).collect()}
+    assert "First paragraph with & entity." in out[1]
+    assert "var a=1" not in out[1] and "color:red" not in out[1]
+    assert "Home | About" not in out[1]  # nav boilerplate dropped
+    assert out[2] is None  # empty extraction → null for downstream filters
