@@ -37,7 +37,6 @@ def main() -> None:
         embedding_neardup,
         exact_dedup,
         minhash_dedup,
-        ngram_decontaminate,
         sentence_dedup,
         with_doc_stats,
         with_token_count,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import ipaddress
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 EMAIL_REPLACEMENTS = ("email@example.com", "firstname.lastname@example.org")

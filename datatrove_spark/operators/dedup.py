@@ -16,7 +16,7 @@ exact_dedup.py).  Here each becomes one lazy DataFrame plan:
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -25,7 +25,7 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, Stru
 
 from ..kernels.hashing import sha1_i64, simhash64
 from ..kernels.minhash import DEFAULT_MINHASH, MinhashConfig, minhash_signature_matrix, permutation_params
-from ..kernels.text import normalize_text, split_sentences, tokenize_words
+from ..kernels.text import normalize_text, tokenize_words
 from .base import apply_native_filter, ensure_channel
 
 # --------------------------------------------------------------------------
