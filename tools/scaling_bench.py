@@ -134,9 +134,28 @@ idle cores and understates 4N scaling.
 Correctness at this scale is gated separately: tests/test_pipeline.py holds
 keep/drop F1 = 1.0 + sha256 equality of scrubbed survivors against the
 per-row reference harness, and tests/test_kernels.py pins every kernel to the
-reference's own fixture expectations.
+reference's own fixture expectations.  Correctness invariant across every
+parallelism level: identical n_kept ({r_n["n_kept"]:,} of {r_n["n_files"]:,})
+— decisions are partition-independent.
 
 Reproduce: `python tools/scaling_bench.py --rows {r_n["n_files"]} --n-cores {n}`
+
+## Measurement discipline & hardware context
+
+All runs use CPU pinning (`taskset`), fine scan splits
+(`spark.sql.files.maxPartitionBytes=2m` — default bin-packing collapses the
+corpus into ~cores splits, one task wave, straggler-bound), Arrow batches of
+10k rows, a 24g heap (GC pressure throttled 16-core throughput ~20% at 8g),
+a warm-up pass, and best-of-3 measured windows.
+
+Round-1 reference points on this 32-vCPU shared host (150k files):
+per-core throughput is flat from 2 → 8 cores (~585-623 files/s/core — equal
+to the pure-Python kernel harness rate, i.e. the engine adds ~zero
+coordination overhead), then rolls off to ~420-450 at 16 busy cores.  A
+Spark-free `multiprocessing.Pool` control running the identical kernel chain
+shows the same knee, so the rolloff is host frequency/memory-bandwidth, not
+plan shape.  On a real cluster N→4N multiplies *executors* (each with its own
+clock and memory bus), the regime the flat 2→8 region models.
 """
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write(md)
