@@ -29,6 +29,10 @@ class MinhashConfig:
     num_buckets: int = 14
     hashes_per_bucket: int = 8
     seed: int = 1
+    # 64 or 32 — mirrors the reference HashConfig precision matrix
+    # (utils/hashing.py:44-57; 32-bit truncates sha1 to 4 bytes and masks the
+    # permuted values to 32 bits, minhash.py:183-185)
+    precision: int = 64
 
     @property
     def num_hashes(self) -> int:
@@ -46,8 +50,11 @@ def permutation_params(cfg: MinhashConfig = DEFAULT_MINHASH) -> tuple[np.ndarray
     return a, b
 
 
-def shingle_hashes(text: str, ngram_size: int) -> np.ndarray:
-    """Distinct sha1-64 hashes of space-joined word n-gram shingles."""
+def shingle_hashes(text: str, ngram_size: int, precision: int = 64) -> np.ndarray:
+    """Distinct sha1 hashes (first 8 or 4 digest bytes per ``precision``) of
+    space-joined word n-gram shingles."""
+    from .hashing import sha1_u32
+
     words = normalize_text(text).split()
     if len(words) < ngram_size:
         grams = [" ".join(words)] if words else []
@@ -55,7 +62,10 @@ def shingle_hashes(text: str, ngram_size: int) -> np.ndarray:
         grams = [" ".join(words[i : i + ngram_size]) for i in range(len(words) - ngram_size + 1)]
     if not grams:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.fromiter((sha1_u64(g) for g in grams), dtype=np.uint64, count=len(grams)))
+    hash_fn = sha1_u64 if precision == 64 else sha1_u32
+    return np.unique(
+        np.fromiter((hash_fn(g) for g in grams), dtype=np.uint64, count=len(grams))
+    )
 
 
 def minhash_signature(
@@ -82,13 +92,16 @@ def minhash_signature_matrix(
     (dedup/minhash.py:182 ``(shingles * a + b) % _mersenne_prime``).
     """
     out: list[list[int] | None] = []
+    mask = np.uint64((1 << cfg.precision) - 1) if cfg.precision < 64 else None
     with np.errstate(over="ignore"):
         for text in texts:
-            sh = shingle_hashes(text, cfg.ngram_size)
+            sh = shingle_hashes(text, cfg.ngram_size, cfg.precision)
             if sh.size == 0:
                 out.append(None)
                 continue
             vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE_61)
+            if mask is not None:
+                vals = vals & mask  # reference minhash.py:183-185
             out.append([to_i64(int(v)) for v in vals.min(axis=0)])
     return out
 

@@ -1,0 +1,55 @@
+"""Full reader → filter chain → writer integration (mirrors the reference's
+tests/pipeline/test_integration.py: exclusion-writer round-trip, per-reason
+stat counters, end-to-end pipeline chain)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.corpus import synth_corpus
+from datatrove_spark.operators import drop_reason_summary, kept
+from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+from datatrove_spark.sources import read_jsonl, write_exclusions, write_jsonl, write_parquet
+
+
+def test_full_chain_roundtrip_with_exclusions(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    exc_dir = str(tmp_path / "exc")
+
+    # stage 0: land the corpus as gzipped jsonl (reader entry like the reference)
+    corpus = synth_corpus(spark, 250, partitions=4)
+    write_jsonl(corpus, src_dir)
+
+    docs = read_jsonl(spark, src_dir, text_key="content", id_key=None)
+    assert "doc_id" in docs.columns
+
+    # stage 1: pipeline over the re-read frame
+    out = quality_pipeline(
+        docs.withColumnRenamed("text", "content"),
+        QualityPipelineConfig(text_col="content", id_cols=("repo", "path", "commit")),
+    )
+
+    # exclusion-writer round-trip: dropped rows land partitioned by reason and
+    # re-reading them recovers the same per-reason counts
+    write_exclusions(out, exc_dir)
+    write_parquet(kept(out).drop("keep", "drop_reason"), out_dir)
+
+    summary = {r.reason: r.n for r in drop_reason_summary(out).collect()}
+    dropped_back = spark.read.parquet(exc_dir)
+    recovered = {
+        r.drop_reason: r.n
+        for r in dropped_back.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+    }
+    for reason, n in recovered.items():
+        assert summary[reason] == n
+    assert sum(recovered.values()) == sum(n for k, n in summary.items() if k != "kept")
+
+    # kept output re-reads cleanly with the scrub artifacts
+    kept_back = spark.read.parquet(out_dir)
+    assert kept_back.count() == summary["kept"]
+    assert {"scrubbed_content", "content_sha256", "language"} <= set(kept_back.columns)
+
+    # total conservation: kept + dropped == input
+    assert kept_back.count() + dropped_back.count() == 250
+    assert os.path.isdir(os.path.join(exc_dir, "drop_reason=gopher_short_doc"))

@@ -308,3 +308,30 @@ def test_arpa_roundtrip_and_scoring(tmp_path):
     # bigram backoff: unseen bigram of seen words uses backoff weight
     seen_uni = lm.logprob_word(("mat",), "dog")  # unseen bigram
     assert seen_uni < 0
+
+
+@pytest.mark.parametrize("precision", [32, 64])
+def test_minhash_precision_matrix(precision):
+    """Hash-config matrix like the reference's use_hash_configs decorator
+    (tests/utils.py:9-31): the Jaccard-estimation property must hold at both
+    precisions."""
+    from datatrove_spark.kernels.minhash import MinhashConfig
+
+    import itertools
+    import string
+
+    vocab = ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)]
+    cfg = MinhashConfig(precision=precision)
+    a_, b_ = permutation_params(cfg)
+    base = " ".join(vocab[:120])
+    half = " ".join(vocab[:60] + vocab[400:460])
+    s1 = minhash_signature(base, a_, b_, cfg)
+    s2 = minhash_signature(half, a_, b_, cfg)
+    est = sum(x == y for x, y in zip(s1, s2)) / len(s1)
+    true_j = jaccard(
+        set(shingle_hashes(base, 5, precision).tolist()),
+        set(shingle_hashes(half, 5, precision).tolist()),
+    )
+    assert abs(est - true_j) <= 0.21
+    if precision == 32:
+        assert all(0 <= v < (1 << 32) for v in s1)
