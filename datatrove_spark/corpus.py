@@ -35,17 +35,28 @@ _STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 # class id → (weight, label); weights sum to 100
 _CLASSES = [
-    (52, "clean"),            # passes everything
+    (40, "clean"),            # passes everything
+    (4, "non_english"),       # French-ish content → language filter
     (8, "too_short"),         # gopher_short_doc
     (5, "short_words"),       # gopher_below_avg_threshold
-    (5, "hash_spam"),         # gopher_too_many_hashes
+    (4, "long_words"),        # gopher_above_avg_threshold
+    (4, "hash_spam"),         # gopher_too_many_hashes
+    (4, "ellipsis_spam"),     # gopher_too_many_ellipsis
+    (4, "symbol_soup"),       # gopher_below_alpha_threshold
     (5, "repeated_lines"),    # dup_line_frac
-    (5, "lorem_ipsum"),       # c4 lorem_ipsum
-    (5, "no_punct_lines"),    # fineweb line_punct_ratio (too few terminal marks)
+    (4, "lorem_ipsum"),       # c4 lorem_ipsum
+    (4, "policy_lines"),      # c4 line removal (kept, rewritten text)
+    (4, "no_punct_lines"),    # c4 too_few_sentences (no terminal marks)
     (5, "pii_clean"),         # clean + emails/IPs to scrub
     (5, "near_dup"),          # clean text duplicated with small suffix change
-    (5, "non_english"),       # French-ish content → language filter
 ]
+
+_LONG_WORDS = (
+    "interconnectionality incomprehensibility characteristically "
+    "misunderstandings responsibilities internationalization "
+    "counterproductive indistinguishable straightforwardness "
+    "notwithstanding implementations configurations"
+).split()
 _CLASS_LOOKUP: list[str] = []
 for w, name in _CLASSES:
     _CLASS_LOOKUP.extend([name] * w)
@@ -129,6 +140,33 @@ def make_content(i: int) -> tuple[str, str]:
     if cls == "non_english":
         ws = [_FRENCH[_h(i, f"f{k}", len(_FRENCH))] for k in range(80)]
         return cls, (" ".join(ws).capitalize() + ".")
+    if cls == "long_words":
+        # varied long words (no n-gram repetition) + sprinkled stopwords so
+        # language ID keeps it; mean word length lands well above 10
+        ws = []
+        for k in range(70):
+            if _h(i, f"lw_stop{k}", 10) < 4:
+                ws.append(_STOP[_h(i, f"lw_s{k}", len(_STOP))])
+            else:
+                ws.append(_LONG_WORDS[_h(i, f"lw{k}", len(_LONG_WORDS))])
+        return cls, " ".join(ws) + "."
+    if cls == "ellipsis_spam":
+        lines = [f"{_sentence(i, j, 10).rstrip('.')}..." for j in range(12)]
+        return cls, "\n".join(lines)
+    if cls == "symbol_soup":
+        # ≥50 real words (clears the short-doc gate) drowned in globally
+        # unique symbol garbles (no n-gram repetition) → alpha-ratio drop
+        parts = []
+        syms = "!?<>*/+="
+        for k in range(60):
+            word = _STOP[k % len(_STOP)] if k % 3 == 0 else _WORDS[_h(i, f"sw{k}", len(_WORDS))]
+            g = _h(i, f"sg{k}", 8**8)
+            garble = "".join(syms[(g >> (3 * d)) & 7] for d in range(8))
+            parts.append(f"{word} {garble}")
+        return cls, " ".join(parts)
+    if cls == "policy_lines":
+        base = _clean_text(i, 10)
+        return cls, base + "\nThis website uses cookies to improve your experience."
     raise AssertionError(cls)
 
 

@@ -112,6 +112,19 @@ def test_pipeline_class_level_expectations(pipeline_rows):
     assert reasons("no_punct_lines") == {"too_few_sentences"}
     assert reasons("non_english") == {"language_id"}
     assert all(r.keep for r in by_class["pii_clean"])
+    assert reasons("ellipsis_spam") == {"gopher_too_many_end_ellipsis"}
+
+    def dominant(cls, reason, frac=0.7):
+        # small per-class samples at N_ROWS=300: allow a noisier tail
+        rows = by_class[cls]
+        return sum(r.drop_reason == reason for r in rows) >= frac * len(rows)
+
+    # small tails route to language_id / C4 (low-confidence LID draws)
+    assert dominant("long_words", "gopher_above_avg_threshold")
+    assert dominant("symbol_soup", "gopher_below_alpha_threshold")
+    # policy lines are REMOVED but the doc survives with rewritten text
+    assert all(r.keep for r in by_class["policy_lines"])
+    assert all("cookies" not in r.scrubbed_content for r in by_class["policy_lines"])
 
 
 def test_pii_rows_scrubbed(pipeline_rows):
