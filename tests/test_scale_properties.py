@@ -54,7 +54,7 @@ TEXT = st.text(
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(TEXT)
 def test_filters_total_and_reasons_consistent(text):
     """Every filter returns (bool, reason) with reason iff dropped; never raises."""
@@ -66,7 +66,7 @@ def test_filters_total_and_reasons_consistent(text):
     assert (reason is None) == keep
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(TEXT)
 def test_normalize_eventually_idempotent(text):
     # NOT strictly idempotent — by reference parity (utils/text.py:212-257)
@@ -77,7 +77,7 @@ def test_normalize_eventually_idempotent(text):
     assert normalize_text(twice) == twice
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(st.lists(st.text(max_size=20), max_size=50))
 def test_dup_fractions_bounds(elements):
     n_dup, dup_chars = dup_fractions(elements)
@@ -85,7 +85,7 @@ def test_dup_fractions_bounds(elements):
     assert dup_chars <= sum(map(len, elements))
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(TEXT)
 def test_scrubber_deterministic_and_stable(text):
     s = PiiScrubber(remove_phones=True)
@@ -93,7 +93,7 @@ def test_scrubber_deterministic_and_stable(text):
     assert out1 == out2  # per-doc counter reset → order independence
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(TEXT)
 def test_tokenizer_reconstructs_non_space_chars(text):
     """Tokens cover every non-whitespace character in order (whitespace per
