@@ -206,3 +206,32 @@ def test_sentence_dedup_reference_fixture(spark):
     out = {r.doc_id: r.text for r in ops.sentence_dedup(df, n_sentences=3).collect()}
     assert out[0] == TEXT_0  # first doc owns every span
     assert out[1] == EXPECTED_TEXT_1
+
+
+def test_badwords_keep_fraction_deterministic(spark):
+    rows = [(i, f"clean doc number {i}" if i % 2 else f"doc with merge inside {i}") for i in range(200)]
+    df = _docs(spark, rows)
+    out1 = ops.c4_badwords_filter(df, ["merge"], keep_fraction=0.5, seed=7, id_col="doc_id")
+    out2 = ops.c4_badwords_filter(df, ["merge"], keep_fraction=0.5, seed=7, id_col="doc_id")
+    r1 = {r.doc_id: r.keep for r in out1.collect()}
+    r2 = {r.doc_id: r.keep for r in out2.collect()}
+    assert r1 == r2  # hash-of-id randomness: partition/order independent
+    bad_kept = sum(v for k, v in r1.items() if k % 2 == 0)
+    assert 25 < bad_kept < 75  # ~50% of the 100 badword docs resurrected
+    assert all(v for k, v in r1.items() if k % 2 == 1)  # clean docs untouched
+
+
+def test_regex_and_lambda_filters(spark):
+    df = _docs(spark, [(1, "has Copyright notice"), (2, "clean text")])
+    out = {r.doc_id: r.keep for r in ops.regex_filter(df, "(?i)copyright").collect()}
+    assert out == {1: False, 2: True}
+    # "clean text" is exactly 10 chars → strict > drops it
+    out2 = {r.doc_id: r.keep for r in ops.lambda_filter(df, F.length("text") > 10, "too_short").collect()}
+    assert out2 == {1: True, 2: False}
+
+
+def test_with_unit_norm(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"])
+    out = {r.vec_id: r.unit_vec for r in ops.with_unit_norm(df).collect()}
+    assert abs(out[1][0] - 0.6) < 1e-9 and abs(out[1][1] - 0.8) < 1e-9
+    assert out[2] == [0.0, 0.0]  # zero vector passes through
