@@ -193,15 +193,27 @@ def q_language_id(spark, sf_dir):
 
 
 def q_unigram_logprob(spark, sf_dir):
+    # Scale shape: the corpus vocabulary is unbounded, so the words⋈freq join
+    # carries no broadcast hint (AQE picks shuffle vs broadcast from actual
+    # size); the grand total attaches as a ONE-row broadcast crossJoin — the
+    # canonical scalar-subquery plan (BNLJ with a single-row IdentityBroadcast
+    # build side: zero row amplification).  No driver action anywhere.
     docs = _docs(spark, sf_dir)
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    total = words.count()
-    freq = words.groupBy("word").agg((F.count("*") / F.lit(total)).alias("p"))
+    freq = words.groupBy("word").agg(F.count("*").alias("_n"))
+    total = freq.agg(F.sum("_n").alias("_total"))
     return (
-        words.join(F.broadcast(freq), "word")
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
-        .agg(F.round(F.avg(F.log("p")), 6).alias("logprob"))
+        .agg(F.round(F.avg(F.log(F.col("_n") / F.col("_total"))), 6).alias("logprob"))
     )
+
+
+# Deterministic bounded LM-training sample for the perplexity query: docs with
+# doc_id % 10 == 0, ordered by doc_id, first PERPLEXITY_SAMPLE docs.  This is
+# the documented driver-side pull — O(200 docs) regardless of corpus size.
+PERPLEXITY_SAMPLE = 200
 
 
 def q_perplexity(spark, sf_dir):
@@ -209,24 +221,34 @@ def q_perplexity(spark, sf_dir):
     from datatrove_spark.operators import annotate_perplexity
 
     docs = _docs(spark, sf_dir)
-    sample = [r.text for r in docs.filter(F.col("doc_id") % 10 == 0).collect()]
+    sample = [
+        r.text
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(PERPLEXITY_SAMPLE)
+        .collect()
+    ]
     lm = InterpolatedLM.train(sample)
     out = annotate_perplexity(docs, lm.to_dict(), text_col="text")
-    return out.select("doc_id", "perplexity")
+    return out.select("doc_id", F.round("perplexity", 4).alias("perplexity"))
 
 
 def q_doc_stats_by_source(spark, sf_dir):
+    # avg is computed as one exact-integer sum divided by one exact count —
+    # a single float division — so partial-aggregation order can never flip
+    # the 6dp rounding (the round-1 hash-mismatch cause).
     return (
         _docs(spark, sf_dir)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.sum(F.size(F.split("text", " "))).alias("sum_words"),
         )
+        .withColumn("avg_chars", F.round(F.col("sum_chars") / F.col("n_docs"), 6))
     )
 
 
@@ -326,11 +348,14 @@ def q_words_contamination(spark, sf_dir):
 
 
 def q_event_type_stats(spark, sf_dir):
+    # Double sums are aggregation-order-sensitive; summing in decimal(30,10)
+    # makes the partial/final merge exact so Spark and DuckDB agree bit-for-bit.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dec = F.col("value").cast("decimal(30,10)")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum(dec), 4).cast("double").alias("sum_value"),
+        (F.round(F.sum(dec) / F.count("*"), 6)).cast("double").alias("avg_value"),
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
@@ -377,21 +402,30 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    """Near-duplicate embedding pairs at cos ≥ 0.99 via the scale-safe
+    LSH-candidates + exact-verify operator (operators/ann.py).
+
+    The raw test embeddings have no high-cosine pairs (max ≈ 0.51), so the
+    query plants deterministic near-dup copies — every vec_id % 3 == 0 vector
+    is re-emitted at vec_id+100000 with a tiny id-derived jitter.  The jitter
+    expression is identical IEEE double math in Spark and DuckDB, so the
+    all-pairs oracle reproduces the exact cosines; the Spark side finds the
+    same pairs through bucketed LSH (no BNLJ — per-pair miss prob ~7e-7).
+    """
+    from datatrove_spark.operators import embedding_neardup_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(dot / (na * nb), 5).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.45)
+    copies = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + ((F.col("vec_id") + i) % 5 - 2) * F.lit(0.002)
+        ).alias("v"),
+    )
+    aug = emb.union(copies)
+    return embedding_neardup_pairs(
+        aug, dim=64, threshold=0.99, n_planes=8, n_tables=12, vec_col="v"
     )
 
 
@@ -400,10 +434,11 @@ def q_events_sessions(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     marked = ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+    # decimal sum: exact merge, immune to float aggregation order (round-1 fix)
     return marked.groupBy("user_id").agg(
         (F.sum("new_sess") + 1).alias("n_sessions"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4).cast("double").alias("total_value"),
     )
 
 
@@ -663,7 +698,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    count(*) AS n_docs,
                    sum(n_chars) AS sum_chars,
-                   round(avg(n_chars), 6) AS avg_chars,
+                   round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars,
                    sum(len(string_split(text, ' '))) AS sum_words
@@ -772,8 +807,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,
-                   round(sum(value), 4) AS sum_value,
-                   round(avg(value), 6) AS avg_value,
+                   round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS sum_value,
+                   round(sum(value::DECIMAL(30,10)) / count(*), 6)::DOUBLE AS avg_value,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type
@@ -805,17 +840,24 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": """
             WITH e AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+            ), aug AS (
+              SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(generate_series(1, len(v)),
+                                    i -> v[i] + ((vec_id + i - 1) % 5 - 2) * 0.002) AS v
+              FROM e WHERE vec_id % 3 = 0
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(
                      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
                      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
                         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE round(
                      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
                      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) >= 0.45
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) >= 0.99
         """,
         "events_sessions": """
             WITH marked AS (
@@ -828,7 +870,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    sum(new_sess) + 1 AS n_sessions,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS total_value
+                   round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS total_value
             FROM marked GROUP BY user_id
         """,
         "lineitem_pricing": """

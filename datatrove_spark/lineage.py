@@ -7,10 +7,13 @@ snapshot-per-partition-batch:
 
 * the corpus is bucketed by ``pmod(xxhash64(repo), n_buckets)`` — a stable,
   data-independent partitioning;
-* buckets are processed in batches; each batch writes its kept/dropped output
-  to ``out_dir/data/bucket=N/`` and then atomically appends a commit record
-  (bucket ids, row metrics, drop-reason histogram, wall ms) to
-  ``out_dir/_lineage/commits.jsonl``;
+* buckets are processed in batches; each batch dynamic-partition-OVERWRITES
+  its kept/dropped output under ``out_dir/data/_lineage_bucket=N/keep=…/``
+  and then atomically appends a commit record (bucket ids, row metrics,
+  drop-reason histogram, wall ms) to ``out_dir/_lineage/commits.jsonl``.
+  Replays are idempotent: a crash between the data write and the commit
+  leaves bucket partitions that the resumed run overwrites in place —
+  orphaned rows can never be double-counted in the final corpus;
 * a restarted run reads the commit log and skips committed buckets — the
   anti-join-on-processed-partitions resume of SURVEY.md §4.
 
@@ -99,6 +102,7 @@ def run_checkpointed(
         part = src.filter(F.col(BUCKET_COL).isin(batch))
         out = transform(part)
         out.persist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             # per-bucket metrics: rows in/kept + drop-reason histogram
             metrics_rows = (
@@ -116,10 +120,15 @@ def run_checkpointed(
                     m["n_kept"] += r["n"]
                 else:
                     m["drop_reasons"][r["drop_reason"]] = r["n"]
+            # crash-idempotent write: data is partitioned by bucket and each
+            # batch DYNAMIC-OVERWRITES exactly its own bucket partitions.  A
+            # crash between this write and _append_commit leaves orphaned
+            # bucket dirs that the resumed run overwrites in place — no
+            # duplicate rows can ever survive a replay (a blind append could
+            # not identify its orphans).
             (
-                out.drop(BUCKET_COL)
-                .write.mode("append")
-                .partitionBy("keep")
+                out.write.mode("overwrite")
+                .partitionBy(BUCKET_COL, "keep")
                 .parquet(os.path.join(cfg.out_dir, "data"))
             )
         finally:

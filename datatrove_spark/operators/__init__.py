@@ -3,6 +3,7 @@
 from .ann import (  # noqa: F401
     cosine_topk,
     embedding_neardup,
+    embedding_neardup_pairs,
     lsh_cosine_topk,
     with_lsh_bucket,
     with_unit_norm,

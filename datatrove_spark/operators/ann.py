@@ -178,6 +178,56 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 5,
+) -> DataFrame:
+    """All (id_a < id_b, cos) pairs with cosine ≥ threshold — multi-table LSH
+    candidate generation + exact verify.
+
+    The scale path for embedding near-dup: candidates come from an equi-join
+    on (table, bucket) keys — never a cartesian/BNLJ — and only candidates pay
+    the exact dot product.  Pair recall is 1-(1-p^b)^L with p = 1-θ/π; at
+    τ=0.98 with b=8, L=12 the per-pair miss probability is ~2e-5, i.e. exact
+    in expectation on any test corpus while pruning >95% of the pair space.
+    """
+    keyed = with_lsh_tables(df, dim, n_planes, n_tables, seed, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.explode("lsh_keys").alias("lsh_key"),
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cand = (
+        l.join(r, (F.col("l.lsh_key") == F.col("r.lsh_key")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("_va"), F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(F.col("_vb"), F.lit(0.0), lambda a, x: a + x * x))
+    cos = F.round(dot / (na * nb), round_decimals)
+    return (
+        cand.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     dim: int,

@@ -50,13 +50,20 @@ def exact_dedup(
         # exact dedup on raw bytes is the default, like the reference.
         content = F.lower(content)
     df = df.withColumn("_h", F.sha2(content, 256))
-    order = [F.col(id_col).asc()]
+    # survivor = min over (neg priority, id) via groupBy + join-back, NOT a
+    # row_number window: a degenerate duplicate class (millions of identical
+    # docs) would put the whole class in one window task; partial aggregation
+    # keeps the groupBy skew-free and AQE splits the skewed join side.
     if priority_col:
-        order.insert(0, F.col(priority_col).desc())
-    w = Window.partitionBy("_h").orderBy(*order)
-    df = df.withColumn("_rn", F.row_number().over(w))
-    df = apply_native_filter(df, F.col("_rn") == 1, "exact_duplicate")
-    return df.drop("_h", "_rn")
+        best = F.min(
+            F.struct((-F.col(priority_col)).alias("_np"), F.col(id_col).alias("_id"))
+        ).alias("_best")
+        survivors = df.groupBy("_h").agg(best).select("_h", F.col("_best._id").alias("_surv_id"))
+    else:
+        survivors = df.groupBy("_h").agg(F.min(id_col).alias("_surv_id"))
+    df = df.join(survivors, "_h")
+    df = apply_native_filter(df, F.col(id_col) == F.col("_surv_id"), "exact_duplicate")
+    return df.drop("_h", "_surv_id")
 
 
 def drop_exact_duplicates(df: DataFrame, **kwargs) -> DataFrame:
@@ -159,6 +166,15 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if n_changed == 0:
             break
+    else:
+        # silent non-convergence would leave components split — some
+        # duplicates would survive dedup with no signal.  Long chains
+        # (diameter > max_iterations) must fail loudly, never quietly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({n_changed} labels still changing); raise "
+            "max_iterations for high-diameter collision graphs"
+        )
     return labels
 
 
@@ -548,38 +564,54 @@ def jaccard_neardup_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with shingle-set Jaccard ≥ threshold.
 
-    Candidates come from sharing at least one shingle (exact — any pair with
-    J>0 shares one), so recall is 1.0; the group-by computes exact overlap
-    counts.  At 100 TB this is the verification stage after LSH; standalone it
-    is quadratic-safe only because shared-shingle buckets bound the join.
+    Candidates come from sharing at least one shingle; the exact Jaccard is
+    then verified per candidate pair via array_intersect on the full (uncapped)
+    shingle sets, so the score is never approximated.
+
+    ``max_df`` is the hot-key discipline for 100 TB: a shingle occurring in k
+    documents contributes k² candidate rows to the self-join, so one
+    ubiquitous boilerplate shingle is a job-killer.  With ``max_df`` set,
+    shingles seen in more than ``max_df`` docs are excluded from CANDIDATE
+    GENERATION only (standard prefix/df-filtering — they carry no
+    discriminative signal); a pair is then found iff it shares ≥1 rare
+    shingle.  At a near-dup threshold like 0.8 a missed pair would need ALL
+    its shared shingles to be corpus-common, which near-identical documents
+    cannot achieve; exactness for ``max_df=None`` is unconditional.
     """
-    grams = (
-        ngram_shingles(df, n, text_col)
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct("_grams")).alias("gram"))
+    grams = ngram_shingles(df.select(F.col(id_col), F.col(text_col)), n, text_col).select(
+        F.col(id_col).alias("id"), F.array_distinct("_grams").alias("grams")
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    g1 = grams.alias("g1")
-    g2 = grams.alias("g2")
-    inter = (
+    flat = grams.select("id", F.explode("grams").alias("gram"))
+    cand_flat = flat
+    if max_df is not None:
+        rare = (
+            flat.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("gram")
+        )
+        cand_flat = flat.join(rare, "gram", "left_semi")
+    g1 = cand_flat.alias("g1")
+    g2 = cand_flat.alias("g2")
+    cand = (
         g1.join(g2, (F.col("g1.gram") == F.col("g2.gram")) & (F.col("g1.id") < F.col("g2.id")))
-        .groupBy(F.col("g1.id").alias("id_a"), F.col("g2.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .select(F.col("g1.id").alias("id_a"), F.col("g2.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"))
+    n_inter = F.size(F.array_intersect("_ga", "_gb"))
     return (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("n_inter")
-                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter"))
-            ).alias("jaccard"),
+            (n_inter / (F.size("_ga") + F.size("_gb") - n_inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -200,11 +200,15 @@ def histogram(df: DataFrame, value_col: str, decimals: int = 0) -> DataFrame:
 def top_k_groups(
     df: DataFrame, group_col: str, k: int = 100_000, order_col: str = "n"
 ) -> DataFrame:
-    """Top-k truncation (reference stats/base.py:118-124 heapq.nlargest →
-    rank window)."""
+    """Top-k truncation (reference stats/base.py:118-124 heapq.nlargest).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each task keeps
+    a local k-heap and only k rows per partition reach the driver-side merge —
+    unlike a global row_number window, which funnels every group through ONE
+    task (a straggler for high-cardinality group columns, e.g. fqdn at 100 TB).
+    """
     counted = df.groupBy(group_col).agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.col(order_col).desc(), F.col(group_col).asc())
-    return counted.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+    return counted.orderBy(F.col(order_col).desc(), F.col(group_col).asc()).limit(k)
 
 
 def drop_reason_summary(df: DataFrame) -> DataFrame:

@@ -40,10 +40,28 @@ def _adapt(
                 df = df.drop("doc_id")
             df = df.withColumnRenamed(id_key, "doc_id")
     elif "doc_id" not in df.columns:
-        # synthesized stable id (readers/base.py: f"{path}/{id_in_file}")
-        df = df.withColumn("doc_id", F.monotonically_increasing_id())
+        # synthesized id matching the reference contract f"{path}/{id_in_file}"
+        # (readers/base.py): source file path + in-file row position — stable
+        # across runs and readers, unlike monotonically_increasing_id, which
+        # depends on partition layout.  Ordering within a file uses the
+        # monotonic id, which follows row order per split and split planning
+        # is deterministic for a fixed file set.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_src_file").orderBy(F.monotonically_increasing_id())
+        df = (
+            df.withColumn("_src_file", F.input_file_name())
+            .withColumn(
+                "doc_id",
+                F.concat_ws("/", F.col("_src_file"), (F.row_number().over(w) - 1).cast("string")),
+            )
+            .drop("_src_file")
+        )
     if skip:
-        df = df.offset(skip)
+        # deterministic skip: offset over the stable doc_id ordering, not an
+        # arbitrary partition order
+        order_col = "doc_id" if "doc_id" in df.columns else None
+        df = (df.orderBy(order_col) if order_col else df).offset(skip)
     if limit is not None:
         df = df.limit(limit)
     return df

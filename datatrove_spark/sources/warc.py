@@ -33,8 +33,9 @@ def _decode(payload: bytes) -> str:
     return payload.decode("utf-8", errors="replace")
 
 
-def iter_warc_records(raw: bytes) -> Iterator[dict]:
-    """Yield response records from one WARC file's bytes."""
+def iter_warc_records(raw: bytes, source: str = "") -> Iterator[dict]:
+    """Yield response records from one WARC file's bytes; ``source`` (the
+    archive path) namespaces the fallback record ids."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
     stream = io.BytesIO(raw)
@@ -66,7 +67,9 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
         else:
             http_headers = {}
         yield {
-            "doc_id": headers.get("warc-record-id", f"rec-{idx}"),
+            # fallback id is namespaced by the source archive so records from
+            # different files never collide on doc_id (id-keyed dedup safety)
+            "doc_id": headers.get("warc-record-id", f"{source}/rec-{idx}"),
             "text": _decode(body),
             "url": headers.get("warc-target-uri", ""),
             "date": headers.get("warc-date", ""),
@@ -82,7 +85,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                rows.extend(iter_warc_records(bytes(r["content"])))
+                rows.extend(iter_warc_records(bytes(r["content"]), source=r["path"]))
             yield pd.DataFrame(rows, columns=["doc_id", "text", "url", "date", "content_type"])
 
     return files.mapInPandas(gen, WARC_OUT_SCHEMA)

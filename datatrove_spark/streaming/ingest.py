@@ -4,9 +4,13 @@ The reference is a batch system with file-level completion markers
 (executor/base.py:156-195; SURVEY.md §2.10: no streaming exists there).
 This module provides the Spark-native alternative mentioned in SURVEY §2.10:
 ``Trigger.AvailableNow`` + checkpointed file source + ``foreachBatch`` — new
-corpus drops are picked up incrementally, each micro-batch runs the quality
-pipeline, and the streaming checkpoint (WAL + source offsets) makes restarts
-exactly-once without our own commit log.
+corpus drops are picked up incrementally and each micro-batch runs the
+quality pipeline.  foreachBatch is at-least-once (a crash after the write but
+before the offset commit replays the micro-batch), so the write itself is
+made idempotent: output is partitioned by ``_batch_id`` and each batch
+dynamic-overwrites exactly its own partition — a replay replaces the partial
+partition instead of appending duplicates, giving an exactly-once OUTPUT
+EFFECT for the (deterministic) pipeline.
 
 Use ``lineage.run_checkpointed`` when you need bucket-level lineage metrics;
 use this when the corpus arrives as a growing directory of files.
@@ -20,11 +24,21 @@ from pyspark.sql.types import StructType
 
 def streaming_quality_pipeline(batch_df: DataFrame, batch_id: int, out_dir: str, cfg=None) -> None:
     """foreachBatch body: run the (batch) quality pipeline on one micro-batch
-    and append results partitioned by keep."""
+    and dynamic-overwrite this batch's own output partition (idempotent under
+    foreachBatch's at-least-once replay semantics)."""
+    import pyspark.sql.functions as F
+
     from ..pipeline import QualityPipelineConfig, quality_pipeline
 
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = quality_pipeline(batch_df, cfg or QualityPipelineConfig())
-    out.write.mode("append").partitionBy("keep").parquet(f"{out_dir}/data")
+    (
+        out.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id", "keep")
+        .parquet(f"{out_dir}/data")
+    )
 
 
 def resumable_ingest(

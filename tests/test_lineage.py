@@ -74,3 +74,32 @@ def test_partial_commit_resume(spark, tmp_path):
     assert committed_buckets(out_dir) == {0, 1, 2, 3}
     total = spark.read.parquet(os.path.join(out_dir, "data")).count()
     assert total == 120
+
+
+def test_crash_between_write_and_commit_is_idempotent(spark, tmp_path):
+    """THE crash window checkpointed resume exists for: data written but the
+    commit record lost.  The resumed run must overwrite the orphaned bucket
+    partitions in place — never duplicate their rows (dynamic partition
+    overwrite, not blind append)."""
+    out_dir = str(tmp_path / "run3")
+    src = synth_corpus(spark, 120, partitions=4)
+    cfg = LineageConfig(out_dir=out_dir, n_buckets=4, buckets_per_commit=2)
+
+    run_checkpointed(spark, src, _transform, cfg)
+    assert spark.read.parquet(os.path.join(out_dir, "data")).count() == 120
+
+    # simulate the crash: drop the LAST commit record (its data stays on disk)
+    log = os.path.join(out_dir, "_lineage", "commits.jsonl")
+    with open(log) as f:
+        lines = f.readlines()
+    with open(log, "w") as f:
+        f.writelines(lines[:-1])
+    assert committed_buckets(out_dir) == {0, 1}
+
+    # resume reprocesses buckets 2,3 — overwriting their orphaned partitions
+    summary = run_checkpointed(spark, src, _transform, cfg)
+    assert summary["batches"] == 1
+    assert committed_buckets(out_dir) == {0, 1, 2, 3}
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert data.count() == 120  # no silent duplicates from the replay
+    assert data.select("repo", "path", "commit").distinct().count() == 120

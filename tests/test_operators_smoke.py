@@ -235,3 +235,40 @@ def test_with_unit_norm(spark):
     out = {r.vec_id: r.unit_vec for r in ops.with_unit_norm(df).collect()}
     assert abs(out[1][0] - 0.6) < 1e-9 and abs(out[1][1] - 0.8) < 1e-9
     assert out[2] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain graph with diameter > max_iterations must fail loudly — silent
+    split components would let duplicates survive dedup."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        ops.connected_components(edges, max_iterations=3, driver_threshold=0)
+
+
+def test_jaccard_hot_shingle_cap_bounds_join(spark):
+    """One shingle shared by 50% of docs must not explode the candidate join:
+    with max_df set, the ubiquitous gram is excluded from candidate generation
+    while true near-dup pairs (sharing rare grams) are still found exactly."""
+    boiler = "alpha beta gamma"          # 3-gram present in half the corpus
+    rows = []
+    for i in range(40):
+        uniq = f"w{i}a w{i}b w{i}c w{i}d"
+        rows.append((i, f"{boiler} {uniq}" if i % 2 == 0 else uniq))
+    # planted near-dup pair sharing rare grams
+    rows.append((100, "x1 x2 x3 x4 x5 x6"))
+    rows.append((101, "x1 x2 x3 x4 x5 x7"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = ops.jaccard_neardup_pairs(df, n=3, threshold=0.5, max_df=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    # boilerplate-only pairs (jaccard < 0.5 anyway) must not appear, and the
+    # candidate join must stay bounded: no pair among the 20 boiler docs
+    assert all(a == 100 for a, _ in got)
+
+    # uncapped mode remains exact on the same input
+    exact = {(r.id_a, r.id_b) for r in ops.jaccard_neardup_pairs(df, n=3, threshold=0.5).collect()}
+    assert exact == got

@@ -70,3 +70,49 @@ def test_band_udf_single_eval(spark, docs):
 def test_partial_aggregation_present(spark, docs):
     plan = _plan(spark, docs.groupBy("source").agg(F.avg("n_chars")))
     assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+
+def test_top_k_groups_is_take_ordered(spark, docs):
+    """top_k_groups must compile to TakeOrderedAndProject (distributed partial
+    top-k), never a global single-task row_number window."""
+    from datatrove_spark.operators import top_k_groups
+
+    plan = _plan(spark, top_k_groups(docs, "source", k=5), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_unigram_logprob_no_driver_action_no_unbounded_broadcast(spark, sf_dir):
+    """The unigram-logprob plan: the vocab join carries no forced broadcast
+    hint (AQE sizes it), and the only nested-loop join allowed is the one-row
+    scalar total attach (IdentityBroadcastMode over a global aggregate)."""
+    import __spark_entry__ as entry
+
+    df = entry.q_unigram_logprob(spark, sf_dir)
+    plan = _plan(spark, df, "simple")
+    assert "CartesianProduct" not in plan
+    # at most the single scalar-attach BNLJ, and its build side must be the
+    # one-row global aggregate (IdentityBroadcastMode), never a data relation
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "IdentityBroadcastMode" in plan
+
+
+def test_embedding_neardup_no_bnlj(spark, sf_dir):
+    """Near-dup pairs must come from the bucketed LSH equi-join — an all-pairs
+    BroadcastNestedLoopJoin/cartesian would be O(n^2) rows at scale."""
+    import __spark_entry__ as entry
+
+    df = entry.q_embedding_neardup(spark, sf_dir)
+    plan = _plan(spark, df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_no_window(spark, docs):
+    """exact_dedup survivor selection is groupBy-min + join-back, not a
+    per-hash-class row_number window (degenerate duplicate classes would
+    serialize into one task)."""
+    from datatrove_spark.operators import exact_dedup
+
+    plan = _plan(spark, exact_dedup(docs), "simple")
+    assert "Window" not in plan
