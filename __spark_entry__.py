@@ -884,4 +884,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        # ------------------------------------------------------------------
+        # Sequential-reference fixtures (tools/make_expected.py): for the
+        # order-dependent / model-driven operators plain SQL cannot express,
+        # the oracle is the expected output of an independent SEQUENTIAL
+        # single-process implementation (dict union-find, global owner sort,
+        # O(n^2) hamming verify — no Spark), precomputed at sf0.01 and read
+        # back by DuckDB.  This hard-verifies everything distribution adds:
+        # Arrow batching, shuffle dataflow, star-edge + CC clustering, window
+        # owner selection, join-back alignment.
+        # ------------------------------------------------------------------
+        **{
+            name: f"SELECT * FROM read_parquet('/root/repo/tests/expected/sf0.01/{name}.parquet')"
+            for name in (
+                "gopher_repetition",
+                "minhash_dedup",
+                "sentence_dedup",
+                "simhash_dedup",
+                "language_id",
+                "perplexity",
+                "pipeline_summary",
+                "classifier_filter",
+                "fingerprint_dups",
+                "lsh_ann",
+            )
+        },
     }

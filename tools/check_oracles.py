@@ -64,7 +64,15 @@ def main() -> int:
             print(f"rows  {name:24s} n={len(srows)} ({time.time() - t0:.1f}s, rows-only)")
             continue
         try:
-            orows = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
+            # fixture oracles are pinned to sf0.01 (the driver's gate);
+            # retarget them when checking another SF locally
+            import os as _os
+
+            sql = oracles[name].replace(
+                "/tests/expected/sf0.01/",
+                f"/tests/expected/{_os.path.basename(sf_dir.rstrip('/'))}/",
+            )
+            orows = con.execute(sql).fetch_arrow_table().to_pylist()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name:24s} duckdb error: {e}")

@@ -1,0 +1,389 @@
+"""Generate expected-output fixtures for the driver's DuckDB oracle.
+
+Ten of the entry queries wrap order-dependent or model-driven kernels
+(Gopher dup-n-gram skip-scan, minhash/simhash/sentence LSH dedup, LID /
+perplexity / classifier scoring, LSH ANN) whose semantics plain SQL cannot
+express.  For those, the oracle contract becomes: a SEQUENTIAL single-process
+reference implementation — plain Python loops + dict union-find over pandas,
+no Spark — writes the expected output to ``tests/expected/<sf>/<query>.parquet``
+and ``oracle_sql()`` reads it back with DuckDB's ``read_parquet``.
+
+What this independently verifies: everything the distributed execution adds —
+Arrow batching, UDF null handling, shuffle/groupBy dataflow, the star-edge +
+connected-components clustering (re-derived here as a classic whole-graph
+union-find), window owner selection, join-back alignment.  The pure per-doc
+model functions (hashing, LID profile, LM) are intentionally shared — they
+ARE the spec, pinned byte-exactly by tests/test_kernels.py against reference
+fixtures.
+
+Usage: python tools/make_expected.py [sf_dir ...]   (default: all three SFs)
+Deterministic: output depends only on the input parquet + checked-in kernels.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+# keep in sync with __spark_entry__.py
+SENTENCIFY = (" value ", ". value ")
+PERPLEXITY_SAMPLE = 200
+CLASSIFIER_KEEP = ("en", 0.4)
+
+
+class UnionFind:
+    """Classic whole-graph union-find — deliberately NOT the star-edge +
+    min-label-propagation scheme the Spark operators use, so clustering
+    equivalence is verified across two independent algorithms."""
+
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+    def component_min(self):
+        # label = min member id per component (the survivor rule)
+        comp = defaultdict(list)
+        for v in list(self.parent):
+            comp[self.find(v)].append(v)
+        label = {}
+        for members in comp.values():
+            m = min(members)
+            for v in members:
+                label[v] = m
+        return label
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+
+
+def _emb(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+
+
+def _write(sf_dir: str, name: str, table: pa.Table) -> None:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(REPO, "tests", "expected", sf)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {sf}/{name}.parquet  rows={table.num_rows}")
+
+
+def _keep_table(ids, keeps, reasons) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+            "drop_reason": pa.array(reasons, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def gen_gopher_repetition(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels.repetition import gopher_repetition
+
+    keeps, reasons = [], []
+    for t in docs["text"].fillna(""):
+        k, r = gopher_repetition(t)
+        keeps.append(bool(k))
+        reasons.append(r)
+    return _keep_table(docs["doc_id"], keeps, reasons)
+
+
+def gen_minhash_dedup(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels.minhash import (
+        DEFAULT_MINHASH,
+        minhash_signature_matrix,
+        permutation_params,
+        signature_band_hashes,
+    )
+
+    a, b = permutation_params(DEFAULT_MINHASH)
+    sigs = minhash_signature_matrix(docs["text"].fillna("").tolist(), a, b, DEFAULT_MINHASH)
+    buckets = defaultdict(list)
+    for doc_id, sig in zip(docs["doc_id"], sigs):
+        if sig is None:
+            continue
+        for band_idx, band_hash in enumerate(signature_band_hashes(sig, DEFAULT_MINHASH)):
+            buckets[(band_idx, band_hash)].append(int(doc_id))
+    uf = UnionFind()
+    for members in buckets.values():
+        for m in members[1:]:
+            uf.union(members[0], m)
+    label = uf.component_min()
+    keeps, reasons = [], []
+    for doc_id in docs["doc_id"]:
+        dup = label.get(int(doc_id), int(doc_id)) != int(doc_id)
+        keeps.append(not dup)
+        reasons.append("minhash_duplicate" if dup else None)
+    return _keep_table(docs["doc_id"], keeps, reasons)
+
+
+def gen_sentence_dedup(docs: pd.DataFrame, n_sentences: int = 3) -> pa.Table:
+    from datatrove_spark.kernels.hashing import sha1_i64
+    from datatrove_spark.kernels.text import normalize_text, sentence_spans
+
+    texts = {
+        int(i): t.replace(*SENTENCIFY)
+        for i, t in zip(docs["doc_id"], docs["text"].fillna(""))
+    }
+    # all (span_hash -> ordered list of (doc_id, sent_idx))
+    occurrences = defaultdict(list)
+    spans_by_doc = {}
+    for doc_id in sorted(texts):
+        t = texts[doc_id]
+        spans = sentence_spans(t)
+        spans_by_doc[doc_id] = spans
+        if len(spans) >= n_sentences:
+            for i in range(len(spans) - n_sentences + 1):
+                seg = t[spans[i][0] : spans[i + n_sentences - 1][1]]
+                occurrences[sha1_i64(normalize_text(seg))].append((doc_id, i))
+    remove = defaultdict(set)  # doc_id -> removed start indexes
+    for occ in occurrences.values():
+        occ.sort()
+        owner = occ[0][0]
+        for doc_id, sent_idx in occ[1:]:
+            if doc_id != owner:
+                remove[doc_id].add(sent_idx)
+    ids, keeps, lens = [], [], []
+    for doc_id in texts:
+        t = texts[doc_id]
+        if remove[doc_id]:
+            spans = spans_by_doc[doc_id]
+            drop = set()
+            for start in remove[doc_id]:
+                drop.update(range(start, min(start + n_sentences, len(spans))))
+            t = "".join(t[a:b] for i, (a, b) in enumerate(spans) if i not in drop)
+        ids.append(doc_id)
+        keeps.append(True)
+        lens.append(len(t))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+            "new_len": pa.array(lens, pa.int32()),
+        }
+    )
+
+
+def gen_simhash_dedup(docs: pd.DataFrame, max_hamming: int = 3, shingle_size: int = 3) -> pa.Table:
+    from datatrove_spark.kernels.hashing import simhash64
+    from datatrove_spark.kernels.text import normalize_text
+
+    hashes = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"].fillna("")):
+        words = normalize_text(t).split()
+        if len(words) >= shingle_size:
+            shingles = [" ".join(words[i : i + shingle_size]) for i in range(len(words) - shingle_size + 1)]
+        else:
+            shingles = [" ".join(words)] if words else []
+        hashes[int(doc_id)] = simhash64(shingles)
+    ids = sorted(hashes)
+    uf = UnionFind()
+    for i, a in enumerate(ids):  # O(n^2) exact hamming — sequential oracle only
+        for b in ids[i + 1 :]:
+            x = (hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF
+            if bin(x).count("1") <= max_hamming:
+                uf.union(a, b)
+    label = uf.component_min()
+    keeps, reasons = [], []
+    for doc_id in docs["doc_id"]:
+        dup = label.get(int(doc_id), int(doc_id)) != int(doc_id)
+        keeps.append(not dup)
+        reasons.append("simhash_duplicate" if dup else None)
+    return _keep_table(docs["doc_id"], keeps, reasons)
+
+
+def gen_language_id(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels.lid import default_lid
+
+    lid = default_lid()
+    langs, scores = [], []
+    for t in docs["text"].fillna(""):
+        (lang, score), _ = lid.predict(t)
+        langs.append(lang)
+        scores.append(round(float(score), 4))
+    return pa.table(
+        {
+            "doc_id": pa.array(docs["doc_id"], pa.int64()),
+            "language": pa.array(langs, pa.string()),
+            "language_score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def gen_perplexity(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels.perplexity import InterpolatedLM
+
+    sample = (
+        docs[docs["doc_id"] % 10 == 0]
+        .sort_values("doc_id")["text"]
+        .fillna("")
+        .head(PERPLEXITY_SAMPLE)
+        .tolist()
+    )
+    lm = InterpolatedLM.train(sample)
+    vals = [round(lm.perplexity(t), 4) for t in docs["text"].fillna("")]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs["doc_id"], pa.int64()),
+            "perplexity": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def gen_pipeline_summary(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels import CODE_C4_QUALITY, DEFAULT_GOPHER_QUALITY, PiiScrubber
+    from datatrove_spark.kernels.fineweb import DEFAULT_FINEWEB_QUALITY
+    from datatrove_spark.kernels.lid import default_lid
+    from datatrove_spark.operators.fused import evaluate_document
+
+    lid = default_lid()
+    scrubber = PiiScrubber()
+    counts = Counter()
+    for t in docs["text"].fillna(""):
+        res = evaluate_document(
+            t,
+            min_chars=10,
+            max_chars=1_000_000,
+            lang_set=("en",),
+            language_threshold=0.5,
+            gopher_cfg=DEFAULT_GOPHER_QUALITY,
+            c4_cfg=CODE_C4_QUALITY,
+            fineweb_cfg=DEFAULT_FINEWEB_QUALITY,
+            lid=lid,
+            lm=None,
+            scrubber=scrubber,
+            max_perplexity=None,
+        )
+        counts[res["drop_reason"] or "kept"] += 1
+    reasons = sorted(counts, key=lambda r: (-counts[r], r))
+    return pa.table(
+        {
+            "reason": pa.array(reasons, pa.string()),
+            "n": pa.array([counts[r] for r in reasons], pa.int64()),
+        }
+    )
+
+
+def gen_classifier_filter(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels.lid import NgramBayesLID
+
+    model = NgramBayesLID(None)
+    label, thr = CLASSIFIER_KEEP
+    keeps, reasons = [], []
+    for t in docs["text"].fillna(""):
+        _, pairs = model.predict(t)
+        ok = pairs.get(label, 0.0) >= thr
+        keeps.append(ok)
+        reasons.append(None if ok else "classifier")
+    return _keep_table(docs["doc_id"], keeps, reasons)
+
+
+def gen_fingerprint_dups(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels.quality import fingerprint64
+
+    counts = Counter(fingerprint64(t[:12]) for t in docs["text"].fillna(""))
+    items = sorted((fp, n) for fp, n in counts.items() if n > 1)
+    return pa.table(
+        {
+            "fingerprint": pa.array([fp for fp, _ in items], pa.int64()),
+            "n": pa.array([n for _, n in items], pa.int64()),
+        }
+    )
+
+
+def gen_lsh_ann(emb: pd.DataFrame, k: int = 10, n_planes: int = 4, n_tables: int = 16, seed: int = 7) -> pa.Table:
+    from datatrove_spark.operators.ann import _hyperplanes
+
+    dim = 64
+    planes = np.stack([_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)])
+    vecs = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    ids = emb["vec_id"].to_numpy()
+    powers = 1 << np.arange(n_planes)
+    signs = np.einsum("nd,lbd->nlb", vecs, planes) > 0
+    buckets = signs @ powers  # (n, L)
+    keys = [
+        {int((t << n_planes) | int(b)) for t, b in enumerate(row)} for row in buckets
+    ]
+    by_key = defaultdict(set)
+    for i, ks in enumerate(keys):
+        for kk in ks:
+            by_key[kk].add(i)
+    rows = []
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    query_idx = [i for i, v in enumerate(ids) if v < 5]
+    for qi in query_idx:
+        cand = set()
+        for kk in keys[qi]:
+            cand |= by_key[kk]
+        cand.discard(qi)
+        scored = []
+        for ci in sorted(cand):
+            cos = float(vecs[qi] @ vecs[ci] / (norms[qi] * norms[ci]))
+            scored.append((round(cos, 6), int(ids[ci])))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (score, nid) in enumerate(scored[:k], start=1):
+            rows.append((int(ids[qi]), nid, score, rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+            "rank": pa.array([r[3] for r in rows], pa.int32()),
+        }
+    )
+
+
+GENERATORS = {
+    "gopher_repetition": gen_gopher_repetition,
+    "minhash_dedup": gen_minhash_dedup,
+    "sentence_dedup": gen_sentence_dedup,
+    "simhash_dedup": gen_simhash_dedup,
+    "language_id": gen_language_id,
+    "perplexity": gen_perplexity,
+    "pipeline_summary": gen_pipeline_summary,
+    "classifier_filter": gen_classifier_filter,
+    "fingerprint_dups": gen_fingerprint_dups,
+}
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or list(DEFAULT_SFS)
+    for sf_dir in sf_dirs:
+        print(f"== {sf_dir}")
+        docs = _docs(sf_dir)
+        for name, gen in GENERATORS.items():
+            _write(sf_dir, name, gen(docs))
+        _write(sf_dir, "lsh_ann", gen_lsh_ann(_emb(sf_dir)))
+
+
+if __name__ == "__main__":
+    main()
