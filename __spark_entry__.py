@@ -310,6 +310,30 @@ def q_word_stats(spark, sf_dir):
     )
 
 
+def q_line_stats(spark, sf_dir):
+    from datatrove_spark.operators.stats import with_line_stats
+
+    df = _docs(spark, sf_dir).withColumn("text2", F.expr(LINEIFY))
+    # planted duplicate lines so the dup-ratio fields are exercised
+    df = df.withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text2", F.lit("\ndup line\ndup line")))
+        .otherwise(F.col("text2")),
+    )
+    out = with_line_stats(df, text_col="text2")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("avg_line_length", 6).alias("avg_line_length"),
+        F.round("lines_ending_with_terminal_mark_ratio", 6).alias("terminal_mark_ratio"),
+        F.round("bullet_point_lines_ratio", 6).alias("bullet_ratio"),
+        F.round("line_duplicates", 6).alias("line_duplicates"),
+        F.round("line_char_duplicates", 6).alias("line_char_duplicates"),
+        F.round("short_line_ratio_chars_30", 6).alias("short_line_ratio_30"),
+        F.round("long_line_ratio_chars_2000", 6).alias("long_line_ratio_2000"),
+    )
+
+
 def q_length_histogram(spark, sf_dir):
     from datatrove_spark.operators import histogram
 
@@ -482,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_sources": q_top_sources,
         "pipeline_summary": q_pipeline_summary,
         "c4_paragraphs": q_c4_paragraphs,
+        "line_stats": q_line_stats,
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
         "length_histogram": q_length_histogram,
@@ -883,6 +908,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "line_stats": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN {LINEIFY} || chr(10) || 'dup line' || chr(10) || 'dup line'
+                          ELSE {LINEIFY} END AS t
+              FROM documents
+            ), l AS (
+              SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM base
+            ), m AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     sum(len(line)) AS total_chars,
+                     sum(CASE WHEN right(line, 1) IN ('.', '?', '!', '"', '''') THEN 1 ELSE 0 END) AS n_term,
+                     sum(CASE WHEN len(trim(line)) > 0 AND left(trim(line), 1) IN ('-', '*', '•') THEN 1 ELSE 0 END) AS n_bullet,
+                     count(*) - count(DISTINCT line) AS n_dup,
+                     sum(CASE WHEN len(line) <= 30 THEN 1 ELSE 0 END) AS n_short,
+                     sum(CASE WHEN len(line) >= 2000 THEN 1 ELSE 0 END) AS n_long
+              FROM l GROUP BY doc_id
+            ), d AS (
+              SELECT doc_id, sum((cnt - 1) * line_len) AS dup_chars FROM (
+                SELECT doc_id, count(*) AS cnt, len(line) AS line_len
+                FROM l GROUP BY doc_id, line
+              ) GROUP BY doc_id
+            )
+            SELECT m.doc_id,
+                   n_lines,
+                   round(total_chars::DOUBLE / n_lines, 6) AS avg_line_length,
+                   round(n_term::DOUBLE / n_lines, 6) AS terminal_mark_ratio,
+                   round(n_bullet::DOUBLE / n_lines, 6) AS bullet_ratio,
+                   round(n_dup::DOUBLE / n_lines, 6) AS line_duplicates,
+                   round(coalesce(d.dup_chars, 0)::DOUBLE / greatest(total_chars, 1), 6) AS line_char_duplicates,
+                   round(n_short::DOUBLE / n_lines, 6) AS short_line_ratio_30,
+                   round(n_long::DOUBLE / n_lines, 6) AS long_line_ratio_2000
+            FROM m LEFT JOIN d ON m.doc_id = d.doc_id
         """,
         # ------------------------------------------------------------------
         # Sequential-reference fixtures (tools/make_expected.py): for the

@@ -36,8 +36,26 @@ def gopher_quality(
     text: str,
     cfg: GopherQualityConfig = DEFAULT_GOPHER_QUALITY,
     words: list[str] | None = None,
+    lang: str | None = None,
 ) -> tuple[bool, str | None]:
-    """(keep, drop_reason) for one document."""
+    """(keep, drop_reason) for one document.
+
+    ``lang`` dispatches the word tokenizer and (when ``cfg.stop_words`` is
+    the untouched English default) the stop-word set per language — the
+    reference's multilingual mode (word_tokenizers.py dispatch +
+    gopher_quality_filter.py:58 stop_words override).
+    """
+    if lang is not None:
+        from .tokenizers import language_stop_words, tokenize_words_lang
+
+        if words is None:
+            words = tokenize_words_lang(text, lang)
+        # equality, not identity: cfg crosses a pickle boundary into the UDF
+        # closure, where the default frozenset is a copy
+        if cfg.stop_words == STOP_WORDS:
+            cfg = GopherQualityConfig(
+                **{**cfg.__dict__, "stop_words": language_stop_words(lang)}
+            )
     if words is None:
         words = tokenize_words(text)
     n_words = len(words)

@@ -42,9 +42,17 @@ def doc_stats(text: str) -> dict[str, float]:
     }
 
 
-def word_stats(text: str) -> dict[str, float]:
-    """Word-level metrics (reference stats/word_stats.py:20-85)."""
-    words = tokenize_words(text)
+def word_stats(text: str, lang: str | None = None) -> dict[str, float]:
+    """Word-level metrics (reference stats/word_stats.py:20-85); ``lang``
+    dispatches tokenizer + stop-word set per language."""
+    if lang is None:
+        words = tokenize_words(text)
+        stops = STOP_WORDS
+    else:
+        from .tokenizers import language_stop_words, tokenize_words_lang
+
+        words = tokenize_words_lang(text, lang)
+        stops = language_stop_words(lang)
     n = len(words)
     if n == 0:
         return {"n_words": 0, "avg_word_length": 0.0, "stop_word_ratio": 0.0,
@@ -52,7 +60,7 @@ def word_stats(text: str) -> dict[str, float]:
     return {
         "n_words": n,
         "avg_word_length": sum(len(w) for w in words) / n,
-        "stop_word_ratio": sum(w in STOP_WORDS for w in words) / n,
+        "stop_word_ratio": sum(w in stops for w in words) / n,
         "type_token_ratio": len(set(words)) / n,
         "capitalized_word_ratio": sum(w[:1].isupper() for w in words) / n,
     }

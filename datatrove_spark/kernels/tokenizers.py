@@ -1,0 +1,71 @@
+"""Multilingual word tokenization — first slice of the reference's
+per-language tokenizer dispatch.
+
+The reference assigns a tokenizer per language via
+``assets/tokenizer_assignment.csv`` and ``utils/word_tokenizers.py:59-494``
+(spaCy/NLTK/Stanza backends).  None of those backends exist in this
+environment; this module re-derives the DISPATCH structure and the rules that
+change quality-filter outcomes for the Latin-script languages our LID covers
+(en/fr/de/es/it/pt):
+
+* ``en``  — spaCy-blank-English style: contraction suffixes split
+  ("don't" → ["do", "n't"]) — the existing ``tokenize_words``.
+* ``fr``/``it`` — elision prefixes split WITH their apostrophe
+  ("n'est" → ["n'", "est"], "dell'acqua" → ["dell'", "acqua"]), matching
+  spaCy's French/Italian tokenizer_exceptions.  Without this split every
+  stop-word check misses elided articles/pronouns — the reference
+  multilingual fixtures (tests/pipeline/filters/test_filters.py:26-37)
+  contain exactly these forms.
+* ``de``/``es``/``pt`` and any unknown language — generic Latin rules
+  (no apostrophe splitting; inner apostrophes stay inside the token).
+
+Every tokenizer shares the base word/number/punctuation segmentation of
+``kernels.text.tokenize_words`` so single-language behavior is unchanged.
+"""
+
+from __future__ import annotations
+
+import regex as _regex
+
+from .text import _WORD_RE
+
+# leading elision: 1-4 letters + apostrophe, then a letter-initial remainder
+_ELISION_RE = _regex.compile(r"^(\p{L}{1,4}['’])(\p{L}.*)$", _regex.UNICODE)
+
+_ELISION_LANGS = frozenset({"fr", "it"})
+_CONTRACTION_LANGS = frozenset({"en"})
+
+
+def tokenize_words_lang(text: str, lang: str | None = "en") -> list[str]:
+    """Language-dispatched word tokenization (reference
+    word_tokenizers.py:420-494 ``load_word_tokenizer`` dispatch)."""
+    if lang in _CONTRACTION_LANGS or lang is None:
+        from .text import tokenize_words
+
+        return tokenize_words(text)
+    elide = lang in _ELISION_LANGS
+    out: list[str] = []
+    for tok in _WORD_RE.findall(text):
+        if elide and ("'" in tok or "’" in tok):
+            m = _ELISION_RE.match(tok)
+            if m:
+                out.append(m.group(1))
+                out.append(m.group(2))
+                continue
+        out.append(tok)
+    return out
+
+
+def language_stop_words(lang: str | None) -> frozenset[str]:
+    """Per-language stop words for Gopher-style checks; falls back to the
+    English set for unknown languages (the reference's single-language
+    default, gopher_quality_filter.py:58)."""
+    from .gopher import STOP_WORDS
+    from .lid import STOPWORD_SETS
+
+    if lang in STOPWORD_SETS:
+        return STOPWORD_SETS[lang]
+    return STOP_WORDS
+
+
+__all__ = ["tokenize_words_lang", "language_stop_words", "_ELISION_RE"]

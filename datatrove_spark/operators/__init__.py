@@ -74,4 +74,11 @@ from .stats import (  # noqa: F401
     with_word_stats,
     words_contamination,
 )
-from .tokens import shuffle_documents, tokenize_documents, write_tokenized  # noqa: F401
+from .tokens import (  # noqa: F401
+    read_ds,
+    read_ds_loss,
+    shuffle_documents,
+    tokenize_documents,
+    write_tokenized,
+    write_tokenized_binary,
+)

@@ -96,6 +96,42 @@ def apply_text_filter(
     return df
 
 
+def apply_text_filter_lang(
+    df: DataFrame,
+    fn,
+    text_col: str = "text",
+    lang_col: str = "language",
+    result_col: str = "_fr",
+) -> DataFrame:
+    """Like apply_text_filter but the kernel also receives the per-row
+    language column — the multilingual dispatch path (tokenizer + stop words
+    selected per row)."""
+    df = ensure_channel(df)
+
+    @F.pandas_udf(FILTER_RESULT)
+    def _udf(texts: pd.Series, langs: pd.Series, keeps: pd.Series) -> pd.DataFrame:
+        out_keep = keeps.copy()
+        out_reason = pd.Series([None] * len(texts), dtype=object)
+        mask = keeps.fillna(False).astype(bool)
+        if mask.any():
+            results = list(fn(texts[mask].fillna("").tolist(), langs[mask].fillna("").tolist()))
+            out_keep[mask] = [r[0] for r in results]
+            out_reason[mask] = [r[1] for r in results]
+        return pd.DataFrame({"keep": out_keep.astype(bool), "drop_reason": out_reason})
+
+    df = df.withColumn(result_col, _udf(F.col(text_col), F.col(lang_col), F.col(KEEP)))
+    df = (
+        df.withColumn(
+            REASON,
+            F.when(F.col(KEEP) & ~F.col(f"{result_col}.keep"), F.col(f"{result_col}.drop_reason"))
+            .otherwise(F.col(REASON)),
+        )
+        .withColumn(KEEP, F.col(KEEP) & F.col(f"{result_col}.keep"))
+        .drop(result_col)
+    )
+    return df
+
+
 def apply_text_rewrite_filter(
     df: DataFrame,
     fn: BatchRewriteFn,

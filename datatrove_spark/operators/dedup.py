@@ -40,9 +40,16 @@ def exact_dedup(
     id_col: str = "doc_id",
     priority_col: str | None = None,
     normalize: bool = False,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Tag duplicates into the keep/drop channel; survivor = highest priority
-    then lowest id per content hash."""
+    then lowest id per content hash.
+
+    ``index_df`` enables dedup-against-index (reference ExactDedup with a
+    prebuilt index, dedup/exact_dedup.py): any row whose content hash appears
+    in the index corpus is dropped unconditionally — index members always win
+    ownership — and the remaining rows still dedup among themselves.  The
+    production use: dedup a new crawl against last month's corpus."""
     df = ensure_channel(df)
     content = F.col(text_col)
     if normalize:
@@ -50,6 +57,14 @@ def exact_dedup(
         # exact dedup on raw bytes is the default, like the reference.
         content = F.lower(content)
     df = df.withColumn("_h", F.sha2(content, 256))
+    if index_df is not None:
+        idx_content = F.col(text_col)
+        if normalize:
+            idx_content = F.lower(idx_content)
+        idx = index_df.select(F.sha2(idx_content, 256).alias("_h")).distinct()
+        df = df.join(idx.withColumn("_in_index", F.lit(True)), "_h", "left")
+        df = apply_native_filter(df, F.col("_in_index").isNull(), "exact_duplicate_of_index")
+        df = df.drop("_in_index")
     # survivor = min over (neg priority, id) via groupBy + join-back, NOT a
     # row_number window: a degenerate duplicate class (millions of identical
     # docs) would put the whole class in one window task; partial aggregation
@@ -244,6 +259,7 @@ def minhash_dedup(
     cfg: MinhashConfig = DEFAULT_MINHASH,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full 4-stage LSH dedup into the keep/drop channel.
 
@@ -251,11 +267,35 @@ def minhash_dedup(
     sharing ONE full band are duplicates — no post-verification — then
     connected components cluster them and the smallest id per cluster
     survives (minhash.py:623-688 keeps one doc per cluster).
+
+    ``index_df`` enables dedup-against-index (reference MinhashDedupBuckets
+    with ``index_folder``, minhash.py:332-357): any doc sharing a band with an
+    INDEX document is dropped unconditionally (index members always win
+    ownership), and the survivors still dedup among themselves.  The band
+    table of the index is an equi-join build side — never re-signed per query.
     """
     df = ensure_channel(df)
     # band hashes computed over (id, text) only; joined back by id at the end
     # so the expensive UDF runs exactly once.
     bands = minhash_band_table(df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col)
+
+    if index_df is not None:
+        idx_bands = minhash_band_table(
+            index_df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col
+        ).select("band_idx", "band_hash").distinct()
+        # materialized once: `hit` feeds both the row drop and the band-table
+        # prune; without the checkpoint each consumer would re-run the band UDF
+        hit = (
+            bands.join(idx_bands, ["band_idx", "band_hash"], "left_semi")
+            .select(F.col("id").alias("_idx_dup"))
+            .distinct()
+            .localCheckpoint()
+        )
+        df = df.join(hit, df[id_col] == hit["_idx_dup"], "left")
+        df = apply_native_filter(df, F.col("_idx_dup").isNull(), "minhash_duplicate_of_index")
+        df = df.drop("_idx_dup")
+        # remaining within-batch dedup runs over the non-index-dropped rows
+        bands = bands.join(hit.withColumnRenamed("_idx_dup", "id"), "id", "left_anti")
 
     # bucket-join: docs sharing (band_idx, band_hash); min id per bucket is the
     # cluster seed — emit star edges (seed, member) instead of all pairs so the

@@ -34,18 +34,38 @@ from ..kernels import (
     gopher_repetition,
     tokenize_words,
 )
-from .base import apply_native_filter, apply_text_filter, apply_text_rewrite_filter
+from .base import (
+    apply_native_filter,
+    apply_text_filter,
+    apply_text_filter_lang,
+    apply_text_rewrite_filter,
+)
 
 
 def gopher_quality_filter(
-    df: DataFrame, cfg: GopherQualityConfig = DEFAULT_GOPHER_QUALITY, text_col: str = "text"
+    df: DataFrame,
+    cfg: GopherQualityConfig = DEFAULT_GOPHER_QUALITY,
+    text_col: str = "text",
+    lang_col: str | None = None,
 ) -> DataFrame:
-    """Gopher quality rules (gopher_quality_filter.py:61-125)."""
+    """Gopher quality rules (gopher_quality_filter.py:61-125).
 
-    def batch(texts: list[str]):
-        return [gopher_quality(t, cfg) for t in texts]
+    ``lang_col`` enables the multilingual mode: the word tokenizer and the
+    stop-word set are dispatched per row from that language column (the
+    reference's word_tokenizers.py assignment) — without it every ratio is
+    computed with English rules, wrong for non-English corpora.
+    """
+    if lang_col is None:
 
-    return apply_text_filter(df, batch, text_col)
+        def batch(texts: list[str]):
+            return [gopher_quality(t, cfg) for t in texts]
+
+        return apply_text_filter(df, batch, text_col)
+
+    def batch_lang(texts: list[str], langs: list[str]):
+        return [gopher_quality(t, cfg, lang=lang) for t, lang in zip(texts, langs)]
+
+    return apply_text_filter_lang(df, batch_lang, text_col, lang_col)
 
 
 def gopher_repetition_filter(df: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:

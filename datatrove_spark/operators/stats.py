@@ -44,25 +44,82 @@ def with_doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_line_stats(
-    df: DataFrame, text_col: str = "text", short_line: int = 30, long_line: int = 2000
+    df: DataFrame,
+    text_col: str = "text",
+    short_chars: tuple[int, ...] = (10, 30),
+    long_chars: tuple[int, ...] = (2000, 10000),
 ) -> DataFrame:
-    """Native line metrics (reference stats/line_stats.py:25-90)."""
+    """Full native line metrics (reference stats/line_stats.py:25-90):
+    n_lines, avg length, short/long ratios at the reference's default
+    thresholds, terminal-punctuation ratio (C4 END_PUNCTUATION), bullet-line
+    ratio, duplicate-line ratio and duplicate-line CHAR ratio (reference
+    ``find_duplicates``: the first copy is free).
+
+    Everything is Catalyst higher-order functions over the split-lines array —
+    whole-stage codegen, zero Python.  The duplicate scan is
+    O(distinct_lines × lines) per document, negligible against the split.
+    """
+    from ..kernels.c4 import END_PUNCT
+
     lines = F.split(F.col(text_col), "\n")
     n_lines = F.size(lines)
     safe = F.greatest(n_lines, F.lit(1))
     lens = F.transform(lines, F.length)
-    return (
-        df.withColumn("n_lines", n_lines)
-        .withColumn("avg_line_length", F.aggregate(lens, F.lit(0), lambda acc, x: acc + x) / safe)
-        .withColumn(
-            "short_line_ratio",
-            F.size(F.filter(lens, lambda x: x <= short_line)) / safe,
-        )
-        .withColumn(
-            "long_line_ratio",
-            F.size(F.filter(lens, lambda x: x >= long_line)) / safe,
+    total_chars = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
+    distinct = F.array_distinct(lines)
+    # chars in repeated copies: per distinct line, (count-1) * len
+    dup_chars = F.aggregate(
+        F.transform(
+            distinct,
+            lambda d: (F.size(F.filter(lines, lambda x: x == d)) - 1) * F.length(d),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    terminal = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.array_contains(
+                F.array(*[F.lit(p) for p in END_PUNCT]), F.substring(ln, -1, 1)
+            ),
         )
     )
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.trim(ln), 1, 1).isin("-", "*", "•")
+            & (F.length(F.trim(ln)) > 0),
+        )
+    )
+    out = (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("avg_line_length", total_chars / safe)
+        .withColumn(
+            "lines_ending_with_terminal_mark_ratio", terminal / safe
+        )
+        .withColumn("bullet_point_lines_ratio", bullets / safe)
+        .withColumn("line_duplicates", (n_lines - F.size(distinct)) / safe)
+        .withColumn(
+            "line_char_duplicates", dup_chars / F.greatest(total_chars, F.lit(1))
+        )
+    )
+    # single-arg closures: a 2-arg lambda would trigger PySpark's
+    # (element, index) higher-order-function signature
+    def _le(limit):
+        return lambda x: x <= limit
+
+    def _ge(limit):
+        return lambda x: x >= limit
+
+    for c in short_chars:
+        out = out.withColumn(
+            f"short_line_ratio_chars_{c}", F.size(F.filter(lens, _le(c))) / safe
+        )
+    for c in long_chars:
+        out = out.withColumn(
+            f"long_line_ratio_chars_{c}", F.size(F.filter(lens, _ge(c))) / safe
+        )
+    return out
 
 
 _WORD_STATS_SCHEMA = StructType(
@@ -75,13 +132,14 @@ _WORD_STATS_SCHEMA = StructType(
 )
 
 
-def with_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_word_stats(
+    df: DataFrame, text_col: str = "text", lang_col: str | None = None
+) -> DataFrame:
     """Tokenizer-dependent word metrics (reference stats/word_stats.py:20-85)
-    — single pandas UDF, Arrow-batched."""
+    — single pandas UDF, Arrow-batched.  ``lang_col`` dispatches tokenizer +
+    stop-word set per row (multilingual mode)."""
 
-    @F.pandas_udf(_WORD_STATS_SCHEMA)
-    def _udf(texts: pd.Series) -> pd.DataFrame:
-        rows = [word_stats(t) for t in texts.fillna("")]
+    def rows_to_frame(rows):
         return pd.DataFrame(
             {
                 "n_words": [r["n_words"] for r in rows],
@@ -91,7 +149,24 @@ def with_word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             }
         )
 
-    return df.withColumn("_ws", _udf(F.col(text_col))).select("*", "_ws.*").drop("_ws")
+    if lang_col is None:
+
+        @F.pandas_udf(_WORD_STATS_SCHEMA)
+        def _udf(texts: pd.Series) -> pd.DataFrame:
+            return rows_to_frame([word_stats(t) for t in texts.fillna("")])
+
+        cols = (F.col(text_col),)
+    else:
+
+        @F.pandas_udf(_WORD_STATS_SCHEMA)
+        def _udf(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+            return rows_to_frame(
+                [word_stats(t, lang=lg) for t, lg in zip(texts.fillna(""), langs.fillna(""))]
+            )
+
+        cols = (F.col(text_col), F.col(lang_col))
+
+    return df.withColumn("_ws", _udf(*cols)).select("*", "_ws.*").drop("_ws")
 
 
 def with_token_count(

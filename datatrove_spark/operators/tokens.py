@@ -61,6 +61,102 @@ def shuffle_documents(df: DataFrame, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed))
 
 
+def write_tokenized_binary(
+    df: DataFrame,
+    out_dir: str,
+    token_col: str = "token_ids",
+    loss_col: str | None = None,
+    token_size: int = 2,
+    save_index: bool = True,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Pack token ids into the reference's binary ``.ds`` format, one shard
+    per Spark partition (reference tokens/tokenizer.py:80-143 TokenizedFile):
+
+    * ``{prefix}_{rank:05d}.ds``        — little-endian packed ids
+      (``<H`` for token_size=2, ``<I`` for 4 — tokenizer.py:58);
+    * ``{prefix}_{rank:05d}.ds.index``  — ``<Q`` cumulative doc-end token
+      offsets (tokenizer.py:84);
+    * ``{prefix}_{rank:05d}.ds.loss``   — ``<?`` per-token loss-mask bytes
+      when ``loss_col`` is given (tokenizer.py:143).
+
+    Runs as one mapInPandas pass — each executor streams its partition to its
+    own shard file (shared filesystem/object store path), no driver funnel.
+    Returns the per-shard summary frame (shard, n_docs, n_tokens) — a tiny
+    action materializes the write.
+    """
+    import os
+    import struct
+    from typing import Iterator
+
+    from pyspark import TaskContext
+
+    fmt = "I" if token_size == 4 else "H"
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [token_col] + ([loss_col] if loss_col else [])
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rank = TaskContext.get().partitionId()
+        base = os.path.join(out_dir, f"{prefix}_{rank:05d}.ds")
+        n_docs = 0
+        doc_ends: list[int] = []
+        write_idx = 0
+        ds = open(base, "wb")
+        loss = open(base + ".loss", "wb") if loss_col else None
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    ids = list(getattr(row, token_col))
+                    ds.write(struct.pack(f"<%d{fmt}" % len(ids), *ids))
+                    if loss is not None:
+                        mask = list(getattr(row, loss_col))
+                        loss.write(struct.pack("<%d?" % len(mask), *mask))
+                    write_idx += len(ids)
+                    doc_ends.append(write_idx)
+                    n_docs += 1
+        finally:
+            ds.close()
+            if loss is not None:
+                loss.close()
+        if save_index:
+            with open(base + ".index", "wb") as idx:
+                idx.write(struct.pack("<%dQ" % len(doc_ends), *doc_ends))
+        yield pd.DataFrame({"shard": [rank], "n_docs": [n_docs], "n_tokens": [write_idx]})
+
+    return df.select(*cols).mapInPandas(
+        write_partition, "shard int, n_docs long, n_tokens long"
+    )
+
+
+def read_ds(path: str, token_size: int = 2) -> list[list[int]]:
+    """Round-trip reader for one ``.ds`` shard (+ its ``.index``): returns the
+    per-document token-id lists.  Mirrors the reference merger's read side
+    (tokens/merger.py + tokenizer.py:216-219 byte-range copies)."""
+    import struct
+
+    fmt = "I" if token_size == 4 else "H"
+    with open(path + ".index", "rb") as f:
+        raw = f.read()
+    doc_ends = list(struct.unpack("<%dQ" % (len(raw) // 8), raw))
+    with open(path, "rb") as f:
+        data = f.read()
+    all_ids = list(struct.unpack(f"<%d{fmt}" % (len(data) // token_size), data))
+    docs, start = [], 0
+    for end in doc_ends:
+        docs.append(all_ids[start:end])
+        start = end
+    return docs
+
+
+def read_ds_loss(path: str) -> list[bool]:
+    """The packed per-token loss mask of one shard."""
+    import struct
+
+    with open(path + ".loss", "rb") as f:
+        raw = f.read()
+    return [bool(b) for b in struct.unpack("<%d?" % len(raw), raw)]
+
+
 def write_tokenized(
     df: DataFrame,
     out_dir: str,

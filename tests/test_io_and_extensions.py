@@ -363,3 +363,37 @@ def test_html_extraction(spark):
     assert "var a=1" not in out[1] and "color:red" not in out[1]
     assert "Home | About" not in out[1]  # nav boilerplate dropped
     assert out[2] is None  # empty extraction → null for downstream filters
+
+
+def test_tokenized_binary_roundtrip(spark, tmp_path):
+    """.ds + .index + .loss packing (reference tokens/tokenizer.py:80-143):
+    distributed shard write, byte-exact round trip."""
+    import glob
+
+    from datatrove_spark.operators import read_ds, read_ds_loss, tokenize_documents, write_tokenized_binary
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with a few words") for i in range(20)], ["doc_id", "text"]
+    ).repartition(3)
+    tok = tokenize_documents(df)
+    tok = tok.withColumn(
+        "loss_mask", F.transform("token_ids", lambda x: x != 0)  # EOS id 0 masked out
+    )
+    out_dir = str(tmp_path / "ds")
+    summary = write_tokenized_binary(tok, out_dir, loss_col="loss_mask").collect()
+    assert sum(r.n_docs for r in summary) == 20
+
+    shards = sorted(glob.glob(f"{out_dir}/shard_*.ds"))
+    assert len(shards) == 3
+    docs, losses = [], []
+    for s in shards:
+        ds_docs = read_ds(s)
+        docs.extend(ds_docs)
+        losses.extend(read_ds_loss(s))
+    assert len(docs) == 20
+    # every doc ends with EOS id 0; loss mask masks exactly the EOS positions
+    assert all(d[-1] == 0 for d in docs)
+    assert sum(1 for b in losses if not b) == 20
+    # ids round-trip exactly against the dataframe column
+    expected = sorted([list(r.token_ids) for r in tok.collect()])
+    assert sorted(docs) == expected

@@ -1,0 +1,92 @@
+"""Multilingual tokenization + language-dispatched filters — first slice of
+the reference's per-language tokenizer assignment (word_tokenizers.py:420-494,
+assets/tokenizer_assignment.csv).  Fixture texts mirror the reference's
+multilingual filter tests (tests/pipeline/filters/test_filters.py:20-37)."""
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.kernels.gopher import GopherQualityConfig, gopher_quality
+from datatrove_spark.kernels.quality import word_stats
+from datatrove_spark.kernels.tokenizers import language_stop_words, tokenize_words_lang
+
+TEXT_FR = (
+    "Un magicien n'est jamais en retard Frodon Sacquet. Pas plus qu'il est en avance. "
+    "Il arrive précisément à l'heure prévue."
+)
+TEXT_PT = "Um mago nunca chega tarde, Frodo Bolseiro. Nem cedo. Ele chega precisamente na hora que pretende."
+TEXT_IT = (
+    "Molti tra i vivi meritano la morte. E parecchi che sono morti avrebbero meritato la vita. "
+    "Sei forse tu in grado di dargliela? E allora non essere troppo generoso nel distribuire la "
+    "morte nei tuoi giudizi: sappi che nemmeno i più saggi possono vedere tutte le conseguenze."
+)
+
+
+def test_french_elision_split():
+    toks = tokenize_words_lang(TEXT_FR, "fr")
+    # spaCy-French style: elided prefix keeps its apostrophe, remainder split
+    assert "n'" in toks and "est" in toks
+    assert "qu'" in toks and "il" in toks
+    assert "l'" in toks and "heure" in toks
+    # English tokenizer would NOT produce the elision split
+    toks_en = tokenize_words_lang(TEXT_FR, "en")
+    assert "n'" not in toks_en
+
+
+def test_italian_elision_and_generic_latin():
+    toks_it = tokenize_words_lang("l'acqua dell'altro", "it")
+    assert toks_it == ["l'", "acqua", "dell'", "altro"]
+    # pt/de/es: no apostrophe splitting, token stays whole
+    assert tokenize_words_lang("d'agua", "pt") == ["d'agua"]
+    assert tokenize_words_lang("don't stop", "de") == ["don't", "stop"]
+    # en keeps contraction suffix splitting
+    assert tokenize_words_lang("don't stop", "en") == ["do", "n't", "stop"]
+
+
+def test_language_stop_words_dispatch():
+    assert "est" in language_stop_words("fr")
+    assert "the" in language_stop_words("en")
+    # unknown language falls back to the English default
+    assert language_stop_words("xx") == language_stop_words(None)
+
+
+def test_gopher_stopword_check_is_language_aware():
+    cfg = GopherQualityConfig(
+        min_doc_words=5, min_avg_word_length=None, max_avg_word_length=None,
+        min_alpha_words_ratio=None, min_stop_words=1,
+    )
+    # French text passes with French stop words, fails with the English set
+    keep_fr, _ = gopher_quality(TEXT_FR, cfg, lang="fr")
+    keep_en, reason_en = gopher_quality(TEXT_FR, cfg, lang="en")
+    assert keep_fr
+    assert not keep_en and reason_en == "gopher_enough_stop_words"
+    # Italian likewise
+    keep_it, _ = gopher_quality(TEXT_IT, cfg, lang="it")
+    assert keep_it
+
+
+def test_word_stats_language_dispatch():
+    ws_fr = word_stats(TEXT_FR, lang="fr")
+    ws_en = word_stats(TEXT_FR, lang="en")
+    assert ws_fr["stop_word_ratio"] > ws_en["stop_word_ratio"]
+    assert ws_fr["n_words"] != ws_en["n_words"]  # elision split changes count
+
+
+def test_operator_lang_col_dispatch(spark):
+    from datatrove_spark.operators import gopher_quality_filter
+    from datatrove_spark.operators.stats import with_word_stats
+
+    rows = [(1, TEXT_FR, "fr"), (2, TEXT_PT, "pt"), (3, TEXT_IT, "it")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, language string")
+    cfg = GopherQualityConfig(
+        min_doc_words=5, min_avg_word_length=None, max_avg_word_length=None,
+        min_alpha_words_ratio=None, min_stop_words=1,
+    )
+    out = {r.doc_id: r.keep for r in gopher_quality_filter(df, cfg, lang_col="language").collect()}
+    assert out == {1: True, 2: True, 3: True}
+    # the same French/Portuguese rows through the English-only path fail the
+    # stop-word check (Italian happens to contain English-stopword "in")
+    out_en = {r.doc_id: r.keep for r in gopher_quality_filter(df, cfg).collect()}
+    assert out_en[1] is False and out_en[2] is False
+
+    ws = {r.doc_id: r.stop_word_ratio for r in with_word_stats(df, lang_col="language").collect()}
+    assert all(v > 0 for v in ws.values())

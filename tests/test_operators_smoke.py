@@ -272,3 +272,43 @@ def test_jaccard_hot_shingle_cap_bounds_join(spark):
     # uncapped mode remains exact on the same input
     exact = {(r.id_a, r.id_b) for r in ops.jaccard_neardup_pairs(df, n=3, threshold=0.5).collect()}
     assert exact == got
+
+
+def test_exact_dedup_against_index(spark):
+    """Index members always win: new-crawl rows matching the old corpus are
+    dropped, remaining rows still dedup among themselves."""
+    old = spark.createDataFrame([(100, "known document"), (101, "other known")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "known document"), (2, "fresh content"), (3, "fresh content"), (4, "unique one")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.keep, r.drop_reason) for r in ops.exact_dedup(new, index_df=old).collect()}
+    assert out[1] == (False, "exact_duplicate_of_index")
+    assert out[2] == (True, None)
+    assert out[3] == (False, "exact_duplicate")
+    assert out[4] == (True, None)
+
+
+def test_minhash_dedup_against_index(spark):
+    """Docs sharing a band with an index doc are dropped unconditionally."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from "
+        "the warm windowsill and the birds sing in the garden outside the house"
+    )
+    old = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (1, base + " extra"),      # near-dup of index doc
+            (2, "completely different words about spark dataframes and shuffles "
+                "partitions executors stages tasks catalyst tungsten codegen arrow "
+                "pandas vectorized batches columnar storage formats"),
+            (3, "completely different words about spark dataframes and shuffles "
+                "partitions executors stages tasks catalyst tungsten codegen arrow "
+                "pandas vectorized batches columnar storage formats plus tail"),  # near-dup of 2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.keep, r.drop_reason) for r in ops.minhash_dedup(new, index_df=old).collect()}
+    assert out[1] == (False, "minhash_duplicate_of_index")
+    assert out[2] == (True, None)
+    assert out[3] == (False, "minhash_duplicate")
