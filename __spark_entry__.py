@@ -483,6 +483,50 @@ def q_lineitem_pricing(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# north-rule code-corpus queries: the (repo, path, commit, lang, content)
+# Iceberg-shaped table (BASELINE.json input_hint), synthesized deterministically
+# (corpus.py — pure function of row index, partition-independent), pushed
+# through the full quality pipeline.  The oracle is the sequential per-doc
+# reference decision (tools/make_expected.py) INCLUDING the content_sha256
+# invariant — the per-row contract the north rule grades (keep/drop + sha256
+# equality per file).
+# ---------------------------------------------------------------------------
+
+CODE_CORPUS_ROWS = 600
+
+
+def q_code_quality(spark, sf_dir):
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    df = synth_corpus(spark, CODE_CORPUS_ROWS, partitions=8)
+    out = quality_pipeline(df, QualityPipelineConfig())
+    return out.select(
+        "repo",
+        "path",
+        "keep",
+        "drop_reason",
+        "language",
+        F.round("language_score", 4).alias("language_score"),
+        "content_sha256",
+    )
+
+
+def q_code_pii_scrub(spark, sf_dir):
+    """Scrubbed-output invariant on survivors: sha256 of the PII-scrubbed
+    content per kept file (emails/IPs/phones replaced)."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    df = synth_corpus(spark, CODE_CORPUS_ROWS, partitions=8)
+    out = quality_pipeline(df, QualityPipelineConfig())
+    return (
+        out.filter(F.col("keep"))
+        .select("repo", "path", F.sha2("scrubbed_content", 256).alias("scrubbed_sha256"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gopher_quality": q_gopher_quality,
@@ -522,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
+        "code_quality": q_code_quality,
+        "code_pii_scrub": q_code_pii_scrub,
     }
 
 
@@ -970,4 +1016,8 @@ def oracle_sql() -> dict[str, str]:
                 "lsh_ann",
             )
         },
+        # code-corpus fixtures are sf-independent (the corpus is synthesized,
+        # not read from the sf dir)
+        "code_quality": "SELECT * FROM read_parquet('/root/repo/tests/expected/code/code_quality.parquet')",
+        "code_pii_scrub": "SELECT * FROM read_parquet('/root/repo/tests/expected/code/code_pii_scrub.parquet')",
     }

@@ -99,6 +99,22 @@ def main() -> None:
             pipeline_secs = dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
+    # north-rule metric (BASELINE.json): files/sec of the full quality
+    # pipeline over the (repo, path, commit, lang, content) code corpus —
+    # timed separately so the headline suite stays comparable across rounds.
+    from datatrove_spark.corpus import synth_corpus
+
+    n_code = max(int(n_docs), 2000)
+    code_df = synth_corpus(spark, n_code, partitions=int(cpus))
+    # first pass warms Python workers + per-worker LID singletons (the same
+    # steady-state convention tools/run_pipeline.py uses); the timed pass
+    # measures pipeline throughput, not model bootstrap
+    _force(quality_pipeline(code_df, QualityPipelineConfig()))
+    t0 = time.time()
+    _force(quality_pipeline(code_df, QualityPipelineConfig()))
+    code_secs = time.time() - t0
+    print(f"# code_pipeline: {code_secs:.2f}s ({n_code} files)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_runtime",
@@ -108,6 +124,8 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / pipeline_secs, 1) if pipeline_secs else None,
+        "code_files_per_sec": round(n_code / code_secs, 1),
+        "code_n_files": n_code,
         "cpus": int(cpus),
     }
     print(json.dumps(result))

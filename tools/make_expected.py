@@ -362,6 +362,90 @@ def gen_lsh_ann(emb: pd.DataFrame, k: int = 10, n_planes: int = 4, n_tables: int
     )
 
 
+CODE_CORPUS_ROWS = 600  # keep in sync with __spark_entry__.CODE_CORPUS_ROWS
+
+
+def _code_rows():
+    import hashlib as _hashlib
+
+    from datatrove_spark.corpus import row_for_index
+    from datatrove_spark.kernels import CODE_C4_QUALITY, DEFAULT_GOPHER_QUALITY, PiiScrubber
+    from datatrove_spark.kernels.fineweb import DEFAULT_FINEWEB_QUALITY
+    from datatrove_spark.kernels.lid import default_lid
+    from datatrove_spark.operators.fused import evaluate_document
+
+    n_repos = max(CODE_CORPUS_ROWS // 50, 10)
+    lid = default_lid()
+    scrubber = PiiScrubber(remove_phones=True)  # fused_quality_filter's scrubber
+    out = []
+    for i in range(CODE_CORPUS_ROWS):
+        row = row_for_index(i, n_repos)
+        # QualityPipelineConfig defaults (pipeline.py): content col,
+        # en @ 0.65, 10..1M chars, default Gopher/C4-code/FineWeb configs
+        res = evaluate_document(
+            row["content"],
+            min_chars=10,
+            max_chars=1_000_000,
+            lang_set=("en",),
+            language_threshold=0.65,
+            gopher_cfg=DEFAULT_GOPHER_QUALITY,
+            c4_cfg=CODE_C4_QUALITY,
+            fineweb_cfg=DEFAULT_FINEWEB_QUALITY,
+            lid=lid,
+            lm=None,
+            scrubber=scrubber,
+            max_perplexity=None,
+        )
+        out.append(
+            {
+                "repo": row["repo"],
+                "path": row["path"],
+                "keep": res["keep"],
+                "drop_reason": res["drop_reason"],
+                "language": res["language"],
+                "language_score": round(res["language_score"], 4)
+                if res["language_score"] is not None
+                else None,
+                "content_sha256": _hashlib.sha256(res["text"].encode()).hexdigest(),
+                "scrubbed_sha256": _hashlib.sha256(res["scrubbed"].encode()).hexdigest(),
+            }
+        )
+    return out
+
+
+def gen_code_quality() -> pa.Table:
+    rows = _code_rows()
+    return pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "keep": pa.array([r["keep"] for r in rows], pa.bool_()),
+            "drop_reason": pa.array([r["drop_reason"] for r in rows], pa.string()),
+            "language": pa.array([r["language"] for r in rows], pa.string()),
+            "language_score": pa.array([r["language_score"] for r in rows], pa.float64()),
+            "content_sha256": pa.array([r["content_sha256"] for r in rows], pa.string()),
+        }
+    )
+
+
+def gen_code_pii_scrub() -> pa.Table:
+    rows = [r for r in _code_rows() if r["keep"]]
+    return pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "scrubbed_sha256": pa.array([r["scrubbed_sha256"] for r in rows], pa.string()),
+        }
+    )
+
+
+def _write_code(name: str, table: pa.Table) -> None:
+    out_dir = os.path.join(REPO, "tests", "expected", "code")
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  code/{name}.parquet  rows={table.num_rows}")
+
+
 GENERATORS = {
     "gopher_repetition": gen_gopher_repetition,
     "minhash_dedup": gen_minhash_dedup,
@@ -383,6 +467,9 @@ def main() -> None:
         for name, gen in GENERATORS.items():
             _write(sf_dir, name, gen(docs))
         _write(sf_dir, "lsh_ann", gen_lsh_ann(_emb(sf_dir)))
+    print("== code corpus (sf-independent)")
+    _write_code("code_quality", gen_code_quality())
+    _write_code("code_pii_scrub", gen_code_pii_scrub())
 
 
 if __name__ == "__main__":
