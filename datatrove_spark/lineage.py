@@ -43,6 +43,12 @@ class LineageConfig:
     n_buckets: int = 64
     buckets_per_commit: int = 16
     repo_col: str = "repo"
+    # Stage the bucketed source once (partitioned by bucket) before batching.
+    # Without staging, every batch re-filters the full source — at K commit
+    # batches that is K full scans of a 100 TB corpus; with staging it is one
+    # full scan + K partition-PRUNED reads.  Off by default for small/local
+    # runs where the extra write costs more than the re-scans save.
+    stage_source: bool = False
 
 
 def _commit_log_path(out_dir: str) -> str:
@@ -94,6 +100,12 @@ def run_checkpointed(
     done = committed_buckets(cfg.out_dir)
     todo = [b for b in range(cfg.n_buckets) if b not in done]
     src = with_bucket(source_df, cfg)
+    if cfg.stage_source and todo:
+        staged_dir = os.path.join(cfg.out_dir, "_staged")
+        if not os.path.exists(staged_dir):
+            src.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged_dir)
+        # per-batch isin() filters now prune to the batch's bucket partitions
+        src = spark.read.parquet(staged_dir)
     summary = {"committed_before": len(done), "batches": 0, "rows_in": 0, "rows_kept": 0}
 
     for i in range(0, len(todo), cfg.buckets_per_commit):

@@ -52,6 +52,10 @@ def basic_html_to_text(html_doc: str) -> str:
 
 
 def _build_extractor(backend: str, favour_precision: bool):
+    """Returns (extract_fn, backend_label).  The label is written to output
+    metadata: the dependency-free fallback is NOT trafilatura-parity
+    (different boilerplate recall), and rows must carry which backend
+    produced their text."""
     if backend in ("trafilatura", "auto"):
         try:
             import trafilatura  # noqa: import-gated
@@ -61,7 +65,7 @@ def _build_extractor(backend: str, favour_precision: bool):
                     doc, favor_precision=favour_precision, include_comments=False
                 )
 
-            return _traf
+            return _traf, "trafilatura"
         except ImportError:
             if backend == "trafilatura":
                 raise
@@ -73,11 +77,11 @@ def _build_extractor(backend: str, favour_precision: bool):
             def _read(doc: str) -> str | None:
                 return get_text(Document(doc).summary())
 
-            return _read
+            return _read, "readability"
         except ImportError:
             if backend == "readability":
                 raise
-    return basic_html_to_text
+    return basic_html_to_text, "native-fallback-nonparity"
 
 
 def extract_html_text(
@@ -89,8 +93,9 @@ def extract_html_text(
 ) -> DataFrame:
     """Replace (or add) a text column extracted from HTML.  Failed or empty
     extractions yield null so a downstream length_filter drops them — the
-    Spark analogue of the reference's sandboxed-extractor failure path."""
-    extract = _build_extractor(backend, favour_precision)
+    Spark analogue of the reference's sandboxed-extractor failure path.
+    ``extractor_backend`` records which backend produced each row's text."""
+    extract, backend_label = _build_extractor(backend, favour_precision)
 
     @F.pandas_udf(StringType())
     def _udf(docs: pd.Series) -> pd.Series:
@@ -103,4 +108,6 @@ def extract_html_text(
                 out.append(None)
         return pd.Series(out)
 
-    return df.withColumn(out_col or html_col, _udf(F.col(html_col)))
+    return df.withColumn(out_col or html_col, _udf(F.col(html_col))).withColumn(
+        "extractor_backend", F.lit(backend_label)
+    )

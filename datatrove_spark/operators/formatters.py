@@ -91,7 +91,13 @@ def symbol_lines_remover(
 def fix_text_encoding(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
     """FTFY formatter (formatters/ftfy.py:6-62) — import-gated: uses ftfy when
     present, otherwise applies the cheap native subset (mojibake-safe NFC +
-    stray control-char removal)."""
+    stray control-char removal).
+
+    The backend actually used is recorded in the ``ftfy_backend`` output
+    column — the fallback is NOT ftfy-parity (it fixes control chars, not
+    mojibake), and downstream consumers must be able to tell which rows got
+    which treatment.
+    """
     try:
         import ftfy  # noqa: import-gated
 
@@ -101,7 +107,9 @@ def fix_text_encoding(df: DataFrame, text_col: str = "text", out_col: str | None
         def _udf(texts: pd.Series) -> pd.Series:
             return texts.fillna("").map(lambda t: ftfy.fix_text(t, config=cfg))
 
-        return df.withColumn(out_col or text_col, _udf(F.col(text_col)))
+        out = df.withColumn(out_col or text_col, _udf(F.col(text_col)))
+        return out.withColumn("ftfy_backend", F.lit("ftfy"))
     except ImportError:
         cleaned = F.regexp_replace(F.col(text_col), r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
-        return df.withColumn(out_col or text_col, cleaned)
+        out = df.withColumn(out_col or text_col, cleaned)
+        return out.withColumn("ftfy_backend", F.lit("native-fallback-nonparity"))

@@ -103,3 +103,21 @@ def test_crash_between_write_and_commit_is_idempotent(spark, tmp_path):
     data = spark.read.parquet(os.path.join(out_dir, "data"))
     assert data.count() == 120  # no silent duplicates from the replay
     assert data.select("repo", "path", "commit").distinct().count() == 120
+
+
+def test_staged_source_prunes_partitions(spark, tmp_path):
+    """stage_source writes the bucketed corpus once; batch reads must hit
+    partition pruning (PartitionFilters on the bucket column) instead of
+    re-scanning the full source per batch."""
+    out_dir = str(tmp_path / "run4")
+    src = synth_corpus(spark, 120, partitions=4)
+    cfg = LineageConfig(out_dir=out_dir, n_buckets=4, buckets_per_commit=2, stage_source=True)
+    summary = run_checkpointed(spark, src, _transform, cfg)
+    assert summary["batches"] == 2
+    assert os.path.exists(os.path.join(out_dir, "_staged"))
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert data.count() == 120
+    # the staged frame prunes on the bucket partition column
+    staged = spark.read.parquet(os.path.join(out_dir, "_staged"))
+    plan = staged.filter(F.col("_lineage_bucket").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_lineage_bucket" in plan.split("PartitionFilters")[1][:120]
