@@ -77,8 +77,10 @@ from .stats import (  # noqa: F401
 from .tokens import (  # noqa: F401
     read_ds,
     read_ds_loss,
+    read_megatron,
     shuffle_documents,
     tokenize_documents,
+    write_megatron_binary,
     write_tokenized,
     write_tokenized_binary,
 )

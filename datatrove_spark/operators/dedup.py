@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
 
 from ..kernels.hashing import sha1_i64, simhash64
@@ -275,9 +275,15 @@ def minhash_dedup(
     table of the index is an equi-join build side — never re-signed per query.
     """
     df = ensure_channel(df)
-    # band hashes computed over (id, text) only; joined back by id at the end
-    # so the expensive UDF runs exactly once.
-    bands = minhash_band_table(df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col)
+    # band hashes computed over (id, text) only; joined back by id at the end.
+    # The table feeds TWO consumers (bucket seeds + the edges join) and
+    # Catalyst does not exchange-reuse across them — the lazy localCheckpoint
+    # materializes the expensive signature UDF exactly once (the Spark
+    # analogue of the reference's signature files written between stages,
+    # minhash.py:324-497; MEMORY_AND_DISK, spills at scale).
+    bands = minhash_band_table(
+        df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col
+    ).localCheckpoint(eager=False)
 
     if index_df is not None:
         idx_bands = minhash_band_table(
@@ -382,11 +388,19 @@ def sentence_dedup(
         F.col(id_col).alias("id"), F.explode("_spans").alias("s")
     ).select("id", F.col("s.span_hash").alias("span_hash"), F.col("s.sent_idx").alias("sent_idx"))
 
-    w = Window.partitionBy("span_hash").orderBy(F.col("id").asc(), F.col("sent_idx").asc())
+    # owner = doc with the smallest (id, sent_idx) per span hash, via
+    # groupBy-min + join-back — NOT a per-span-hash window: a degenerate span
+    # (boilerplate sentence in millions of docs) would serialize its whole
+    # hash class into one window task; partial aggregation stays skew-free
+    # and AQE splits the skewed join side.  A row loses its span iff its doc
+    # is not the owner doc (self-repeats inside the owner survive, matching
+    # the reference's first-occurrence bookkeeping).
+    owners = spans.groupBy("span_hash").agg(
+        F.min(F.struct("id", "sent_idx")).alias("_own")
+    ).select("span_hash", F.col("_own.id").alias("_owner_id"))
     losers = (
-        spans.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_owner", F.first("id").over(w))
-        .filter((F.col("_rn") > 1) & (F.col("_owner") != F.col("id")))
+        spans.join(owners, "span_hash")
+        .filter(F.col("id") != F.col("_owner_id"))
         .groupBy("id")
         .agg(F.collect_set("sent_idx").alias("_remove_idx"))
     )

@@ -128,6 +128,93 @@ def write_tokenized_binary(
     )
 
 
+_MEGATRON_INDEX_HEADER = b"MMIDIDX\x00\x00"
+
+
+def write_megatron_binary(
+    df: DataFrame,
+    out_dir: str,
+    token_col: str = "token_ids",
+    token_size: int = 2,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Megatron-LM indexed-dataset shards (reference megatron_tokenizer.py:15-135):
+    ``.bin`` = packed ids (uint16 / int32), ``.idx`` = MMIDIDX header, version,
+    dtype code (8=uint16 / 4=int32), sequence count, document count, int32
+    sequence lengths, int64 byte pointers, int64 document indices.  One shard
+    per Spark partition via mapInPandas — same distributed layout as
+    ``write_tokenized_binary``, different index format (Megatron trainers
+    mmap these directly)."""
+    import os
+    import struct
+    from typing import Iterator
+
+    import numpy as np
+    from pyspark import TaskContext
+
+    dtype = np.int32 if token_size == 4 else np.uint16
+    dtype_code = 4 if token_size == 4 else 8
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rank = TaskContext.get().partitionId()
+        base = os.path.join(out_dir, f"{prefix}_{rank:05d}")
+        seq_lengths: list[int] = []
+        doc_indices: list[int] = [0]
+        with open(base + ".bin", "wb") as bin_f:
+            for pdf in batches:
+                for ids in pdf[token_col]:
+                    arr = np.asarray(list(ids), dtype=dtype)
+                    bin_f.write(arr.tobytes(order="C"))
+                    seq_lengths.append(arr.size)
+                    doc_indices.append(len(seq_lengths))
+        pointers, ptr = [], 0
+        for length in seq_lengths:
+            pointers.append(ptr)
+            ptr += length * token_size
+        with open(base + ".idx", "wb") as idx:
+            idx.write(_MEGATRON_INDEX_HEADER)
+            idx.write(struct.pack("<Q", 1))
+            idx.write(struct.pack("<B", dtype_code))
+            idx.write(struct.pack("<Q", len(seq_lengths)))
+            idx.write(struct.pack("<Q", len(doc_indices)))
+            idx.write(np.array(seq_lengths, dtype=np.int32).tobytes(order="C"))
+            idx.write(np.array(pointers, dtype=np.int64).tobytes(order="C"))
+            idx.write(np.array(doc_indices, dtype=np.int64).tobytes(order="C"))
+        yield pd.DataFrame(
+            {"shard": [rank], "n_docs": [len(seq_lengths)], "n_tokens": [sum(seq_lengths)]}
+        )
+
+    return df.select(token_col).mapInPandas(
+        write_partition, "shard int, n_docs long, n_tokens long"
+    )
+
+
+def read_megatron(base_path: str) -> list[list[int]]:
+    """Round-trip reader for one Megatron shard (`<base>.bin` + `<base>.idx`)."""
+    import struct
+
+    import numpy as np
+
+    with open(base_path + ".idx", "rb") as f:
+        header = f.read(9)
+        assert header == _MEGATRON_INDEX_HEADER, "not a Megatron index"
+        (version,) = struct.unpack("<Q", f.read(8))
+        assert version == 1
+        (dtype_code,) = struct.unpack("<B", f.read(1))
+        dtype = np.int32 if dtype_code == 4 else np.uint16
+        (n_seq,) = struct.unpack("<Q", f.read(8))
+        struct.unpack("<Q", f.read(8))  # document count (n_seq + 1)
+        lengths = np.frombuffer(f.read(4 * n_seq), dtype=np.int32)
+        pointers = np.frombuffer(f.read(8 * n_seq), dtype=np.int64)
+    data = np.fromfile(base_path + ".bin", dtype=dtype)
+    token_size = dtype().itemsize
+    return [
+        data[p // token_size : p // token_size + ln].tolist()
+        for p, ln in zip(pointers, lengths)
+    ]
+
+
 def read_ds(path: str, token_size: int = 2) -> list[list[int]]:
     """Round-trip reader for one ``.ds`` shard (+ its ``.index``): returns the
     per-document token-id lists.  Mirrors the reference merger's read side

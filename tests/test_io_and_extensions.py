@@ -397,3 +397,34 @@ def test_tokenized_binary_roundtrip(spark, tmp_path):
     # ids round-trip exactly against the dataframe column
     expected = sorted([list(r.token_ids) for r in tok.collect()])
     assert sorted(docs) == expected
+
+
+def test_megatron_binary_roundtrip(spark, tmp_path):
+    """Megatron MMIDIDX .bin/.idx shards (reference megatron_tokenizer.py):
+    header/version/dtype-code/lengths/pointers layout, byte-exact round trip."""
+    import glob
+    import struct
+
+    from datatrove_spark.operators import read_megatron, tokenize_documents, write_megatron_binary
+
+    df = spark.createDataFrame(
+        [(i, f"megatron doc {i} some words") for i in range(12)], ["doc_id", "text"]
+    ).repartition(2)
+    tok = tokenize_documents(df)
+    out_dir = str(tmp_path / "meg")
+    summary = write_megatron_binary(tok, out_dir).collect()
+    assert sum(r.n_docs for r in summary) == 12
+
+    shards = sorted(glob.glob(f"{out_dir}/shard_*.idx"))
+    assert len(shards) == 2
+    # header layout matches Megatron-LM's indexed_dataset exactly
+    with open(shards[0], "rb") as f:
+        assert f.read(9) == b"MMIDIDX\x00\x00"
+        assert struct.unpack("<Q", f.read(8))[0] == 1
+        assert struct.unpack("<B", f.read(1))[0] == 8  # uint16 code
+
+    docs = []
+    for s in shards:
+        docs.extend(read_megatron(s[:-4]))
+    expected = sorted([list(r.token_ids) for r in tok.collect()])
+    assert sorted(docs) == expected

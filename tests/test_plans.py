@@ -116,3 +116,12 @@ def test_exact_dedup_no_window(spark, docs):
 
     plan = _plan(spark, exact_dedup(docs), "simple")
     assert "Window" not in plan
+
+
+def test_dedup_survivor_selection_no_windows(spark, docs):
+    """Neither exact nor sentence dedup may use per-key row_number windows —
+    degenerate duplicate classes would serialize into one task."""
+    from datatrove_spark.operators import sentence_dedup
+
+    plan = _plan(spark, sentence_dedup(docs.limit(50), text_col="text"), "simple")
+    assert "Window" not in plan
