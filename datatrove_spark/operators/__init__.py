@@ -78,6 +78,7 @@ from .tokens import (  # noqa: F401
     read_ds,
     read_ds_loss,
     read_megatron,
+    shuffle_contexts,
     shuffle_documents,
     tokenize_documents,
     write_megatron_binary,

@@ -61,6 +61,42 @@ def shuffle_documents(df: DataFrame, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed))
 
 
+def shuffle_contexts(
+    df: DataFrame,
+    context_size: int,
+    seed: int = 42,
+    token_col: str = "token_ids",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-level shuffle (reference tokenizer.py ``shuffle_chunk_size``):
+    each document's token stream is pre-chunked into EXACTLY
+    ``context_size``-token contexts (the trailing shorter chunk is dropped,
+    matching the reference), then contexts shuffle globally in a
+    deterministic hash order — reproducible across runs and partitionings,
+    unlike rand()-ordering of nondeterministically-numbered rows.
+
+    Output: (id_col, context_idx, context) rows in shuffled order; feed to
+    ``write_tokenized_binary``/``write_megatron_binary`` for trainer shards.
+    """
+    n_chunks = F.floor(F.size(token_col) / F.lit(context_size)).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = df.select(
+        F.col(id_col),
+        F.col(token_col),
+        F.explode(idxs).alias("context_idx"),
+    ).select(
+        id_col,
+        "context_idx",
+        F.slice(
+            F.col(token_col), F.col("context_idx") * context_size + 1, context_size
+        ).alias("context"),
+    )
+    order = F.xxhash64(F.col(id_col).cast("string"), F.col("context_idx"), F.lit(seed))
+    return chunks.orderBy(order)
+
+
 def write_tokenized_binary(
     df: DataFrame,
     out_dir: str,

@@ -14,6 +14,12 @@ remains is the ADAPTER — mapping source columns onto the canonical frame:
 ``limit``/``skip`` mirror readers/base.py:193-222.
 """
 
+from .iceberg import (  # noqa: F401
+    iceberg_available,
+    is_table_identifier,
+    read_corpus,
+    write_corpus,
+)
 from .readers import (  # noqa: F401
     read_csv,
     read_documents,

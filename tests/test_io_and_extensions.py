@@ -428,3 +428,50 @@ def test_megatron_binary_roundtrip(spark, tmp_path):
         docs.extend(read_megatron(s[:-4]))
     expected = sorted([list(r.token_ids) for r in tok.collect()])
     assert sorted(docs) == expected
+
+
+def test_iceberg_gated_corpus_io(spark, tmp_path):
+    """Iceberg-shaped corpus IO: table identifiers route to the catalog,
+    filesystem paths fall back to parquet with identical semantics (no
+    Iceberg jars in this container, so the catalog branch is identifier
+    detection only)."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.sources import iceberg_available, is_table_identifier, read_corpus, write_corpus
+
+    assert is_table_identifier("iceberg.corpus.files")
+    assert not is_table_identifier("/data/corpus")
+    assert not is_table_identifier("s3a://bucket/prefix".replace("://", "/"))  # path-like
+    assert iceberg_available(spark) is False  # no jars here
+
+    src = synth_corpus(spark, 50, partitions=2)
+    out = str(tmp_path / "corpus")
+    write_corpus(src.select("repo", "path", "commit", "lang", "content"), out, mode="overwrite")
+    back = read_corpus(spark, out)
+    assert back.count() == 50
+    assert back.columns == ["repo", "path", "commit", "lang", "content"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        read_corpus(spark, out, columns=("repo", "nonexistent"))
+
+
+def test_shuffle_contexts(spark):
+    """Fixed-size context chunking + deterministic shuffle (reference
+    shuffle_chunk_size: trailing short chunk dropped)."""
+    from datatrove_spark.operators import shuffle_contexts
+
+    rows = [(1, list(range(10))), (2, list(range(100, 107))), (3, list(range(200, 202)))]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    out = shuffle_contexts(df, context_size=3).collect()
+    # doc1: 3 chunks, doc2: 2 chunks, doc3: 0 chunks (too short)
+    assert len(out) == 5
+    assert all(len(r.context) == 3 for r in out)
+    assert {r.doc_id for r in out} == {1, 2}
+    # chunks are contiguous slices
+    by_key = {(r.doc_id, r.context_idx): r.context for r in out}
+    assert by_key[(1, 0)] == [0, 1, 2] and by_key[(1, 2)] == [6, 7, 8]
+    assert by_key[(2, 1)] == [103, 104, 105]
+    # deterministic order across runs
+    again = shuffle_contexts(df, context_size=3).collect()
+    assert [(r.doc_id, r.context_idx) for r in out] == [(r.doc_id, r.context_idx) for r in again]
