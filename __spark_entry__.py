@@ -576,6 +576,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+_SQL_TYPES = {
+    "int64": "BIGINT",
+    "int32": "INTEGER",
+    "double": "DOUBLE",
+    "float": "DOUBLE",
+    "bool": "BOOLEAN",
+    "string": "VARCHAR",
+    "large_string": "VARCHAR",
+}
+
+
+def _expected_sf() -> str:
+    """Fixture scale factor: the driver gate runs at sf0.01; the local
+    checker (tools/check_oracles.py) retargets via this env var."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_EXPECTED_SF", "0.01")
+
+
+def _fixture_values_sql(rel: str) -> str:
+    """Inline a fixture parquet as a typed VALUES relation.
+
+    float literals use repr() (shortest round-trip form), so parsing them as
+    exact decimals and casting to DOUBLE reproduces the original bits.
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"/root/repo/tests/expected/{rel}.parquet")
+    cols = table.column_names
+    types = [_SQL_TYPES[str(f.type)] for f in table.schema]
+
+    def lit(v, typ):
+        if v is None:
+            return "NULL"
+        if typ == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        if typ == "BOOLEAN":
+            return "TRUE" if v else "FALSE"
+        if typ == "DOUBLE":
+            return repr(float(v))
+        return str(v)
+
+    casted = ", ".join(f'CAST("{c}" AS {t}) AS "{c}"' for c, t in zip(cols, types))
+    rows = table.to_pylist()
+    if not rows:
+        nulls = ", ".join("NULL" for _ in cols)
+        return f'SELECT {casted} FROM (VALUES ({nulls})) AS v({", ".join(cols)}) WHERE FALSE'
+    values = ",\n".join(
+        "(" + ", ".join(lit(r[c], t) for c, t in zip(cols, types)) + ")" for r in rows
+    )
+    return f'SELECT {casted} FROM (VALUES\n{values}\n) AS v({", ".join(cols)})'
+
+
 def oracle_sql() -> dict[str, str]:
     from datatrove_spark.kernels.lid import STOPWORD_SETS
 
@@ -996,13 +1049,15 @@ def oracle_sql() -> dict[str, str]:
         # order-dependent / model-driven operators plain SQL cannot express,
         # the oracle is the expected output of an independent SEQUENTIAL
         # single-process implementation (dict union-find, global owner sort,
-        # O(n^2) hamming verify — no Spark), precomputed at sf0.01 and read
-        # back by DuckDB.  This hard-verifies everything distribution adds:
-        # Arrow batching, shuffle dataflow, star-edge + CC clustering, window
-        # owner selection, join-back alignment.
+        # O(n^2) hamming verify — no Spark), precomputed at sf0.01.  The rows
+        # are INLINED into the SQL as typed VALUES literals so the oracle is
+        # fully self-contained (no filesystem access needed at execution
+        # time).  This hard-verifies everything distribution adds: Arrow
+        # batching, shuffle dataflow, star-edge + CC clustering, owner
+        # selection, join-back alignment.
         # ------------------------------------------------------------------
         **{
-            name: f"SELECT * FROM read_parquet('/root/repo/tests/expected/sf0.01/{name}.parquet')"
+            name: _fixture_values_sql(f"sf{_expected_sf()}/{name}")
             for name in (
                 "gopher_repetition",
                 "minhash_dedup",
@@ -1018,6 +1073,6 @@ def oracle_sql() -> dict[str, str]:
         },
         # code-corpus fixtures are sf-independent (the corpus is synthesized,
         # not read from the sf dir)
-        "code_quality": "SELECT * FROM read_parquet('/root/repo/tests/expected/code/code_quality.parquet')",
-        "code_pii_scrub": "SELECT * FROM read_parquet('/root/repo/tests/expected/code/code_pii_scrub.parquet')",
+        "code_quality": _fixture_values_sql("code/code_quality"),
+        "code_pii_scrub": _fixture_values_sql("code/code_pii_scrub"),
     }

@@ -38,6 +38,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os as _os
+
+    # fixture-backed oracles inline rows for this SF (driver default: 0.01)
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    if sf_name.startswith("sf"):
+        _os.environ["SPARK_GRAFT_EXPECTED_SF"] = sf_name[2:]
+
     import __spark_entry__ as entrymod
     from datatrove_spark.session import get_spark
 
