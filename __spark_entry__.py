@@ -168,6 +168,16 @@ def q_simhash_dedup(spark, sf_dir):
     return out.select("doc_id", "keep", "drop_reason")
 
 
+def q_exact_substrings(spark, sf_dir):
+    from datatrove_spark.operators import exact_substring_dedup
+
+    out = exact_substring_dedup(_docs(spark, sf_dir), min_tokens=5, text_col="text")
+    return out.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n_tokens_after"),
+    )
+
+
 def q_ngram_decont(spark, sf_dir):
     from datatrove_spark.operators import ngram_decontaminate
 
@@ -540,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "sentence_dedup": q_sentence_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "exact_substrings": q_exact_substrings,
         "ngram_decont": q_ngram_decont,
         "stopword_lid": q_stopword_lid,
         "language_id": q_language_id,
@@ -1007,6 +1018,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "exact_substrings": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), wins AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(ws[i:i+4], chr(0)) AS key
+              FROM toks, LATERAL unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+            ), owners AS (
+              SELECT key, count(*) AS cnt, min(doc_id * 1000000 + idx) AS own
+              FROM wins GROUP BY key
+            ), losers AS (
+              SELECT w.doc_id, w.idx FROM wins w JOIN owners o USING (key)
+              WHERE o.cnt > 1 AND (w.doc_id * 1000000 + w.idx) <> o.own
+            ), dead AS (
+              SELECT doc_id, count(DISTINCT pos) AS n_dead
+              FROM losers, LATERAL unnest(generate_series(idx, idx + 4)) AS d(pos)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(ws) - coalesce(n_dead, 0) AS n_tokens_after
+            FROM toks t LEFT JOIN dead USING (doc_id)
         """,
         "line_stats": f"""
             WITH base AS (

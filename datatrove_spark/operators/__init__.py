@@ -20,6 +20,7 @@ from .dedup import (  # noqa: F401
     connected_components,
     drop_exact_duplicates,
     exact_dedup,
+    exact_substring_dedup,
     jaccard_neardup_pairs,
     minhash_band_table,
     minhash_dedup,

@@ -260,6 +260,7 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     index_df: DataFrame | None = None,
+    only_dedup_in_index: bool = False,
 ) -> DataFrame:
     """Full 4-stage LSH dedup into the keep/drop channel.
 
@@ -271,8 +272,10 @@ def minhash_dedup(
     ``index_df`` enables dedup-against-index (reference MinhashDedupBuckets
     with ``index_folder``, minhash.py:332-357): any doc sharing a band with an
     INDEX document is dropped unconditionally (index members always win
-    ownership), and the survivors still dedup among themselves.  The band
-    table of the index is an equi-join build side — never re-signed per query.
+    ownership), and the survivors still dedup among themselves — unless
+    ``only_dedup_in_index`` (the reference's flag of the same name,
+    minhash.py:334) suppresses within-batch matching.  The band table of the
+    index is an equi-join build side — never re-signed per query.
     """
     df = ensure_channel(df)
     # band hashes computed over (id, text) only; joined back by id at the end.
@@ -300,6 +303,8 @@ def minhash_dedup(
         df = df.join(hit, df[id_col] == hit["_idx_dup"], "left")
         df = apply_native_filter(df, F.col("_idx_dup").isNull(), "minhash_duplicate_of_index")
         df = df.drop("_idx_dup")
+        if only_dedup_in_index:
+            return df
         # remaining within-batch dedup runs over the non-index-dropped rows
         bands = bands.join(hit.withColumnRenamed("_idx_dup", "id"), "id", "left_anti")
 
@@ -439,6 +444,115 @@ def sentence_dedup(
             joined, F.col("_rw.n_words") >= min_words_to_keep_doc, "sentence_dedup_too_short"
         )
     return joined.drop("_rw", "_remove_idx", "_spans")
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup (Spark-native analogue of the reference's
+# suffix-array pipeline, dedup/exact_substrings.py + the external Rust
+# deduplicate-text-datasets tool; arXiv:2107.06499)
+# --------------------------------------------------------------------------
+
+_WINDOW_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("win_hash", LongType(), False),
+            StructField("tok_idx", IntegerType(), False),
+        ]
+    )
+)
+
+
+def _token_spans(text: str) -> list:
+    import re as _re
+
+    return [m.span() for m in _re.finditer(r"\S+", text)]
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove duplicated token substrings of ≥ ``min_tokens`` that occur more
+    than once anywhere in the corpus — the reference's exact-substrings
+    semantics (dedup/exact_substrings.py stages 1-3 + `cargo run
+    self-similar`), re-expressed without the external suffix array:
+
+    * every length-``min_tokens`` rolling token window is hashed (stage-1
+      sequence building becomes one pandas-UDF pass emitting window hashes);
+    * the suffix-array duplicate scan becomes a shuffle on the window hash:
+      the globally-first occurrence (min (id, tok_idx)) OWNS the window,
+      every other occurrence — including repeats inside the same document —
+      marks its token range for removal;
+    * stage-3's byte-range cutting becomes a char-exact rewrite from the
+      surviving token spans.
+
+    Documented divergences from the reference: whitespace tokens stand in
+    for GPT-2 ids (no HF tokenizer in this container), and the FIRST
+    occurrence survives (the Rust tool's default removes every copy).  A
+    window shorter than ``min_tokens`` can never be removed, matching the
+    length-threshold contract.
+    """
+    df = ensure_channel(df)
+
+    @F.pandas_udf(_WINDOW_SCHEMA)
+    def _windows_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            spans = _token_spans(t)
+            if len(spans) < min_tokens:
+                out.append([])
+                continue
+            wins = []
+            for i in range(len(spans) - min_tokens + 1):
+                seg = t[spans[i][0] : spans[i + min_tokens - 1][1]]
+                # normalize inter-token whitespace so the window key equals
+                # the token-id sequence, not its formatting
+                key = "\x00".join(seg.split())
+                wins.append((sha1_i64(key), i))
+            out.append(wins)
+        return pd.Series(out)
+
+    with_wins = df.withColumn("_wins", _windows_udf.asNondeterministic()(F.col(text_col)))
+    wins = with_wins.select(F.col(id_col).alias("id"), F.explode("_wins").alias("w")).select(
+        "id", F.col("w.win_hash").alias("win_hash"), F.col("w.tok_idx").alias("tok_idx")
+    )
+    # duplicated windows only (map-side combine keeps the groupBy skew-free)
+    owners = (
+        wins.groupBy("win_hash")
+        .agg(F.min(F.struct("id", "tok_idx")).alias("_own"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("win_hash", F.col("_own.id").alias("_oid"), F.col("_own.tok_idx").alias("_oidx"))
+    )
+    losers = (
+        wins.join(owners, "win_hash")
+        .filter((F.col("id") != F.col("_oid")) | (F.col("tok_idx") != F.col("_oidx")))
+        .groupBy("id")
+        .agg(F.collect_set("tok_idx").alias("_rm_idx"))
+    )
+    joined = with_wins.join(losers, with_wins[id_col] == losers["id"], "left").drop("id")
+
+    @F.pandas_udf(StringType())
+    def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.Series:
+        out = []
+        for t, rm in zip(texts.fillna(""), removes):
+            if rm is None or len(rm) == 0:
+                out.append(t)
+                continue
+            spans = _token_spans(t)
+            dead = set()
+            for start in rm:
+                dead.update(range(start, min(start + min_tokens, len(spans))))
+            kept = [spans[i] for i in range(len(spans)) if i not in dead]
+            # reconstruct from surviving token spans, single-space joined
+            # (the reference cuts byte ranges; formatting inside removed
+            # ranges is gone either way)
+            out.append(" ".join(t[a:b] for a, b in kept))
+        return pd.Series(out)
+
+    joined = joined.withColumn(text_col, _rewrite_udf(F.col(text_col), F.col("_rm_idx")))
+    return joined.drop("_rm_idx", "_wins")
 
 
 # --------------------------------------------------------------------------

@@ -312,3 +312,25 @@ def test_minhash_dedup_against_index(spark):
     assert out[1] == (False, "minhash_duplicate_of_index")
     assert out[2] == (True, None)
     assert out[3] == (False, "minhash_duplicate")
+
+
+def test_exact_substring_dedup(spark):
+    """Duplicated >=min_tokens windows removed corpus-wide, first occurrence
+    survives (reference exact_substrings semantics, suffix-array-free)."""
+    shared = " ".join(f"w{i}" for i in range(8))          # the 8-token plagiarized block
+    rows = [
+        (1, f"intro one {shared} outro alpha"),            # owner (lowest id)
+        (2, f"different lead {shared} and a tail beta"),   # later occurrence -> cut
+        (3, "completely original text with its own words only here"),
+        (4, f"{shared} {shared}"),                         # cross-doc dup + self-repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in ops.exact_substring_dedup(df, min_tokens=8).collect()}
+    assert shared in out[1]                                # owner keeps the block
+    assert shared not in out[2] and "different lead" in out[2] and "beta" in out[2]
+    assert out[3] == rows[2][1]                            # untouched
+    assert shared not in out[4]                            # both copies were non-owners
+
+    # windows shorter than the threshold can never be removed
+    out_hi = {r.doc_id: r.text for r in ops.exact_substring_dedup(df, min_tokens=20).collect()}
+    assert out_hi[2] == rows[1][1]

@@ -112,3 +112,39 @@ def test_minhash_batch_independence():
     whole = minhash_signature_matrix(texts, a, b)
     singles = [minhash_signature_matrix([t], a, b)[0] for t in texts]
     assert whole == singles
+
+
+def test_dedup_partition_independence(spark):
+    """Dedup survivors must not depend on physical partitioning — the
+    property that makes results reproducible on any cluster layout."""
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.operators import exact_dedup, minhash_dedup, sentence_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from "
+        "the windowsill and the birds sing outside"
+    )
+    rows = [(i, base + (" tail" if i % 3 == 0 else f" unique {i} words here extra")) for i in range(24)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    for op in (
+        lambda d: exact_dedup(d, text_col="text"),
+        lambda d: minhash_dedup(d, text_col="text"),
+        lambda d: sentence_dedup(d, text_col="text"),
+    ):
+        a = {r.doc_id: (r.keep, r.text) for r in op(df1).select("doc_id", "keep", "text").collect()}
+        b = {r.doc_id: (r.keep, r.text) for r in op(df8).select("doc_id", "keep", "text").collect()}
+        assert a == b
+
+
+def test_context_shuffle_partition_independence(spark):
+    from datatrove_spark.operators import shuffle_contexts
+
+    rows = [(i, list(range(i * 10, i * 10 + 9))) for i in range(10)]
+    df1 = spark.createDataFrame(rows, "doc_id long, token_ids array<int>").repartition(1)
+    df4 = spark.createDataFrame(rows, "doc_id long, token_ids array<int>").repartition(4)
+    a = [(r.doc_id, r.context_idx, r.context) for r in shuffle_contexts(df1, 4).collect()]
+    b = [(r.doc_id, r.context_idx, r.context) for r in shuffle_contexts(df4, 4).collect()]
+    assert a == b  # identical shuffled ORDER, not just the same set
