@@ -63,10 +63,15 @@ def evaluate_document(
     lm,
     scrubber,
     max_perplexity: float | None,
+    multilingual: bool = False,
 ) -> dict:
     """Full decision chain for one document.  Returns dict with keys
     keep, drop_reason, language, language_score, text, scrubbed, perplexity.
-    ``text`` carries the C4 rewrite for every row that reached C4."""
+    ``text`` carries the C4 rewrite for every row that reached C4.
+
+    ``multilingual``: tokenize + stop-word-check by the language the LID
+    stage just detected (the reference's per-language tokenizer assignment)
+    instead of English rules for every row."""
     lang = None
     score = None
     ppl = None
@@ -94,13 +99,20 @@ def evaluate_document(
         or (lang_set is not None and lang in lang_set and score > language_threshold)
     ):
         return result(False, "language_id", text)
-    from ..kernels.text import tokenize_words
+    if multilingual:
+        from ..kernels.tokenizers import tokenize_words_lang
 
-    words = tokenize_words(text)  # shared by both Gopher stages (same text)
+        words = tokenize_words_lang(text, lang)
+    else:
+        from ..kernels.text import tokenize_words
+
+        words = tokenize_words(text)  # shared by both Gopher stages (same text)
     keep, reason = gopher_repetition(text, words=words)
     if not keep:
         return result(False, reason, text)
-    keep, reason = gopher_quality(text, gopher_cfg, words=words)
+    keep, reason = gopher_quality(
+        text, gopher_cfg, words=words, lang=lang if multilingual else None
+    )
     if not keep:
         return result(False, reason, text)
     new_text, keep, reason = c4_quality(text, c4_cfg)
@@ -131,6 +143,7 @@ def fused_quality_filter(
     lm_dict: dict | None = None,
     max_perplexity: float | None = None,
     scrub_pii: bool = True,
+    multilingual: bool = False,
     model_tag: str = "fused_lid",
 ) -> DataFrame:
     lang_set = tuple(languages) if languages else None
@@ -163,6 +176,7 @@ def fused_quality_filter(
                     evaluate_document(
                         text, min_chars, max_chars, lang_set, language_threshold,
                         gopher_cfg, c4_cfg, fineweb_cfg, lid, lm, scrubber, max_perplexity,
+                        multilingual=multilingual,
                     )
                 )
             pdf = pdf.copy()

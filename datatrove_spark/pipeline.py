@@ -58,6 +58,10 @@ class QualityPipelineConfig:
     lm_dict: dict | None = None
     max_perplexity: float | None = None
     scrub_pii: bool = True
+    # tokenize + stop-word-check by the LID-detected language per row (the
+    # reference's per-language tokenizer assignment); off by default — the
+    # single-language (English) profile the oracles pin
+    multilingual: bool = False
     # fused = one Arrow pass for the whole chain (production path); staged =
     # one operator per stage (debuggable, used by the oracle queries)
     fused: bool = True
@@ -113,6 +117,7 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
             lm_dict=cfg.lm_dict,
             max_perplexity=cfg.max_perplexity,
             scrub_pii=cfg.scrub_pii,
+            multilingual=cfg.multilingual,
         )
         return df.withColumn("content_sha256", F.sha2(F.col(t), 256))
 

@@ -90,3 +90,33 @@ def test_operator_lang_col_dispatch(spark):
 
     ws = {r.doc_id: r.stop_word_ratio for r in with_word_stats(df, lang_col="language").collect()}
     assert all(v > 0 for v in ws.values())
+
+
+def test_fused_pipeline_multilingual_mode(spark):
+    """The production (fused) pipeline dispatches tokenizer + stop words by
+    the language LID just detected when cfg.multilingual is set."""
+    from datatrove_spark.kernels.lid import default_lid
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    # long VARIED French text (no repeated n-grams): passes LID for fr; with
+    # English stop-word rules the Gopher stop-word check would drop it
+    fr_text = TEXT_FR + " " + (
+        "La maison des enfants est dans la ville et les chats dorment sur le toit "
+        "pendant que la pluie tombe sur les rues de la ville ancienne. Les amis "
+        "sont dans le jardin avec une grande table pour le repas du soir et ils "
+        "parlent de la musique et des livres qui sont dans la bibliothèque. Le "
+        "matin arrive avec le soleil sur les montagnes et la famille prépare le "
+        "café dans la cuisine pendant que les oiseaux chantent pour une journée "
+        "nouvelle et les enfants vont vers une école du village voisin."
+    )
+    (lang, score), _ = default_lid().predict(fr_text)
+    assert lang == "fr"
+
+    df = spark.createDataFrame([("r", "p", "c", "fr", fr_text)],
+                               "repo string, path string, commit string, lang string, content string")
+    base = dict(languages=("fr",), language_threshold=0.3, min_chars=10)
+    out_multi = quality_pipeline(df, QualityPipelineConfig(multilingual=True, **base)).collect()[0]
+    out_en = quality_pipeline(df, QualityPipelineConfig(**base)).collect()[0]
+    assert out_multi.language == "fr"
+    assert bool(out_multi.keep) is True
+    assert bool(out_en.keep) is False and out_en.drop_reason == "gopher_enough_stop_words"
