@@ -136,60 +136,96 @@ def connected_components(
     (only colliding docs appear), so up to ``driver_threshold`` edges we run
     classic union-find on the driver — the same choice the reference makes
     for its cluster stage, minus its single-30h-task cost because only edges
-    (not signatures) ever leave the executors.  Larger graphs fall back to
-    distributed min-label propagation (near-clique components converge in a
-    few rounds; localCheckpoint bounds the plan each round).
+    (not signatures) ever leave the executors.  Larger graphs run alternating
+    large-star/small-star contraction (Kiveris et al., "Connected Components
+    in MapReduce and Beyond"), which converges in O(log n) rounds regardless
+    of component diameter — a 10^6-long near-duplicate chain finishes in ~20
+    rounds where label propagation would need 10^6.  Non-convergence within
+    ``max_iterations`` raises loudly: silently split components would let
+    duplicates survive dedup.
     """
-    # dedup edge sets are tiny relative to the corpus (only colliding docs) —
-    # shrink the shuffle width so each CC iteration is a small fast job.
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
         return _unionfind_components(rows, edges.sparkSession)
+    # dedup edge sets are tiny relative to the corpus — shrink the shuffle
+    # width so each contraction round is a small fast job.
     n_parts = max(1, min(64, n_edges // 500_000 + 1))
-    sym = (
+    cur = (
         edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .repartition(n_parts)
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .union(sym.select(F.col("dst").alias("id")))
+    nodes = (
+        cur.select(F.col("src").alias("id"))
+        .union(cur.select(F.col("dst").alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
-    ).localCheckpoint()
+        .localCheckpoint()
+    )
 
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # per node u: m = min(u ∪ N(u)); connect every neighbor v > u to m
+        sym = _sym(e)
+        mins = sym.groupBy("src").agg(
+            F.least(F.first("src"), F.min("dst")).alias("_m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # per node u over its ≤-neighbors S = {v ∈ N(u): v ≤ u}:
+        # m = min(S); connect u and every v ∈ S to m
+        smaller = _sym(e).filter(F.col("dst") < F.col("src"))
+        mins = smaller.groupBy("src").agg(F.min("dst").alias("_m"))
+        via_neighbors = (
+            smaller.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        )
+        via_self = mins.select(F.col("src"), F.col("_m").alias("dst"))
+        return (
+            via_neighbors.union(via_self)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame):
+        # xor-fold (overflow-free under ANSI) + count: order-insensitive
+        # fingerprint of the edge set
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id, "inner")
-            .select(sym.src.alias("id"), "component")
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
-            )
-        ).localCheckpoint()
-        n_changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if n_changed == 0:
+        cur = _small_star(_large_star(cur)).repartition(n_parts).localCheckpoint()
+        sig = _checksum(cur)
+        if sig == prev:
             break
+        prev = sig
     else:
-        # silent non-convergence would leave components split — some
-        # duplicates would survive dedup with no signal.  Long chains
-        # (diameter > max_iterations) must fail loudly, never quietly.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"iterations ({n_changed} labels still changing); raise "
-            "max_iterations for high-diameter collision graphs"
+            f"connected_components star-contraction did not converge in "
+            f"{max_iterations} rounds; the collision graph is pathological — "
+            "raise max_iterations"
         )
+    # converged: the graph is a star forest with edges (v, root=min id)
+    labels = nodes.join(
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", F.col("id")).alias("component"))
     return labels
 
 

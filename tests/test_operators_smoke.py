@@ -238,14 +238,15 @@ def test_with_unit_norm(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    """A chain graph with diameter > max_iterations must fail loudly — silent
-    split components would let duplicates survive dedup."""
+    """A chain too deep for the round budget must fail loudly — silently
+    split components would let duplicates survive dedup.  (Star contraction
+    needs ~log2(n) rounds; one round cannot finish a 200-chain.)"""
     import pytest as _pytest
 
-    chain = [(i, i + 1) for i in range(30)]
+    chain = [(i, i + 1) for i in range(200)]
     edges = spark.createDataFrame(chain, "src long, dst long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        ops.connected_components(edges, max_iterations=3, driver_threshold=0)
+        ops.connected_components(edges, max_iterations=1, driver_threshold=0)
 
 
 def test_jaccard_hot_shingle_cap_bounds_join(spark):
@@ -334,3 +335,26 @@ def test_exact_substring_dedup(spark):
     # windows shorter than the threshold can never be removed
     out_hi = {r.doc_id: r.text for r in ops.exact_substring_dedup(df, min_tokens=20).collect()}
     assert out_hi[2] == rows[1][1]
+
+
+def test_star_contraction_matches_unionfind(spark):
+    """Distributed large-star/small-star CC must agree with driver union-find
+    on random graphs, and converge on long chains in O(log n) rounds."""
+    import random
+
+    from datatrove_spark.operators.dedup import _unionfind_components
+
+    rnd = random.Random(7)
+    edge_list = list({(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)})
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    dist = {r.id: r.component for r in ops.connected_components(edges, driver_threshold=0).collect()}
+    uf = {r.id: r.component for r in _unionfind_components(edge_list, spark).collect()}
+    assert dist == uf
+
+    # 60-node chain (diameter 60): label propagation would need 60 rounds;
+    # star contraction converges well within 15
+    chain = [(i, i + 1) for i in range(60)]
+    cedges = spark.createDataFrame(chain, "src long, dst long")
+    comp = {r.id: r.component for r in ops.connected_components(cedges, max_iterations=15, driver_threshold=0).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 61
