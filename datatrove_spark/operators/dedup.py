@@ -408,6 +408,7 @@ def sentence_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words_to_keep_doc: int = 0,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Remove sentence spans already seen in an earlier document
     (sentence_dedup.py:133-146 span hashing; :294-378 rewrite).
@@ -416,6 +417,12 @@ def sentence_dedup(
     occurrence is removed from its doc.  The doc text is rewritten to the
     surviving sentences; docs reduced below ``min_words_to_keep_doc`` are
     dropped with reason 'sentence_dedup_too_short'.
+
+    ``index_df`` enables dedup-against-index (reference SentenceDedup with
+    ``index_folder``, sentence_dedup.py:45,198: index hashes sort BEFORE any
+    batch doc, so spans present in the index corpus are always removed from
+    the new batch) — the reference's is_from_index ordering expressed as
+    index-owned span hashes.
     """
     df = ensure_channel(df)
 
@@ -428,6 +435,23 @@ def sentence_dedup(
     spans = with_spans.select(
         F.col(id_col).alias("id"), F.explode("_spans").alias("s")
     ).select("id", F.col("s.span_hash").alias("span_hash"), F.col("s.sent_idx").alias("sent_idx"))
+
+    if index_df is not None:
+        # index-owned spans: remove EVERY batch occurrence of these hashes by
+        # marking the owner as a sentinel no batch doc can be
+        idx_spans = (
+            index_df.select(_spans_udf(F.col(text_col)).alias("_spans"))
+            .select(F.explode("_spans").alias("s"))
+            .select(F.col("s.span_hash").alias("span_hash"))
+            .distinct()
+        )
+        idx_losers = (
+            spans.join(idx_spans, "span_hash", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("sent_idx").alias("_idx_remove"))
+        )
+    else:
+        idx_losers = None
 
     # owner = doc with the smallest (id, sent_idx) per span hash, via
     # groupBy-min + join-back — NOT a per-span-hash window: a degenerate span
@@ -445,6 +469,15 @@ def sentence_dedup(
         .groupBy("id")
         .agg(F.collect_set("sent_idx").alias("_remove_idx"))
     )
+    if idx_losers is not None:
+        merged = losers.join(idx_losers, "id", "full_outer").select(
+            "id",
+            F.array_union(
+                F.coalesce("_remove_idx", F.array().cast("array<int>")),
+                F.coalesce("_idx_remove", F.array().cast("array<int>")),
+            ).alias("_remove_idx"),
+        )
+        losers = merged
 
     joined = with_spans.join(losers, with_spans[id_col] == losers["id"], "left").drop("id")
 

@@ -350,3 +350,24 @@ def test_checked_in_arpa_fixture():
     out_domain = lm.perplexity("zebra quantum xylophone nebula")
     assert in_domain < out_domain
     assert lm.order >= 2
+
+
+def test_committed_expected_fixtures_are_current():
+    """Drift guard: regenerating the sequential-reference fixtures must
+    reproduce the committed parquet exactly.  Catches kernel semantic changes
+    that silently invalidate the oracle (re-run tools/make_expected.py when
+    this fails intentionally)."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import make_expected as me
+
+    docs = me._docs("/root/testdata/sf0.001")
+    for name in ("language_id", "classifier_filter", "fingerprint_dups", "gopher_repetition"):
+        fresh = me.GENERATORS[name](docs)
+        committed = pq.read_table(os.path.join(repo, "tests", "expected", "sf0.001", f"{name}.parquet"))
+        assert fresh.equals(committed), f"{name} fixture is stale — regenerate via tools/make_expected.py"

@@ -358,3 +358,43 @@ def test_star_contraction_matches_unionfind(spark):
     cedges = spark.createDataFrame(chain, "src long, dst long")
     comp = {r.id: r.component for r in ops.connected_components(cedges, max_iterations=15, driver_threshold=0).collect()}
     assert set(comp.values()) == {0} and len(comp) == 61
+
+
+def test_sentence_dedup_against_index(spark):
+    """Spans present in the index corpus are removed from every new doc
+    (index always owns); batch-internal dedup still applies."""
+    idx_text = "Alpha one two. Beta three four. Gamma five six."
+    old = spark.createDataFrame([(100, idx_text)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (1, idx_text + " Fresh tail sentence here. Another new line done. Third unique one yes."),
+            (2, "Totally new start here. Fresh tail sentence here. Another new line done. Third unique one yes."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in ops.sentence_dedup(new, n_sentences=3, index_df=old).collect()}
+    assert "Alpha one two" not in out[1]           # index-owned span removed
+    assert "Fresh tail sentence" in out[1]         # doc 1 owns the fresh span
+    assert "Totally new start here." in out[2]     # doc 2 keeps its unique lead
+
+
+def test_minhash_only_dedup_in_index(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from "
+        "the warm windowsill and the birds sing in the garden outside the house"
+    )
+    old = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    other = (
+        "completely different words about spark dataframes and shuffles partitions "
+        "executors stages tasks catalyst tungsten codegen arrow pandas vectorized"
+    )
+    new = spark.createDataFrame(
+        [(1, base + " extra"), (2, other), (3, other + " plus tail")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in ops.minhash_dedup(new, index_df=old, only_dedup_in_index=True).collect()
+    }
+    assert out[1] == (False, "minhash_duplicate_of_index")
+    # 2 and 3 are near-dups of each other but within-batch matching is off
+    assert out[2] == (True, None) and out[3] == (True, None)
