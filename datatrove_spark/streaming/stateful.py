@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator: user sessionization via
+``applyInPandasWithState`` (engine extension; the reference has no streaming,
+SURVEY.md §2.10).
+
+The canonical pattern for state the built-in window aggregates can't express:
+per-key arbitrary state carried ACROSS runs.  Sessions close when a gap
+exceeds ``gap_seconds``; state per user is (session_start, last_ts, n_events,
+total_value).  Closed sessions emit as they are detected; the trailing open
+session per user persists in the streaming checkpoint's state store and
+closes on a LATER incremental run when newer events arrive — exactly the
+incremental-crawl semantics a training-data pipeline needs (each
+``Trigger.AvailableNow`` run drains the current backlog and terminates).
+
+``batch_sessions`` is the batch ground truth (lag/window gap-split — the same
+logic as the ``events_sessions`` driver query); the test asserts
+streaming == batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def batch_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch ground truth: gap-split sessions per user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        events.withColumn("_new", F.when(gap > gap_seconds, 1).otherwise(0))
+        .withColumn("_sid", F.sum("_new").over(w))
+    )
+    return sess.groupBy("user_id", "_sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    ).drop("_sid")
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows: list[dict[str, Any]] = []
+        events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        for ts, value in zip(events["ts"], events["value"]):
+            ts_s = int(ts.timestamp())
+            if start is None:
+                start, last, n, total = ts_s, ts_s, 1, float(value)
+            elif ts_s - last > gap_seconds:
+                rows.append(
+                    {"user_id": user_id, "start": start, "end": last, "n": n, "total": total}
+                )
+                start, last, n, total = ts_s, ts_s, 1, float(value)
+            else:
+                last, n, total = ts_s, n + 1, total + float(value)
+        # the open trailing session survives in the checkpointed state store
+        # until a later run's events close it
+        state.update((start, last, n, total))
+        out = pd.DataFrame(
+            rows, columns=["user_id", "start", "end", "n", "total"]
+        )
+        out["session_start"] = pd.to_datetime(out["start"], unit="s")
+        out["session_end"] = pd.to_datetime(out["end"], unit="s")
+        out["n_events"] = out["n"].astype("int64")
+        out["total_value"] = out["total"].round(4)
+        yield out[["user_id", "session_start", "session_end", "n_events", "total_value"]]
+
+    return fn
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: StructType | str,
+    gap_seconds: int = 1800,
+    await_termination: bool = True,
+):
+    """Stateful sessionization over a file stream; closed sessions emit as
+    they are detected, the trailing open session per user persists in
+    checkpointed state across runs."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        sessions.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

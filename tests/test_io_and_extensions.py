@@ -475,3 +475,49 @@ def test_shuffle_contexts(spark):
     # deterministic order across runs
     again = shuffle_contexts(df, context_size=3).collect()
     assert [(r.doc_id, r.context_idx) for r in out] == [(r.doc_id, r.context_idx) for r in again]
+
+
+def test_stateful_streaming_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization with state carried ACROSS runs:
+    run 1 emits the sessions its backlog closes; the trailing open session
+    per user persists in the streaming checkpoint and closes on an
+    incremental run 2 when later events arrive."""
+    from datetime import datetime, timedelta
+
+    from datatrove_spark.streaming import batch_sessions, streaming_sessions
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        offsets = [0, 60, 120, 4000, 4100, 9000]  # gaps at 120->4000 and 4100->9000
+        for off in offsets:
+            rows.append((eid, t0 + timedelta(seconds=off + user * 7), user, float(eid)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    events.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    streaming_sessions(spark, in_dir, out_dir, schema, gap_seconds=1800)
+    got1 = spark.read.parquet(f"{out_dir}/data")
+    assert got1.count() == 4  # 2 closed sessions per user; trailing ones open
+
+    # run 2: one much-later event per user closes the open sessions
+    rows2 = [(100, t0 + timedelta(seconds=50000), 1, 1.0), (101, t0 + timedelta(seconds=50001), 2, 1.0)]
+    spark.createDataFrame(rows2, "event_id long, ts timestamp, user_id long, value double") \
+        .write.mode("append").parquet(in_dir)
+    streaming_sessions(spark, in_dir, out_dir, schema, gap_seconds=1800)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in spark.read.parquet(f"{out_dir}/data").collect()
+    }
+
+    # ground truth: every batch session except the (still open) final one per
+    # user after run 2's events
+    all_events = spark.read.parquet(in_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    full = batch_sessions(all_events, gap_seconds=1800)
+    last = full.groupBy("user_id").agg(F.max("session_start").alias("_last"))
+    closed = full.join(last, "user_id").filter(F.col("session_start") != F.col("_last"))
+    want = {(r.user_id, r.session_start, r.n_events, r.total_value) for r in closed.collect()}
+    assert got == want and len(got) == 6
