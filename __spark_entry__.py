@@ -311,6 +311,50 @@ def q_url_filter(spark, sf_dir):
     return out.select("doc_id", "keep", "drop_reason")
 
 
+def q_lambda_filter(spark, sf_dir):
+    from datatrove_spark.operators import lambda_filter
+
+    out = lambda_filter(
+        _docs(spark, sf_dir), F.col("n_chars") % 3 != 0, reason="len_mod3"
+    )
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_doc_shuffle(spark, sf_dir):
+    """Deterministic keyed permutation: first 20 docs of the md5(id:seed)
+    order — reproducible across engines, unlike per-partition rand()."""
+    from datatrove_spark.operators import shuffle_documents
+
+    out = shuffle_documents(_docs(spark, sf_dir), seed=42, id_col="doc_id").limit(20)
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("42"))).alias("shuffle_key"),
+    )
+
+
+def q_summary_by_lang(spark, sf_dir):
+    # count/total/min/max from the summary operator; mean recomputed from the
+    # exact integer total so float aggregation order cannot flip rounding
+    from datatrove_spark.operators import summary_stats
+
+    out = summary_stats(_docs(spark, sf_dir), "n_chars", ["lang"])
+    return out.select(
+        "lang", "n", "total", "min", "max",
+        F.round(F.col("total") / F.col("n"), 6).alias("mean"),
+    )
+
+
+def q_word_stats_multilang(spark, sf_dir):
+    """Per-row language-dispatched stop-word ratio over the documents table's
+    own lang column (zh falls back to the English stop set)."""
+    from datatrove_spark.operators.stats import with_word_stats
+
+    out = with_word_stats(_docs(spark, sf_dir), text_col="text", lang_col="lang")
+    return out.select(
+        "doc_id", "lang", "n_words", F.round("stop_word_ratio", 6).alias("stop_word_ratio")
+    )
+
+
 def q_word_stats(spark, sf_dir):
     from datatrove_spark.operators import with_word_stats
 
@@ -564,6 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
+        "lambda_filter": q_lambda_filter,
+        "doc_shuffle": q_doc_shuffle,
+        "summary_by_lang": q_summary_by_lang,
+        "word_stats_multilang": q_word_stats_multilang,
         "length_histogram": q_length_histogram,
         "shingle_overlap": q_shingle_overlap,
         "jaccard_pairs": q_jaccard_pairs,
@@ -585,6 +633,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+
+def _sw_sql_literals():
+    from datatrove_spark.kernels.gopher import STOP_WORDS
+    from datatrove_spark.kernels.lid import STOPWORD_SETS
+
+    def lst(words):
+        return repr(sorted(words)).replace('"', "'")
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {lst(STOPWORD_SETS[lang])}" for lang in sorted(STOPWORD_SETS)
+    )
+    # unknown languages fall back to the Gopher English STOP_WORDS (the
+    # language_stop_words contract), NOT the LID 'en' profile set
+    return cases, lst(STOP_WORDS)
+
+
+_SW_LANG_CASES, _SW_EN = _sw_sql_literals()
 
 
 _SQL_TYPES = {
@@ -1018,6 +1084,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "lambda_filter": """
+            SELECT doc_id, (n_chars % 3 <> 0) AS keep,
+                   CASE WHEN n_chars % 3 = 0 THEN 'len_mod3' END AS drop_reason
+            FROM documents
+        """,
+        "doc_shuffle": """
+            SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS shuffle_key
+            FROM documents ORDER BY shuffle_key LIMIT 20
+        """,
+        "summary_by_lang": """
+            SELECT lang, count(*) AS n, sum(n_chars) AS total,
+                   min(n_chars) AS "min", max(n_chars) AS "max",
+                   round(sum(n_chars)::DOUBLE / count(*), 6) AS mean
+            FROM documents GROUP BY lang
+        """,
+        "word_stats_multilang": f"""
+            WITH w AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+            )
+            SELECT doc_id, lang, len(ws) AS n_words,
+                   round(len(list_filter(ws, x -> list_contains(
+                       CASE lang {_SW_LANG_CASES} ELSE {_SW_EN} END, x)))::DOUBLE
+                     / len(ws), 6) AS stop_word_ratio
+            FROM w
         """,
         "exact_substrings": """
             WITH toks AS (

@@ -55,10 +55,19 @@ def tokenize_documents(
     return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
-def shuffle_documents(df: DataFrame, seed: int = 42) -> DataFrame:
+def shuffle_documents(df: DataFrame, seed: int = 42, id_col: str | None = None) -> DataFrame:
     """Deterministic doc-order shuffle (tokens/tokenizer.py:437-475 in-file
-    permutation → global rand(seed) ordering)."""
-    return df.orderBy(F.rand(seed))
+    permutation).
+
+    With ``id_col``, ordering is by md5(id:seed) — a keyed permutation that is
+    reproducible across runs AND partitionings (``F.rand(seed)`` is seeded
+    per-partition, so its order changes with the physical layout) and
+    portable to any engine with md5.  Without an id column it falls back to
+    rand(seed) (single fixed layout only)."""
+    if id_col is None:
+        return df.orderBy(F.rand(seed))
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    return df.orderBy(key)
 
 
 def shuffle_contexts(
