@@ -521,3 +521,14 @@ def test_stateful_streaming_sessions(spark, tmp_path):
     closed = full.join(last, "user_id").filter(F.col("session_start") != F.col("_last"))
     want = {(r.user_id, r.session_start, r.n_events, r.total_value) for r in closed.collect()}
     assert got == want and len(got) == 6
+
+
+def test_ftfy_fallback_labeled_and_cleans_controls(spark):
+    """Without the ftfy package the formatter applies the native subset and
+    MUST label rows non-parity in ftfy_backend."""
+    from datatrove_spark.operators import fix_text_encoding
+
+    df = spark.createDataFrame([(1, "ok\x00\x07text")], ["doc_id", "text"])
+    r = fix_text_encoding(df).collect()[0]
+    assert r.ftfy_backend == "native-fallback-nonparity"
+    assert r.text == "oktext"
