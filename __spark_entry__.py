@@ -244,6 +244,31 @@ def q_perplexity(spark, sf_dir):
     return out.select("doc_id", F.round("perplexity", 4).alias("perplexity"))
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CC-Net head/middle/tail split per language over the deterministic-LM
+    perplexities (same LM + rounding as q_perplexity, so the fixture supplies
+    the oracle's input values)."""
+    from datatrove_spark.kernels.perplexity import InterpolatedLM
+    from datatrove_spark.operators import annotate_perplexity
+    from datatrove_spark.operators.stats import perplexity_buckets
+
+    docs = _docs(spark, sf_dir)
+    sample = [
+        r.text
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(PERPLEXITY_SAMPLE)
+        .collect()
+    ]
+    lm = InterpolatedLM.train(sample)
+    ann = annotate_perplexity(docs, lm.to_dict(), text_col="text").withColumn(
+        "perplexity", F.round("perplexity", 4)
+    )
+    out = perplexity_buckets(ann, group_cols=["lang"])
+    return out.select("doc_id", "lang", "ppl_bucket")
+
+
 def q_doc_stats_by_source(spark, sf_dir):
     # avg is computed as one exact-integer sum divided by one exact count —
     # a single float division — so partial-aggregation order can never flip
@@ -600,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "unigram_logprob": q_unigram_logprob,
         "perplexity": q_perplexity,
+        "perplexity_buckets": q_perplexity_buckets,
         "doc_stats_by_source": q_doc_stats_by_source,
         "token_count_hist": q_token_count_hist,
         "top_sources": q_top_sources,
@@ -1198,4 +1224,24 @@ def oracle_sql() -> dict[str, str]:
         # not read from the sf dir)
         "code_quality": _fixture_values_sql("code/code_quality"),
         "code_pii_scrub": _fixture_values_sql("code/code_pii_scrub"),
+        # CC-Net bucketing: perplexity values come from the sequential
+        # fixture; the percentile split itself is real SQL (quantile_cont ==
+        # Spark's exact interpolated percentile)
+        "perplexity_buckets": f"""
+            WITH p AS ({_fixture_values_sql(f"sf{_expected_sf()}/perplexity")}),
+            j AS (
+              SELECT p.doc_id, d.lang, p.perplexity
+              FROM p JOIN documents d USING (doc_id)
+            ), c AS (
+              SELECT lang,
+                     quantile_cont(perplexity, {1 / 3!r}) AS lo,
+                     quantile_cont(perplexity, {2 / 3!r}) AS hi
+              FROM j GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang,
+                   CASE WHEN perplexity <= lo THEN 'head'
+                        WHEN perplexity <= hi THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM j JOIN c USING (lang)
+        """,
     }

@@ -1,0 +1,65 @@
+"""Dependency-free mojibake repair — the core of what FTFYFormatter fixes
+(reference formatters/ftfy.py:16-40 enables ``fix_encoding`` /
+``decode_inconsistent_utf8`` / ``fix_c1_controls`` and explicitly DISABLES
+the strict normalizers).
+
+This re-derives ftfy's dominant repair: UTF-8 bytes mis-decoded as
+cp1252/latin-1 ("Ã©" → "é", "â€™" → "’"), including the double-encoded case
+via a second pass.  The repair is conservative: a suspicious span is replaced
+only when its cp1252/latin-1 re-encoding decodes as STRICT valid UTF-8 —
+genuine accented text ("déjà vu") never round-trips that way and is left
+untouched, as are lone symbols like "€".
+
+Not full ftfy parity (no HTML unescape, no lossy-sequence heuristics, no
+terminal-escape removal); callers label output rows accordingly.
+"""
+
+from __future__ import annotations
+
+import re
+
+# a mojibake span: consecutive chars representable in cp1252/latin-1,
+# containing at least one non-ASCII char.  ASCII neighbors are included so
+# multi-char sequences like "â€™" stay in one span.
+_SUSPECT_RE = re.compile(r"[\x80-\xff€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ]+")
+
+
+def _span_to_bytes(span: str) -> bytes | None:
+    try:
+        return span.encode("cp1252")
+    except UnicodeEncodeError:
+        try:
+            return span.encode("latin-1")
+        except UnicodeEncodeError:
+            return None
+
+
+def _fix_once(text: str) -> str:
+    def repl(m: re.Match) -> str:
+        span = m.group(0)
+        raw = _span_to_bytes(span)
+        if raw is None:
+            return span
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return span
+        # strict UTF-8 decode of a >1-byte sequence always shrinks; equal
+        # length means pure ASCII (nothing to fix)
+        return fixed if len(fixed) < len(span) else span
+
+    return _SUSPECT_RE.sub(repl, text)
+
+
+def fix_mojibake(text: str, max_passes: int = 2) -> str:
+    """Repair UTF-8-as-cp1252 mojibake; a second pass handles double
+    encoding ("Ã¢â‚¬â„¢" → "â€™" → "’")."""
+    for _ in range(max_passes):
+        fixed = _fix_once(text)
+        if fixed == text:
+            break
+        text = fixed
+    return text
+
+
+__all__ = ["fix_mojibake"]

@@ -94,9 +94,10 @@ def fix_text_encoding(df: DataFrame, text_col: str = "text", out_col: str | None
     stray control-char removal).
 
     The backend actually used is recorded in the ``ftfy_backend`` output
-    column — the fallback is NOT ftfy-parity (it fixes control chars, not
-    mojibake), and downstream consumers must be able to tell which rows got
-    which treatment.
+    column.  The native fallback repairs the dominant mojibake class —
+    UTF-8-as-cp1252, incl. double encoding (kernels/mojibake.py) — plus stray
+    control chars, but is still labeled non-parity (no HTML unescape,
+    lossy-sequence heuristics, or terminal-escape removal).
     """
     try:
         import ftfy  # noqa: import-gated
@@ -110,6 +111,13 @@ def fix_text_encoding(df: DataFrame, text_col: str = "text", out_col: str | None
         out = df.withColumn(out_col or text_col, _udf(F.col(text_col)))
         return out.withColumn("ftfy_backend", F.lit("ftfy"))
     except ImportError:
-        cleaned = F.regexp_replace(F.col(text_col), r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
-        out = df.withColumn(out_col or text_col, cleaned)
+        from ..kernels.mojibake import fix_mojibake
+
+        ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+        @F.pandas_udf(StringType())
+        def _fallback(texts: pd.Series) -> pd.Series:
+            return texts.fillna("").map(lambda t: ctrl.sub("", fix_mojibake(t)))
+
+        out = df.withColumn(out_col or text_col, _fallback(F.col(text_col)))
         return out.withColumn("ftfy_backend", F.lit("native-fallback-nonparity"))

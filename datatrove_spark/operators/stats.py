@@ -286,6 +286,37 @@ def top_k_groups(
     return counted.orderBy(F.col(order_col).desc(), F.col(group_col).asc()).limit(k)
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    ppl_col: str = "perplexity",
+    group_cols: list[str] | None = None,
+    low: float = 1 / 3,
+    high: float = 2 / 3,
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CC-Net head/middle/tail bucketing (reference stats/perplexity_stats.py
+    + the CC-Net paper's per-language percentile split): documents at or
+    below the ``low`` percentile of their group are 'head', up to ``high``
+    'middle', above it 'tail'.
+
+    Cutoffs use EXACT interpolated percentiles (sort-based — deterministic,
+    unlike approx_percentile whose sketch merge is partition-dependent); the
+    per-group cutoff table is tiny and broadcast.
+    """
+    grp = list(group_cols or [])
+    cuts = (df.groupBy(*grp) if grp else df.groupBy()).agg(
+        F.percentile(ppl_col, F.lit(low)).alias("_lo"),
+        F.percentile(ppl_col, F.lit(high)).alias("_hi"),
+    )
+    joined = df.join(F.broadcast(cuts), grp) if grp else df.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col(ppl_col) <= F.col("_lo"), F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn(out_col, bucket).drop("_lo", "_hi")
+
+
 def drop_reason_summary(df: DataFrame) -> DataFrame:
     """Per-reason removal counts — the exclusion-writer side channel
     (base_filter.py:62-82) as one aggregation."""

@@ -371,3 +371,23 @@ def test_committed_expected_fixtures_are_current():
         fresh = me.GENERATORS[name](docs)
         committed = pq.read_table(os.path.join(repo, "tests", "expected", "sf0.001", f"{name}.parquet"))
         assert fresh.equals(committed), f"{name} fixture is stale — regenerate via tools/make_expected.py"
+
+
+def test_mojibake_repair():
+    """Native UTF-8-as-cp1252 repair (the FTFY fallback's core): fixes single
+    and double mis-decodes, never touches genuine non-ASCII text."""
+    from datatrove_spark.kernels.mojibake import fix_mojibake
+
+    assert fix_mojibake("Ã©tÃ©") == "été"
+    assert fix_mojibake("donâ€™t stop") == "don’t stop"
+    assert fix_mojibake("naÃ¯ve rÃ©sumÃ©") == "naïve résumé"
+    # programmatically constructed single + double encodings round-trip
+    for s in ("你好 world", "déjà vu — œuvre", "правда"):
+        single = s.encode("utf-8").decode("cp1252", errors="ignore")
+        if single.encode("cp1252", errors="ignore") == s.encode("utf-8"):
+            assert fix_mojibake(single) == s
+    double = "é".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+    assert fix_mojibake(double) == "é"
+    # precision: genuine accents / symbols / ascii unchanged
+    for clean in ("déjà vu", "€100 and £5", "plain ascii", "日本語テキスト"):
+        assert fix_mojibake(clean) == clean
