@@ -380,6 +380,32 @@ def q_word_stats_multilang(spark, sf_dir):
     )
 
 
+def q_regex_filter(spark, sf_dir):
+    from datatrove_spark.operators import regex_filter
+
+    out = regex_filter(_docs(spark, sf_dir), r"merge [a-z]+ vector")
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_sampler(spark, sf_dir):
+    from datatrove_spark.operators import sampler_filter
+
+    out = sampler_filter(_docs(spark, sf_dir), rate=0.35, seed=7, method="md5")
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_mime_filter(spark, sf_dir):
+    from datatrove_spark.operators.multimodal import mime_type_filter
+
+    mimes = ["text/plain", "image/png", "audio/wav", "application/pdf"]
+    df = _docs(spark, sf_dir).withColumn(
+        "mime",
+        F.element_at(F.array(*[F.lit(m) for m in mimes]), (F.col("doc_id") % 4 + 1).cast("int")),
+    )
+    out = mime_type_filter(df, ["text/plain", "image/png"], mime_col="mime")
+    return out.select("doc_id", "mime", "keep", "drop_reason")
+
+
 def q_word_stats(spark, sf_dir):
     from datatrove_spark.operators import with_word_stats
 
@@ -635,6 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
         "lambda_filter": q_lambda_filter,
+        "regex_filter": q_regex_filter,
+        "sampler": q_sampler,
+        "mime_filter": q_mime_filter,
         "doc_shuffle": q_doc_shuffle,
         "summary_by_lang": q_summary_by_lang,
         "word_stats_multilang": q_word_stats_multilang,
@@ -1115,6 +1144,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (n_chars % 3 <> 0) AS keep,
                    CASE WHEN n_chars % 3 = 0 THEN 'len_mod3' END AS drop_reason
             FROM documents
+        """,
+        "regex_filter": """
+            SELECT doc_id,
+                   NOT regexp_matches(text, 'merge [a-z]+ vector') AS keep,
+                   CASE WHEN regexp_matches(text, 'merge [a-z]+ vector')
+                        THEN 'regex_match' END AS drop_reason
+            FROM documents
+        """,
+        "sampler": f"""
+            SELECT doc_id,
+                   substring(md5(doc_id::VARCHAR || ':7'), 1, 8) < '{format(int(0.35 * 0xFFFFFFFF), "08x")}' AS keep,
+                   CASE WHEN NOT substring(md5(doc_id::VARCHAR || ':7'), 1, 8) < '{format(int(0.35 * 0xFFFFFFFF), "08x")}'
+                        THEN 'sampler' END AS drop_reason
+            FROM documents
+        """,
+        "mime_filter": """
+            WITH m AS (
+              SELECT doc_id,
+                     ['text/plain', 'image/png', 'audio/wav', 'application/pdf'][(doc_id % 4 + 1)::INT] AS mime
+              FROM documents
+            )
+            SELECT doc_id, mime,
+                   mime IN ('text/plain', 'image/png') AS keep,
+                   CASE WHEN mime NOT IN ('text/plain', 'image/png') THEN 'mime_type' END AS drop_reason
+            FROM m
         """,
         "doc_shuffle": """
             SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS shuffle_key

@@ -164,9 +164,21 @@ def length_filter(
     return apply_native_filter(df, n <= max_chars, "too_long")
 
 
-def sampler_filter(df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+def sampler_filter(
+    df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id", method: str = "xxhash"
+) -> DataFrame:
     """Deterministic Bernoulli sampling via hash-of-id (sampler_filter.py:8-28;
-    hash randomness replaces the RNG stream for partition-independence)."""
+    hash randomness replaces the RNG stream for partition-independence).
+
+    ``method='md5'`` keys the decision on md5(id:seed) compared against a
+    hex threshold — engine-portable (identical in any SQL engine with md5),
+    used where the sampling decision itself must be reproducible outside
+    Spark; 'xxhash' is the cheaper JVM-native default.
+    """
+    if method == "md5":
+        key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+        threshold = format(int(rate * 0xFFFFFFFF), "08x")
+        return apply_native_filter(df, F.substring(key, 1, 8) < threshold, "sampler")
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
     return apply_native_filter(df, bucket < int(rate * 1_000_000), "sampler")
 
