@@ -406,6 +406,17 @@ def q_mime_filter(spark, sf_dir):
     return out.select("doc_id", "mime", "keep", "drop_reason")
 
 
+def q_fqdn_topk(spark, sf_dir):
+    """fqdn/suffix grouping keys + distributed top-k (reference stats/base.py
+    fqdn grouping via tldextract → native parse_url)."""
+    from datatrove_spark.operators import top_k_groups
+    from datatrove_spark.operators.stats import with_url_parts
+
+    df = _docs(spark, sf_dir).withColumn("url", F.expr(URLIFY))
+    out = with_url_parts(df)
+    return top_k_groups(out, "fqdn", k=8)
+
+
 def q_word_stats(spark, sf_dir):
     from datatrove_spark.operators import with_word_stats
 
@@ -660,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
+        "fqdn_topk": q_fqdn_topk,
         "lambda_filter": q_lambda_filter,
         "regex_filter": q_regex_filter,
         "sampler": q_sampler,
@@ -1144,6 +1156,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (n_chars % 3 <> 0) AS keep,
                    CASE WHEN n_chars % 3 = 0 THEN 'len_mod3' END AS drop_reason
             FROM documents
+        """,
+        "fqdn_topk": """
+            WITH f AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END || source || '.com' AS fqdn
+              FROM documents
+            ), counted AS (
+              SELECT fqdn, count(*) AS n FROM f GROUP BY fqdn
+            )
+            SELECT fqdn, n FROM counted ORDER BY n DESC, fqdn ASC LIMIT 8
         """,
         "regex_filter": """
             SELECT doc_id,
