@@ -526,6 +526,15 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_ivf_ann(spark, sf_dir):
+    from datatrove_spark.operators import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, n_lists=16, n_probe=8
+    )
+
+
 def q_tokenized_lengths(spark, sf_dir):
     from datatrove_spark.operators import tokenize_documents
 
@@ -687,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_filter": q_classifier_filter,
         "fingerprint_dups": q_fingerprint_dups,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "tokenized_lengths": q_tokenized_lengths,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1293,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
                 "classifier_filter",
                 "fingerprint_dups",
                 "lsh_ann",
+                "ivf_ann",
             )
         },
         # code-corpus fixtures are sf-independent (the corpus is synthesized,

@@ -4,6 +4,7 @@ from .ann import (  # noqa: F401
     cosine_topk,
     embedding_neardup,
     embedding_neardup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
     with_lsh_bucket,
     with_unit_norm,

@@ -178,6 +178,96 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_centroids(vecs: "np.ndarray", k: int, seed: int, iters: int = 10) -> "np.ndarray":
+    """Plain deterministic Lloyd k-means on unit-normalized vectors (numpy,
+    driver-side over a bounded sample — the IVF coarse quantizer)."""
+    gen = np.random.default_rng(seed)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    unit = vecs / np.maximum(norms, 1e-12)
+    cents = unit[gen.choice(len(unit), size=k, replace=False)]
+    for _ in range(iters):
+        sims = unit @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer (trained on a
+    BOUNDED driver sample, centroids broadcast in the UDF closure) assigns
+    each corpus vector to its nearest centroid list; a query scores only the
+    vectors in its ``n_probe`` nearest lists.
+
+    The 100 TB shape: one bounded sample for training, one map-side
+    list-assignment pass over the corpus, then an equi-join on list id —
+    scan cost drops by ~n_lists/n_probe with recall controlled by n_probe
+    (n_probe = n_lists degenerates to exact brute force).
+    """
+    # deterministic sample: ordered by id — a bare limit() follows partition
+    # order and would make the trained centroids layout-dependent
+    sample = np.stack(
+        [
+            np.asarray(r[1], dtype="float64")
+            for r in df.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+        ]
+    )
+    cents = _kmeans_centroids(sample, n_lists, seed)
+
+    def assign_udf(n_best: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _udf(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype("float64")
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :n_best]
+            return pd.Series([[int(x) for x in row] for row in order])
+
+        return _udf
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        F.explode(assign_udf(1)(F.col(vec_col))).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        F.explode(assign_udf(n_probe)(F.col(vec_col))).alias("list_id"),
+    )
+    joined = (
+        corpus.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("_cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(F.aggregate(F.col("_qvec"), F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate(F.col("_cvec"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,

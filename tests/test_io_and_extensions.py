@@ -532,3 +532,28 @@ def test_ftfy_fallback_labeled_and_cleans_controls(spark):
     r = fix_text_encoding(df).collect()[0]
     assert r.ftfy_backend == "native-fallback-nonparity"
     assert r.text == "oktext"
+
+
+def test_ivf_cosine_topk_recall(spark):
+    """IVF coarse-quantized ANN: recall@10 vs exact brute force well above
+    the single-probe baseline, candidate set a fraction of the corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ops.cosine_topk(emb, queries, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ops.ivf_cosine_topk(emb, queries, dim=64, k=10, n_lists=16, n_probe=8).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6  # half the lists probed -> high recall on 500 vecs
+
+    # full probe degenerates to exact
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ops.ivf_cosine_topk(emb, queries, dim=64, k=10, n_lists=16, n_probe=16).collect()
+    }
+    assert full == exact

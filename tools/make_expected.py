@@ -466,7 +466,9 @@ def main() -> None:
         docs = _docs(sf_dir)
         for name, gen in GENERATORS.items():
             _write(sf_dir, name, gen(docs))
-        _write(sf_dir, "lsh_ann", gen_lsh_ann(_emb(sf_dir)))
+        emb = _emb(sf_dir)
+        _write(sf_dir, "lsh_ann", gen_lsh_ann(emb))
+        _write(sf_dir, "ivf_ann", gen_ivf_ann(emb))
     print("== code corpus (sf-independent)")
     _write_code("code_quality", gen_code_quality())
     _write_code("code_pii_scrub", gen_code_pii_scrub())
@@ -474,3 +476,38 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def gen_ivf_ann(emb: pd.DataFrame, k: int = 10, n_lists: int = 16, n_probe: int = 8, seed: int = 7) -> pa.Table:
+    """Sequential IVF replication: same coarse quantizer (shared numpy
+    kmeans), dataflow re-derived with plain loops."""
+    from datatrove_spark.operators.ann import _kmeans_centroids
+
+    emb = emb.sort_values("vec_id")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    ids = emb["vec_id"].to_numpy()
+    cents = _kmeans_centroids(vecs, n_lists, seed)
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sims = unit @ cents.T
+    corpus_list = sims.argmax(axis=1)
+    norms = np.linalg.norm(vecs, axis=1)
+    rows = []
+    for qi in [i for i, v in enumerate(ids) if v < 5]:
+        probe = set(np.argsort(-sims[qi])[:n_probe].tolist())
+        scored = []
+        for ci in range(len(ids)):
+            if ci == qi or int(corpus_list[ci]) not in probe:
+                continue
+            cos = float(vecs[qi] @ vecs[ci] / (norms[qi] * norms[ci]))
+            scored.append((round(cos, 6), int(ids[ci])))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (score, nid) in enumerate(scored[:k], start=1):
+            rows.append((int(ids[qi]), nid, score, rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+            "rank": pa.array([r[3] for r in rows], pa.int32()),
+        }
+    )
