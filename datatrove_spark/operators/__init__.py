@@ -77,6 +77,7 @@ from .stats import (  # noqa: F401
     words_contamination,
 )
 from .tokens import (  # noqa: F401
+    merge_ds_shards,
     read_ds,
     read_ds_loss,
     read_megatron,

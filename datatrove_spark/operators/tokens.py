@@ -260,6 +260,86 @@ def read_megatron(base_path: str) -> list[list[int]]:
     ]
 
 
+def merge_ds_shards(
+    in_dir: str,
+    out_dir: str,
+    max_tokens_per_file: int | None = None,
+    token_size: int = 2,
+    save_filename: str = "merged",
+    shuffle_seed: int | None = None,
+) -> list[str]:
+    """Merge ``.ds`` shards into size-bounded output files (reference
+    DocumentTokenizerMerger, tokens/merger.py + tokenizer.py:216-219): doc
+    byte ranges are COPIED between files — tokens are never re-encoded — and
+    each output gets a rebuilt ``.ds.index``.  ``max_tokens_per_file`` splits
+    outputs the way the reference's merger does; ``shuffle_seed`` applies the
+    deterministic keyed permutation to the doc order before packing.
+
+    Runs on one node over the shard files (the merge is IO-bound file
+    surgery, exactly like the reference's merger stage); the distributed
+    work happened upstream in write_tokenized_binary.
+    """
+    import glob
+    import hashlib
+    import os
+    import struct
+
+    shards = sorted(glob.glob(os.path.join(in_dir, "*.ds")))
+    docs: list[tuple[str, int, int]] = []  # (shard_path, byte_start, byte_end)
+    for shard in shards:
+        with open(shard + ".index", "rb") as f:
+            raw = f.read()
+        ends = struct.unpack("<%dQ" % (len(raw) // 8), raw)
+        start = 0
+        for end in ends:
+            docs.append((shard, start * token_size, end * token_size))
+            start = end
+    if shuffle_seed is not None:
+        docs.sort(
+            key=lambda d: hashlib.md5(
+                f"{d[0]}:{d[1]}:{shuffle_seed}".encode()
+            ).hexdigest()
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    outputs: list[str] = []
+    out_f = None
+    doc_ends: list[int] = []
+    written_tokens = 0
+
+    def _close():
+        nonlocal out_f
+        if out_f is None:
+            return
+        out_f.close()
+        with open(outputs[-1] + ".index", "wb") as idx:
+            idx.write(struct.pack("<%dQ" % len(doc_ends), *doc_ends))
+        out_f = None
+
+    handles: dict[str, object] = {}
+    for shard, b0, b1 in docs:
+        n_tokens = (b1 - b0) // token_size
+        if out_f is None or (
+            max_tokens_per_file and written_tokens + n_tokens > max_tokens_per_file and doc_ends
+        ):
+            _close()
+            outputs.append(os.path.join(out_dir, f"{save_filename}_{len(outputs):05d}.ds"))
+            out_f = open(outputs[-1], "wb")
+            doc_ends = []
+            written_tokens = 0
+        src = handles.get(shard)
+        if src is None:
+            src = handles[shard] = open(shard, "rb")
+        src.seek(b0)
+        out_f.write(src.read(b1 - b0))
+        written_tokens += n_tokens
+        doc_ends.append(written_tokens)
+    _close()
+    for h in handles.values():
+        h.close()
+    return outputs
+
+
 def read_ds(path: str, token_size: int = 2) -> list[list[int]]:
     """Round-trip reader for one ``.ds`` shard (+ its ``.index``): returns the
     per-document token-id lists.  Mirrors the reference merger's read side

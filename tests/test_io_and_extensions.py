@@ -557,3 +557,32 @@ def test_ivf_cosine_topk_recall(spark):
         for r in ops.ivf_cosine_topk(emb, queries, dim=64, k=10, n_lists=16, n_probe=16).collect()
     }
     assert full == exact
+
+
+def test_merge_ds_shards(spark, tmp_path):
+    """Merger: byte-range copies between .ds files, size-bounded outputs,
+    rebuilt indexes — round-trips the full doc set exactly."""
+    from datatrove_spark.operators import (
+        merge_ds_shards,
+        read_ds,
+        tokenize_documents,
+        write_tokenized_binary,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"merger doc {i} extra words {i}") for i in range(30)], ["doc_id", "text"]
+    ).repartition(4)
+    tok = tokenize_documents(df)
+    shard_dir, merged_dir = str(tmp_path / "shards"), str(tmp_path / "merged")
+    write_tokenized_binary(tok, shard_dir).collect()
+
+    outputs = merge_ds_shards(shard_dir, merged_dir, max_tokens_per_file=60, shuffle_seed=5)
+    assert len(outputs) > 1  # size bound forced a split
+    docs = []
+    for o in outputs:
+        docs.extend(read_ds(o))
+    expected = sorted([list(r.token_ids) for r in tok.collect()])
+    assert sorted(docs) == expected
+    # deterministic shuffle: same seed -> same packing
+    outputs2 = merge_ds_shards(shard_dir, str(tmp_path / "merged2"), max_tokens_per_file=60, shuffle_seed=5)
+    assert [read_ds(o) for o in outputs] == [read_ds(o) for o in outputs2]
