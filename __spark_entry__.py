@@ -1320,8 +1320,8 @@ def oracle_sql() -> dict[str, str]:
               FROM p JOIN documents d USING (doc_id)
             ), c AS (
               SELECT lang,
-                     quantile_cont(perplexity, {1 / 3!r}) AS lo,
-                     quantile_cont(perplexity, {2 / 3!r}) AS hi
+                     round(quantile_cont(perplexity, {1 / 3!r}), 6) AS lo,
+                     round(quantile_cont(perplexity, {2 / 3!r}), 6) AS hi
               FROM j GROUP BY lang
             )
             SELECT j.doc_id, j.lang,

@@ -304,9 +304,12 @@ def perplexity_buckets(
     per-group cutoff table is tiny and broadcast.
     """
     grp = list(group_cols or [])
+    # cutoffs rounded to 6dp: linear-interpolation FORMULAS differ across
+    # engines in the last ulp ((1-f)*a+f*b vs a+f*(b-a)), and a document
+    # sitting exactly on the cutoff would flip buckets otherwise
     cuts = (df.groupBy(*grp) if grp else df.groupBy()).agg(
-        F.percentile(ppl_col, F.lit(low)).alias("_lo"),
-        F.percentile(ppl_col, F.lit(high)).alias("_hi"),
+        F.round(F.percentile(ppl_col, F.lit(low)), 6).alias("_lo"),
+        F.round(F.percentile(ppl_col, F.lit(high)), 6).alias("_hi"),
     )
     joined = df.join(F.broadcast(cuts), grp) if grp else df.crossJoin(F.broadcast(cuts))
     bucket = (
