@@ -269,6 +269,24 @@ def q_perplexity_buckets(spark, sf_dir):
     return out.select("doc_id", "lang", "ppl_bucket")
 
 
+def q_lang_stats(spark, sf_dir):
+    """LangStats (reference stats/lang_stats.py): per-detected-language doc
+    counts + mean LID confidence.  Scores sum in exact decimal so the mean
+    is aggregation-order-safe."""
+    from datatrove_spark.operators import annotate_language
+
+    ann = annotate_language(_docs(spark, sf_dir), text_col="text").withColumn(
+        "language_score", F.round("language_score", 4)
+    )
+    dec = F.col("language_score").cast("decimal(20,6)")
+    return ann.groupBy("language").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(dec) / F.count("*"), 6).cast("double").alias("mean_score"),
+        F.round(F.min("language_score"), 4).alias("min_score"),
+        F.round(F.max("language_score"), 4).alias("max_score"),
+    )
+
+
 def q_doc_stats_by_source(spark, sf_dir):
     # avg is computed as one exact-integer sum divided by one exact count —
     # a single float division — so partial-aggregation order can never flip
@@ -669,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decont": q_ngram_decont,
         "stopword_lid": q_stopword_lid,
         "language_id": q_language_id,
+        "lang_stats": q_lang_stats,
         "unigram_logprob": q_unigram_logprob,
         "perplexity": q_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
@@ -1310,6 +1329,16 @@ def oracle_sql() -> dict[str, str]:
         # not read from the sf dir)
         "code_quality": _fixture_values_sql("code/code_quality"),
         "code_pii_scrub": _fixture_values_sql("code/code_pii_scrub"),
+        # LangStats: per-language aggregation is real SQL over the
+        # sequential-fixture LID outputs
+        "lang_stats": f"""
+            WITH l AS ({_fixture_values_sql(f"sf{_expected_sf()}/language_id")})
+            SELECT language, count(*) AS n_docs,
+                   round(sum(language_score::DECIMAL(20,6)) / count(*), 6)::DOUBLE AS mean_score,
+                   round(min(language_score), 4) AS min_score,
+                   round(max(language_score), 4) AS max_score
+            FROM l GROUP BY language
+        """,
         # CC-Net bucketing: perplexity values come from the sequential
         # fixture; the percentile split itself is real SQL (quantile_cont ==
         # Spark's exact interpolated percentile)
