@@ -184,6 +184,7 @@ def _kmeans_centroids(vecs: "np.ndarray", k: int, seed: int, iters: int = 10) ->
     gen = np.random.default_rng(seed)
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
     unit = vecs / np.maximum(norms, 1e-12)
+    k = min(k, len(unit))  # degenerate tiny corpora: one list per vector
     cents = unit[gen.choice(len(unit), size=k, replace=False)]
     for _ in range(iters):
         sims = unit @ cents.T
