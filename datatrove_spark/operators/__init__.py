@@ -62,6 +62,8 @@ from .multimodal import (  # noqa: F401
     attach_media_metadata,
     extract_media_features,
     mime_type_filter,
+    read_media_folder,
+    sniff_mime,
 )
 from .stats import (  # noqa: F401
     drop_reason_summary,

@@ -586,3 +586,26 @@ def test_merge_ds_shards(spark, tmp_path):
     # deterministic shuffle: same seed -> same packing
     outputs2 = merge_ds_shards(shard_dir, str(tmp_path / "merged2"), max_tokens_per_file=60, shuffle_seed=5)
     assert [read_ds(o) for o in outputs] == [read_ds(o) for o in outputs2]
+
+
+def test_read_media_folder(spark, tmp_path):
+    """binaryFile-based media ingestion: mime sniffed from magic bytes (even
+    with lying extensions), typed media struct attached, payload intact."""
+    from datatrove_spark.operators import read_media_folder
+
+    media = tmp_path / "media"
+    media.mkdir()
+    png = b"\x89PNG\r\n\x1a\n" + b"fakepngdata" * 10
+    (media / "a.png").write_bytes(png)
+    (media / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"fakejpeg" * 5)
+    (media / "c.wav").write_bytes(b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 16)
+    (media / "liar.png").write_bytes(b"ID3\x03" + b"mp3frames" * 4)  # mp3 named .png
+
+    df = read_media_folder(spark, str(media))
+    rows = {r.doc_id.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["a.png"].mime == "image/png" and rows["a.png"].media.kind == "image"
+    assert rows["b.jpg"].mime == "image/jpeg"
+    assert rows["c.wav"].mime == "audio/wav" and rows["c.wav"].media.kind == "audio"
+    assert rows["liar.png"].mime == "audio/mpeg"  # magic bytes beat extension
+    assert bytes(rows["a.png"].payload) == png
+    assert rows["a.png"].media.n_bytes == len(png)
