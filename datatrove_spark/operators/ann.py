@@ -289,10 +289,16 @@ def embedding_neardup_pairs(
     τ=0.98 with b=8, L=12 the per-pair miss probability is ~2e-5, i.e. exact
     in expectation on any test corpus while pruning >95% of the pair space.
     """
-    keyed = with_lsh_tables(df, dim, n_planes, n_tables, seed, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        F.explode("lsh_keys").alias("lsh_key"),
+    # lazy checkpoint: the keyed table feeds BOTH self-join sides — without it
+    # the LSH UDF is re-evaluated per side (verified via explain)
+    keyed = (
+        with_lsh_tables(df, dim, n_planes, n_tables, seed, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.explode("lsh_keys").alias("lsh_key"),
+        )
+        .localCheckpoint(eager=False)
     )
     l, r = keyed.alias("l"), keyed.alias("r")
     cand = (
@@ -332,8 +338,10 @@ def embedding_neardup(
     shared LSH bucket, exact cosine verify, min-id survives per pair-graph
     (transitively via repeated application the graph is near-clique)."""
     df = ensure_channel(df)
-    b = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "lsh_bucket"
+    b = (
+        with_lsh_bucket(df, dim, n_planes, seed, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "lsh_bucket")
+        .localCheckpoint(eager=False)  # bucket UDF once, not per join side
     )
     l, r = b.alias("l"), b.alias("r")
     dot = F.aggregate(

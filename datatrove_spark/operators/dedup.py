@@ -431,9 +431,10 @@ def sentence_dedup(
         return pd.Series([_span_hashes(t, n_sentences) for t in texts.fillna("")])
 
     _spans_udf = _spans_udf.asNondeterministic()  # see minhash_band_table
-    with_spans = df.withColumn("_spans", _spans_udf(F.col(text_col)))
-    spans = with_spans.select(
-        F.col(id_col).alias("id"), F.explode("_spans").alias("s")
+    # span UDF confined to this branch (join-back uses the original frame) —
+    # carrying the column would re-evaluate the UDF per consumer
+    spans = df.select(
+        F.col(id_col).alias("id"), F.explode(_spans_udf(F.col(text_col))).alias("s")
     ).select("id", F.col("s.span_hash").alias("span_hash"), F.col("s.sent_idx").alias("sent_idx"))
 
     if index_df is not None:
@@ -479,7 +480,7 @@ def sentence_dedup(
         )
         losers = merged
 
-    joined = with_spans.join(losers, with_spans[id_col] == losers["id"], "left").drop("id")
+    joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
 
     rewrite_schema = StructType(
         [StructField("text", StringType(), True), StructField("n_words", IntegerType(), False)]
@@ -512,7 +513,7 @@ def sentence_dedup(
         joined = apply_native_filter(
             joined, F.col("_rw.n_words") >= min_words_to_keep_doc, "sentence_dedup_too_short"
         )
-    return joined.drop("_rw", "_remove_idx", "_spans")
+    return joined.drop("_rw", "_remove_idx")
 
 
 # --------------------------------------------------------------------------
@@ -583,10 +584,13 @@ def exact_substring_dedup(
             out.append(wins)
         return pd.Series(out)
 
-    with_wins = df.withColumn("_wins", _windows_udf.asNondeterministic()(F.col(text_col)))
-    wins = with_wins.select(F.col(id_col).alias("id"), F.explode("_wins").alias("w")).select(
-        "id", F.col("w.win_hash").alias("win_hash"), F.col("w.tok_idx").alias("tok_idx")
-    )
+    # the window UDF lives ONLY in this branch — carrying its column into the
+    # join-back frame would re-evaluate it per consumer (verified via
+    # explain: 2x ArrowEvalPython before this split)
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_windows_udf.asNondeterministic()(F.col(text_col))).alias("w"),
+    ).select("id", F.col("w.win_hash").alias("win_hash"), F.col("w.tok_idx").alias("tok_idx"))
     # duplicated windows only (map-side combine keeps the groupBy skew-free)
     owners = (
         wins.groupBy("win_hash")
@@ -600,7 +604,7 @@ def exact_substring_dedup(
         .groupBy("id")
         .agg(F.collect_set("tok_idx").alias("_rm_idx"))
     )
-    joined = with_wins.join(losers, with_wins[id_col] == losers["id"], "left").drop("id")
+    joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
 
     @F.pandas_udf(StringType())
     def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.Series:
@@ -621,7 +625,7 @@ def exact_substring_dedup(
         return pd.Series(out)
 
     joined = joined.withColumn(text_col, _rewrite_udf(F.col(text_col), F.col("_rm_idx")))
-    return joined.drop("_rm_idx", "_wins")
+    return joined.drop("_rm_idx")
 
 
 # --------------------------------------------------------------------------

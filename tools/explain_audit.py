@@ -49,7 +49,19 @@ def main() -> None:
     pipe = quality_pipeline(docs, QualityPipelineConfig(text_col="text", languages=("en",)))
     audit("quality_pipeline kept(doc_id, sha)", pipe.filter(F.col("keep")).select("doc_id", "content_sha256"))
     audit("minhash_dedup", minhash_dedup(docs, text_col="text"))
-    for q in ("lineitem_pricing", "ngram_decont", "exact_dedup", "events_sessions", "ann_cosine_topk"):
+    for q in (
+        "lineitem_pricing",
+        "ngram_decont",
+        "exact_dedup",
+        "events_sessions",
+        "ann_cosine_topk",
+        "exact_substrings",
+        "embedding_neardup",
+        "ivf_ann",
+        "unigram_logprob",
+        "top_sources",
+        "code_quality",
+    ):
         audit(q, m.queries()[q](spark, sf_dir))
     spark.stop()
 
