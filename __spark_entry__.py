@@ -269,6 +269,22 @@ def q_perplexity_buckets(spark, sf_dir):
     return out.select("doc_id", "lang", "ppl_bucket")
 
 
+def q_doc_stats(spark, sf_dir):
+    """Per-doc char-class ratios (reference stats/doc_stats.py fields) — the
+    native with_doc_stats operator against char-class SQL."""
+    from datatrove_spark.operators import with_doc_stats
+
+    out = with_doc_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "length",
+        F.round("white_space_ratio", 6).alias("white_space_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("uppercase_ratio", 6).alias("uppercase_ratio"),
+        F.round("non_alpha_digit_ratio", 6).alias("non_alpha_digit_ratio"),
+    )
+
+
 def q_lang_stats(spark, sf_dir):
     """LangStats (reference stats/lang_stats.py): per-detected-language doc
     counts + mean LID confidence.  Scores sum in exact decimal so the mean
@@ -691,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "perplexity": q_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
+        "doc_stats": q_doc_stats,
         "doc_stats_by_source": q_doc_stats_by_source,
         "token_count_hist": q_token_count_hist,
         "top_sources": q_top_sources,
@@ -990,6 +1007,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(ln(p)), 6) AS logprob
             FROM words JOIN freq USING (word)
             GROUP BY doc_id
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   len(text) AS length,
+                   round((len(text) - len(regexp_replace(text, '\\s', '', 'g')))::DOUBLE
+                         / greatest(len(text), 1), 6) AS white_space_ratio,
+                   round((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                         / greatest(len(text), 1), 6) AS digit_ratio,
+                   round((len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                         / greatest(len(text), 1), 6) AS uppercase_ratio,
+                   round(len(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))::DOUBLE
+                         / greatest(len(text), 1), 6) AS non_alpha_digit_ratio
+            FROM documents
         """,
         "doc_stats_by_source": """
             SELECT source,
