@@ -790,10 +790,18 @@ def _fixture_values_sql(rel: str) -> str:
 
     float literals use repr() (shortest round-trip form), so parsing them as
     exact decimals and casting to DOUBLE reproduces the original bits.
+
+    Fail-soft: a missing/corrupt fixture degrades to a visibly-failing oracle
+    for THAT query only — it must never throw here, which would take down the
+    whole oracle dict.
     """
     import pyarrow.parquet as pq
 
-    table = pq.read_table(f"/root/repo/tests/expected/{rel}.parquet")
+    try:
+        table = pq.read_table(f"/root/repo/tests/expected/{rel}.parquet")
+    except Exception as exc:  # noqa: BLE001 — degrade, never propagate
+        reason = str(exc).replace("'", "''")[:120]
+        return f"SELECT 'fixture {rel} unavailable: {reason}' AS error WHERE FALSE"
     cols = table.column_names
     types = [_SQL_TYPES[str(f.type)] for f in table.schema]
 

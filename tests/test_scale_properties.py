@@ -148,3 +148,23 @@ def test_context_shuffle_partition_independence(spark):
     a = [(r.doc_id, r.context_idx, r.context) for r in shuffle_contexts(df1, 4).collect()]
     b = [(r.doc_id, r.context_idx, r.context) for r in shuffle_contexts(df4, 4).collect()]
     assert a == b  # identical shuffled ORDER, not just the same set
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(TEXT)
+def test_mojibake_never_raises_and_preserves_ascii(text):
+    from datatrove_spark.kernels.mojibake import fix_mojibake
+
+    fixed = fix_mojibake(text)
+    assert isinstance(fixed, str)
+    if text.isascii():
+        assert fixed == text  # pure ASCII can never be mojibake
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(TEXT)
+def test_sniff_mime_never_raises(text):
+    from datatrove_spark.operators.multimodal import sniff_mime
+
+    mime = sniff_mime(text.encode("utf-8", "ignore"), "x.bin")
+    assert isinstance(mime, str) and "/" in mime
