@@ -17,3 +17,8 @@ audit:
 
 zip:
 	python -c "import sys; sys.path.insert(0,'tools'); from scaling_bench import build_zip; print(build_zip())"
+
+fixtures:
+	python tools/make_expected.py
+
+verify: test oracles bench
