@@ -334,6 +334,18 @@ def q_top_sources(spark, sf_dir):
     return top_k_groups(_docs(spark, sf_dir), "source", k=5)
 
 
+def q_quality_multilingual(spark, sf_dir):
+    """The MULTILINGUAL fused production pipeline in the gate: language-open
+    LID (threshold 0.3), per-detected-language tokenizer + stop words."""
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    cfg = QualityPipelineConfig(
+        text_col="text", languages=None, language_threshold=0.3, multilingual=True
+    )
+    out = quality_pipeline(_docs(spark, sf_dir), cfg)
+    return out.select("doc_id", "keep", "drop_reason", "language")
+
+
 def q_pipeline_summary(spark, sf_dir):
     from datatrove_spark.operators import drop_reason_summary
     from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
@@ -712,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_hist": q_token_count_hist,
         "top_sources": q_top_sources,
         "pipeline_summary": q_pipeline_summary,
+        "quality_multilingual": q_quality_multilingual,
         "c4_paragraphs": q_c4_paragraphs,
         "line_stats": q_line_stats,
         "url_filter": q_url_filter,
@@ -1361,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
                 "fingerprint_dups",
                 "lsh_ann",
                 "ivf_ann",
+                "quality_multilingual",
             )
         },
         # code-corpus fixtures are sf-independent (the corpus is synthesized,

@@ -293,6 +293,51 @@ def gen_pipeline_summary(docs: pd.DataFrame) -> pa.Table:
     )
 
 
+def gen_quality_multilingual(docs: pd.DataFrame) -> pa.Table:
+    """Sequential reference of the MULTILINGUAL fused pipeline: language-open
+    LID gate (threshold 0.3), per-detected-language tokenizer + stop words."""
+    from datatrove_spark.kernels import CODE_C4_QUALITY, DEFAULT_GOPHER_QUALITY, PiiScrubber
+    from datatrove_spark.kernels.fineweb import DEFAULT_FINEWEB_QUALITY
+    from datatrove_spark.kernels.lid import default_lid
+    from datatrove_spark.operators.fused import evaluate_document
+
+    lid = default_lid()
+    scrubber = PiiScrubber(remove_phones=True)
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"].fillna("")):
+        res = evaluate_document(
+            t,
+            min_chars=10,
+            max_chars=1_000_000,
+            lang_set=None,
+            language_threshold=0.3,
+            gopher_cfg=DEFAULT_GOPHER_QUALITY,
+            c4_cfg=CODE_C4_QUALITY,
+            fineweb_cfg=DEFAULT_FINEWEB_QUALITY,
+            lid=lid,
+            lm=None,
+            scrubber=scrubber,
+            max_perplexity=None,
+            multilingual=True,
+        )
+        rows.append(
+            {
+                "doc_id": int(doc_id),
+                "keep": res["keep"],
+                "drop_reason": res["drop_reason"],
+                "language": res["language"],
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "keep": pa.array([r["keep"] for r in rows], pa.bool_()),
+            "drop_reason": pa.array([r["drop_reason"] for r in rows], pa.string()),
+            "language": pa.array([r["language"] for r in rows], pa.string()),
+        }
+    )
+
+
 def gen_classifier_filter(docs: pd.DataFrame) -> pa.Table:
     from datatrove_spark.kernels.lid import NgramBayesLID
 
@@ -455,6 +500,7 @@ GENERATORS = {
     "perplexity": gen_perplexity,
     "pipeline_summary": gen_pipeline_summary,
     "classifier_filter": gen_classifier_filter,
+    "quality_multilingual": gen_quality_multilingual,
     "fingerprint_dups": gen_fingerprint_dups,
 }
 
