@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..kernels import (
