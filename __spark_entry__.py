@@ -463,6 +463,42 @@ def q_fqdn_topk(spark, sf_dir):
     return top_k_groups(out, "fqdn", k=8)
 
 
+def q_symbol_lines(spark, sf_dir):
+    """SymbolLinesFormatter: symbol-only lines collapsed; verified via line
+    count + length of the rewritten text."""
+    from datatrove_spark.operators import symbol_lines_remover
+
+    df = _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.concat(
+            F.expr(LINEIFY),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\n!!! --- ***\nreal tail line")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = symbol_lines_remover(df, text_col="text2")
+    return out.select(
+        "doc_id",
+        F.size(F.split("text2", "\n")).alias("n_lines_after"),
+        F.length("text2").alias("n_chars_after"),
+    )
+
+
+def q_para_sent_stats(spark, sf_dir):
+    from datatrove_spark.operators.stats import with_paragraph_sentence_stats
+
+    df = _docs(spark, sf_dir).withColumn("text2", F.expr(SENTENCIFY))
+    out = with_paragraph_sentence_stats(df, text_col="text2")
+    return out.select(
+        "doc_id",
+        "n_paragraphs",
+        F.round("avg_paragraph_length", 6).alias("avg_paragraph_length"),
+        "n_sentences",
+        F.round("avg_sentence_length", 6).alias("avg_sentence_length"),
+    )
+
+
 def q_word_stats(spark, sf_dir):
     from datatrove_spark.operators import with_word_stats
 
@@ -730,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "word_stats": q_word_stats,
         "fqdn_topk": q_fqdn_topk,
+        "symbol_lines": q_symbol_lines,
+        "para_sent_stats": q_para_sent_stats,
         "lambda_filter": q_lambda_filter,
         "regex_filter": q_regex_filter,
         "sampler": q_sampler,
@@ -1237,6 +1275,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_chars % 3 = 0 THEN 'len_mod3' END AS drop_reason
             FROM documents
         """,
+        "symbol_lines": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {LINEIFY} || CASE WHEN doc_id % 4 = 0
+                                       THEN chr(10) || '!!! --- ***' || chr(10) || 'real tail line'
+                                       ELSE '' END AS t
+              FROM documents
+            ), kept AS (
+              SELECT doc_id, line FROM (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM base
+              ) WHERE NOT (len(trim(line)) > 0
+                           AND regexp_full_match(line, '[\\s!-/:-@\\[-`{{-~]+'))
+            )
+            -- rejoined length = sum of line lengths + one newline between
+            SELECT doc_id, count(*) AS n_lines_after,
+                   sum(len(line)) + count(*) - 1 AS n_chars_after
+            FROM kept GROUP BY doc_id
+        """,
         "fqdn_topk": """
             WITH f AS (
               SELECT CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END || source || '.com' AS fqdn
@@ -1375,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
                 "lsh_ann",
                 "ivf_ann",
                 "quality_multilingual",
+                "para_sent_stats",
             )
         },
         # code-corpus fixtures are sf-independent (the corpus is synthesized,

@@ -491,6 +491,34 @@ def _write_code(name: str, table: pa.Table) -> None:
     print(f"  code/{name}.parquet  rows={table.num_rows}")
 
 
+def gen_para_sent_stats(docs: pd.DataFrame) -> pa.Table:
+    from datatrove_spark.kernels.text import split_paragraphs, split_sentences
+
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"].fillna("")):
+        t = t.replace(*SENTENCIFY)
+        paras = split_paragraphs(t)
+        sents = split_sentences(t)
+        rows.append(
+            (
+                int(doc_id),
+                len(paras),
+                round(sum(map(len, paras)) / max(len(paras), 1), 6),
+                len(sents),
+                round(sum(map(len, sents)) / max(len(sents), 1), 6),
+            )
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_paragraphs": pa.array([r[1] for r in rows], pa.int32()),
+            "avg_paragraph_length": pa.array([r[2] for r in rows], pa.float64()),
+            "n_sentences": pa.array([r[3] for r in rows], pa.int32()),
+            "avg_sentence_length": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
 GENERATORS = {
     "gopher_repetition": gen_gopher_repetition,
     "minhash_dedup": gen_minhash_dedup,
@@ -501,6 +529,7 @@ GENERATORS = {
     "pipeline_summary": gen_pipeline_summary,
     "classifier_filter": gen_classifier_filter,
     "quality_multilingual": gen_quality_multilingual,
+    "para_sent_stats": gen_para_sent_stats,
     "fingerprint_dups": gen_fingerprint_dups,
 }
 
@@ -557,3 +586,4 @@ def gen_ivf_ann(emb: pd.DataFrame, k: int = 10, n_lists: int = 16, n_probe: int 
             "rank": pa.array([r[3] for r in rows], pa.int32()),
         }
     )
+
