@@ -164,7 +164,11 @@ def q_sentence_dedup(spark, sf_dir):
 def q_simhash_dedup(spark, sf_dir):
     from datatrove_spark.operators import simhash_dedup
 
-    out = simhash_dedup(_docs(spark, sf_dir), text_col="text", id_col="doc_id", max_hamming=3)
+    # max_bucket=None: unconditional all-pairs exactness so the sequential
+    # fixture oracle matches; production keeps the hot-chunk star cap default
+    out = simhash_dedup(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id", max_hamming=3, max_bucket=None
+    )
     return out.select("doc_id", "keep", "drop_reason")
 
 
@@ -735,7 +739,24 @@ def q_code_pii_scrub(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's correctness gate: in round 2 the last
+    # five entries never received a driver row (budget/starvation).  The
+    # north-rule contract queries (code_quality / code_pii_scrub) and the
+    # other previously-starved entries therefore run FIRST; the cheapest,
+    # already-multiply-verified trivia run last and are the ones sacrificed
+    # if the driver's budget runs out again.
     return {
+        # -- north rule + round-2 starved --
+        "code_quality": q_code_quality,
+        "code_pii_scrub": q_code_pii_scrub,
+        "events_sessions": q_events_sessions,
+        "lineitem_pricing": q_lineitem_pricing,
+        "embedding_neardup": q_embedding_neardup,
+        # -- round-2 hash-mismatch fixes (HUGEINT casts) --
+        "doc_stats_by_source": q_doc_stats_by_source,
+        "symbol_lines": q_symbol_lines,
+        "summary_by_lang": q_summary_by_lang,
+        # -- quality filters --
         "gopher_quality": q_gopher_quality,
         "gopher_rep_topgrams": q_gopher_rep_topgrams,
         "gopher_repetition": q_gopher_repetition,
@@ -743,54 +764,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fineweb_quality": q_fineweb_quality,
         "c4_badwords": q_c4_badwords,
         "pii_scrub": q_pii_scrub,
+        # -- dedup family --
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "sentence_dedup": q_sentence_dedup,
         "simhash_dedup": q_simhash_dedup,
         "exact_substrings": q_exact_substrings,
         "ngram_decont": q_ngram_decont,
+        "shingle_overlap": q_shingle_overlap,
+        "jaccard_pairs": q_jaccard_pairs,
+        "fingerprint_dups": q_fingerprint_dups,
+        # -- language / model scorers --
         "stopword_lid": q_stopword_lid,
         "language_id": q_language_id,
         "lang_stats": q_lang_stats,
         "unigram_logprob": q_unigram_logprob,
         "perplexity": q_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
+        "classifier_filter": q_classifier_filter,
+        "quality_multilingual": q_quality_multilingual,
+        "pipeline_summary": q_pipeline_summary,
+        # -- stats --
         "doc_stats": q_doc_stats,
-        "doc_stats_by_source": q_doc_stats_by_source,
         "token_count_hist": q_token_count_hist,
         "top_sources": q_top_sources,
-        "pipeline_summary": q_pipeline_summary,
-        "quality_multilingual": q_quality_multilingual,
-        "c4_paragraphs": q_c4_paragraphs,
         "line_stats": q_line_stats,
-        "url_filter": q_url_filter,
         "word_stats": q_word_stats,
-        "fqdn_topk": q_fqdn_topk,
-        "symbol_lines": q_symbol_lines,
-        "para_sent_stats": q_para_sent_stats,
-        "lambda_filter": q_lambda_filter,
-        "regex_filter": q_regex_filter,
-        "sampler": q_sampler,
-        "mime_filter": q_mime_filter,
-        "doc_shuffle": q_doc_shuffle,
-        "summary_by_lang": q_summary_by_lang,
         "word_stats_multilang": q_word_stats_multilang,
+        "para_sent_stats": q_para_sent_stats,
         "length_histogram": q_length_histogram,
-        "shingle_overlap": q_shingle_overlap,
-        "jaccard_pairs": q_jaccard_pairs,
         "words_contamination": q_words_contamination,
         "event_type_stats": q_event_type_stats,
-        "classifier_filter": q_classifier_filter,
-        "fingerprint_dups": q_fingerprint_dups,
+        "fqdn_topk": q_fqdn_topk,
+        # -- ANN / embeddings --
+        "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "tokenized_lengths": q_tokenized_lengths,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "events_sessions": q_events_sessions,
-        "lineitem_pricing": q_lineitem_pricing,
-        "code_quality": q_code_quality,
-        "code_pii_scrub": q_code_pii_scrub,
+        # -- formatters / URL / misc filters --
+        "c4_paragraphs": q_c4_paragraphs,
+        "url_filter": q_url_filter,
+        "regex_filter": q_regex_filter,
+        "lambda_filter": q_lambda_filter,
+        "sampler": q_sampler,
+        "mime_filter": q_mime_filter,
+        "doc_shuffle": q_doc_shuffle,
     }
 
 
@@ -1081,13 +1099,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_stats_by_source": """
+            -- sum(BIGINT) returns HUGEINT in DuckDB; cast to BIGINT so the
+            -- driver serializes it identically to Spark's long (r02 hash fix)
             SELECT source,
                    count(*) AS n_docs,
-                   sum(n_chars) AS sum_chars,
+                   sum(n_chars)::BIGINT AS sum_chars,
                    round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars,
-                   sum(len(string_split(text, ' '))) AS sum_words
+                   sum(len(string_split(text, ' ')))::BIGINT AS sum_words
             FROM documents GROUP BY source
         """,
         "token_count_hist": """
@@ -1224,6 +1244,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "embedding_neardup": """
+            -- bounded all-pairs: per-vector norms are precomputed once
+            -- (identical IEEE value to the inline sqrt-of-sum) and the pair
+            -- cosine is evaluated ONCE in a subquery instead of twice in
+            -- SELECT + WHERE — same exact math as r02, ~4x less work so the
+            -- driver's budget reaches the queries after this one
             WITH e AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
             ), aug AS (
@@ -1233,17 +1258,16 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(generate_series(1, len(v)),
                                     i -> v[i] + ((vec_id + i - 1) % 5 - 2) * 0.002) AS v
               FROM e WHERE vec_id % 3 = 0
+            ), normed AS MATERIALIZED (
+              SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM aug
+            ), scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                       / (a.nrm * b.nrm), 5) AS cos
+              FROM normed a JOIN normed b ON a.vec_id < b.vec_id
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos
-            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-            WHERE round(
-                     list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) >= 0.99
+            SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.99
         """,
         "events_sessions": """
             WITH marked AS (
@@ -1254,7 +1278,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   sum(new_sess) + 1 AS n_sessions,
+                   (sum(new_sess) + 1)::BIGINT AS n_sessions,
                    count(*) AS n_events,
                    round(sum(value::DECIMAL(30,10)), 4)::DOUBLE AS total_value
             FROM marked GROUP BY user_id
@@ -1288,9 +1312,10 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE NOT (len(trim(line)) > 0
                            AND regexp_full_match(line, '[\\s!-/:-@\\[-`{{-~]+'))
             )
-            -- rejoined length = sum of line lengths + one newline between
+            -- rejoined length = sum of line lengths + one newline between;
+            -- ::BIGINT kills DuckDB's HUGEINT sum type (r02 hash fix)
             SELECT doc_id, count(*) AS n_lines_after,
-                   sum(len(line)) + count(*) - 1 AS n_chars_after
+                   (sum(len(line)) + count(*) - 1)::BIGINT AS n_chars_after
             FROM kept GROUP BY doc_id
         """,
         "fqdn_topk": """
@@ -1332,7 +1357,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY shuffle_key LIMIT 20
         """,
         "summary_by_lang": """
-            SELECT lang, count(*) AS n, sum(n_chars) AS total,
+            SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total,
                    min(n_chars) AS "min", max(n_chars) AS "max",
                    round(sum(n_chars)::DOUBLE / count(*), 6) AS mean
             FROM documents GROUP BY lang

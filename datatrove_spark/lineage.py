@@ -114,6 +114,11 @@ def run_checkpointed(
         part = src.filter(F.col(BUCKET_COL).isin(batch))
         out = transform(part)
         out.persist()
+        # scoped: restored after the batch so the shared session's overwrite
+        # semantics are not silently changed for the caller's own writes
+        _overwrite_mode_prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             # per-bucket metrics: rows in/kept + drop-reason histogram
@@ -145,6 +150,9 @@ def run_checkpointed(
             )
         finally:
             out.unpersist()
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", _overwrite_mode_prev
+            )
         wall_ms = int((time.time() - t0) * 1000)
         record = {
             "buckets": batch,

@@ -70,8 +70,14 @@ def exact_dedup(
     # docs) would put the whole class in one window task; partial aggregation
     # keeps the groupBy skew-free and AQE splits the skewed join side.
     if priority_col:
+        # priority must be numeric (cast to double); NULL priority loses to any
+        # non-null one (matches the old desc-nulls-last window ordering — a
+        # null _np field would otherwise sort FIRST in the struct-min and win)
+        neg_priority = -F.coalesce(
+            F.col(priority_col).cast("double"), F.lit(float("-inf"))
+        )
         best = F.min(
-            F.struct((-F.col(priority_col)).alias("_np"), F.col(id_col).alias("_id"))
+            F.struct(neg_priority.alias("_np"), F.col(id_col).alias("_id"))
         ).alias("_best")
         survivors = df.groupBy("_h").agg(best).select("_h", F.col("_best._id").alias("_surv_id"))
     else:
@@ -543,6 +549,7 @@ def exact_substring_dedup(
     min_tokens: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "first_owner",
 ) -> DataFrame:
     """Remove duplicated token substrings of ≥ ``min_tokens`` that occur more
     than once anywhere in the corpus — the reference's exact-substrings
@@ -552,18 +559,24 @@ def exact_substring_dedup(
     * every length-``min_tokens`` rolling token window is hashed (stage-1
       sequence building becomes one pandas-UDF pass emitting window hashes);
     * the suffix-array duplicate scan becomes a shuffle on the window hash:
-      the globally-first occurrence (min (id, tok_idx)) OWNS the window,
-      every other occurrence — including repeats inside the same document —
-      marks its token range for removal;
+      with ``mode='first_owner'`` the globally-first occurrence
+      (min (id, tok_idx)) OWNS the window and every other occurrence —
+      including repeats inside the same document — marks its token range for
+      removal; with ``mode='remove_all'`` EVERY occurrence of a duplicated
+      window is removed, matching the Rust `self-similar` tool's default
+      (all copies of a duplicated passage are cut, none survives);
     * stage-3's byte-range cutting becomes a char-exact rewrite from the
-      surviving token spans.
+      surviving token spans: original inter-token whitespace between
+      surviving adjacent tokens is preserved byte-exact, and a single space
+      is inserted only at cut boundaries.
 
-    Documented divergences from the reference: whitespace tokens stand in
-    for GPT-2 ids (no HF tokenizer in this container), and the FIRST
-    occurrence survives (the Rust tool's default removes every copy).  A
-    window shorter than ``min_tokens`` can never be removed, matching the
-    length-threshold contract.
+    Documented divergence from the reference: whitespace tokens stand in
+    for GPT-2 ids (no HF tokenizer in this container).  A window shorter
+    than ``min_tokens`` can never be removed, matching the length-threshold
+    contract.
     """
+    if mode not in ("first_owner", "remove_all"):
+        raise ValueError(f"mode must be 'first_owner' or 'remove_all', got {mode!r}")
     df = ensure_channel(df)
 
     @F.pandas_udf(_WINDOW_SCHEMA)
@@ -598,12 +611,12 @@ def exact_substring_dedup(
         .filter(F.col("_n") > 1)
         .select("win_hash", F.col("_own.id").alias("_oid"), F.col("_own.tok_idx").alias("_oidx"))
     )
-    losers = (
-        wins.join(owners, "win_hash")
-        .filter((F.col("id") != F.col("_oid")) | (F.col("tok_idx") != F.col("_oidx")))
-        .groupBy("id")
-        .agg(F.collect_set("tok_idx").alias("_rm_idx"))
-    )
+    dup_occurrences = wins.join(owners, "win_hash")
+    if mode == "first_owner":
+        dup_occurrences = dup_occurrences.filter(
+            (F.col("id") != F.col("_oid")) | (F.col("tok_idx") != F.col("_oidx"))
+        )
+    losers = dup_occurrences.groupBy("id").agg(F.collect_set("tok_idx").alias("_rm_idx"))
     joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
 
     @F.pandas_udf(StringType())
@@ -617,11 +630,28 @@ def exact_substring_dedup(
             dead = set()
             for start in rm:
                 dead.update(range(start, min(start + min_tokens, len(spans))))
-            kept = [spans[i] for i in range(len(spans)) if i not in dead]
-            # reconstruct from surviving token spans, single-space joined
-            # (the reference cuts byte ranges; formatting inside removed
-            # ranges is gone either way)
-            out.append(" ".join(t[a:b] for a, b in kept))
+            kept = [i for i in range(len(spans)) if i not in dead]
+            # byte-range-style reconstruction (reference cuts ranges, never
+            # re-joins): whitespace between surviving ADJACENT tokens is
+            # copied byte-exact from the original; a single space marks each
+            # cut boundary.  Leading/trailing text survives only with its
+            # edge token.
+            parts = []
+            prev = None
+            for i in kept:
+                a, b = spans[i]
+                if prev is None:
+                    if i == 0:
+                        parts.append(t[:a])  # original leading whitespace
+                elif prev == i - 1:
+                    parts.append(t[spans[prev][1] : a])  # untouched separator
+                else:
+                    parts.append(" ")  # cut boundary
+                parts.append(t[a:b])
+                prev = i
+            if prev is not None and prev == len(spans) - 1:
+                parts.append(t[spans[prev][1] :])  # original trailing text
+            out.append("".join(parts))
         return pd.Series(out)
 
     joined = joined.withColumn(text_col, _rewrite_udf(F.col(text_col), F.col("_rm_idx")))
@@ -639,10 +669,24 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_size: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints over word shingles, banded into
     4x16-bit chunks (any chunk equality → candidate, guarantees recall for
-    hamming ≤ 3), hamming-verified, CC-clustered, min-id survives."""
+    hamming ≤ 3), hamming-verified, CC-clustered, min-id survives.
+
+    ``max_bucket`` is the hot-chunk discipline for 100 TB: candidate
+    generation joins on 16-bit chunk equality, so a degenerate chunk value
+    held by k docs yields k² candidate rows — at 10⁹ docs the EXPECTED
+    bucket is ~15k members (k² ≈ 2·10⁸ rows per hot value) and boilerplate
+    corpora go quadratic.  Buckets larger than ``max_bucket`` therefore
+    switch from the all-pairs join to STAR candidates against the bucket's
+    min-id seed: O(k) rows, each still hamming-verified against the seed's
+    full fingerprint.  Members of an over-full bucket share a 16-bit chunk
+    exactly, so they are near-certain duplicates of one another; the
+    documented recall tradeoff is a member pair whose fingerprints are
+    within ``max_hamming`` of each other but not of the seed.  Pass
+    ``max_bucket=None`` for unconditional exactness (oracle mode)."""
     df = ensure_channel(df)
 
     @F.pandas_udf(LongType())
@@ -666,8 +710,23 @@ def simhash_dedup(
             F.array(*[F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
         ).alias("chunk_idx", "chunk_val"),
     ).localCheckpoint()
-    left = chunks.alias("l")
-    right = chunks.alias("r")
+    # bucket sizes + seed (min id) and the seed's fingerprint, one partial agg
+    buckets = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count("*").alias("_n"),
+        F.min("id").alias("_seed"),
+        F.expr("min_by(simhash, id)").alias("_seed_hash"),
+    )
+    if max_bucket is None:
+        pair_buckets = buckets.filter(F.col("_n") > 1)
+        star_buckets = None
+    else:
+        pair_buckets = buckets.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        star_buckets = buckets.filter(F.col("_n") > max_bucket)
+    pair_chunks = chunks.join(
+        pair_buckets.select("chunk_idx", "chunk_val"), ["chunk_idx", "chunk_val"], "left_semi"
+    )
+    left = pair_chunks.alias("l")
+    right = pair_chunks.alias("r")
     cand = (
         left.join(
             right,
@@ -683,9 +742,23 @@ def simhash_dedup(
         )
         .distinct()
     )
+    if star_buckets is not None:
+        star_cand = (
+            chunks.join(star_buckets, ["chunk_idx", "chunk_val"])
+            .filter(F.col("id") != F.col("_seed"))
+            .select(
+                F.col("_seed").alias("src"),
+                F.col("id").alias("dst"),
+                F.col("_seed_hash").alias("h1"),
+                F.col("simhash").alias("h2"),
+            )
+            .distinct()
+        )
+        cand = cand.unionByName(star_cand)
     verified = (
         cand.filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming)
         .select("src", "dst")
+        .distinct()
         .localCheckpoint()
     )
     if verified.isEmpty():
@@ -799,6 +872,13 @@ def shingle_overlap_filter(
 # --------------------------------------------------------------------------
 
 
+# production default for the hot-shingle candidate cap: a shingle present in
+# more docs than this carries no discriminative signal for near-dup detection
+# and only inflates the self-join.  The oracle query passes max_df=None for
+# unconditional exactness.
+PRODUCTION_JACCARD_MAX_DF = 1000
+
+
 def jaccard_neardup_pairs(
     df: DataFrame,
     n: int = 5,
@@ -828,7 +908,16 @@ def jaccard_neardup_pairs(
     )
     flat = grams.select("id", F.explode("grams").alias("gram"))
     cand_flat = flat
-    if max_df is not None:
+    if max_df is None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jaccard_neardup_pairs: max_df=None — candidate generation is an "
+            "uncapped shingle self-join (a shingle in k docs emits k^2 "
+            "candidate rows).  Exact, but set max_df (e.g. 1000) for "
+            "production corpora; see PRODUCTION_JACCARD_MAX_DF."
+        )
+    else:
         rare = (
             flat.groupBy("gram")
             .agg(F.count("*").alias("_df"))

@@ -141,13 +141,21 @@ def write_tokenized_binary(
     cols = [token_col] + ([loss_col] if loss_col else [])
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rank = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        rank = ctx.partitionId()
         base = os.path.join(out_dir, f"{prefix}_{rank:05d}.ds")
+        # commit protocol: write to attempt-unique temp names so a retried or
+        # speculative attempt can never interleave bytes with another attempt
+        # on the same final path; atomically rename on success.  A task that
+        # dies mid-write leaves only .tmp droppings.  The .ds file is renamed
+        # LAST for the no-index layout, the .index last otherwise — the final
+        # artifact a reader looks for is the commit marker.
+        tmp_suffix = f".tmp-attempt{ctx.taskAttemptId()}"
         n_docs = 0
         doc_ends: list[int] = []
         write_idx = 0
-        ds = open(base, "wb")
-        loss = open(base + ".loss", "wb") if loss_col else None
+        ds = open(base + tmp_suffix, "wb")
+        loss = open(base + ".loss" + tmp_suffix, "wb") if loss_col else None
         try:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
@@ -163,9 +171,13 @@ def write_tokenized_binary(
             ds.close()
             if loss is not None:
                 loss.close()
+        if loss_col:
+            os.replace(base + ".loss" + tmp_suffix, base + ".loss")
+        os.replace(base + tmp_suffix, base)
         if save_index:
-            with open(base + ".index", "wb") as idx:
+            with open(base + ".index" + tmp_suffix, "wb") as idx:
                 idx.write(struct.pack("<%dQ" % len(doc_ends), *doc_ends))
+            os.replace(base + ".index" + tmp_suffix, base + ".index")
         yield pd.DataFrame({"shard": [rank], "n_docs": [n_docs], "n_tokens": [write_idx]})
 
     return df.select(*cols).mapInPandas(
@@ -202,22 +214,27 @@ def write_megatron_binary(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rank = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        rank = ctx.partitionId()
         base = os.path.join(out_dir, f"{prefix}_{rank:05d}")
+        # attempt-unique temps + atomic rename (.idx committed last — it's the
+        # marker Megatron readers mmap first); see write_tokenized_binary
+        tmp_suffix = f".tmp-attempt{ctx.taskAttemptId()}"
         seq_lengths: list[int] = []
         doc_indices: list[int] = [0]
-        with open(base + ".bin", "wb") as bin_f:
+        with open(base + ".bin" + tmp_suffix, "wb") as bin_f:
             for pdf in batches:
                 for ids in pdf[token_col]:
                     arr = np.asarray(list(ids), dtype=dtype)
                     bin_f.write(arr.tobytes(order="C"))
                     seq_lengths.append(arr.size)
                     doc_indices.append(len(seq_lengths))
+        os.replace(base + ".bin" + tmp_suffix, base + ".bin")
         pointers, ptr = [], 0
         for length in seq_lengths:
             pointers.append(ptr)
             ptr += length * token_size
-        with open(base + ".idx", "wb") as idx:
+        with open(base + ".idx" + tmp_suffix, "wb") as idx:
             idx.write(_MEGATRON_INDEX_HEADER)
             idx.write(struct.pack("<Q", 1))
             idx.write(struct.pack("<B", dtype_code))
@@ -226,6 +243,7 @@ def write_megatron_binary(
             idx.write(np.array(seq_lengths, dtype=np.int32).tobytes(order="C"))
             idx.write(np.array(pointers, dtype=np.int64).tobytes(order="C"))
             idx.write(np.array(doc_indices, dtype=np.int64).tobytes(order="C"))
+        os.replace(base + ".idx" + tmp_suffix, base + ".idx")
         yield pd.DataFrame(
             {"shard": [rank], "n_docs": [len(seq_lengths)], "n_tokens": [sum(seq_lengths)]}
         )

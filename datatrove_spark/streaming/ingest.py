@@ -31,14 +31,20 @@ def streaming_quality_pipeline(batch_df: DataFrame, batch_id: int, out_dir: str,
     from ..pipeline import QualityPipelineConfig, quality_pipeline
 
     spark = batch_df.sparkSession
+    # scoped: restore so the shared session's overwrite semantics are not
+    # silently changed for writes outside this micro-batch
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = quality_pipeline(batch_df, cfg or QualityPipelineConfig())
-    (
-        out.withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("_batch_id", "keep")
-        .parquet(f"{out_dir}/data")
-    )
+    try:
+        out = quality_pipeline(batch_df, cfg or QualityPipelineConfig())
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id", "keep")
+            .parquet(f"{out_dir}/data")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def resumable_ingest(

@@ -398,3 +398,62 @@ def test_minhash_only_dedup_in_index(spark):
     assert out[1] == (False, "minhash_duplicate_of_index")
     # 2 and 3 are near-dups of each other but within-batch matching is off
     assert out[2] == (True, None) and out[3] == (True, None)
+
+
+def test_exact_substring_dedup_preserves_untouched_whitespace(spark):
+    """Rewrite keeps original separators between surviving ADJACENT tokens
+    byte-exact; a single space marks each cut boundary (reference byte-range
+    cutting never reflows untouched regions)."""
+    shared = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (1, f"owner\tkeeps   everything {shared} including\nweird   spacing"),
+        (2, f"lead one {shared} trailing  bits"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in ops.exact_substring_dedup(df, min_tokens=8).collect()}
+    assert out[1] == rows[0][1]  # owner untouched, byte-exact incl. tabs/newlines
+    # loser: untouched double-space separator survives; single space at the cut
+    assert out[2] == "lead one trailing  bits"
+
+
+def test_exact_substring_dedup_remove_all_mode(spark):
+    """mode='remove_all' cuts EVERY occurrence of a duplicated window — the
+    Rust self-similar tool's default (no surviving owner)."""
+    shared = " ".join(f"w{i}" for i in range(8))
+    rows = [(1, f"intro {shared} outro"), (2, f"lead {shared} tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in ops.exact_substring_dedup(df, min_tokens=8, mode="remove_all").collect()
+    }
+    assert shared not in out[1] and shared not in out[2]
+    assert "intro" in out[1] and "outro" in out[1]
+    assert "lead" in out[2] and "tail" in out[2]
+
+
+def test_exact_dedup_null_priority_loses(spark):
+    """NULL priority must lose survivorship to any non-null priority (matches
+    the desc-nulls-last ordering of the old window implementation)."""
+    rows = [(1, "same", None), (2, "same", 5.0), (3, "same", 1.0), (4, "other", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, pr double")
+    out = {r.doc_id: r.keep for r in ops.exact_dedup(df, priority_col="pr").collect()}
+    assert out == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_simhash_hot_bucket_star_path(spark):
+    """A degenerate fingerprint class (half the corpus identical) must route
+    through the star-candidate path when over max_bucket and still produce
+    the same keep/drop set as the exact all-pairs mode."""
+    words = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"zzz{i}" for i in range(60))
+    rows = (
+        [(i, words) for i in range(40)]
+        + [(100, other), (101, other)]
+        + [(200, " ".join(f"uniq{i}x{200}" for i in range(60)))]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r.doc_id: r.keep for r in ops.simhash_dedup(df, max_bucket=None).collect()}
+    capped = {r.doc_id: r.keep for r in ops.simhash_dedup(df, max_bucket=4).collect()}
+    assert capped == exact
+    assert capped[0] is True and all(capped[i] is False for i in range(1, 40))
+    assert capped[100] is True and capped[101] is False and capped[200] is True

@@ -534,25 +534,6 @@ GENERATORS = {
 }
 
 
-def main() -> None:
-    sf_dirs = sys.argv[1:] or list(DEFAULT_SFS)
-    for sf_dir in sf_dirs:
-        print(f"== {sf_dir}")
-        docs = _docs(sf_dir)
-        for name, gen in GENERATORS.items():
-            _write(sf_dir, name, gen(docs))
-        emb = _emb(sf_dir)
-        _write(sf_dir, "lsh_ann", gen_lsh_ann(emb))
-        _write(sf_dir, "ivf_ann", gen_ivf_ann(emb))
-    print("== code corpus (sf-independent)")
-    _write_code("code_quality", gen_code_quality())
-    _write_code("code_pii_scrub", gen_code_pii_scrub())
-
-
-if __name__ == "__main__":
-    main()
-
-
 def gen_ivf_ann(emb: pd.DataFrame, k: int = 10, n_lists: int = 16, n_probe: int = 8, seed: int = 7) -> pa.Table:
     """Sequential IVF replication: same coarse quantizer (shared numpy
     kmeans), dataflow re-derived with plain loops."""
@@ -587,3 +568,21 @@ def gen_ivf_ann(emb: pd.DataFrame, k: int = 10, n_lists: int = 16, n_probe: int 
         }
     )
 
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or list(DEFAULT_SFS)
+    for sf_dir in sf_dirs:
+        print(f"== {sf_dir}")
+        docs = _docs(sf_dir)
+        for name, gen in GENERATORS.items():
+            _write(sf_dir, name, gen(docs))
+        emb = _emb(sf_dir)
+        _write(sf_dir, "lsh_ann", gen_lsh_ann(emb))
+        _write(sf_dir, "ivf_ann", gen_ivf_ann(emb))
+    print("== code corpus (sf-independent)")
+    _write_code("code_quality", gen_code_quality())
+    _write_code("code_pii_scrub", gen_code_pii_scrub())
+
+
+if __name__ == "__main__":
+    main()
