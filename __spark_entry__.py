@@ -123,6 +123,34 @@ def q_c4_badwords(spark, sf_dir):
     return out.select("doc_id", "keep", "drop_reason")
 
 
+# per-language badword injection: %5==0 rows get a real badword for their
+# language (zh un-flanked — appended with NO separator, so only the bare
+# alternation can match it), %5==1 rows get near-misses ('cumulative' contains
+# 'cum' but is not flanked; zh '性' is allowlisted).  Identical CASE semantics
+# in Spark SQL and DuckDB.
+BADWORDS_INJECT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "(CASE lang WHEN 'zh' THEN '色情' WHEN 'en' THEN ' porn ' WHEN 'de' THEN ' ficken '"
+    " WHEN 'fr' THEN ' pute ' WHEN 'es' THEN ' mierda ' ELSE '' END) "
+    "WHEN doc_id % 5 = 1 THEN "
+    "(CASE lang WHEN 'zh' THEN '性' ELSE ' cumulative' END) "
+    "ELSE '' END"
+)
+
+
+def q_c4_badwords_multilang(spark, sf_dir):
+    """Per-language LDNOOBW dispatch: word lists + flanking rules selected by
+    the lang column (zh un-flanked, Latin langs word-flanked, allowlist
+    applied) — reference c4_filters.py:209-282."""
+    from datatrove_spark.operators import c4_badwords_filter_multilang
+
+    df = _docs(spark, sf_dir).withColumn(
+        "text2", F.concat(F.col("text"), F.expr(BADWORDS_INJECT_SQL))
+    )
+    out = c4_badwords_filter_multilang(df, lang_col="lang", text_col="text2")
+    return out.select("doc_id", "lang", "keep", "drop_reason")
+
+
 def q_pii_scrub(spark, sf_dir):
     from datatrove_spark.operators import pii_scrub
 
@@ -421,7 +449,9 @@ def q_summary_by_lang(spark, sf_dir):
 
 def q_word_stats_multilang(spark, sf_dir):
     """Per-row language-dispatched stop-word ratio over the documents table's
-    own lang column (zh falls back to the English stop set)."""
+    own lang column.  zh now dispatches to the zh tokenizer + zh stop set
+    (Han-char tokens; the ascii test corpus scores 0 hits on both sides —
+    genuine-script behavior is pinned by tests/test_multilingual.py)."""
     from datatrove_spark.operators.stats import with_word_stats
 
     out = with_word_stats(_docs(spark, sf_dir), text_col="text", lang_col="lang")
@@ -763,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": q_c4_quality,
         "fineweb_quality": q_fineweb_quality,
         "c4_badwords": q_c4_badwords,
+        "c4_badwords_multilang": q_c4_badwords_multilang,
         "pii_scrub": q_pii_scrub,
         # -- dedup family --
         "exact_dedup": q_exact_dedup,
@@ -833,6 +864,26 @@ def _sw_sql_literals():
 
 
 _SW_LANG_CASES, _SW_EN = _sw_sql_literals()
+
+
+def _badwords_sql_case(var: str = "t") -> str:
+    """lang → RE2 regexp_matches branches mirroring the filter's per-language
+    flanking rules, generated from the same checked-in lists."""
+    import re as _re
+
+    from datatrove_spark.assets.badwords import NO_FLANK_LANGS, load_badwords
+
+    table = load_badwords()
+    branches = []
+    for lang in sorted(table):
+        alt = "|".join(_re.escape(w) for w in sorted(table[lang]))
+        pat = alt if lang in NO_FLANK_LANGS else rf"(?:\W|^)(?:{alt})(?:\W|$)"
+        pat = pat.replace("'", "''")
+        branches.append(f"WHEN '{lang}' THEN regexp_matches(lower({var}), '{pat}')")
+    return " ".join(branches)
+
+
+_BADWORDS_CASES = _badwords_sql_case()
 
 
 _SQL_TYPES = {
@@ -1012,6 +1063,18 @@ def oracle_sql() -> dict[str, str]:
                              OR list_contains(string_split(text, ' '), 'vector')
                         THEN 'document_removed_with_badwords' END AS drop_reason
             FROM documents
+        """,
+        "c4_badwords_multilang": f"""
+            WITH base AS (
+              SELECT doc_id, lang, text || {BADWORDS_INJECT_SQL} AS t FROM documents
+            ), m AS (
+              SELECT doc_id, lang,
+                     (CASE lang {_BADWORDS_CASES} ELSE FALSE END) AS hit
+              FROM base
+            )
+            SELECT doc_id, lang, NOT hit AS keep,
+                   CASE WHEN hit THEN 'document_removed_with_badwords' END AS drop_reason
+            FROM m
         """,
         "pii_scrub": """
             WITH base AS (

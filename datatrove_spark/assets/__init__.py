@@ -1,0 +1,3 @@
+"""Checked-in data assets (word lists, suffix lists) — the Spark analogue of
+the reference's ``cached_asset_path_or_download`` downloads, pinned in-repo so
+executors never need network access."""

@@ -1,0 +1,113 @@
+"""Per-language badword lists for the C4 badwords filter.
+
+The reference downloads the LDNOOBW (List of Dirty Naughty Obscene and
+Otherwise Bad Words) lists at runtime (c4_filters.py:236-266,
+``_BADWORDS_URL``) — one plain-text word list per language code.  This
+container has no network, so a representative SUBSET of each public list is
+checked in here; production deployments should replace these with a full
+LDNOOBW snapshot via ``load_badwords(path=...)``.
+
+Semantics re-derived from the reference (c4_filters.py:200-282):
+
+* matching is against ``text.lower()``;
+* for ja/th/zh the regex is a bare alternation (no word flanking — these
+  scripts have no word separators, c4_filters.py:260-262);
+* for every other language each word must be flanked by non-word chars
+  (``(?:\\W|^)(...)(?:\\W|$)``, c4_filters.py:263-265);
+* the per-language allowlist removes common-subword false positives that
+  each filter >10% of their language's documents (c4_filters.py:205-207).
+"""
+
+from __future__ import annotations
+
+import re
+
+# languages whose scripts carry no word separators → un-flanked matching
+NO_FLANK_LANGS = frozenset({"ja", "th", "zh"})
+
+# reference c4_filters.py:205-207 (verbatim data: subword false positives)
+BADWORDS_ALLOWLIST: dict[str, frozenset[str]] = {
+    "ja": frozenset({"sm", "グロ", "女の子"}),
+    "zh": frozenset({"性"}),
+}
+
+# Representative subsets of the public LDNOOBW lists (full lists are several
+# hundred entries per language).  Multi-word phrases are kept — the regex
+# alternation matches them across spaces exactly like the reference.
+BADWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "anal anus ballsack bastard bitch blowjob boner boob bukkake clitoris"
+        " cock cum cunt dick dildo dyke fag faggot fuck handjob jizz milf"
+        " nigger nigga paki penis porn pussy rimjob shit slut smut tit twat"
+        " vagina wank whore".split()
+    )
+    | frozenset({"deep throat", "strap on"}),
+    "es": frozenset(
+        "cabron capullo chocha concha coño culo follar gilipollas joder mierda"
+        " pendejo polla puta verga".split()
+    ),
+    "fr": frozenset(
+        "bite chatte connard connasse couilles encule enculer foutre nique"
+        " pute salope".split()
+    ),
+    "de": frozenset(
+        "arschloch fick ficken fotze hure hurensohn mösen muschi schlampe"
+        " schwanz wichser".split()
+    ),
+    "pt": frozenset(
+        "boceta buceta caralho foder porra puta punheta viado xoxota".split()
+    ),
+    "it": frozenset(
+        "cazzo culo figa fottere minchia porca puttana stronzo troia vaffanculo".split()
+    ),
+    # un-flanked scripts (NO_FLANK_LANGS)
+    "ja": frozenset(
+        "エロ ポルノ セックス オナニー 中出し 痴漢 乱交 変態 淫乱 素人".split()
+    ),
+    "zh": frozenset("色情 做爱 性交 乱伦 淫 妓女 强奸 肛交 自慰 勃起".split()),
+    "th": frozenset("หี ควย เย็ด แตด โป๊ เงี่ยน ขายตัว สำเร็จความใคร่".split()),
+}
+
+
+def load_badwords(path: str | None = None) -> dict[str, frozenset[str]]:
+    """The badwords table, optionally from a directory of ``<lang>`` files
+    (one word per line — the LDNOOBW layout) for full-list production use.
+    The allowlist is applied in both cases (c4_filters.py:254-256)."""
+    if path is None:
+        table = {lang: set(words) for lang, words in BADWORDS.items()}
+    else:
+        import os
+
+        table = {}
+        for fname in os.listdir(path):
+            with open(os.path.join(path, fname), encoding="utf-8") as f:
+                table[fname] = {line.strip() for line in f if line.strip()}
+    for lang, allow in BADWORDS_ALLOWLIST.items():
+        if lang in table:
+            table[lang] = table[lang] - allow
+    return {lang: frozenset(words) for lang, words in table.items()}
+
+
+def badwords_regex_table(
+    badwords: dict[str, frozenset[str]] | None = None,
+) -> dict[str, re.Pattern]:
+    """lang → compiled pattern with the reference's flanking rules."""
+    table = badwords if badwords is not None else load_badwords()
+    out = {}
+    for lang, words in table.items():
+        if not words:
+            continue
+        alt = "|".join(re.escape(w) for w in sorted(words))
+        out[lang] = re.compile(
+            alt if lang in NO_FLANK_LANGS else rf"(?:\W|^)(?:{alt})(?:\W|$)"
+        )
+    return out
+
+
+__all__ = [
+    "BADWORDS",
+    "BADWORDS_ALLOWLIST",
+    "NO_FLANK_LANGS",
+    "load_badwords",
+    "badwords_regex_table",
+]

@@ -192,6 +192,12 @@ STOPWORD_SETS: dict[str, frozenset[str]] = {
     "es": frozenset("el la de que y a en un ser se no haber por con su".split()),
     "it": frozenset("il di che e la per un in è non sono io si lo ma".split()),
     "pt": frozenset("o a de que e do da em um para é com não uma os".split()),
+    # whitespace-less scripts: entries are restricted to tokens our
+    # segmentation produces (kernels/tokenizers.py — single Han chars for zh,
+    # kana runs / single kanji for ja, single TCC clusters for th)
+    "zh": frozenset("的 了 是 在 我 有 和 就 不 人 也 这 他 上 个".split()),
+    "ja": frozenset("の は に を が と で た も です ます から する いる ある".split()),
+    "th": frozenset("ที่ ใน ไม่ ได้ ให้ ไป ก็ แต่".split()),
 }
 
 

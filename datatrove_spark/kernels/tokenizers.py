@@ -1,13 +1,13 @@
-"""Multilingual word tokenization — first slice of the reference's
-per-language tokenizer dispatch.
+"""Multilingual word tokenization — the reference's per-language tokenizer
+dispatch (``assets/tokenizer_assignment.csv`` + ``utils/word_tokenizers.py``),
+re-derived dependency-free.
 
-The reference assigns a tokenizer per language via
-``assets/tokenizer_assignment.csv`` and ``utils/word_tokenizers.py:59-494``
-(spaCy/NLTK/Stanza backends).  None of those backends exist in this
+The reference assigns a tokenizer per language (spaCy/NLTK/Stanza/jieba/
+SudachiPy/pythainlp backends).  None of those backends exist in this
 environment; this module re-derives the DISPATCH structure and the rules that
-change quality-filter outcomes for the Latin-script languages our LID covers
-(en/fr/de/es/it/pt):
+change quality-filter outcomes:
 
+Latin scripts (en/fr/de/es/it/pt):
 * ``en``  — spaCy-blank-English style: contraction suffixes split
   ("don't" → ["do", "n't"]) — the existing ``tokenize_words``.
 * ``fr``/``it`` — elision prefixes split WITH their apostrophe
@@ -18,6 +18,26 @@ change quality-filter outcomes for the Latin-script languages our LID covers
   contain exactly these forms.
 * ``de``/``es``/``pt`` and any unknown language — generic Latin rules
   (no apostrophe splitting; inner apostrophes stay inside the token).
+
+Whitespace-less scripts (reference word_tokenizers.py:104-135 jieba/Sudachi,
+:212-231 pythainlp — tokenizer_assignment.csv rows zho/jpn/tha):
+* ``zh`` — one token per Han character; embedded Latin/digit runs keep the
+  generic rules.  DOCUMENTED DIVERGENCE: the reference uses jieba dictionary
+  segmentation; character segmentation is the standard dependency-free proxy
+  (same token count within ~1.5x, deterministic, no 60 MB dictionary on every
+  executor).
+* ``ja`` — script-run segmentation: one token per Han character, maximal
+  hiragana runs, maximal katakana runs (incl. U+30FC prolonged-sound mark),
+  generic rules for everything else.  DIVERGENCE: the reference uses
+  SudachiPy morphological analysis.
+* ``th`` — Thai character-cluster (TCC-style) segmentation: optional
+  preposed vowel (U+0E40-U+0E44) + base char + combining vowel/tone marks
+  (U+0E31, U+0E34-3A, U+0E47-4E) form one indivisible cluster — the unit
+  pythainlp's newmm dictionary matching is built on.  DIVERGENCE: newmm
+  merges clusters into dictionary words; cluster tokens are the
+  deterministic dependency-free proxy.
+* ``ko`` — Hangul eojeol are whitespace-delimited; generic rules apply
+  (the reference's Kiwi backend does morpheme analysis — divergence).
 
 Every tokenizer shares the base word/number/punctuation segmentation of
 ``kernels.text.tokenize_words`` so single-language behavior is unchanged.
@@ -35,10 +55,70 @@ _ELISION_RE = _regex.compile(r"^(\p{L}{1,4}['’])(\p{L}.*)$", _regex.UNICODE)
 _ELISION_LANGS = frozenset({"fr", "it"})
 _CONTRACTION_LANGS = frozenset({"en"})
 
+_HAN_RE = _regex.compile(r"\p{Han}", _regex.UNICODE)
+# zh: capture each Han char; ja: additionally capture kana runs
+_ZH_SPLIT_RE = _regex.compile(r"(\p{Han})", _regex.UNICODE)
+_JA_SPLIT_RE = _regex.compile(
+    r"(\p{Han}|[\p{Katakana}ー]+|\p{Hiragana}+)", _regex.UNICODE
+)
+_JA_TOKEN_RE = _regex.compile(
+    r"^(?:\p{Han}|[\p{Katakana}ー]+|\p{Hiragana}+)$", _regex.UNICODE
+)
+
+# Thai block split + TCC-style cluster: [preposed vowel]? base [combining]*
+_TH_RUN_RE = _regex.compile(r"([฀-๿]+)")
+_TH_CLUSTER_RE = _regex.compile(
+    r"[เ-ไ]?"                       # preposed vowel (e/ae/o/ai/ai)
+    r"[ก-ะาำ฿ๅๆ๏-๛]"  # base
+    r"[ัิ-ฺ็-๎]*"    # combining vowels/tone marks
+    r"|[฀-๿]"                       # stray mark fallback
+)
+
+
+def _tokenize_zh(text: str) -> list[str]:
+    out: list[str] = []
+    for part in _ZH_SPLIT_RE.split(text):
+        if not part:
+            continue
+        if _HAN_RE.fullmatch(part):
+            out.append(part)
+        else:
+            out.extend(_WORD_RE.findall(part))
+    return out
+
+
+def _tokenize_ja(text: str) -> list[str]:
+    out: list[str] = []
+    for part in _JA_SPLIT_RE.split(text):
+        if not part:
+            continue
+        if _JA_TOKEN_RE.match(part):
+            out.append(part)
+        else:
+            out.extend(_WORD_RE.findall(part))
+    return out
+
+
+def _tokenize_th(text: str) -> list[str]:
+    out: list[str] = []
+    for part in _TH_RUN_RE.split(text):
+        if not part:
+            continue
+        if "฀" <= part[0] <= "๿":
+            out.extend(_TH_CLUSTER_RE.findall(part))
+        else:
+            out.extend(_WORD_RE.findall(part))
+    return out
+
+
+_SCRIPT_TOKENIZERS = {"zh": _tokenize_zh, "ja": _tokenize_ja, "th": _tokenize_th}
+
 
 def tokenize_words_lang(text: str, lang: str | None = "en") -> list[str]:
     """Language-dispatched word tokenization (reference
     word_tokenizers.py:420-494 ``load_word_tokenizer`` dispatch)."""
+    if lang in _SCRIPT_TOKENIZERS:
+        return _SCRIPT_TOKENIZERS[lang](text)
     if lang in _CONTRACTION_LANGS or lang is None:
         from .text import tokenize_words
 
@@ -59,7 +139,9 @@ def tokenize_words_lang(text: str, lang: str | None = "en") -> list[str]:
 def language_stop_words(lang: str | None) -> frozenset[str]:
     """Per-language stop words for Gopher-style checks; falls back to the
     English set for unknown languages (the reference's single-language
-    default, gopher_quality_filter.py:58)."""
+    default, gopher_quality_filter.py:58).  The zh/ja/th sets contain only
+    tokens our segmentation actually produces (single Han chars / kana runs /
+    single Thai clusters)."""
     from .gopher import STOP_WORDS
     from .lid import STOPWORD_SETS
 

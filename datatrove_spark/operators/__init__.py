@@ -35,6 +35,7 @@ from .dedup import (  # noqa: F401
 from .extractors import basic_html_to_text, extract_html_text  # noqa: F401
 from .filters import (  # noqa: F401
     c4_badwords_filter,
+    c4_badwords_filter_multilang,
     c4_code_quality_filter,
     c4_paragraph_filter,
     c4_quality_filter,

@@ -127,16 +127,70 @@ def c4_badwords_filter(
 
     if keep_fraction > 0.0 and id_col is not None:
         df = apply_text_filter(df, batch, text_col)
-        # resurrect a deterministic keep_fraction of badword-dropped rows
-        lucky = (
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
-            < int(keep_fraction * 1_000_000)
-        )
-        badword_drop = F.col("drop_reason") == "document_removed_with_badwords"
-        return df.withColumn("keep", F.col("keep") | (badword_drop & lucky)).withColumn(
-            "drop_reason", F.when(badword_drop & lucky, F.lit(None)).otherwise(F.col("drop_reason"))
-        )
+        return _resurrect_keep_fraction(df, keep_fraction, seed, id_col)
     return apply_text_filter(df, batch, text_col)
+
+
+def _resurrect_keep_fraction(df: DataFrame, keep_fraction: float, seed: int, id_col: str):
+    # resurrect a deterministic keep_fraction of badword-dropped rows
+    # (hash-of-id replaces the reference's order-dependent RNG stream,
+    # c4_filters.py:233,277 — documented divergence, partition-independent)
+    lucky = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+        < int(keep_fraction * 1_000_000)
+    )
+    badword_drop = F.col("drop_reason") == "document_removed_with_badwords"
+    return df.withColumn("keep", F.col("keep") | (badword_drop & lucky)).withColumn(
+        "drop_reason", F.when(badword_drop & lucky, F.lit(None)).otherwise(F.col("drop_reason"))
+    )
+
+
+def c4_badwords_filter_multilang(
+    df: DataFrame,
+    lang_col: str = "lang",
+    badwords: dict[str, frozenset[str]] | None = None,
+    fail_on_missing_language: bool = True,
+    default_language: str = "en",
+    text_col: str = "text",
+    keep_fraction: float = 0.0,
+    seed: int = 0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-language LDNOOBW badwords filter (c4_filters.py:209-282): the
+    language column selects the word list, ja/th/zh match un-flanked (no word
+    separators in those scripts), all other languages word-flanked; the
+    subword allowlist is pre-applied.  One Arrow-batched UDF, patterns
+    compiled once per executor via closure capture (the reference's lazy
+    ``_get_badwords`` cache, c4_filters.py:236)."""
+    from ..assets.badwords import badwords_regex_table, load_badwords
+
+    table = badwords if badwords is not None else load_badwords()
+    patterns = badwords_regex_table(table)
+
+    def batch(texts: list[str], langs: list[str]):
+        out = []
+        for t, lg in zip(texts, langs):
+            lang = lg or default_language
+            pat = patterns.get(lang)
+            if pat is None:
+                if fail_on_missing_language:
+                    raise ValueError(
+                        f"no badwords list for language {lang!r}; pass "
+                        "fail_on_missing_language=False to pass such rows through"
+                    )
+                out.append((True, None))
+            elif pat.search(t.lower()):
+                out.append((False, "document_removed_with_badwords"))
+            else:
+                out.append((True, None))
+        return out
+
+    from .base import apply_text_filter_lang
+
+    df = apply_text_filter_lang(df, batch, text_col, lang_col)
+    if keep_fraction > 0.0 and id_col is not None:
+        df = _resurrect_keep_fraction(df, keep_fraction, seed, id_col)
+    return df
 
 
 def fineweb_quality_filter(

@@ -120,3 +120,116 @@ def test_fused_pipeline_multilingual_mode(spark):
     assert out_multi.language == "fr"
     assert bool(out_multi.keep) is True
     assert bool(out_en.keep) is False and out_en.drop_reason == "gopher_enough_stop_words"
+
+
+# ---------------------------------------------------------------------------
+# whitespace-less scripts: zh / ja / th (reference word_tokenizers.py
+# jieba/SudachiPy/pythainlp assignments; dependency-free proxies here —
+# divergences documented in kernels/tokenizers.py)
+# ---------------------------------------------------------------------------
+
+TEXT_ZH = "我的朋友是一个好人，他在北京工作。我们都有很多书。"
+TEXT_JA = "私はコンピューターで東京に行きます。これはペンです。"
+TEXT_TH = "ฉันไปที่โรงเรียนใหญ่ ไม่ได้ไปในเมือง"
+
+
+def test_zh_character_segmentation():
+    toks = tokenize_words_lang(TEXT_ZH, "zh")
+    # one token per Han char; punctuation excluded; no whitespace dependence
+    assert all(len(t) == 1 for t in toks if not t.isascii())
+    assert "的" in toks and "是" in toks and "在" in toks
+    # embedded Latin/digits keep generic rules (letter/digit token classes)
+    assert tokenize_words_lang("深度learning模型v2", "zh") == [
+        "深", "度", "learning", "模", "型", "v", "2",
+    ]
+    # whitespace split would see ONE giant token; zh dispatch sees ~20 words
+    assert len(toks) > 3 * len(TEXT_ZH.split())
+
+
+def test_ja_script_run_segmentation():
+    toks = tokenize_words_lang(TEXT_JA, "ja")
+    # katakana loanword stays one token (incl. U+30FC prolonged mark)
+    assert "コンピューター" in toks
+    # hiragana particles isolate between kanji/katakana runs
+    assert "は" in toks and "で" in toks and "に" in toks
+    # kanji are per-character
+    assert "私" in toks and "東" in toks and "京" in toks
+
+
+def test_th_cluster_segmentation_and_stopwords():
+    toks = tokenize_words_lang(TEXT_TH, "th")
+    # preposed vowels and combining marks bind into their cluster
+    assert "ที่" in toks and "ไม่" in toks and "ได้" in toks and "ใน" in toks and "ไป" in toks
+    sw = language_stop_words("th")
+    assert sum(t in sw for t in toks) >= 4
+    # ascii embedded in thai text keeps generic rules
+    assert tokenize_words_lang("ไปhello ไม่", "th") == ["ไป", "hello", "ไม่"]
+
+
+def test_gopher_stopword_check_zh_ja():
+    cfg = GopherQualityConfig(
+        min_doc_words=5, min_avg_word_length=None, max_avg_word_length=None,
+        min_alpha_words_ratio=None, min_stop_words=2,
+    )
+    keep_zh, _ = gopher_quality(TEXT_ZH, cfg, lang="zh")
+    assert keep_zh  # 的/是/在/我… clear the stop-word bar under zh dispatch
+    keep_ja, _ = gopher_quality(TEXT_JA, cfg, lang="ja")
+    assert keep_ja  # は/で/に/です clear it under ja dispatch
+    # under the en tokenizer the same zh text is ONE word with zero stop hits
+    keep_en, reason_en = gopher_quality(TEXT_ZH, cfg, lang="en")
+    assert not keep_en
+
+
+def test_word_stats_zh_not_english_fallback():
+    s_zh = word_stats(TEXT_ZH, lang="zh")
+    # per-char tokens: many words, avg length ~1, nonzero stop ratio
+    assert s_zh["n_words"] >= 20
+    assert s_zh["avg_word_length"] < 1.5
+    assert s_zh["stop_word_ratio"] > 0.1
+    # the old English fallback would have seen whitespace chunks
+    s_fallback = word_stats(TEXT_ZH, lang="xx")
+    assert s_fallback["n_words"] < s_zh["n_words"]
+
+
+def test_c4_badwords_multilang_flanking_and_allowlist(spark):
+    """Per-language dispatch (c4_filters.py:209-282): zh matches un-flanked,
+    Latin langs require word flanking, the zh/ja subword allowlist applies."""
+    from datatrove_spark.operators import c4_badwords_filter_multilang
+
+    rows = [
+        (1, "en", "this is porn content"),          # flanked hit -> drop
+        (2, "en", "cumulative distribution fn"),    # substring only -> keep
+        (3, "zh", "本站提供色情内容"),                 # un-flanked hit -> drop
+        (4, "zh", "性能测试报告"),                    # 性 allowlisted -> keep
+        (5, "ja", "エロ動画サイト"),                   # un-flanked hit -> drop
+        (6, "ja", "女の子の写真"),                    # allowlisted -> keep
+        (7, "fr", "texte ordinaire ici"),            # clean -> keep
+        (8, "th", "เว็บโป๊ออนไลน์"),                  # un-flanked hit -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in c4_badwords_filter_multilang(df, lang_col="lang").collect()
+    }
+    assert out[1] == (False, "document_removed_with_badwords")
+    assert out[2] == (True, None)
+    assert out[3] == (False, "document_removed_with_badwords")
+    assert out[4] == (True, None)
+    assert out[5] == (False, "document_removed_with_badwords")
+    assert out[6] == (True, None)
+    assert out[7] == (True, None)
+    assert out[8] == (False, "document_removed_with_badwords")
+
+
+def test_c4_badwords_multilang_missing_language(spark):
+    from datatrove_spark.operators import c4_badwords_filter_multilang
+
+    df = spark.createDataFrame([(1, "xx", "whatever")], "doc_id long, lang string, text string")
+    # fail_on_missing_language=True raises inside the UDF
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="no badwords list"):
+        c4_badwords_filter_multilang(df, lang_col="lang").collect()
+    out = c4_badwords_filter_multilang(
+        df, lang_col="lang", fail_on_missing_language=False
+    ).collect()
+    assert out[0].keep is True
