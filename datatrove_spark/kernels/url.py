@@ -1,9 +1,19 @@
 """URL filtering (reference pipeline/filters/url_filter.py:33-132).
 
-Dependency-free re-derivation: a small embedded public-suffix list replaces
-tldextract (covers the common multi-label suffixes; extend as needed), plain
-substring scan replaces the Aho-Corasick automaton (same result, fine for
-short block lists — swap in pyahocorasick when available for huge lists).
+Dependency-free re-derivation of the reference's tldextract + pyahocorasick
+machinery:
+
+* ``public_suffix`` implements the real Public Suffix List ALGORITHM
+  (longest-match with ``*.`` wildcard and ``!`` exception rules, unknown-TLD
+  default rule) over an embedded snapshot of the stable multi-label suffixes
+  (ICANN ccTLD second-level registries, the classic wildcard TLDs with their
+  exceptions, and the high-traffic private-section hosts like github.io).
+  Single-label TLDs need no listing — the PSL default rule ``*`` covers
+  them.  Production can extend the snapshot via ``load_psl(path)`` with a
+  full publicsuffix.org dump; the algorithm is complete either way.
+* ``AhoCorasick`` is a textbook goto/fail automaton replacing the plain
+  substring scan for banned subwords — O(len(url)) regardless of list size,
+  matching the reference's pyahocorasick usage (url_filter.py:73-76,128-131).
 
 Check order matches the reference: registered domain → fqdn (exact host) →
 full url → banned words → soft words (threshold) → banned subwords.
@@ -12,28 +22,198 @@ full url → banned words → soft words (threshold) → banned subwords.
 from __future__ import annotations
 
 import re
+from collections import deque
 from dataclasses import dataclass, field
+from functools import lru_cache
 from urllib.parse import urlparse
 
-# multi-label public suffixes (subset of the PSL relevant to test traffic)
-_TWO_LABEL_SUFFIXES = {
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp", "com.au",
-    "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
-    "com.tw", "com.ar", "co.za", "com.sg", "com.hk",
-}
+# ---------------------------------------------------------------------------
+# Public Suffix List snapshot (multi-label rules only; data from the public
+# publicsuffix.org list — ICANN section + high-traffic private section)
+# ---------------------------------------------------------------------------
 
-_WORD_SPLIT_RE = re.compile(r"[^a-zA-Z0-9]+")
+_PSL_MULTI = frozenset(
+    """
+    co.uk org.uk me.uk ltd.uk plc.uk net.uk sch.uk ac.uk gov.uk nhs.uk police.uk
+    co.jp or.jp ne.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp
+    com.au net.au org.au edu.au gov.au asn.au id.au
+    com.br net.br org.br gov.br edu.br art.br blog.br
+    com.cn net.cn org.cn gov.cn edu.cn ac.cn
+    co.in net.in org.in firm.in gen.in ind.in gov.in ac.in edu.in res.in nic.in
+    co.kr ne.kr or.kr re.kr pe.kr go.kr ac.kr seoul.kr
+    com.tw net.tw org.tw edu.tw gov.tw idv.tw
+    com.mx net.mx org.mx gob.mx edu.mx
+    com.ar net.ar org.ar gob.ar edu.ar int.ar
+    co.za net.za org.za gov.za ac.za web.za
+    co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz gen.nz maori.nz
+    com.sg net.sg org.sg gov.sg edu.sg per.sg
+    com.hk net.hk org.hk gov.hk edu.hk idv.hk
+    co.il net.il org.il gov.il ac.il muni.il
+    com.ru net.ru org.ru pp.ru msk.ru spb.ru
+    com.pl net.pl org.pl edu.pl gov.pl waw.pl
+    com.tr net.tr org.tr gov.tr edu.tr bel.tr web.tr
+    com.ua net.ua org.ua gov.ua edu.ua in.ua kiev.ua
+    co.id net.id or.id web.id ac.id go.id sch.id my.id
+    co.th net.th or.th ac.th go.th in.th
+    com.my net.my org.my gov.my edu.my
+    com.ph net.ph org.ph gov.ph edu.ph
+    com.vn net.vn org.vn gov.vn edu.vn
+    com.eg net.eg org.eg gov.eg edu.eg
+    com.sa net.sa org.sa gov.sa edu.sa med.sa
+    co.ae net.ae org.ae gov.ae ac.ae
+    com.qa net.qa org.qa gov.qa edu.qa
+    com.kw net.kw org.kw gov.kw edu.kw
+    com.ng net.ng org.ng gov.ng edu.ng
+    co.ke or.ke ne.ke go.ke ac.ke
+    com.gh org.gh gov.gh edu.gh
+    com.et gov.et org.et edu.et
+    co.tz or.tz go.tz ac.tz
+    com.bd net.bd org.bd gov.bd edu.bd
+    com.pk net.pk org.pk gov.pk edu.pk
+    com.np org.np gov.np edu.np
+    com.lk org.lk gov.lk edu.lk
+    co.at or.at ac.at gv.at
+    co.it
+    com.es nom.es org.es gob.es edu.es
+    com.pt org.pt gov.pt edu.pt
+    co.hu org.hu gov.hu info.hu
+    com.gr net.gr org.gr edu.gr gov.gr
+    com.ro org.ro nt.ro tm.ro
+    co.cz
+    com.se org.se
+    co.no
+    com.fr asso.fr gouv.fr nom.fr prd.fr tm.fr
+    co.nl
+    com.de com.ch com.be
+    gc.ca on.ca qc.ca bc.ca ab.ca mb.ca ns.ca sk.ca nb.ca nl.ca pe.ca nt.ca nu.ca yt.ca
+    github.io gitlab.io blogspot.com appspot.com herokuapp.com netlify.app
+    vercel.app pages.dev web.app firebaseapp.com azurewebsites.net
+    wordpress.com cloudfront.net fastly.net
+    """.split()
+)
+
+# classic wildcard TLD rules (*.X) with their published exceptions (!y.X)
+_PSL_WILDCARD_BASES = frozenset(
+    "ck er fk jm kh mm pg bn "
+    "kawasaki.jp kitakyushu.jp kobe.jp nagoya.jp sapporo.jp sendai.jp yokohama.jp".split()
+)
+_PSL_EXCEPTIONS = frozenset(
+    "www.ck city.kawasaki.jp city.kitakyushu.jp city.kobe.jp city.nagoya.jp "
+    "city.sapporo.jp city.sendai.jp city.yokohama.jp".split()
+)
+
+
+def load_psl(path: str) -> tuple[frozenset, frozenset, frozenset]:
+    """Parse a full publicsuffix.org dump into (multi, wildcard_bases,
+    exceptions) for use with ``public_suffix(host, rules=...)``."""
+    multi, wild, exc = set(), set(), set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                exc.add(line[1:])
+            elif line.startswith("*."):
+                wild.add(line[2:])
+            elif "." in line:
+                multi.add(line)
+            # single-label rules are implied by the default rule
+    return frozenset(multi), frozenset(wild), frozenset(exc)
+
+
+def public_suffix(
+    host: str,
+    rules: tuple[frozenset, frozenset, frozenset] | None = None,
+) -> str:
+    """The PSL algorithm (publicsuffix.org/list/): among all matching rules
+    the longest wins, exception rules beat everything (their suffix is the
+    rule minus its leading label), and an unmatched TLD falls back to the
+    default rule ``*`` (top label is the suffix)."""
+    multi, wild, exc = rules if rules is not None else (
+        _PSL_MULTI, _PSL_WILDCARD_BASES, _PSL_EXCEPTIONS
+    )
+    labels = host.split(".")
+    n = len(labels)
+    best = 1  # default rule
+    for i in range(n):
+        cand = ".".join(labels[i:])
+        if cand in exc:
+            return ".".join(labels[i + 1 :])
+        if cand in multi:
+            best = max(best, n - i)
+        if i + 1 < n and ".".join(labels[i + 1 :]) in wild:
+            best = max(best, n - i)
+    return ".".join(labels[-best:])
 
 
 def split_host(url: str) -> tuple[str, str]:
-    """(fqdn, registered_domain) — tldextract-equivalent for common cases."""
+    """(fqdn, registered_domain) — tldextract-equivalent (PSL algorithm)."""
     host = urlparse(url if "://" in url else f"http://{url}").hostname or ""
     labels = host.split(".")
     if len(labels) < 2:
         return host, host
-    suffix_len = 2 if ".".join(labels[-2:]) in _TWO_LABEL_SUFFIXES else 1
-    reg_labels = labels[-(suffix_len + 1):] if len(labels) > suffix_len else labels
-    return host, ".".join(reg_labels)
+    suffix = public_suffix(host)
+    n_suffix = suffix.count(".") + 1 if suffix else 0
+    if len(labels) <= n_suffix:
+        return host, host
+    return host, ".".join(labels[-(n_suffix + 1) :])
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick (textbook goto/fail automaton; replaces pyahocorasick)
+# ---------------------------------------------------------------------------
+
+
+class AhoCorasick:
+    """Multi-pattern first-match search in O(len(text) + total pattern len)."""
+
+    def __init__(self, words):
+        self._goto: list[dict[str, int]] = [{}]
+        self._fail: list[int] = [0]
+        self._hit: list[bool] = [False]
+        for w in words:
+            node = 0
+            for ch in w:
+                nxt = self._goto[node].get(ch)
+                if nxt is None:
+                    self._goto.append({})
+                    self._fail.append(0)
+                    self._hit.append(False)
+                    nxt = len(self._goto) - 1
+                    self._goto[node][ch] = nxt
+                node = nxt
+            if w:
+                self._hit[node] = True
+        # BFS fail links; propagate hit flags through suffix links
+        q = deque(self._goto[0].values())
+        while q:
+            node = q.popleft()
+            for ch, nxt in self._goto[node].items():
+                q.append(nxt)
+                f = self._fail[node]
+                while f and ch not in self._goto[f]:
+                    f = self._fail[f]
+                self._fail[nxt] = self._goto[f].get(ch, 0) if self._goto[f].get(ch, 0) != nxt else 0
+                self._hit[nxt] = self._hit[nxt] or self._hit[self._fail[nxt]]
+
+    def contains_any(self, text: str) -> bool:
+        node = 0
+        for ch in text:
+            while node and ch not in self._goto[node]:
+                node = self._fail[node]
+            node = self._goto[node].get(ch, 0)
+            if self._hit[node]:
+                return True
+        return False
+
+
+@lru_cache(maxsize=32)
+def _subword_automaton(words: tuple[str, ...]) -> AhoCorasick:
+    return AhoCorasick(words)
+
+
+_WORD_SPLIT_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 
 @dataclass
@@ -63,6 +243,6 @@ def url_filter(url: str, cfg: UrlFilterConfig) -> tuple[bool, str | None]:
             return False, "soft_blacklisted"
     if cfg.banned_subwords:
         normalized = " ".join(w for w in _WORD_SPLIT_RE.split(url.lower()) if w)
-        if any(sub in normalized for sub in cfg.banned_subwords):
+        if _subword_automaton(tuple(cfg.banned_subwords)).contains_any(normalized):
             return False, "blacklisted_subword"
     return True, None

@@ -18,6 +18,7 @@ from .base import (  # noqa: F401
     kept,
 )
 from .dedup import (  # noqa: F401
+    bloom_dedup_sequential,
     connected_components,
     drop_exact_duplicates,
     exact_dedup,

@@ -945,3 +945,112 @@ def jaccard_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# sequential Bloom-filter dedup (reference dedup/bloom_filter.py:66-210)
+# --------------------------------------------------------------------------
+
+
+def bloom_dedup_sequential(
+    df: DataFrame,
+    m_bytes: int = 1 << 20,
+    k: int = 7,
+    n_grams: int = 13,
+    duplicate_threshold: float = 0.8,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reference's SingleBloomFilter semantics, bit-faithful in structure
+    (bloom_filter.py:105-188): per document IN STREAM ORDER, hash every
+    ``n_grams``-word shingle of the normalized text to 32 bits, derive ``k``
+    bit positions per shingle via universal hashing ((a*h+b) mod Mersenne
+    prime, masked by ``m_bytes`` — including the reference's AND-mask quirk,
+    bloom_filter.py:146-149), count shingles whose bits are ALL already set,
+    then set the new shingles' bits; drop when the already-seen fraction
+    exceeds ``duplicate_threshold``.
+
+    SEQUENTIAL BY CONSTRUCTION: the whole corpus is coalesced into one
+    partition sorted by ``id_col`` (the reproducible stand-in for the
+    reference's arrival order) and streamed through one stateful
+    mapInPandas.  This is the bit-parity mode for tests and small corpora —
+    the scale path is ``shingle_overlap_filter``, the partition-independent
+    analogue.  Hash functions are our own (sha1-derived), so parity with a
+    reference run requires matching its hash_config; the dataflow, query/
+    update ordering, and threshold semantics are exact.
+    """
+    import numpy as np
+
+    from ..kernels.text import normalize_text
+
+    _MERSENNE = (1 << 61) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, dtype=np.uint64, size=k)
+    b = rng.randint(0, _MERSENNE, dtype=np.uint64, size=k)
+
+    df = ensure_channel(df)
+    cols = df.columns
+    out_schema = df.schema
+
+    def run_partition(batches):
+        bit_vector = bytearray(m_bytes)
+
+        def shingle_hashes(text: str) -> list:
+            words = normalize_text(text).split()
+            return [
+                sha1_i64(" ".join(words[i : i + n_grams])) & 0xFFFFFFFF
+                for i in range(len(words) - n_grams + 1)
+            ]
+
+        def indexes(h: int) -> list:
+            # the reference masks with m_bytes (an AND, not a modulo) and
+            # addresses bits as divmod(idx, 8) — reproduced verbatim
+            return [int(((int(ai) * h + int(bi)) % _MERSENNE) & m_bytes) for ai, bi in zip(a, b)]
+
+        def query(idxs) -> bool:
+            return all(bit_vector[i >> 3] & (1 << (i & 7)) for i in idxs)
+
+        def update(idxs) -> None:
+            for i in idxs:
+                bit_vector[i >> 3] |= 1 << (i & 7)
+
+        for pdf in batches:
+            keeps, reasons = [], []
+            for text, keep0, reason0 in zip(
+                pdf[text_col].fillna(""), pdf["keep"], pdf["drop_reason"]
+            ):
+                if not keep0:
+                    keeps.append(False)
+                    reasons.append(reason0)
+                    continue
+                hashes = shingle_hashes(text)
+                if not hashes:
+                    keeps.append(True)
+                    reasons.append(None)
+                    continue
+                dup = 0
+                to_set: list = []
+                for h in hashes:
+                    idxs = indexes(h)
+                    if query(idxs):
+                        dup += 1
+                    else:
+                        to_set.extend(idxs)
+                update(to_set)
+                if dup / len(hashes) > duplicate_threshold:
+                    keeps.append(False)
+                    reasons.append("bloom_duplicate")
+                else:
+                    keeps.append(True)
+                    reasons.append(None)
+            pdf = pdf.copy()
+            pdf["keep"] = keeps
+            pdf["drop_reason"] = pd.array(reasons, dtype="object")
+            yield pdf[cols]
+
+    return (
+        df.repartition(1)
+        .sortWithinPartitions(id_col)
+        .mapInPandas(run_partition, out_schema)
+    )

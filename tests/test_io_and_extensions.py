@@ -609,3 +609,64 @@ def test_read_media_folder(spark, tmp_path):
     assert rows["liar.png"].mime == "audio/mpeg"  # magic bytes beat extension
     assert bytes(rows["a.png"].payload) == png
     assert rows["a.png"].media.n_bytes == len(png)
+
+
+# --- PSL algorithm + Aho-Corasick (url_filter.py:104-132 parity) -------------
+
+EXOTIC_CFG = UrlFilterConfig(
+    blocked_domains=frozenset({"example.co.uk", "user.github.io", "y.anything.ck"})
+)
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # multi-label PSL suffix: registered domain is example.co.uk
+        ("https://a.b.example.co.uk/page", "domain"),
+        ("https://example.co.uk/page", "domain"),
+        ("https://other.co.uk/page", True),
+        # private-section suffix: each github.io user is its own registrable domain
+        ("https://deep.sub.user.github.io/repo", "domain"),
+        ("https://otheruser.github.io/repo", True),
+        # wildcard rule *.ck: suffix is anything.ck
+        ("https://x.y.anything.ck/", "domain"),
+        # exception rule !www.ck: www.ck is registrable under plain ck
+        ("https://www.ck/", True),
+        # PSL default rule: unknown TLD, top label is the suffix
+        ("https://foo.unknowntld/", True),
+    ],
+)
+def test_url_filter_psl_exotic_tlds(url, expected):
+    keep, reason = url_filter(url, EXOTIC_CFG)
+    if expected is True:
+        assert keep
+    else:
+        assert not keep and reason == expected
+
+
+def test_public_suffix_exception_rules():
+    from datatrove_spark.kernels.url import public_suffix, split_host
+
+    assert public_suffix("city.kobe.jp") == "kobe.jp"       # !city.kobe.jp
+    assert split_host("https://shop.city.kobe.jp/x") == (
+        "shop.city.kobe.jp", "city.kobe.jp",
+    )
+    assert public_suffix("random.kobe.jp") == "random.kobe.jp"  # *.kobe.jp
+
+
+def test_aho_corasick_matches_bruteforce():
+    import random
+
+    from datatrove_spark.kernels.url import AhoCorasick
+
+    rng = random.Random(7)
+    alpha = "abcd"
+    for _ in range(200):
+        pats = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 4)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        ac = AhoCorasick(pats)
+        for _ in range(20):
+            s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+            assert ac.contains_any(s) == any(p in s for p in pats), (pats, s)

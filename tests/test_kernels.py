@@ -391,3 +391,51 @@ def test_mojibake_repair():
     # precision: genuine accents / symbols / ascii unchanged
     for clean in ("déjà vu", "€100 and £5", "plain ascii", "日本語テキスト"):
         assert fix_mojibake(clean) == clean
+
+
+def test_arpa_scores_pinned_to_kenlm_backoff_equation():
+    """Pin ArpaLM to the ARPA/KenLM query semantics, NOT to itself: expected
+    values are hand-traced from tests/fixtures/tiny.arpa entries following the
+    published backoff equation KenLM implements
+    (p(w|h) = p(h,w) if present else backoff(h) + p(w|h[1:]), log10 domain;
+    missing backoff weight = 0).  kenlm itself cannot install in this
+    container, so the trace below IS the independent reference — every number
+    is copied from the .arpa file, not computed by the code under test."""
+    from datatrove_spark.kernels.arpa import ArpaLM
+
+    lm = ArpaLM.load("tests/fixtures/tiny.arpa")
+
+    # "the cat sat on the mat": all-bigram path until the final </s>, which
+    # backs off through backoff(mat) to the </s> unigram.
+    s1, n1 = lm.score_line("the cat sat on the mat")
+    expected_s1 = (
+        -0.2041200            # p(the | <s>)        bigram "<s> the"
+        + -0.8653014          # p(cat | the)        bigram "the cat"
+        + -0.6020600          # p(sat | cat)        bigram "cat sat"
+        + -0.6020600          # p(on | sat)         bigram "sat on"
+        + -0.1249387          # p(the | on)         bigram "on the"
+        + -1.3424227          # p(mat | the)        bigram "the mat"
+        + (-0.3010300 + -1.2730013)  # p(</s> | mat) = backoff(mat) + p(</s>)
+    )
+    assert n1 == 7
+    assert abs(s1 - expected_s1) < 1e-6
+
+    # "the zebra sat": OOV word exercises the double backoff — unseen bigram
+    # "the zebra" uses backoff(the) + p(<unk>); the context after an OOV has
+    # no backoff entry (weight 0), and "sat </s>" backs off again.
+    s2, n2 = lm.score_line("the zebra sat")
+    expected_s2 = (
+        -0.2041200                    # p(the | <s>)
+        + (-0.4393327 + -1.8750613)   # p(zebra | the) = backoff(the) + p(<unk>)
+        + (0.0 + -1.5740313)          # p(sat | zebra) = backoff(zebra)=0 + p(sat)
+        + (-0.3010300 + -1.2730013)   # p(</s> | sat)  = backoff(sat) + p(</s>)
+    )
+    assert n2 == 4
+    assert abs(s2 - expected_s2) < 1e-6
+
+    # document perplexity follows the reference wrapper's convention
+    # (utils/perplexity.py:125-138): 10^(-logsum/len) rounded to 1 decimal
+    import math
+    assert lm.perplexity("the cat sat on the mat") == round(
+        10.0 ** (-expected_s1 / 7), 1
+    )

@@ -457,3 +457,61 @@ def test_simhash_hot_bucket_star_path(spark):
     assert capped == exact
     assert capped[0] is True and all(capped[i] is False for i in range(1, 40))
     assert capped[100] is True and capped[101] is False and capped[200] is True
+
+
+def test_bloom_dedup_sequential_reference_trace(spark):
+    """bloom_dedup_sequential must reproduce, doc-for-doc, an independent
+    sequential trace of the reference's SingleBloomFilter.run loop
+    (bloom_filter.py:150-188: query all shingles, then set the new ones,
+    drop when dup fraction > threshold) with the same parameters."""
+    import numpy as np
+
+    from datatrove_spark.kernels.hashing import sha1_i64
+    from datatrove_spark.kernels.text import normalize_text
+
+    base = " ".join(f"w{i}" for i in range(30))
+    half = " ".join(f"w{i}" for i in range(15)) + " " + " ".join(f"q{i}" for i in range(15))
+    rows = [
+        (1, base),                                   # first seen -> keep
+        (2, base),                                   # 100% dup -> drop
+        (3, " ".join(f"z{i}" for i in range(30))),   # fresh -> keep
+        (4, half),                                   # partial overlap
+        (5, base + " tail extra words here now"),    # mostly dup
+    ]
+    # m_bytes must be 2^n - 1: the reference masks indexes with AND m_bytes
+    # (bloom_filter.py:146-149), so a power of two would collapse the filter
+    # to two addressable bits
+    m_bytes, k, n_grams, thr, seed = (1 << 16) - 1, 5, 5, 0.6, 0
+
+    # ---- independent trace (reference run() loop, plain python) ----
+    _M = (1 << 61) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _M, dtype=np.uint64, size=k)
+    b = rng.randint(0, _M, dtype=np.uint64, size=k)
+    bits = set()
+    expected = {}
+    for doc_id, text in rows:  # stream order = id order
+        words = normalize_text(text).split()
+        hashes = [
+            sha1_i64(" ".join(words[i : i + n_grams])) & 0xFFFFFFFF
+            for i in range(len(words) - n_grams + 1)
+        ]
+        dup, to_set = 0, []
+        for h in hashes:
+            idxs = [((int(ai) * h + int(bi)) % _M) & m_bytes for ai, bi in zip(a, b)]
+            if all(i in bits for i in idxs):
+                dup += 1
+            else:
+                to_set.extend(idxs)
+        bits.update(to_set)
+        expected[doc_id] = dup / len(hashes) <= thr
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    out = {
+        r.doc_id: r.keep
+        for r in ops.bloom_dedup_sequential(
+            df, m_bytes=m_bytes, k=k, n_grams=n_grams, duplicate_threshold=thr, seed=seed
+        ).collect()
+    }
+    assert out == expected
+    assert out[1] is True and out[2] is False and out[3] is True
