@@ -146,7 +146,12 @@ def ngrams(seq: Iterable, n: int):
 # reference delegates to per-language sentence tokenizers
 # (utils/word_tokenizers.py); this regex matches the common English case and
 # is used consistently on both the Spark and oracle sides.
-_SENT_RE = re.compile(r"(?<=[.!?！？。])[\"'”’)\]]*\s+")
+# sentence boundary: after a terminal mark + optional closing quotes, either
+# consuming the following whitespace (Latin prose) or zero-width right after a
+# FULL-WIDTH terminal (。！？｡) — CJK text carries no inter-sentence spaces,
+# so the whitespace-only rule would never split it (reference ja/zh
+# sent_tokenize dispatch, word_tokenizers.py:104-167)
+_SENT_RE = re.compile(r"(?<=[.!?！？。])[\"'”’)\]]*\s+|(?<=[。！？｡])[」』”’)\]]*")
 _PARA_RE = re.compile(r"\n{2,}")
 _LINE_RE = re.compile(r"\n+")
 

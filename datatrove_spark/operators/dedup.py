@@ -151,6 +151,8 @@ def connected_components(
     duplicates survive dedup.
     """
     n_edges = edges.count()
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame([], "id long, component long")
     if n_edges <= driver_threshold:
         rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
         return _unionfind_components(rows, edges.sparkSession)
@@ -368,9 +370,9 @@ def minhash_dedup(
         .distinct()
     ).localCheckpoint()
 
-    if edges.isEmpty():
-        return ensure_channel(df)
-
+    # no isEmpty() pre-check: connected_components counts the edges anyway
+    # (an empty graph yields an empty label frame and the join-back keeps
+    # every row) — one fewer fixed-latency job on the minhash critical path
     comps = connected_components(edges)
     survivors_drop = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("_dup_id")
@@ -761,8 +763,7 @@ def simhash_dedup(
         .distinct()
         .localCheckpoint()
     )
-    if verified.isEmpty():
-        return ensure_channel(df.withColumn("simhash", _sim_udf(F.col(text_col))))
+    # empty-graph case handled inside connected_components (see minhash_dedup)
     comps = connected_components(verified)
     dup_ids = comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias("_dup_id"))
     out = sims.join(dup_ids, sims[id_col] == dup_ids["_dup_id"], "left")

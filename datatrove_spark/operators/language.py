@@ -100,7 +100,11 @@ def annotate_stopword_language(df: DataFrame, text_col: str = "text") -> DataFra
     """SQL-reproducible stopword-ratio LID (kernels.lid.stopword_lid) done
     natively in Catalyst: per-language stopword hit ratio over whitespace
     tokens, argmax with alphabetical tie-break.  Zero Python."""
-    words = F.split(F.lower(F.col(text_col)), " ")
+    # split materialized ONCE in its own projection: the per-language filter
+    # expressions below are interpreted (no codegen for higher-order funcs),
+    # and an inline split expression would be re-evaluated per language
+    df = df.withColumn("_sw_words", F.split(F.lower(F.col(text_col)), " "))
+    words = F.col("_sw_words")
     n = F.greatest(F.size(words), F.lit(1))
     scored = []
     for lang in sorted(STOPWORD_SETS):
@@ -120,8 +124,10 @@ def annotate_stopword_language(df: DataFrame, text_col: str = "text") -> DataFra
         for i, s in enumerate(scored)
     ]
     best = F.array_max(F.array(*ranked))
-    return df.withColumn("sw_language", best["lang"]).withColumn(
-        "sw_language_score", F.round(best["score"], 6)
+    return (
+        df.withColumn("sw_language", best["lang"])
+        .withColumn("sw_language_score", F.round(best["score"], 6))
+        .drop("_sw_words")
     )
 
 

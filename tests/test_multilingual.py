@@ -233,3 +233,20 @@ def test_c4_badwords_multilang_missing_language(spark):
         df, lang_col="lang", fail_on_missing_language=False
     ).collect()
     assert out[0].keep is True
+
+
+def test_cjk_sentence_splitting():
+    """CJK full-width terminals split sentences WITHOUT inter-sentence
+    whitespace (the reference's ja/zh sent_tokenize dispatch); Latin prose
+    splitting and the byte-coverage span contract are unchanged."""
+    from datatrove_spark.kernels.text import sentence_spans, split_sentences
+
+    ja = "これはペンです。私は東京に行きます。はい"
+    assert split_sentences(ja) == ["これはペンです。", "私は東京に行きます。", "はい"]
+    spans = sentence_spans(ja)
+    assert "".join(ja[a:b] for a, b in spans) == ja  # full byte coverage
+    zh = "你好。这是测试！好吗？结束"
+    assert split_sentences(zh) == ["你好。", "这是测试！", "好吗？", "结束"]
+    # closing bracket binds to the preceding sentence's span
+    q = "です。」次の文。"
+    assert sentence_spans(q) == [(0, 4), (4, 8)]
