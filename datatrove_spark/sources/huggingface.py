@@ -1,0 +1,94 @@
+"""HuggingFace hub dataset reader/writer (reference readers/huggingface.py +
+writers/huggingface.py), import-gated on the ``datasets`` package.
+
+The reference streams a hub dataset shard-per-rank and pushes result shards
+back with retry-on-rate-limit.  In Spark the natural equivalents are:
+
+* read: ``datasets.load_dataset(..., streaming=False)`` → Arrow shards →
+  one Spark DataFrame via Arrow batches (small/medium sets), or a
+  pre-downloaded ``save_to_disk`` directory read the same way.  Shard
+  assignment (reference get_shard logic) disappears — Spark splits the
+  Arrow files natively.
+* write: collect per-partition Arrow batches into a ``datasets.Dataset``
+  and ``push_to_hub`` from the driver (the reference also funnels through
+  a single uploader per rank; hub uploads are not a distributed-write
+  surface).
+
+Neither path can execute in this container (no ``datasets``, no network);
+the adapter glue — schema mapping, text/id key adaptation, batching — is
+unit-tested with an injected fake ``datasets`` module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .readers import _adapt
+
+
+def _require_datasets():
+    try:
+        import datasets  # noqa: import-gated
+
+        return datasets
+    except ImportError as exc:  # pragma: no cover - exercised via fake module
+        raise ImportError(
+            "read_hf_dataset/write_hf_dataset need the 'datasets' package "
+            "(pip install datasets) — not available in this environment"
+        ) from exc
+
+
+def read_hf_dataset(
+    spark: SparkSession,
+    dataset_name: str,
+    split: str = "train",
+    config: str | None = None,
+    text_key: str = "text",
+    id_key: str | None = "id",
+    limit: int | None = None,
+    skip: int = 0,
+    **load_kwargs,
+) -> DataFrame:
+    """Hub dataset → canonical document frame (readers/huggingface.py:18-96).
+
+    Loads via ``datasets`` (Arrow-backed), converts through Arrow to Spark
+    with one ``createDataFrame`` per Arrow table — fine for the
+    fits-on-one-machine datasets the reference reader targets; terabyte hub
+    sets should be snapshot to parquet first (``datasets`` caches Arrow
+    locally anyway) and read with ``read_parquet``.
+    """
+    datasets = _require_datasets()
+    ds = datasets.load_dataset(dataset_name, config, split=split, **load_kwargs)
+    table = ds.data.table if hasattr(ds.data, "table") else ds.data
+    df = spark.createDataFrame(table.to_pandas())
+    return _adapt(df, text_key=text_key, id_key=id_key, limit=limit, skip=skip)
+
+
+def write_hf_dataset(
+    df: DataFrame,
+    repo_id: str,
+    private: bool = True,
+    split: str = "train",
+    max_rows_in_memory: int = 1_000_000,
+    **push_kwargs,
+) -> None:
+    """Document frame → hub dataset (writers/huggingface.py:30-161).
+
+    The frame is brought to the driver in Arrow batches (bounded by
+    ``max_rows_in_memory`` — refuse to silently OOM on a 100 TB frame) and
+    pushed as one ``datasets.Dataset``.
+    """
+    datasets = _require_datasets()
+    n = df.count()
+    if n > max_rows_in_memory:
+        raise ValueError(
+            f"write_hf_dataset funnels through the driver ({n} rows > "
+            f"{max_rows_in_memory}); write parquet and use a hub upload tool "
+            "for corpora of this size"
+        )
+    pdf = df.toPandas()
+    ds = datasets.Dataset.from_pandas(pdf)
+    ds.push_to_hub(repo_id, private=private, split=split, **push_kwargs)
+
+
+__all__ = ["read_hf_dataset", "write_hf_dataset"]
