@@ -18,37 +18,107 @@ from __future__ import annotations
 
 import html as _html
 import re
+from html.parser import HTMLParser
 
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType
 
-_DROP_BLOCKS_RE = re.compile(
-    r"<(script|style|noscript|svg|nav|header|footer|aside|form)\b.*?</\1\s*>",
-    re.IGNORECASE | re.DOTALL,
+_WS_RE = re.compile(r"\s+")
+
+# subtrees whose text is never content
+_SKIP_TAGS = frozenset(
+    "script style noscript svg nav header footer aside form template iframe button".split()
 )
-_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
-_BLOCK_TAG_RE = re.compile(
-    r"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|blockquote)\b[^>]*>",
-    re.IGNORECASE,
+# tags that terminate the current text block
+_BLOCK_TAGS = frozenset(
+    "p div li ul ol h1 h2 h3 h4 h5 h6 tr table section article blockquote pre td th dd dt br main body".split()
 )
-_TAG_RE = re.compile(r"<[^>]+>")
-_WS_RE = re.compile(r"[ \t\r\f\v]+")
-_NL_RE = re.compile(r"\n{3,}")
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+class _BlockParser(HTMLParser):
+    """Collects (text, link_chars, is_heading) blocks per block-level element
+    — the segmentation step of jusText/trafilatura-style extraction."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, bool]] = []
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._heading = False
+
+    def _flush(self):
+        text = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        if text:
+            self.blocks.append((text, self._link_chars, self._heading))
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._heading = tag in _HEADING_TAGS
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._heading = False
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        self._parts.append(data)
+        if self._link_depth:
+            self._link_chars += len(data.strip())
+
+
+# jusText-style thresholds (public algorithm: Pomikálek 2011): blocks that
+# are mostly link text are navigation; very short non-heading fragments
+# between them are boilerplate too.
+_MAX_LINK_DENSITY = 0.5
+_MIN_BLOCK_CHARS = 25
 
 
 def basic_html_to_text(html_doc: str) -> str:
-    """Dependency-free extraction: boilerplate-block removal + tag strip."""
-    s = _COMMENT_RE.sub(" ", html_doc)
-    s = _DROP_BLOCKS_RE.sub(" ", s)
-    s = _BLOCK_TAG_RE.sub("\n", s)
-    s = _TAG_RE.sub(" ", s)
-    s = _html.unescape(s)
-    s = _WS_RE.sub(" ", s)
-    s = "\n".join(line.strip() for line in s.split("\n"))
-    s = _NL_RE.sub("\n\n", s)
-    return s.strip()
+    """Dependency-free content extraction: stdlib-HTMLParser block
+    segmentation + jusText-style link-density/length classification
+    (the reference default is trafilatura — labeled non-parity; this
+    fallback applies the same public block-scoring ideas)."""
+    parser = _BlockParser()
+    try:
+        parser.feed(html_doc)
+        parser.close()
+    except Exception:
+        # malformed beyond the parser's tolerance: strip tags crudely
+        return _WS_RE.sub(" ", _html.unescape(re.sub(r"<[^>]*>", " ", html_doc))).strip()
+    parser._flush()
+    kept = []
+    for text, link_chars, heading in parser.blocks:
+        if link_chars / max(len(text), 1) > _MAX_LINK_DENSITY:
+            continue  # navigation / link farm
+        if not heading and len(text) < _MIN_BLOCK_CHARS:
+            continue  # short fragment (button labels, breadcrumbs)
+        kept.append(text)
+    # headings with no surviving body text below them are boilerplate too —
+    # but detecting that needs lookahead; keep headings only when ANY body
+    # block survived (jusText's short/near-good simplification)
+    if not any(len(t) >= _MIN_BLOCK_CHARS for t in kept):
+        return ""
+    return "\n\n".join(kept)
 
 
 def _build_extractor(backend: str, favour_precision: bool):

@@ -737,3 +737,31 @@ def test_hf_dataset_import_gate(spark):
     assert "datasets" not in sys.modules or not hasattr(sys.modules.get("datasets"), "__file__")
     with _pytest.raises(ImportError, match="datasets"):
         read_hf_dataset(spark, "org/name")
+
+
+def test_html_extraction_justext_style_boilerplate():
+    """The native fallback classifies blocks jusText-style: link-dense
+    navigation/sidebars and short fragments drop, headings + prose survive,
+    malformed HTML degrades to a tag strip instead of raising."""
+    from datatrove_spark.operators.extractors import basic_html_to_text
+
+    doc = (
+        "<body><nav><a href=/>Home</a> | <a href=/a>About</a></nav>"
+        "<ul><li><a href=1>Related post number one</a></li>"
+        "<li><a href=2>Another related post link</a></li></ul>"
+        "<h1>Article Title</h1>"
+        "<p>First real paragraph of the article, clearly long enough to be content.</p>"
+        "<div>Share</div>"
+        "<footer>© 2026 · <a href=p>Privacy</a></footer></body>"
+    )
+    out = basic_html_to_text(doc)
+    assert "Article Title" in out and "First real paragraph" in out
+    assert "Home" not in out          # nav subtree skipped
+    assert "Related post" not in out  # link-dense list dropped
+    assert "Share" not in out         # short fragment dropped
+    assert "Privacy" not in out       # footer subtree skipped
+
+    # a page with ONLY boilerplate yields empty -> null downstream
+    assert basic_html_to_text("<nav><a href=/>Home</a></nav><div>Hi</div>") == ""
+    # malformed input must not raise
+    assert isinstance(basic_html_to_text("<p><<<>broken &amp; <b"), str)
