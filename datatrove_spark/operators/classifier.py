@@ -44,12 +44,33 @@ def classifier_filter(
     unit: str = DOCUMENT,
     text_col: str = "text",
     model_tag: str = "clf",
+    model_path: str | None = None,
 ) -> DataFrame:
     """keep_labels: keep span iff any (label, min_score) matches;
     remove_labels: drop span iff any (label, min_score) matches.
-    Exactly one of the two should be given (reference contract)."""
+    Exactly one of the two should be given (reference contract).
+
+    ``model_path`` loads a real fastText supervised ``.bin`` (via the
+    fasttext package when installed, else the dependency-free
+    ``kernels.fasttext_bin`` reader) — the reference's
+    FastTextClassifierFilter model loading (fasttext_filter.py:60-75);
+    labels are exposed without their ``__label__`` prefix.  Without it, the
+    deterministic NgramBayesLID stand-in classifies."""
     if (keep_labels is None) == (remove_labels is None):
         raise ValueError("pass exactly one of keep_labels / remove_labels")
+
+    def _make_model():
+        if model_path is not None:
+            from ..kernels.lid import FastTextLID
+
+            ft = FastTextLID(model_path)
+
+            class _Clf:
+                def predict(self, text):
+                    return ft.predict(text)
+
+            return _Clf()
+        return NgramBayesLID(model_dict)
 
     def split(text: str) -> list[str]:
         if unit == DOCUMENT:
@@ -62,7 +83,7 @@ def classifier_filter(
 
     @F.pandas_udf(_RESULT)
     def _udf(texts: pd.Series) -> pd.DataFrame:
-        model = _singleton(model_tag, lambda: NgramBayesLID(model_dict))
+        model = _singleton(model_tag, _make_model)
         rows = []
         for text in texts.fillna(""):
             spans = split(text)

@@ -9,11 +9,13 @@ import sys
 from datatrove_spark.operators import (
     drop_reason_summary,
     exact_dedup,
+    jaccard_neardup_pairs,
     kept,
     minhash_dedup,
     ngram_decontaminate,
     sentence_dedup,
 )
+from datatrove_spark.operators.dedup import PRODUCTION_JACCARD_MAX_DF
 from datatrove_spark.session import get_spark
 from datatrove_spark.sources import write_parquet
 
@@ -31,6 +33,14 @@ def main(docs_path: str, eval_path: str, out_dir: str) -> None:
     df = ngram_decontaminate(df, eval_df, n=12)
 
     drop_reason_summary(df).show(truncate=False)
+
+    # near-dup pair REPORT (exact Jaccard over candidate pairs) — production
+    # runs always cap hot shingles: an uncapped self-join is quadratic in the
+    # document-frequency of the most common shingle
+    pairs = jaccard_neardup_pairs(
+        kept(df), n=5, threshold=0.8, max_df=PRODUCTION_JACCARD_MAX_DF
+    )
+    write_parquet(pairs, f"{out_dir}/neardup_pairs")
     write_parquet(kept(df), f"{out_dir}/clean")
     write_parquet(df.filter("NOT keep"), f"{out_dir}/removed", partition_by=["drop_reason"])
     spark.stop()

@@ -34,6 +34,7 @@ import pyspark.sql.functions as F
 from datatrove_spark.kernels.c4 import C4QualityConfig
 from datatrove_spark.kernels.url import UrlFilterConfig
 from datatrove_spark.operators import (
+    c4_badwords_filter_multilang,
     c4_quality_filter,
     extract_html_text,
     fineweb_quality_filter,
@@ -62,6 +63,11 @@ def main(warc_dir: str, out_dir: str) -> None:
     df = language_filter(df, languages=["en"], threshold=0.65)
     df = gopher_repetition_filter(df)
     df = gopher_quality_filter(df)
+    # per-language LDNOOBW badwords (C4BadWordsFilter): lists + flanking
+    # rules dispatch on the language column LID just attached
+    df = c4_badwords_filter_multilang(
+        df, lang_col="language", fail_on_missing_language=False
+    )
     # the FineWeb recipe disables C4's terminal-punct line drop (fineweb.py:58)
     df = c4_quality_filter(df, C4QualityConfig(filter_no_terminal_punct=False))
     df = fineweb_quality_filter(df)

@@ -515,3 +515,38 @@ def test_bloom_dedup_sequential_reference_trace(spark):
     }
     assert out == expected
     assert out[1] is True and out[2] is False and out[3] is True
+
+
+def test_classifier_filter_real_model_file(spark, tmp_path):
+    """classifier_filter with model_path runs a real fastText-format .bin
+    through the dependency-free reader (reference FastTextClassifierFilter
+    loading, fasttext_filter.py:60-75)."""
+    import numpy as np
+
+    from datatrove_spark.kernels.fasttext_bin import write_supervised_bin
+
+    rng = np.random.RandomState(5)
+    dim = 6
+    good_words = ["</s>", "clean", "prose", "article"]
+    bad_words = ["spam", "casino", "pills"]
+    wv = {}
+    for w in good_words:
+        wv[w] = rng.randn(dim) + np.array([4.0] + [0.0] * (dim - 1))
+    for w in bad_words:
+        wv[w] = rng.randn(dim) - np.array([4.0] + [0.0] * (dim - 1))
+    lv = {
+        "__label__good": np.array([1.5] + [0.0] * (dim - 1)),
+        "__label__bad": np.array([-1.5] + [0.0] * (dim - 1)),
+    }
+    path = str(tmp_path / "clf.bin")
+    write_supervised_bin(path, wv, lv, dim)
+
+    rows = [(1, "clean prose article"), (2, "spam casino pills")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.keep
+        for r in ops.classifier_filter(
+            df, keep_labels=[("good", 0.6)], model_path=path, model_tag="clf-binfile"
+        ).collect()
+    }
+    assert out == {1: True, 2: False}

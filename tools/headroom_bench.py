@@ -1,0 +1,114 @@
+"""Corpus-size headroom evidence: the two scale runs the round reports cite
+(1M-file quality pipeline, 1M-doc minhash dedup), repeatable per round.
+
+Writes BENCH/headroom.json.  Usage: python tools/headroom_bench.py
+[--files 1000000] [--docs 1000000] [--cores 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=1_000_000)
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int, default=16)
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators import minhash_dedup
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark(
+        "headroom", master=f"local[{args.cores}]", shuffle_partitions=args.cores * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cores": args.cores}
+
+    # -- 1M-file quality pipeline ------------------------------------------
+    corpus = synth_corpus(spark, args.files, partitions=args.cores * 4).localCheckpoint()
+    n = corpus.count()
+    t0 = time.time()
+    kept = quality_pipeline(corpus, QualityPipelineConfig()).filter(F.col("keep")).count()
+    wall = time.time() - t0
+    out["pipeline"] = {
+        "n_files": n,
+        "n_kept": kept,
+        "keep_rate": round(kept / n, 6),
+        "wall_sec": round(wall, 1),
+        "files_per_sec": round(n / wall, 1),
+    }
+    print(f"pipeline: {n} files in {wall:.1f}s = {n/wall:.0f} files/s, kept {kept}")
+    corpus.unpersist()
+
+    # -- 1M-doc minhash dedup ----------------------------------------------
+    # deterministic mix: 95% unique docs (token values keyed by a large-prime
+    # hash of doc id, so no accidental twins) + 5% planted exact duplicates
+    # of earlier docs — the LSH path does real bucket/CC work on a realistic
+    # dup rate instead of collapsing into one giant component
+    n_unique = int(args.docs * 0.95)
+    seed_col = F.when(F.col("id") >= n_unique, F.col("id") - n_unique).otherwise(F.col("id"))
+    docs = (
+        spark.range(args.docs)
+        .withColumn("_seed", seed_col)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"tok{i}x"),
+                        # letter-encoded value: minhash normalization maps
+                        # digits to a constant (CC-Net norm_numbers), so
+                        # digit-distinguished docs would all normalize
+                        # identical and collapse into one dup class
+                        F.translate(
+                            (
+                                (F.col("_seed") * (2654435761 * (i + 1) % 1000003) + i)
+                                % 1000003
+                            ).cast("string"),
+                            "0123456789",
+                            "abcdefghij",
+                        ),
+                    )
+                    for i in range(80)
+                ],
+            ),
+        )
+        .withColumnRenamed("id", "doc_id")
+        .drop("_seed")
+        .repartition(args.cores * 4)
+        .localCheckpoint()
+    )
+    docs.count()
+    t0 = time.time()
+    n_dups = minhash_dedup(docs).filter(~F.col("keep")).count()
+    wall = time.time() - t0
+    out["minhash"] = {
+        "n_docs": args.docs,
+        "n_dups": n_dups,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(args.docs / wall, 1),
+    }
+    print(f"minhash: {args.docs} docs in {wall:.1f}s = {args.docs/wall:.0f} docs/s, {n_dups} dups")
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "headroom.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
