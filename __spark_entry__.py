@@ -224,6 +224,28 @@ def q_exact_substrings_all(spark, sf_dir):
     )
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Sequential Bloom-filter dedup (reference bloom_filter.py first-seen
+    semantics) — fixture oracle is an independent sequential trace.  Docs
+    with doc_id % 7 == 3 share a constant phrase (digit tails normalize to a
+    constant), so the first owns the shingles and the rest trip the 0.5
+    threshold."""
+    from datatrove_spark.operators import bloom_dedup_sequential
+    from datatrove_spark.corpus import BLOOM_FIXTURE_PHRASE as BLOOM_PHRASE
+
+    df = _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit(BLOOM_PHRASE + " tailmark"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    out = bloom_dedup_sequential(
+        df, m_bytes=(1 << 20) - 1, k=5, n_grams=13, duplicate_threshold=0.5, text_col="text2"
+    )
+    return out.select("doc_id", "keep", "drop_reason")
+
+
 def q_ngram_decont(spark, sf_dir):
     from datatrove_spark.operators import ngram_decontaminate
 
@@ -823,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "exact_substrings": q_exact_substrings,
         "exact_substrings_all": q_exact_substrings_all,
+        "bloom_dedup": q_bloom_dedup,
         "ngram_decont": q_ngram_decont,
         "shingle_overlap": q_shingle_overlap,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1554,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
                 "minhash_dedup",
                 "sentence_dedup",
                 "simhash_dedup",
+                "bloom_dedup",
                 "language_id",
                 "perplexity",
                 "pipeline_summary",

@@ -195,3 +195,13 @@ def synth_corpus(spark: SparkSession, n_rows: int, n_repos: int | None = None, p
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, SCHEMA)
+
+
+# constant phrase for the bloom_dedup gate fixture: docs tagged with it share
+# all shingles post-normalization (digit tails normalize to a constant), so
+# the sequential Bloom filter drops every copy after the first.  Lives in the
+# package so the Spark query and the fixture generator cannot drift apart.
+BLOOM_FIXTURE_PHRASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega one two three four"
+)

@@ -519,6 +519,57 @@ def gen_para_sent_stats(docs: pd.DataFrame) -> pa.Table:
     )
 
 
+from datatrove_spark.corpus import BLOOM_FIXTURE_PHRASE as BLOOM_PHRASE
+
+
+def gen_bloom_dedup(
+    docs: pd.DataFrame,
+    m_bytes: int = (1 << 20) - 1,
+    k: int = 5,
+    n_grams: int = 13,
+    threshold: float = 0.5,
+    seed: int = 0,
+) -> pa.Table:
+    """Independent sequential trace of the reference SingleBloomFilter.run
+    loop (bloom_filter.py:150-188) over the gate corpus with the same
+    planted-duplicate injection as q_bloom_dedup: docs with doc_id % 7 == 3
+    share a constant phrase (digit tails normalize to a constant), so the
+    first one owns the shingles and every later one trips the threshold."""
+    import numpy as np
+
+    from datatrove_spark.kernels.hashing import sha1_i64
+    from datatrove_spark.kernels.text import normalize_text
+
+    _M = (1 << 61) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _M, dtype=np.uint64, size=k)
+    b = rng.randint(0, _M, dtype=np.uint64, size=k)
+    bits = set()
+    ids, keeps, reasons = [], [], []
+    for row in docs.sort_values("doc_id").itertuples(index=False):
+        text = (
+            f"{BLOOM_PHRASE} tailmark{row.doc_id}" if row.doc_id % 7 == 3 else row.text
+        )
+        words = normalize_text(text).split()
+        hashes = [
+            sha1_i64(" ".join(words[i : i + n_grams])) & 0xFFFFFFFF
+            for i in range(len(words) - n_grams + 1)
+        ]
+        dup, to_set = 0, []
+        for h in hashes:
+            idxs = [((int(ai) * h + int(bi)) % _M) & m_bytes for ai, bi in zip(a, b)]
+            if all(i in bits for i in idxs):
+                dup += 1
+            else:
+                to_set.extend(idxs)
+        bits.update(to_set)
+        dropped = bool(hashes) and dup / len(hashes) > threshold
+        ids.append(int(row.doc_id))
+        keeps.append(not dropped)
+        reasons.append("bloom_duplicate" if dropped else None)
+    return _keep_table(ids, keeps, reasons)
+
+
 GENERATORS = {
     "gopher_repetition": gen_gopher_repetition,
     "minhash_dedup": gen_minhash_dedup,
@@ -531,6 +582,7 @@ GENERATORS = {
     "quality_multilingual": gen_quality_multilingual,
     "para_sent_stats": gen_para_sent_stats,
     "fingerprint_dups": gen_fingerprint_dups,
+    "bloom_dedup": gen_bloom_dedup,
 }
 
 
