@@ -1,0 +1,353 @@
+"""Dependency-free media decoding for the multimodal columns.
+
+The container has no PIL/cv2/soundfile, but three common formats are fully
+decodable from their public specs with stdlib + numpy:
+
+* WAV (RIFF/WAVE, PCM 8/16/32-bit int and 32-bit float) — struct parsing;
+* BMP (BITMAPINFOHEADER, uncompressed BI_RGB 24/32-bit) — struct parsing;
+* PNG (non-interlaced 8-bit gray/RGB/RGBA) — stdlib zlib + the five scanline
+  filters of the PNG spec (RFC 2083 §6).
+
+Compressed formats (JPEG/GIF/WEBP/MP3/FLAC/OGG) stay stubbed — entropy
+decoding without a codec library is out of scope; callers get a loud
+``UnsupportedMediaError``.  ``probe_media`` extracts width/height/duration
+from HEADERS ONLY (cheap, no pixel/sample decode) for many more formats.
+
+``encode_wav``/``encode_bmp``/``encode_png`` write minimal valid files so
+tests exercise the real decoders without binary fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class UnsupportedMediaError(ValueError):
+    """Raised for formats that need a real codec library."""
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM decode → dict(sample_rate, n_channels, bits, n_samples,
+    duration_ms, samples float64 in [-1, 1], mono-mixed)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise UnsupportedMediaError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise UnsupportedMediaError(f"WAV format {audio_format}/{bits}bit not supported")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    n_samples = len(samples)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": int(n_samples * 1000 / max(sample_rate, 1)),
+        "samples": samples,
+    }
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal 16-bit PCM mono writer for test fixtures."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Uncompressed BI_RGB 24/32-bit BMP → dict(width, height, pixels HxWx3
+    uint8, RGB order, top-down)."""
+    if payload[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP file")
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    (hdr_size, width, height) = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise UnsupportedMediaError(f"BMP {bpp}bpp compression={compression} not supported")
+    flip = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_size = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    for r in range(height):
+        row = payload[data_offset + r * row_size : data_offset + r * row_size + width * bytes_pp]
+        arr = np.frombuffer(row, dtype=np.uint8).reshape(width, bytes_pp)
+        tgt = height - 1 - r if flip else r
+        px[tgt] = arr[:, [2, 1, 0]]  # BGR(A) → RGB
+    return {"width": width, "height": height, "pixels": px}
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB writer (bottom-up) for test fixtures."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = pixels[r][:, [2, 1, 0]].astype(np.uint8).tobytes()
+        body += row + b"\x00" * (row_size - len(row))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083: zlib IDAT + per-scanline filters)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit only)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Non-interlaced 8-bit gray/RGB/RGBA PNG → dict(width, height, pixels
+    HxWx3 uint8 RGB; alpha dropped, gray broadcast)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise UnsupportedMediaError("not a PNG file")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # size + type + crc
+    if width is None:
+        raise UnsupportedMediaError("missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise UnsupportedMediaError(
+            f"PNG depth={bit_depth} color_type={color_type} interlace={interlace} not supported"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev).astype(np.uint8)
+        else:  # Sub(1) / Average(3) / Paeth(4) need left-neighbor recurrence
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise UnsupportedMediaError(f"PNG filter {ftype} invalid")
+        out[r] = cur
+        prev = cur
+    img = out.reshape(height, width, ch)
+    if ch == 1:
+        px = np.repeat(img, 3, axis=2)
+    else:
+        px = img[:, :, :3]
+    return {"width": width, "height": height, "pixels": px.copy()}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal 8-bit RGB writer (filter 0 rows) for test fixtures."""
+    h, w, _ = pixels.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# header-only probe (no pixel/sample decode — cheap at any scale)
+# ---------------------------------------------------------------------------
+
+
+def probe_media(payload: bytes) -> dict:
+    """(width, height, duration_ms) from headers only, None where unknown."""
+    out = {"width": None, "height": None, "duration_ms": None}
+    try:
+        if payload[:8] == _PNG_MAGIC and payload[12:16] == b"IHDR":
+            out["width"], out["height"] = struct.unpack(">II", payload[16:24])
+        elif payload[:2] == b"BM":
+            w, h = struct.unpack("<ii", payload[18:26])
+            out["width"], out["height"] = w, abs(h)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            meta = decode_wav_header(payload)
+            out["duration_ms"] = meta["duration_ms"]
+        elif payload[:3] == b"\xff\xd8\xff":
+            dims = _jpeg_dimensions(payload)
+            if dims:
+                out["width"], out["height"] = dims
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            out["width"], out["height"] = struct.unpack("<HH", payload[6:10])
+    except Exception:  # noqa: BLE001 — a probe never raises
+        pass
+    return out
+
+
+def decode_wav_header(payload: bytes) -> dict:
+    """fmt/data sizes only (no sample materialization)."""
+    pos = 12
+    sample_rate, n_channels, bits, data_size = 0, 1, 16, 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _af, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    n_frames = data_size // max(1, n_channels * (bits // 8))
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "duration_ms": int(n_frames * 1000 / max(sample_rate, 1)),
+    }
+
+
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Walk JPEG segments to the SOF marker (header metadata only — actual
+    JPEG entropy decode stays out of scope)."""
+    pos = 2
+    while pos + 9 < len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return w, h
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        pos += 2 + size
+    return None
+
+
+# ---------------------------------------------------------------------------
+# feature vectors over decoded media
+# ---------------------------------------------------------------------------
+
+
+def image_features(pixels: np.ndarray, dim: int = 32) -> list[float]:
+    """Deterministic global image descriptor: per-channel means/stds + a
+    4x4x(luma) downsampled thumbnail, padded/truncated to ``dim``."""
+    px = pixels.astype(np.float64) / 255.0
+    h, w, _ = px.shape
+    feats = [float(w), float(h)]
+    feats += [float(px[:, :, c].mean()) for c in range(3)]
+    feats += [float(px[:, :, c].std()) for c in range(3)]
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    ys = np.linspace(0, h, 5, dtype=int)
+    xs = np.linspace(0, w, 5, dtype=int)
+    for i in range(4):
+        for j in range(4):
+            block = luma[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            feats.append(float(block.mean()))
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 32) -> list[float]:
+    """Deterministic audio descriptor: duration, RMS, peak, zero-crossing
+    rate + 8-band energy contour, padded/truncated to ``dim``."""
+    n = len(samples)
+    feats = [
+        float(n / max(sample_rate, 1)),
+        float(np.sqrt(np.mean(samples**2))) if n else 0.0,
+        float(np.max(np.abs(samples))) if n else 0.0,
+        float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8))))) if n > 1 else 0.0,
+    ]
+    if n:
+        bands = np.array_split(samples, 8)
+        feats += [float(np.sqrt(np.mean(b**2))) if len(b) else 0.0 for b in bands]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+__all__ = [
+    "UnsupportedMediaError",
+    "decode_wav",
+    "decode_bmp",
+    "decode_png",
+    "encode_wav",
+    "encode_bmp",
+    "encode_png",
+    "probe_media",
+    "decode_wav_header",
+    "image_features",
+    "audio_features",
+]

@@ -8,12 +8,13 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata struct:
     payload: binary
 
 The Spark-side plumbing — schemas, partitioning, mapInPandas batch shape,
-UDF signatures — is real and tested; the actual codec work (image decode,
-resampling, frame sampling) is STUBBED: this container has no image/audio
-libraries, so decode either raises NotImplementedError (strict mode) or
-produces a deterministic fake feature vector (test mode).  On a real cluster
-drop PIL/torchaudio/ffmpeg into ``_decode_image``/``_decode_audio`` — the
-dataflow around them does not change.
+UDF signatures — is real and tested.  Decode is REAL for the formats the
+public specs cover dependency-free (kernels/media.py: WAV PCM, BMP, PNG via
+stdlib zlib — pixels/samples actually decoded, plus header-only probes for
+JPEG/GIF dimensions); compressed codecs (JPEG pixels, MP3/FLAC/OGG samples)
+raise ``UnsupportedMediaError`` — drop PIL/torchaudio into
+``_decode_image``/``_decode_audio`` on a cluster that has them, the dataflow
+around them does not change.
 """
 
 from __future__ import annotations
@@ -26,6 +27,16 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..kernels.media import (
+    UnsupportedMediaError,
+    audio_features,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    image_features,
+    probe_media,
+)
+
 MEDIA_SCHEMA = (
     "kind string, mime string, width int, height int, duration_ms int, n_bytes bigint"
 )
@@ -33,14 +44,27 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 32
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB — replace with PIL/cv2 decode on a real cluster."""
-    raise NotImplementedError("image decoding requires an image library (PIL/cv2)")
+def _decode_image(payload: bytes) -> list[float]:
+    """Real decode for PNG/BMP (kernels/media.py); compressed codecs need an
+    image library (PIL/cv2) — swap this function on clusters that have one."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        d = decode_png(payload)
+    elif payload[:2] == b"BM":
+        d = decode_bmp(payload)
+    else:
+        raise UnsupportedMediaError(
+            "compressed image codecs (jpeg/gif/webp) need an image library"
+        )
+    return image_features(d["pixels"], FEATURE_DIM)
 
 
-def _decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — replace with soundfile/torchaudio decode on a real cluster."""
-    raise NotImplementedError("audio decoding requires an audio library")
+def _decode_audio(payload: bytes) -> list[float]:
+    """Real decode for WAV PCM (kernels/media.py); compressed codecs need an
+    audio library (soundfile/torchaudio)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        d = decode_wav(payload)
+        return audio_features(d["samples"], d["sample_rate"], FEATURE_DIM)
+    raise UnsupportedMediaError("compressed audio codecs (mp3/flac/ogg) need an audio library")
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -115,21 +139,52 @@ def read_media_folder(spark, path: str, pattern: str = "*") -> DataFrame:
     return attach_media_metadata(files, payload_col="payload", mime_col="mime")
 
 
-def attach_media_metadata(df: DataFrame, payload_col: str = "payload", mime_col: str | None = None) -> DataFrame:
+def attach_media_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    mime_col: str | None = None,
+    probe: bool = True,
+) -> DataFrame:
     """Derive the typed media struct from the raw binary column (sizes are
-    native; kind from mime prefix)."""
+    native; kind from mime prefix).  ``probe=True`` fills width/height/
+    duration_ms from format HEADERS only (PNG IHDR, BMP info header, WAV
+    fmt/data sizes, JPEG SOF, GIF screen descriptor — kernels/media.py
+    probe_media; no pixel/sample decode, cheap at any scale)."""
     mime = F.col(mime_col) if mime_col else F.lit("application/octet-stream")
-    return df.withColumn(
+    if probe:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        probe_schema = StructType(
+            [
+                StructField("width", IntegerType(), True),
+                StructField("height", IntegerType(), True),
+                StructField("duration_ms", IntegerType(), True),
+            ]
+        )
+
+        @F.pandas_udf(probe_schema)
+        def _probe(payloads: pd.Series) -> pd.DataFrame:
+            rows = [probe_media(bytes(p) if p is not None else b"") for p in payloads]
+            return pd.DataFrame(rows)
+
+        df = df.withColumn("_probe", _probe(F.col(payload_col)))
+        width = F.col("_probe.width")
+        height = F.col("_probe.height")
+        duration = F.col("_probe.duration_ms")
+    else:
+        width = height = duration = F.lit(None).cast("int")
+    df = df.withColumn(
         "media",
         F.struct(
             F.split(mime, "/")[0].alias("kind"),
             mime.alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            width.alias("width"),
+            height.alias("height"),
+            duration.alias("duration_ms"),
             F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
         ),
     )
+    return df.drop("_probe") if probe else df
 
 
 def extract_media_features(
@@ -141,9 +196,10 @@ def extract_media_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    strict=True calls the real decoder stubs (NotImplementedError in this
-    container); strict=False produces the deterministic fake features so the
-    downstream ANN/dedup path is exercised for real.
+    Real decode runs for every format kernels/media.py covers (WAV/BMP/PNG).
+    strict=True raises UnsupportedMediaError on anything else; strict=False
+    falls back to the deterministic fake features so compressed-codec
+    payloads still exercise the downstream ANN/dedup path end-to-end.
     """
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema += f", {out_col} array<float>"
@@ -154,10 +210,12 @@ def extract_media_features(
             feats = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload) if payload is not None else b""
-                if strict:
+                try:
                     vec = decode(raw)
                     feats.append([float(x) for x in np.asarray(vec).ravel()[:FEATURE_DIM]])
-                else:
+                except Exception:  # noqa: BLE001 — unsupported OR corrupt payloads
+                    if strict:
+                        raise
                     feats.append(_fake_features(raw))
             pdf = pdf.copy()
             pdf[out_col] = feats

@@ -581,3 +581,91 @@ def test_fasttext_lid_native_fallback(tmp_path):
     (lang_fr, _), _ = lid.predict("le chat et le maison")
     assert lang_fr == "fr"
     assert set(pairs) == {"en", "fr"}
+
+
+def test_media_codecs_roundtrip():
+    """WAV/BMP/PNG decode pinned by encode→decode round trips; PNG unfilter
+    verified against a hand-filtered stream using every filter type (RFC
+    2083 §6 math applied forward in the test, inverted by the decoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from datatrove_spark.kernels.media import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        probe_media,
+    )
+
+    rng = np.random.RandomState(0)
+    sr = 8000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    d = decode_wav(encode_wav(sig, sr))
+    assert d["sample_rate"] == sr and d["n_samples"] == sr and d["duration_ms"] == 1000
+    assert np.abs(d["samples"] - sig).max() < 1e-3  # 16-bit quantization bound
+
+    img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    db = decode_bmp(encode_bmp(img))
+    assert (db["width"], db["height"]) == (7, 5) and (db["pixels"] == img).all()
+    dp = decode_png(encode_png(img))
+    assert (dp["pixels"] == img).all()
+
+    # scanlines filtered with Sub/Up/Average/Paeth (one per row) must invert
+    img2 = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    ch, stride = 3, 18
+    raws, prev = [], np.zeros(stride, dtype=np.int32)
+    for r in range(4):
+        cur = img2[r].reshape(-1).astype(np.int32)
+        ftype = [1, 2, 3, 4][r]
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 1:
+                enc[i] = (cur[i] - a) & 0xFF
+            elif ftype == 2:
+                enc[i] = (cur[i] - b) & 0xFF
+            elif ftype == 3:
+                enc[i] = (cur[i] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) & 0xFF
+        raws.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png)["pixels"] == img2).all()
+
+    # header-only probes (incl. JPEG SOF walk and GIF screen descriptor)
+    assert probe_media(encode_png(img)) == {"width": 7, "height": 5, "duration_ms": None}
+    jpeg = (
+        b"\xff\xd8"
+        # APP0: size 16 = 2 size bytes + 14 payload bytes
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        # SOF0: size 17 = 2 + precision(1) + h(2) + w(2) + ncomp(1) + 3x3
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 33, 44)
+        + b"\x03" + b"\x00" * 9
+    )
+    assert probe_media(jpeg) == {"width": 44, "height": 33, "duration_ms": None}
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34)
+    assert probe_media(gif) == {"width": 12, "height": 34, "duration_ms": None}
+    assert probe_media(b"garbage") == {"width": None, "height": None, "duration_ms": None}
