@@ -125,3 +125,21 @@ def test_dedup_survivor_selection_no_windows(spark, docs):
 
     plan = _plan(spark, sentence_dedup(docs.limit(50), text_col="text"), "simple")
     assert "Window" not in plan
+
+
+def test_badwords_multilang_single_arrow_pass(spark, docs):
+    """Per-language badwords dispatch stays one Arrow UDF node with zero
+    shuffles — the struct result column must not re-trigger the UDF."""
+    from datatrove_spark.operators import c4_badwords_filter_multilang
+
+    out = c4_badwords_filter_multilang(docs, lang_col="lang")
+    plan = _plan(spark, out.select("doc_id", "keep", "drop_reason"))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1
+    assert tree.count("Exchange") == 0
+
+
+# (simhash hot-chunk discipline is asserted semantically in
+# test_operators_smoke.test_simhash_hot_bucket_star_path — the candidate
+# plan executes eagerly inside the operator via localCheckpoint + CC, so the
+# returned frame's plan only shows the final join-back)
