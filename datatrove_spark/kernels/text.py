@@ -125,9 +125,13 @@ def normalize_text(text: str, cfg: NormConfig = DEFAULT_NORM) -> str:
     if cfg.collapse_whitespace:
         text = _WS_RE.sub(" ", text.strip())
     if cfg.strip_diacritics:
-        text = "".join(
-            c for c in unicodedata.normalize("NFD", text) if unicodedata.category(c) != "Mn"
-        )
+        # ASCII fast path: NFD is the identity and no ASCII char is Mn —
+        # skips the per-codepoint category scan for the common case (this
+        # function sits under every dedup kernel's shingling)
+        if not text.isascii():
+            text = "".join(
+                c for c in unicodedata.normalize("NFD", text) if unicodedata.category(c) != "Mn"
+            )
     return text.strip()
 
 
