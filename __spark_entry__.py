@@ -174,10 +174,38 @@ def q_exact_dedup(spark, sf_dir):
     return out.select("doc_id", "keep", "drop_reason")
 
 
+def q_exact_dedup_index(spark, sf_dir):
+    """Dedup-against-index (reference ExactDedup with a prebuilt index):
+    docs with doc_id % 10 == 0 form last month's corpus; the remaining batch
+    drops any row whose content hash appears in the index, then still dedups
+    within itself."""
+    from datatrove_spark.operators import exact_dedup
+
+    docs = _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 12))
+    index_df = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    out = exact_dedup(batch, text_col="prefix", id_col="doc_id", index_df=index_df)
+    return out.select("doc_id", "keep", "drop_reason")
+
+
 def q_minhash_dedup(spark, sf_dir):
     from datatrove_spark.operators import minhash_dedup
 
     out = minhash_dedup(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_minhash_dedup_index(spark, sf_dir):
+    """Minhash dedup-against-index (reference MinhashDedupBuckets with
+    index_folder): docs with doc_id % 10 == 0 are the prior corpus; batch
+    docs sharing any LSH band with it drop unconditionally, survivors still
+    dedup among themselves.  Oracle = sequential-reference fixture."""
+    from datatrove_spark.operators import minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    index_df = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    out = minhash_dedup(batch, text_col="text", id_col="doc_id", index_df=index_df)
     return out.select("doc_id", "keep", "drop_reason")
 
 
@@ -840,7 +868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         # -- dedup family --
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_index": q_exact_dedup_index,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_index": q_minhash_dedup_index,
         "sentence_dedup": q_sentence_dedup,
         "simhash_dedup": q_simhash_dedup,
         "exact_substrings": q_exact_substrings,
@@ -1148,6 +1178,25 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY substr(text, 1, 12) ORDER BY doc_id) AS rn
               FROM documents
             )
+        """,
+        "exact_dedup_index": """
+            WITH idx AS (
+              SELECT DISTINCT substr(text, 1, 12) AS pfx FROM documents WHERE doc_id % 10 = 0
+            ), batch AS (
+              SELECT doc_id, substr(text, 1, 12) AS pfx FROM documents WHERE doc_id % 10 <> 0
+            ), marked AS (
+              SELECT b.doc_id, b.pfx, i.pfx IS NOT NULL AS in_index
+              FROM batch b LEFT JOIN idx i ON b.pfx = i.pfx
+            ), ranked AS (
+              SELECT doc_id, in_index,
+                     row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn
+              FROM marked
+            )
+            SELECT doc_id,
+                   CASE WHEN in_index THEN FALSE ELSE rn = 1 END AS keep,
+                   CASE WHEN in_index THEN 'exact_duplicate_of_index'
+                        WHEN rn > 1 THEN 'exact_duplicate' END AS drop_reason
+            FROM ranked
         """,
         "ngram_decont": """
             WITH g AS (
@@ -1575,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
             for name in (
                 "gopher_repetition",
                 "minhash_dedup",
+                "minhash_dedup_index",
                 "sentence_dedup",
                 "simhash_dedup",
                 "bloom_dedup",

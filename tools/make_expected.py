@@ -146,6 +146,58 @@ def gen_minhash_dedup(docs: pd.DataFrame) -> pa.Table:
     return _keep_table(docs["doc_id"], keeps, reasons)
 
 
+def gen_minhash_dedup_index(docs: pd.DataFrame) -> pa.Table:
+    """Sequential trace of minhash dedup-against-index: docs with
+    doc_id % 10 == 0 form the index corpus; a batch doc sharing ANY band with
+    an index doc drops unconditionally; survivors dedup among themselves."""
+    from datatrove_spark.kernels.minhash import (
+        DEFAULT_MINHASH,
+        minhash_signature_matrix,
+        permutation_params,
+        signature_band_hashes,
+    )
+
+    a, b = permutation_params(DEFAULT_MINHASH)
+    is_index = (docs["doc_id"] % 10 == 0).to_numpy()
+    sigs = minhash_signature_matrix(docs["text"].fillna("").tolist(), a, b, DEFAULT_MINHASH)
+    index_bands = set()
+    for flag, sig in zip(is_index, sigs):
+        if flag and sig is not None:
+            index_bands.update(enumerate(signature_band_hashes(sig, DEFAULT_MINHASH)))
+    buckets = defaultdict(list)
+    index_hit = set()
+    for flag, doc_id, sig in zip(is_index, docs["doc_id"], sigs):
+        if flag or sig is None:
+            continue
+        bands = list(enumerate(signature_band_hashes(sig, DEFAULT_MINHASH)))
+        if any(bd in index_bands for bd in bands):
+            index_hit.add(int(doc_id))
+            continue  # index-dropped docs leave the within-batch competition
+        for bd in bands:
+            buckets[bd].append(int(doc_id))
+    uf = UnionFind()
+    for members in buckets.values():
+        for m in members[1:]:
+            uf.union(members[0], m)
+    label = uf.component_min()
+    ids, keeps, reasons = [], [], []
+    for flag, doc_id in zip(is_index, docs["doc_id"]):
+        if flag:
+            continue  # index rows are not part of the batch output
+        did = int(doc_id)
+        ids.append(did)
+        if did in index_hit:
+            keeps.append(False)
+            reasons.append("minhash_duplicate_of_index")
+        elif label.get(did, did) != did:
+            keeps.append(False)
+            reasons.append("minhash_duplicate")
+        else:
+            keeps.append(True)
+            reasons.append(None)
+    return _keep_table(ids, keeps, reasons)
+
+
 def gen_sentence_dedup(docs: pd.DataFrame, n_sentences: int = 3) -> pa.Table:
     from datatrove_spark.kernels.hashing import sha1_i64
     from datatrove_spark.kernels.text import normalize_text, sentence_spans
@@ -573,6 +625,7 @@ def gen_bloom_dedup(
 GENERATORS = {
     "gopher_repetition": gen_gopher_repetition,
     "minhash_dedup": gen_minhash_dedup,
+    "minhash_dedup_index": gen_minhash_dedup_index,
     "sentence_dedup": gen_sentence_dedup,
     "simhash_dedup": gen_simhash_dedup,
     "language_id": gen_language_id,
