@@ -217,6 +217,19 @@ def q_sentence_dedup(spark, sf_dir):
     return out.select("doc_id", "keep", F.length("text2").alias("new_len"))
 
 
+def q_sentence_dedup_index(spark, sf_dir):
+    """Sentence dedup-against-index (reference SentenceDedup with
+    index_folder: index hashes sort before any batch doc).  Oracle =
+    sequential-reference fixture."""
+    from datatrove_spark.operators import sentence_dedup
+
+    docs = _docs(spark, sf_dir).withColumn("text2", F.expr(SENTENCIFY))
+    index_df = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    out = sentence_dedup(batch, n_sentences=3, text_col="text2", id_col="doc_id", index_df=index_df)
+    return out.select("doc_id", "keep", F.length("text2").alias("new_len"))
+
+
 def q_simhash_dedup(spark, sf_dir):
     from datatrove_spark.operators import simhash_dedup
 
@@ -872,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_index": q_minhash_dedup_index,
         "sentence_dedup": q_sentence_dedup,
+        "sentence_dedup_index": q_sentence_dedup_index,
         "simhash_dedup": q_simhash_dedup,
         "exact_substrings": q_exact_substrings,
         "exact_substrings_all": q_exact_substrings_all,
@@ -1626,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
                 "minhash_dedup",
                 "minhash_dedup_index",
                 "sentence_dedup",
+                "sentence_dedup_index",
                 "simhash_dedup",
                 "bloom_dedup",
                 "language_id",

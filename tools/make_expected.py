@@ -245,6 +245,77 @@ def gen_sentence_dedup(docs: pd.DataFrame, n_sentences: int = 3) -> pa.Table:
     )
 
 
+def gen_sentence_dedup_index(docs: pd.DataFrame, n_sentences: int = 3) -> pa.Table:
+    """Sequential trace of sentence dedup-against-index (reference
+    SentenceDedup with index_folder: index hashes sort BEFORE any batch doc):
+    docs with doc_id % 10 == 0 are the index corpus; every batch occurrence
+    of an index-owned span is removed, and the batch still dedups its own
+    spans with first-owner semantics."""
+    from datatrove_spark.kernels.hashing import sha1_i64
+    from datatrove_spark.kernels.text import normalize_text, sentence_spans
+
+    texts = {
+        int(i): t.replace(*SENTENCIFY)
+        for i, t in zip(docs["doc_id"], docs["text"].fillna(""))
+    }
+    index_ids = {i for i in texts if i % 10 == 0}
+
+    def span_hashes(doc_id):
+        t = texts[doc_id]
+        spans = sentence_spans(t)
+        out = []
+        if len(spans) >= n_sentences:
+            for i in range(len(spans) - n_sentences + 1):
+                seg = t[spans[i][0] : spans[i + n_sentences - 1][1]]
+                out.append((sha1_i64(normalize_text(seg)), i))
+        return spans, out
+
+    index_hashes = set()
+    for doc_id in index_ids:
+        for h, _ in span_hashes(doc_id)[1]:
+            index_hashes.add(h)
+    occurrences = defaultdict(list)
+    spans_by_doc = {}
+    remove = defaultdict(set)
+    for doc_id in sorted(texts):
+        if doc_id in index_ids:
+            continue
+        spans, hs = span_hashes(doc_id)
+        spans_by_doc[doc_id] = spans
+        for h, i in hs:
+            if h in index_hashes:
+                remove[doc_id].add(i)  # index always owns its spans
+            else:
+                occurrences[h].append((doc_id, i))
+    for occ in occurrences.values():
+        occ.sort()
+        owner = occ[0][0]
+        for doc_id, sent_idx in occ[1:]:
+            if doc_id != owner:
+                remove[doc_id].add(sent_idx)
+    ids, keeps, lens = [], [], []
+    for doc_id in sorted(texts):
+        if doc_id in index_ids:
+            continue
+        t = texts[doc_id]
+        if remove[doc_id]:
+            spans = spans_by_doc[doc_id]
+            drop = set()
+            for start in remove[doc_id]:
+                drop.update(range(start, min(start + n_sentences, len(spans))))
+            t = "".join(t[a:b] for i, (a, b) in enumerate(spans) if i not in drop)
+        ids.append(doc_id)
+        keeps.append(True)
+        lens.append(len(t))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+            "new_len": pa.array(lens, pa.int32()),
+        }
+    )
+
+
 def gen_simhash_dedup(docs: pd.DataFrame, max_hamming: int = 3, shingle_size: int = 3) -> pa.Table:
     from datatrove_spark.kernels.hashing import simhash64
     from datatrove_spark.kernels.text import normalize_text
@@ -627,6 +698,7 @@ GENERATORS = {
     "minhash_dedup": gen_minhash_dedup,
     "minhash_dedup_index": gen_minhash_dedup_index,
     "sentence_dedup": gen_sentence_dedup,
+    "sentence_dedup_index": gen_sentence_dedup_index,
     "simhash_dedup": gen_simhash_dedup,
     "language_id": gen_language_id,
     "perplexity": gen_perplexity,
