@@ -669,3 +669,60 @@ def test_media_codecs_roundtrip():
     gif = b"GIF89a" + struct.pack("<HH", 12, 34)
     assert probe_media(gif) == {"width": 12, "height": 34, "duration_ms": None}
     assert probe_media(b"garbage") == {"width": None, "height": None, "duration_ms": None}
+
+
+def test_arpa_trigram_backoff_chain(tmp_path):
+    """Order-3 ARPA: the two-level backoff chain (trigram miss → bigram
+    backoff weight + bigram, bigram miss too → both backoff weights +
+    unigram) hand-traced per the published equation."""
+    arpa = """\\data\\
+ngram 1=4
+ngram 2=3
+ngram 3=2
+
+\\1-grams:
+-0.9\t</s>
+-0.8\t<s>\t-0.30
+-0.5\ta\t-0.20
+-0.6\tb\t-0.10
+
+\\2-grams:
+-0.40\t<s> a\t-0.05
+-0.35\ta b\t-0.15
+-0.45\tb </s>
+
+\\3-grams:
+-0.25\t<s> a b
+-0.30\ta b </s>
+
+\\end\\
+"""
+    path = tmp_path / "tri.arpa"
+    path.write_text(arpa)
+    from datatrove_spark.kernels.arpa import ArpaLM
+
+    lm = ArpaLM.load(str(path))
+    assert lm.order == 3
+
+    # "a b": full trigram coverage
+    s, n = lm.score_line("a b")
+    expected = (
+        -0.40          # p(a | <s>)        bigram (no trigram context yet)
+        + -0.25        # p(b | <s> a)      trigram
+        + -0.30        # p(</s> | a b)     trigram
+    )
+    assert n == 3 and abs(s - expected) < 1e-9
+
+    # "b a": misses force the chain down both levels
+    s2, n2 = lm.score_line("b a")
+    expected2 = (
+        # p(b | <s>): no "<s> b" bigram -> backoff(<s>) + p(b)
+        (-0.30 + -0.6)
+        # p(a | <s> b): no trigram, no "b a" bigram ->
+        #   backoff(<s> b)=0 (unlisted) + backoff(b) + p(a)
+        + (-0.10 + -0.5)
+        # p(</s> | b a): no trigram, no "a </s>" bigram ->
+        #   backoff(b a)=0 + backoff(a) + p(</s>)
+        + (-0.20 + -0.9)
+    )
+    assert n2 == 3 and abs(s2 - expected2) < 1e-9
