@@ -21,3 +21,76 @@ def doc_id_from(repo="repo", path="path", commit="commit"):
 
 def whitespace_token_count(col="text"):
     return F.size(F.filter(F.split(F.col(col) if isinstance(col, str) else col, r"\s+"), lambda w: w != ""))
+
+
+def register_sql_functions(spark, prefix: str = "dt_") -> list[str]:
+    """Expose the parity kernels to pure-SQL users as session UDFs:
+
+        spark.sql("SELECT dt_lid_lang(text), dt_gopher_keep(text) FROM docs")
+
+    Arrow-batched pandas UDFs throughout (never per-row Python).  Returns the
+    registered names.  The DataFrame operators remain the first-class API —
+    this surface exists for ad-hoc SQL exploration and BI-style access."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    from ..kernels.gopher import DEFAULT_GOPHER_QUALITY, gopher_quality
+    from ..kernels.hashing import sha1_i64, simhash64
+    from ..kernels.lid import default_lid
+    from ..kernels.text import normalize_text
+    from ..kernels.tokenizers import tokenize_words_lang
+
+    @pandas_udf(StringType())
+    def _normalize(texts: pd.Series) -> pd.Series:
+        return pd.Series([normalize_text(t) for t in texts.fillna("")])
+
+    @pandas_udf(LongType())
+    def _sha1_i64(texts: pd.Series) -> pd.Series:
+        return pd.Series([sha1_i64(t) for t in texts.fillna("")], dtype="int64")
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [simhash64(normalize_text(t).split()) for t in texts.fillna("")], dtype="int64"
+        )
+
+    @pandas_udf(BooleanType())
+    def _gopher_keep(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [gopher_quality(t, DEFAULT_GOPHER_QUALITY)[0] for t in texts.fillna("")]
+        )
+
+    @pandas_udf(StringType())
+    def _lid_lang(texts: pd.Series) -> pd.Series:
+        lid = default_lid()
+        return pd.Series([lid.predict(t)[0][0] for t in texts.fillna("")])
+
+    @pandas_udf(IntegerType())
+    def _word_count_lang(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                len(tokenize_words_lang(t, lg or "en"))
+                for t, lg in zip(texts.fillna(""), langs.fillna(""))
+            ],
+            dtype="int32",
+        )
+
+    udfs = {
+        "normalize": _normalize,
+        "sha1_i64": _sha1_i64,
+        "simhash64": _simhash,
+        "gopher_keep": _gopher_keep,
+        "lid_lang": _lid_lang,
+        "word_count_lang": _word_count_lang,
+    }
+    names = []
+    for name, fn in udfs.items():
+        spark.udf.register(prefix + name, fn)
+        names.append(prefix + name)
+    return names

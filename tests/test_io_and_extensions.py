@@ -824,3 +824,35 @@ def test_multimodal_real_decode(spark):
         ops.extract_media_features(jpeg, strict=True, batch_kind="image").collect()
     fb = ops.extract_media_features(jpeg, strict=False, batch_kind="image").collect()[0]
     assert len(fb.media_features) == 32
+
+
+def test_sql_function_registration(spark):
+    """Pure-SQL access to the kernels via registered Arrow UDFs."""
+    from datatrove_spark.functions import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert "dt_lid_lang" in names
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog have to be with all of that in the house today ok", "en"),
+            (2, "我的朋友是一个好人", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    df.createOrReplaceTempView("sqldocs")
+    rows = {
+        r.doc_id: r
+        for r in spark.sql(
+            "SELECT doc_id, dt_lid_lang(text) AS lang, dt_normalize(text) AS norm, "
+            "dt_word_count_lang(text, lang) AS n_words, dt_sha1_i64(text) AS h, "
+            "dt_gopher_keep(text) AS gk FROM sqldocs"
+        ).collect()
+    }
+    assert rows[1].lang == "en"
+    assert rows[2].n_words == 9  # zh per-character dispatch through SQL
+    assert isinstance(rows[1].h, int)
+    from datatrove_spark.kernels.text import normalize_text
+
+    assert rows[1].norm == normalize_text(
+        "the cat and the dog have to be with all of that in the house today ok"
+    )
