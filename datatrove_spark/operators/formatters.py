@@ -62,23 +62,40 @@ def pii_scrub(
     return df.withColumn(out_col or text_col, _masked_udf(F.col(text_col), F.col(mask_col)))
 
 
+# retained for the ascii-only SQL oracle; the operator itself uses the
+# reference's PUNCTUATION_SET semantics below
 _SYMBOL_LINE_RE = re.compile(r"^[\s!-/:-@\[-`{-~]+$")
 
 
 def symbol_lines_remover(
-    df: DataFrame, text_col: str = "text", replace_char: str = "", out_col: str | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    replace_char: str = "",
+    out_col: str | None = None,
+    symbols_to_remove: frozenset[str] | None = None,
 ) -> DataFrame:
-    """Collapse lines made only of symbols/whitespace
-    (formatters/symbol_lines_remover.py:5-37)."""
+    """Remove lines consisting exclusively of symbols, byte-exact to the
+    reference (formatters/symbol_lines_remover.py:25-37): a symbol line is
+    non-blank with every char in PUNCTUATION_SET or a plain space (tabs make
+    a line survive); whitespace-only lines always survive; with
+    ``replace_char`` a RUN of consecutive symbol lines collapses to ONE
+    replacement (the reference's in_removed_span bookkeeping)."""
+    from ..kernels.text import PUNCTUATION_SET
+
+    symbols = symbols_to_remove if symbols_to_remove is not None else PUNCTUATION_SET
 
     def clean(text: str) -> str:
         out = []
+        in_removed_span = False
         for line in text.split("\n"):
-            if line.strip() and _SYMBOL_LINE_RE.match(line):
+            chars_line = line.strip() != "" and all(c in symbols or c == " " for c in line)
+            if chars_line and not in_removed_span:
                 if replace_char:
                     out.append(replace_char)
-            else:
+                in_removed_span = True
+            elif not chars_line:
                 out.append(line)
+                in_removed_span = False
         return "\n".join(out)
 
     @F.pandas_udf(StringType())

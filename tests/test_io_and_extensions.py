@@ -856,3 +856,44 @@ def test_sql_function_registration(spark):
     assert rows[1].norm == normalize_text(
         "the cat and the dog have to be with all of that in the house today ok"
     )
+
+
+SYMBOL_LINES_INPUT = (
+    "-\n-\n-\n"
+    ">> Harold Brantley is a 6-2, 283-pound Defensive Tackle from Hershey, PA. "
+    "He is ranked No. 1385 in the country by 247Sports.\n\n\n"
+    ">> Brantley is the No. 45 recruit in Pennsylvania (PA) and is the No. 89 "
+    "Defensive Tackle in the nation.\n\n"
+    ">> Brantley has a 247Sports rating of 80, making him a 3-star prospect.\n"
+    "|\n|\n|\nhello ehehe -\n|\n- oi mate\n|\n\nbye"
+)
+SYMBOL_LINES_EXPECTED = (
+    ">> Harold Brantley is a 6-2, 283-pound Defensive Tackle from Hershey, PA. "
+    "He is ranked No. 1385 in the country by 247Sports.\n\n\n"
+    ">> Brantley is the No. 45 recruit in Pennsylvania (PA) and is the No. 89 "
+    "Defensive Tackle in the nation.\n\n"
+    ">> Brantley has a 247Sports rating of 80, making him a 3-star prospect.\n"
+    "hello ehehe -\n- oi mate\n\nbye"
+)
+
+
+def test_symbol_lines_reference_fixture(spark):
+    """Byte-exact against the reference's SymbolLinesFormatter fixture
+    (tests/pipeline/filters/test_symbollines.py)."""
+    df = spark.createDataFrame([(1, SYMBOL_LINES_INPUT)], "doc_id long, text string")
+    out = ops.symbol_lines_remover(df).collect()[0].text
+    assert out == SYMBOL_LINES_EXPECTED
+
+
+def test_symbol_lines_span_collapse_and_whitespace(spark):
+    """replace_char collapses a RUN of symbol lines to one replacement (the
+    reference's in_removed_span); tab-bearing lines survive (only plain
+    spaces count as line whitespace) and '•' is NOT in the reference's
+    PUNCTUATION set, so bullet-only lines survive too."""
+    text = "a\n-\n-\n-\nb\n•••\nc\n-\t-\nd\n« »\ne"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = ops.symbol_lines_remover(df, replace_char="¶").collect()[0].text
+    # 3 dashes → one ¶; bullets/tab lines survive; «» (in PUNCTUATION) drops
+    assert out == "a\n¶\nb\n•••\nc\n-\t-\nd\n¶\ne"
+    out2 = ops.symbol_lines_remover(df).collect()[0].text
+    assert out2 == "a\nb\n•••\nc\n-\t-\nd\ne"
