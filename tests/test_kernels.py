@@ -726,3 +726,24 @@ ngram 3=2
         + (-0.20 + -0.9)
     )
     assert n2 == 3 and abs(s2 - expected2) < 1e-9
+
+
+def test_simplify_text_reference_fixtures():
+    """The reference's utils-text tests (tests/pipeline/text/test_text.py):
+    table normalization collapses to '0 0 0 0' and the full PUNCTUATION
+    string normalizes to exactly '0' (one digit hides in the symbol data)."""
+    from datatrove_spark.kernels.text import PUNCTUATION_CHARS
+
+    assert normalize_text("|$17.56||1|\n|$15.37||2599|") == "0 0 0 0"
+    assert normalize_text(PUNCTUATION_CHARS) == "0"
+
+
+def test_ftfy_formatter_reference_cases():
+    """The reference's FTFYFormatter tests (test_formatters.py:33-56) against
+    the native fallback: mojibake repaired, normal text untouched."""
+    from datatrove_spark.kernels.mojibake import fix_mojibake
+
+    broken = "l\u00e2\u0080\u0099intelligence"
+    assert "\u00e2" not in fix_mojibake(broken)
+    normal = "Hello, this is a normal sentence."
+    assert fix_mojibake(normal) == normal
