@@ -897,3 +897,31 @@ def test_symbol_lines_span_collapse_and_whitespace(spark):
     assert out == "a\n¶\nb\n•••\nc\n-\t-\nd\n¶\ne"
     out2 = ops.symbol_lines_remover(df).collect()[0].text
     assert out2 == "a\nb\n•••\nc\n-\t-\nd\ne"
+
+
+def test_streaming_exact_dedup_cross_run_state(spark, tmp_path):
+    """The state store is the dedup index: a doc committed in run 1 is still
+    a known duplicate in run 2 (checkpoint-resumed state), and within-run
+    duplicates collapse to one survivor."""
+    from datatrove_spark.streaming import streaming_exact_dedup
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "alpha doc"), (3, "beta doc")], schema
+    ).write.parquet(str(inp / "batch1"))
+    streaming_exact_dedup(spark, f"{inp}/*", str(out), schema)
+    first = spark.read.parquet(f"{out}/data")
+    texts1 = sorted(r.text for r in first.collect())
+    assert texts1 == ["alpha doc", "beta doc"]  # within-run dup collapsed
+
+    # run 2: new file arrives with one cross-run dup and one new doc
+    spark.createDataFrame(
+        [(4, "beta doc"), (5, "gamma doc")], schema
+    ).write.parquet(str(inp / "batch2"))
+    streaming_exact_dedup(spark, f"{inp}/*", str(out), schema)
+    texts2 = sorted(r.text for r in spark.read.parquet(f"{out}/data").collect())
+    assert texts2 == ["alpha doc", "beta doc", "gamma doc"]  # beta NOT re-emitted
