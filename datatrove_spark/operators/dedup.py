@@ -97,10 +97,12 @@ def drop_exact_duplicates(df: DataFrame, **kwargs) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _unionfind_components(edge_rows: list, spark) -> DataFrame:
+def _unionfind_components(edge_rows: list, spark, id_type: str = "long") -> DataFrame:
     """Driver-side union-find (path compression + union by size) — the
     reference's cluster stage (minhash.py:537-558), used when the collision
-    graph comfortably fits on the driver.  Returns (id, component=min id)."""
+    graph comfortably fits on the driver.  Returns (id, component=min id).
+    ``id_type`` carries the caller's id column type — ids may be strings
+    (WARC record ids, path-derived ids), not just numbers."""
     parent: dict = {}
     size: dict = {}
 
@@ -130,7 +132,7 @@ def _unionfind_components(edge_rows: list, spark) -> DataFrame:
         if r not in comp_min or v < comp_min[r]:
             comp_min[r] = v
     rows = [(v, comp_min[find(v)]) for v in parent]
-    return spark.createDataFrame(rows, "id long, component long")
+    return spark.createDataFrame(rows, f"id {id_type}, component {id_type}")
 
 
 def connected_components(
@@ -150,12 +152,15 @@ def connected_components(
     ``max_iterations`` raises loudly: silently split components would let
     duplicates survive dedup.
     """
+    # the id type follows the caller's id column (string ids are the norm
+    # for WARC/path-derived corpora, numeric for synthetic ones)
+    id_type = edges.schema["src"].dataType.simpleString()
     n_edges = edges.count()
     if n_edges == 0:
-        return edges.sparkSession.createDataFrame([], "id long, component long")
+        return edges.sparkSession.createDataFrame([], f"id {id_type}, component {id_type}")
     if n_edges <= driver_threshold:
         rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
-        return _unionfind_components(rows, edges.sparkSession)
+        return _unionfind_components(rows, edges.sparkSession, id_type)
     # dedup edge sets are tiny relative to the corpus — shrink the shuffle
     # width so each contraction round is a small fast job.
     n_parts = max(1, min(64, n_edges // 500_000 + 1))

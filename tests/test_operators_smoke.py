@@ -550,3 +550,24 @@ def test_classifier_filter_real_model_file(spark, tmp_path):
         ).collect()
     }
     assert out == {1: True, 2: False}
+
+
+def test_dedup_with_string_doc_ids(spark):
+    """WARC/path-derived corpora carry STRING doc ids (the reference's id
+    contract) — the whole dedup family, including the connected-components
+    join-back, must work without numeric casts."""
+    words = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        ("rec/a#0", words),
+        ("rec/b#1", words),                                  # minhash dup of a
+        ("rec/c#2", " ".join(f"zz{i}" for i in range(60))),
+        ("rec/d#3", words),                                  # another dup of a
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r.keep for r in ops.minhash_dedup(df).collect()}
+    # min STRING id survives the cluster
+    assert out == {"rec/a#0": True, "rec/b#1": False, "rec/c#2": True, "rec/d#3": False}
+    out2 = {r.doc_id: r.keep for r in ops.simhash_dedup(df).collect()}
+    assert out2["rec/a#0"] is True and out2["rec/b#1"] is False
+    out3 = {r.doc_id: r.keep for r in ops.exact_dedup(df).collect()}
+    assert out3 == out
