@@ -50,19 +50,18 @@ def annotate_language(
 ) -> DataFrame:
     """Adds ``language`` + ``language_score`` columns.
 
-    ``fasttext_path`` (a SparkFiles-distributed .bin) wins when given and the
-    fasttext package is importable; otherwise the serialized NgramBayesLID
-    profile is used.
+    ``fasttext_path`` (a SparkFiles-distributed .bin) wins when given: the
+    fasttext package loads it when installed, else the dependency-free
+    ``kernels.fasttext_bin`` reader does — a model FILE on the executors is
+    sufficient.  Without a path, the serialized NgramBayesLID profile is
+    the deterministic default.
     """
 
     @F.pandas_udf(LID_RESULT)
     def _udf(texts: pd.Series) -> pd.DataFrame:
         def build():
             if fasttext_path is not None:
-                try:
-                    return FastTextLID(fasttext_path)
-                except ImportError:
-                    pass
+                return FastTextLID(fasttext_path)
             return NgramBayesLID(model_dict)
 
         model = _singleton(model_tag, build)

@@ -571,3 +571,37 @@ def test_dedup_with_string_doc_ids(spark):
     assert out2["rec/a#0"] is True and out2["rec/b#1"] is False
     out3 = {r.doc_id: r.keep for r in ops.exact_dedup(df).collect()}
     assert out3 == out
+
+
+def test_annotate_language_fasttext_file_backend(spark, tmp_path):
+    """annotate_language(fasttext_path=...) runs a .bin through the native
+    reader on executors — the north-rule 'model broadcast once, batch
+    invoked' path with a real model FILE and no fasttext package."""
+    import numpy as np
+
+    from datatrove_spark.kernels.fasttext_bin import write_supervised_bin
+
+    rng = np.random.RandomState(6)
+    dim = 6
+    wv = {}
+    for w in ["</s>", "the", "cat", "house"]:
+        wv[w] = rng.randn(dim) + np.array([3.0] + [0.0] * (dim - 1))
+    for w in ["le", "chat", "maison"]:
+        wv[w] = rng.randn(dim) - np.array([3.0] + [0.0] * (dim - 1))
+    lv = {
+        "__label__en": np.array([2.0] + [0.0] * (dim - 1)),
+        "__label__fr": np.array([-2.0] + [0.0] * (dim - 1)),
+    }
+    path = str(tmp_path / "lid.bin")
+    write_supervised_bin(path, wv, lv, dim)
+
+    df = spark.createDataFrame(
+        [(1, "the cat in the house"), (2, "le chat et le maison")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.language
+        for r in ops.annotate_language(
+            df, fasttext_path=path, model_tag="lid-binfile-test"
+        ).collect()
+    }
+    assert out == {1: "en", 2: "fr"}
