@@ -1,0 +1,178 @@
+"""Byte-level BPE tokenizer (the GPT-2 / HF `tokenizers` scheme),
+dependency-free.
+
+The reference tokenizes with HF ``tokenizers`` models
+(pipeline/tokens/tokenizer.py:281-476, ``load_tokenizer``); the package is
+absent here, but the GPT-2 BPE ALGORITHM and file formats are public
+(Radford et al. 2019 released encoder.py + vocab/merges; HF stores the same
+data): bytes map 1:1 onto printable unicode proxies, a pretokenizer regex
+splits text into word-ish chunks, and each chunk is greedily merged by
+lowest merge-rank until no ranked pair remains.
+
+* ``BPETokenizer.load(vocab_json, merges_txt)`` reads the standard HF/GPT-2
+  file pair — point it at a real gpt2 vocab and ids match the real encoder.
+* ``train_bpe(corpus, vocab_size)`` is a fixture-quality trainer (classic
+  most-frequent-pair merging) so tests exercise the real encode/decode path
+  with no downloaded artifacts.
+* byte-level guarantees: decode(encode(x)) == x for ANY unicode input.
+"""
+
+from __future__ import annotations
+
+import json
+
+import regex as _regex
+
+# The published GPT-2 pretokenizer pattern (encoder.py): contractions,
+# letter runs with leading space, number runs, punctuation runs, whitespace.
+GPT2_PRETOKEN_RE = _regex.compile(
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode table (encoder.py): the 188
+    printable latin-1 bytes map to themselves, the rest shift into U+0100+."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_ENCODER = bytes_to_unicode()
+_BYTE_DECODER = {v: k for k, v in _BYTE_ENCODER.items()}
+
+
+def _to_byte_chars(chunk: str) -> list[str]:
+    return [_BYTE_ENCODER[b] for b in chunk.encode("utf-8")]
+
+
+class BPETokenizer:
+    """vocab: token-string → id; merges: ordered (left, right) pairs."""
+
+    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]]):
+        self.vocab = vocab
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.id_to_token = {i: t for t, i in vocab.items()}
+        self._cache: dict[str, list[str]] = {}
+
+    # --- IO (HF/GPT-2 file pair) ------------------------------------------
+
+    @classmethod
+    def load(cls, vocab_json_path: str, merges_txt_path: str) -> "BPETokenizer":
+        with open(vocab_json_path, encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges = []
+        with open(merges_txt_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#version"):
+                    continue
+                left, right = line.split(" ")
+                merges.append((left, right))
+        return cls(vocab, merges)
+
+    def dump(self, vocab_json_path: str, merges_txt_path: str) -> None:
+        with open(vocab_json_path, "w", encoding="utf-8") as f:
+            json.dump(self.vocab, f, ensure_ascii=False)
+        with open(merges_txt_path, "w", encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            for left, right in sorted(self.ranks, key=self.ranks.get):
+                f.write(f"{left} {right}\n")
+
+    # --- encode / decode -----------------------------------------------------
+
+    def _bpe_chunk(self, chunk: str) -> list[str]:
+        cached = self._cache.get(chunk)
+        if cached is not None:
+            return cached
+        parts = _to_byte_chars(chunk)
+        while len(parts) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(parts) - 1):
+                r = self.ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts = (
+                parts[:best_i]
+                + [parts[best_i] + parts[best_i + 1]]
+                + parts[best_i + 2 :]
+            )
+        if len(self._cache) < 100_000:
+            self._cache[chunk] = parts
+        return parts
+
+    def encode(self, text: str) -> list[int]:
+        unk = self.vocab.get("<unk>")
+        ids = []
+        for chunk in GPT2_PRETOKEN_RE.findall(text):
+            for tok in self._bpe_chunk(chunk):
+                tid = self.vocab.get(tok)
+                if tid is None:
+                    # a correctly-paired vocab/merges never reaches here for
+                    # single bytes; tolerate truncated vocabs via <unk>/skip
+                    if unk is not None:
+                        ids.append(unk)
+                else:
+                    ids.append(tid)
+        return ids
+
+    def decode(self, ids: list[int]) -> str:
+        text = "".join(self.id_to_token.get(i, "") for i in ids)
+        return bytes(_BYTE_DECODER[c] for c in text).decode("utf-8", errors="replace")
+
+
+def train_bpe(corpus: list[str], vocab_size: int = 512) -> BPETokenizer:
+    """Classic BPE training (most-frequent adjacent pair merges) — fixture
+    quality, enough to produce a REAL vocab/merges file pair for tests."""
+    from collections import Counter
+
+    # base vocab: all 256 byte proxies, in codepoint order
+    tokens = sorted(_BYTE_ENCODER.values(), key=ord)
+    vocab = {t: i for i, t in enumerate(tokens)}
+    words: Counter = Counter()
+    for text in corpus:
+        for chunk in GPT2_PRETOKEN_RE.findall(text):
+            words[tuple(_to_byte_chars(chunk))] += 1
+    merges: list[tuple[str, str]] = []
+    while len(vocab) < vocab_size:
+        pairs: Counter = Counter()
+        for word, cnt in words.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += cnt
+        if not pairs:
+            break
+        # deterministic: highest count, ties by pair string order
+        (a, b), cnt = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        merged = a + b
+        vocab[merged] = len(vocab)
+        new_words: Counter = Counter()
+        for word, c in words.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_words[tuple(out)] += c
+        words = new_words
+    return BPETokenizer(vocab, merges)
+
+
+__all__ = ["BPETokenizer", "train_bpe", "bytes_to_unicode", "GPT2_PRETOKEN_RE"]

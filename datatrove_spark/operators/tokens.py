@@ -38,19 +38,50 @@ def tokenize_documents(
     out_col: str = "token_ids",
     vocab_size: int = 65_536,
     append_eos: bool = True,
+    vocab_path: str | None = None,
+    merges_path: str | None = None,
+    eos_id: int | None = None,
 ) -> DataFrame:
     """text → array<int> token ids (uint16-range by default, mirroring the
-    reference's uint16 packing, tokens/tokenizer.py:56-58)."""
+    reference's uint16 packing, tokens/tokenizer.py:56-58).
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts.fillna(""):
-            ids = [_hash_vocab_id(tok, vocab_size) for tok in _BPE_RE.findall(t)]
-            if append_eos:
-                ids.append(EOS_ID)
-            out.append(ids)
-        return pd.Series(out)
+    With ``vocab_path``/``merges_path`` (the standard HF/GPT-2 file pair,
+    shipped to executors via SparkFiles/--files) the REAL byte-level BPE
+    encoder runs (kernels/bpe.py — ids match the published GPT-2 scheme, and
+    decode∘encode is lossless).  Without them, the deterministic hash
+    vocabulary stands in.  ``eos_id`` overrides the appended terminator
+    (e.g. 50256 for gpt2's <|endoftext|>)."""
+    terminator = EOS_ID if eos_id is None else eos_id
+
+    if vocab_path is not None and merges_path is not None:
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _udf(texts: pd.Series) -> pd.Series:
+            from ..kernels.bpe import BPETokenizer
+            from .language import _singleton
+
+            tok = _singleton(
+                f"bpe:{vocab_path}", lambda: BPETokenizer.load(vocab_path, merges_path)
+            )
+            out = []
+            for t in texts.fillna(""):
+                ids = tok.encode(t)
+                if append_eos:
+                    ids.append(terminator)
+                out.append(ids)
+            return pd.Series(out)
+
+    else:
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _udf(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts.fillna(""):
+                ids = [_hash_vocab_id(tok, vocab_size) for tok in _BPE_RE.findall(t)]
+                if append_eos:
+                    ids.append(terminator)
+                out.append(ids)
+            return pd.Series(out)
 
     return df.withColumn(out_col, _udf(F.col(text_col)))
 

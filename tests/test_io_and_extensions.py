@@ -925,3 +925,37 @@ def test_streaming_exact_dedup_cross_run_state(spark, tmp_path):
     streaming_exact_dedup(spark, f"{inp}/*", str(out), schema)
     texts2 = sorted(r.text for r in spark.read.parquet(f"{out}/data").collect())
     assert texts2 == ["alpha doc", "beta doc", "gamma doc"]  # beta NOT re-emitted
+
+
+def test_tokenize_documents_real_bpe_files(spark, tmp_path):
+    """tokenize_documents with a vocab/merges file pair runs the real BPE
+    encoder on executors, and the .ds binary round trip carries the real
+    ids (reference DocumentTokenizer with an HF tokenizer file)."""
+    from datatrove_spark.kernels.bpe import train_bpe
+
+    corpus = ["the cat sat on the mat and the dog ran to the house"] * 30
+    tok = train_bpe(corpus, vocab_size=300)
+    vpath, mpath = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    tok.dump(vpath, mpath)
+
+    rows = [(1, "the cat sat on the mat"), (2, "the dog ran")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.token_ids
+        for r in ops.tokenize_documents(
+            df, vocab_path=vpath, merges_path=mpath, eos_id=299
+        ).collect()
+    }
+    assert out[1] == tok.encode("the cat sat on the mat") + [299]
+    assert out[2] == tok.encode("the dog ran") + [299]
+
+    # real ids survive the .ds shard round trip
+    tokenized = ops.tokenize_documents(df, vocab_path=vpath, merges_path=mpath)
+    ds_dir = str(tmp_path / "ds")
+    ops.write_tokenized_binary(tokenized.repartition(1), ds_dir).collect()
+    back = ops.read_ds(f"{ds_dir}/shard_00000.ds")
+    flat = [t for doc in back for t in doc]
+    expected = []
+    for _, text in rows:
+        expected += tok.encode(text) + [0]
+    assert sorted(flat) == sorted(expected)

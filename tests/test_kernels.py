@@ -747,3 +747,47 @@ def test_ftfy_formatter_reference_cases():
     assert "\u00e2" not in fix_mojibake(broken)
     normal = "Hello, this is a normal sentence."
     assert fix_mojibake(normal) == normal
+
+
+def test_bpe_byte_level_lossless_and_format(tmp_path):
+    """Byte-level BPE (kernels/bpe.py): decode∘encode is the identity for
+    arbitrary unicode, the byte→unicode table is the published GPT-2
+    bijection, merges apply by rank, and the HF vocab.json/merges.txt file
+    pair round-trips."""
+    from datatrove_spark.kernels.bpe import BPETokenizer, bytes_to_unicode, train_bpe
+
+    table = bytes_to_unicode()
+    assert len(table) == 256 and len(set(table.values())) == 256
+    assert table[ord("A")] == "A" and table[32] == "Ġ"  # GPT-2's space proxy
+
+    corpus = ["the cat sat on the mat and the dog ran to the house"] * 30
+    tok = train_bpe(corpus, vocab_size=300)
+    assert len(tok.vocab) <= 300 and len(tok.ranks) > 0
+    for s in [
+        "the cat sat",
+        "héllo wörld! 123",
+        "完全 unseen ünïcode 🎉 text\nwith newline",
+        "",
+        "   leading and   inner   spaces",
+    ]:
+        assert tok.decode(tok.encode(s)) == s
+    # frequent in-corpus words compress below one-id-per-byte
+    assert len(tok.encode("the cat")) < len("the cat".encode())
+
+    vpath, mpath = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    tok.dump(vpath, mpath)
+    tok2 = BPETokenizer.load(vpath, mpath)
+    s = "the cat sat on the mat"
+    assert tok2.encode(s) == tok.encode(s)
+
+
+def test_bpe_merge_order_hand_example():
+    """Greedy lowest-rank merging, hand-traced: with merges [(a,b),(ab,c)]
+    the chunk 'abc' becomes one token, 'acb' stays three."""
+    from datatrove_spark.kernels.bpe import BPETokenizer
+
+    vocab = {c: i for i, c in enumerate("abc")}
+    vocab.update({"ab": 3, "abc": 4})
+    tok = BPETokenizer(vocab, [("a", "b"), ("ab", "c")])
+    assert tok.encode("abc") == [4]
+    assert tok.encode("acb") == [0, 2, 1]
