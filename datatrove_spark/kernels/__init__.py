@@ -55,3 +55,9 @@ from .text import (  # noqa: F401
     split_sentences,
     tokenize_words,
 )
+
+# format-level model/media IO (round 3): fastText .bin, byte-level BPE,
+# WAV/BMP/PNG codecs — importable as submodules; key entry points re-exported
+from .bpe import BPETokenizer, train_bpe  # noqa: F401,E402
+from .fasttext_bin import FastTextModel, write_supervised_bin  # noqa: F401,E402
+from .media import probe_media  # noqa: F401,E402
