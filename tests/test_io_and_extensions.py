@@ -959,3 +959,46 @@ def test_tokenize_documents_real_bpe_files(spark, tmp_path):
     for _, text in rows:
         expected += tok.encode(text) + [0]
     assert sorted(flat) == sorted(expected)
+
+
+def test_tokenization_reconstruction_reference_shape(spark, tmp_path):
+    """Mirror of the reference's flagship tokenization test
+    (tests/pipeline/tokens/test_tokenization.py): tokenize documents with a
+    real BPE, pack distributed .ds shards, then decode every doc back from
+    the binary via the index — texts must reconstruct byte-exact (the
+    reference uses gpt2; our byte-level BPE has the same lossless
+    guarantee)."""
+    import glob
+    import struct
+
+    from datatrove_spark.kernels.bpe import train_bpe
+
+    TEXTS = [
+        "Life, although it may only be an accumulation of anguish, is dear to me, and I will defend it.",
+        "How mutable are our feelings, and how strange is that clinging love we have of life even in the excess of misery!",
+        "It is true, we shall be monsters, cut off from all the world; but on that account we shall be more attached to one another.",
+        "I looked upon the sea, it was to be my grave",
+    ]
+    tok = train_bpe(TEXTS * 5, vocab_size=400)
+    vpath, mpath = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    tok.dump(vpath, mpath)
+
+    df = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
+    tokenized = ops.tokenize_documents(
+        df.orderBy("doc_id"), vocab_path=vpath, merges_path=mpath, append_eos=False
+    )
+    out_dir = str(tmp_path / "ds")
+    ops.write_tokenized_binary(tokenized.coalesce(1), out_dir).collect()
+
+    # decode straight from the binary shard via the index, like the
+    # reference's get_texts_from_tokens
+    texts_back = []
+    for ds_file in sorted(glob.glob(f"{out_dir}/*.ds")):
+        with open(ds_file + ".index", "rb") as f:
+            raw = f.read()
+            doc_ends = list(struct.unpack(f"<{len(raw) // 8}Q", raw))
+        with open(ds_file, "rb") as f:
+            for start, end in zip([0] + doc_ends[:-1], doc_ends):
+                ids = struct.unpack(f"<{end - start}H", f.read((end - start) * 2))
+                texts_back.append(tok.decode(list(ids)))
+    assert sorted(texts_back) == sorted(TEXTS)
