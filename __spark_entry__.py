@@ -629,6 +629,12 @@ def q_line_stats(spark, sf_dir):
         F.when(F.col("doc_id") % 7 == 0, F.concat("text2", F.lit("\ndup line\ndup line")))
         .otherwise(F.col("text2")),
     )
+    # planted bullet lines (ascii dash + unicode bullet) for the bullet ratio
+    df = df.withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 9 == 0, F.concat("text2", F.lit("\n- dash item\n• bullet item")))
+        .otherwise(F.col("text2")),
+    )
     out = with_line_stats(df, text_col="text2")
     return out.select(
         "doc_id",
@@ -1586,12 +1592,18 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN dead USING (doc_id)
         """,
         "line_stats": f"""
-            WITH base AS (
+            WITH base0 AS (
               SELECT doc_id,
                      CASE WHEN doc_id % 7 = 0
                           THEN {LINEIFY} || chr(10) || 'dup line' || chr(10) || 'dup line'
-                          ELSE {LINEIFY} END AS t
+                          ELSE {LINEIFY} END AS t0
               FROM documents
+            ), base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN t0 || chr(10) || '- dash item' || chr(10) || '• bullet item'
+                          ELSE t0 END AS t
+              FROM base0
             ), l AS (
               SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM base
             ), m AS (
