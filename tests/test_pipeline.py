@@ -142,3 +142,53 @@ def test_language_columns_present(pipeline_rows):
         assert r.language is not None
         assert 0.0 <= r.language_score <= 1.0
         assert r.content_sha256 is not None and len(r.content_sha256) == 64
+
+
+def test_perplexity_branch_fused_equals_staged(spark):
+    """max_perplexity drops flow identically through the fused single-pass
+    pipeline and the staged operator chain (same values, same reasons)."""
+    import random
+
+    from datatrove_spark.kernels.fineweb import FineWebQualityConfig
+    from datatrove_spark.kernels.gopher import GopherQualityConfig
+    from datatrove_spark.kernels.perplexity import InterpolatedLM
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    rng = random.Random(3)
+    vocab = "the cat sat on mat and dog ran to house with all of that have be is was for it".split()
+
+    def doc(words):
+        return "\n".join(
+            " ".join(rng.choice(words) for _ in range(9)).capitalize() + "."
+            for _ in range(8)
+        )
+
+    lm = InterpolatedLM.train([doc(vocab) for _ in range(20)])
+    clean = doc(vocab)
+    weird = doc(["zxqv", "frobn", "quux", "blarg", "mxyz", "vwxq", "jklmn", "pqrst"])
+    df = spark.createDataFrame(
+        [("r", "a", "c", "en", clean), ("r", "b", "c", "en", weird)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    g = GopherQualityConfig(
+        min_doc_words=5, min_avg_word_length=None, max_avg_word_length=None,
+        min_alpha_words_ratio=None, min_stop_words=None,
+    )
+    fw = FineWebQualityConfig(char_duplicates_ratio=1.0, new_line_ratio=1.0)
+    results = {}
+    for fused in (True, False):
+        cfg = QualityPipelineConfig(
+            languages=None, language_threshold=0.0, min_chars=5,
+            lm_dict=lm.to_dict(), max_perplexity=100.0, fused=fused,
+            gopher_quality=g, fineweb=fw,
+        )
+        results[fused] = sorted(
+            (r.path, r.keep, r.drop_reason, round(r.perplexity, 4))
+            for r in quality_pipeline(df, cfg)
+            .select("path", "keep", "drop_reason", "perplexity")
+            .collect()
+        )
+    assert results[True] == results[False]
+    by_path = {p: (k, reason) for p, k, reason, _ in results[True]}
+    assert by_path["a"] == (True, None)
+    assert by_path["b"] == (False, "perplexity")
