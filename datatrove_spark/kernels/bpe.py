@@ -128,6 +128,28 @@ class BPETokenizer:
                     ids.append(tid)
         return ids
 
+    def encode_with_offsets(self, text: str) -> list[tuple[int, int, int]]:
+        """(token_id, char_start, char_end) triples tiling the WHOLE text
+        (byte-level BPE tokenizes whitespace runs too, so offsets cover every
+        char).  A token that ends mid-multibyte-character snaps outward to
+        the char boundary — removal then cuts whole chars, never bytes, the
+        char-safe version of the Rust tool's byte-range cutting."""
+        out = []
+        for m in GPT2_PRETOKEN_RE.finditer(text):
+            chunk = m.group()
+            base = m.start()
+            byte_to_char: list[int] = []
+            for ci, c in enumerate(chunk):
+                byte_to_char.extend([ci] * len(c.encode("utf-8")))
+            pos = 0
+            for part in self._bpe_chunk(chunk):
+                n = len(part)  # one byte proxy char per original byte
+                c_start = byte_to_char[pos]
+                c_end = byte_to_char[pos + n - 1] + 1
+                out.append((self.vocab.get(part, -1), base + c_start, base + c_end))
+                pos += n
+        return out
+
     def decode(self, ids: list[int]) -> str:
         text = "".join(self.id_to_token.get(i, "") for i in ids)
         return bytes(_BYTE_DECODER[c] for c in text).decode("utf-8", errors="replace")

@@ -557,6 +557,8 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "first_owner",
+    bpe_vocab_path: str | None = None,
+    bpe_merges_path: str | None = None,
 ) -> DataFrame:
     """Remove duplicated token substrings of ≥ ``min_tokens`` that occur more
     than once anywhere in the corpus — the reference's exact-substrings
@@ -577,19 +579,52 @@ def exact_substring_dedup(
       surviving adjacent tokens is preserved byte-exact, and a single space
       is inserted only at cut boundaries.
 
-    Documented divergence from the reference: whitespace tokens stand in
-    for GPT-2 ids (no HF tokenizer in this container).  A window shorter
-    than ``min_tokens`` can never be removed, matching the length-threshold
-    contract.
+    Token units: with ``bpe_vocab_path``/``bpe_merges_path`` (the standard
+    HF/GPT-2 file pair) windows are REAL byte-level BPE token-id sequences
+    and removal cuts the tokens' exact char ranges — the reference's GPT-2-id
+    windows and byte-range cutting (a cut that would split a multibyte char
+    snaps to the char boundary).  Without the files, whitespace tokens stand
+    in (documented divergence).  A window shorter than ``min_tokens`` can
+    never be removed, matching the length-threshold contract.
     """
     if mode not in ("first_owner", "remove_all"):
         raise ValueError(f"mode must be 'first_owner' or 'remove_all', got {mode!r}")
+    if (bpe_vocab_path is None) != (bpe_merges_path is None):
+        raise ValueError("pass BOTH bpe_vocab_path and bpe_merges_path, or neither")
+    use_bpe = bpe_vocab_path is not None
     df = ensure_channel(df)
+
+    def _bpe_singleton():
+        from ..kernels.bpe import BPETokenizer
+        from .language import _singleton
+
+        return _singleton(
+            f"bpe:{bpe_vocab_path}",
+            lambda: BPETokenizer.load(bpe_vocab_path, bpe_merges_path),
+        )
 
     @F.pandas_udf(_WINDOW_SCHEMA)
     def _windows_udf(texts: pd.Series) -> pd.Series:
+        tok = _bpe_singleton() if use_bpe else None
         out = []
         for t in texts.fillna(""):
+            if use_bpe:
+                ids = [i for i, _, _ in tok.encode_with_offsets(t)]
+                if len(ids) < min_tokens:
+                    out.append([])
+                    continue
+                out.append(
+                    [
+                        (
+                            sha1_i64(
+                                "\x00".join(str(x) for x in ids[i : i + min_tokens])
+                            ),
+                            i,
+                        )
+                        for i in range(len(ids) - min_tokens + 1)
+                    ]
+                )
+                continue
             spans = _token_spans(t)
             if len(spans) < min_tokens:
                 out.append([])
@@ -628,10 +663,23 @@ def exact_substring_dedup(
 
     @F.pandas_udf(StringType())
     def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.Series:
+        tok = _bpe_singleton() if use_bpe else None
         out = []
         for t, rm in zip(texts.fillna(""), removes):
             if rm is None or len(rm) == 0:
                 out.append(t)
+                continue
+            if use_bpe:
+                # BPE offsets tile the whole text (whitespace runs are tokens
+                # too), so removal IS the reference's byte-range cutting:
+                # drop the dead tokens' char ranges, keep everything else
+                # byte-exact — no separator synthesis needed.
+                offs = tok.encode_with_offsets(t)
+                dead_chars = set()
+                for start in rm:
+                    for _, a, b in offs[start : start + min_tokens]:
+                        dead_chars.update(range(a, b))
+                out.append("".join(c for i, c in enumerate(t) if i not in dead_chars))
                 continue
             spans = _token_spans(t)
             dead = set()

@@ -605,3 +605,45 @@ def test_annotate_language_fasttext_file_backend(spark, tmp_path):
         ).collect()
     }
     assert out == {1: "en", 2: "fr"}
+
+
+def test_exact_substring_dedup_bpe_token_mode(spark, tmp_path):
+    """With an HF vocab/merges pair, exact-substring windows are REAL BPE
+    token-id sequences and removal cuts their exact char ranges — the
+    reference's GPT-2-id windows + byte-range cutting.  Untouched regions
+    (incl. weird whitespace) stay byte-exact; the owner survives whole."""
+    from datatrove_spark.kernels.bpe import train_bpe
+
+    shared = "the quick brown fox jumps over the lazy dog near the old river bank"
+    tok = train_bpe([shared] * 20, vocab_size=400)
+    vpath, mpath = str(tmp_path / "v.json"), str(tmp_path / "m.txt")
+    tok.dump(vpath, mpath)
+    n_shared = len(tok.encode(shared))
+    assert n_shared >= 8
+
+    rows = [
+        (1, f"intro\tpart {shared} tail  one"),
+        (2, f"lead {shared} other  ending"),
+        (3, "completely different text with its own words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in ops.exact_substring_dedup(
+            df, min_tokens=n_shared, bpe_vocab_path=vpath, bpe_merges_path=mpath
+        ).collect()
+    }
+    assert out[1] == rows[0][1]          # owner byte-exact, tab preserved
+    assert shared not in out[2]
+    assert "lead" in out[2] and "other  ending" in out[2]  # double space kept
+    assert out[3] == rows[2][1]
+
+    # remove_all: both copies cut
+    out2 = {
+        r.doc_id: r.text
+        for r in ops.exact_substring_dedup(
+            df, min_tokens=n_shared, mode="remove_all",
+            bpe_vocab_path=vpath, bpe_merges_path=mpath,
+        ).collect()
+    }
+    assert shared not in out2[1] and shared not in out2[2]
