@@ -647,3 +647,57 @@ def test_exact_substring_dedup_bpe_token_mode(spark, tmp_path):
         ).collect()
     }
     assert shared not in out2[1] and shared not in out2[2]
+
+
+def test_exact_substring_reference_corpus_shape(spark, tmp_path):
+    """Structural mirror of the reference's exact-substrings test corpus
+    (tests/pipeline/dedup/test_exact_substrings.py): the philosophical
+    passage shared by two documents is cut from BOTH in remove_all mode
+    while their unique heads/tails survive; fully-unique documents pass
+    through byte-exact.  (The reference's exact byte TARGETS need the real
+    gpt2 vocab — ids differ under the fixture BPE, the dataflow does not.)"""
+    from datatrove_spark.kernels.bpe import train_bpe
+
+    SHARED = (
+        "Judging whether life is or is not worth living amounts to answering "
+        "the fundamental question of philosophy. All the rest whether or not "
+        "the world has three dimensions, whether the mind has nine or twelve "
+        "categories comes afterwards."
+    )
+    text4 = (
+        "This is but one truly serious philosophical problem, and that is "
+        "suicide. " + SHARED + " These are games; one must first answer."
+    )
+    text5 = (
+        "I do believe there is only one real philosophical issue, to live or "
+        "to not. " + SHARED + " That is why I decided to buy a coca zero!"
+    )
+    unique = "The guaiabero is a species of parrot in the family Psittaculidae."
+    tok = train_bpe([text4, text5, unique] * 10, vocab_size=600)
+    vpath, mpath = str(tmp_path / "v.json"), str(tmp_path / "m.txt")
+    tok.dump(vpath, mpath)
+    # in-context boundary tokens differ from the standalone encoding (' Judging'
+    # vs 'Judging'), so the common id run is a few tokens shorter than the
+    # standalone length — same effect as in the reference's byte-range tool
+    n_shared = len(tok.encode(SHARED)) - 4
+
+    df = spark.createDataFrame(
+        [(4, text4), (5, text5), (8, unique)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.text
+        for r in ops.exact_substring_dedup(
+            df,
+            min_tokens=min(n_shared, 50),
+            mode="remove_all",
+            bpe_vocab_path=vpath,
+            bpe_merges_path=mpath,
+        ).collect()
+    }
+    assert "fundamental question" not in out[4]
+    assert "fundamental question" not in out[5]
+    assert out[4].startswith("This is but one truly serious")
+    assert out[5].startswith("I do believe there is only one")
+    assert "one must first answer" in out[4]
+    assert "coca zero" in out[5]
+    assert out[8] == unique  # unique doc byte-exact
