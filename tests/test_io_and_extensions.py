@@ -1002,3 +1002,40 @@ def test_tokenization_reconstruction_reference_shape(spark, tmp_path):
                 ids = struct.unpack(f"<{end - start}H", f.read((end - start) * 2))
                 texts_back.append(tok.decode(list(ids)))
     assert sorted(texts_back) == sorted(TEXTS)
+
+
+def test_classifier_filter_paragraph_rewrite(spark):
+    """PARAGRAPH span mode: failing paragraphs drop, survivors re-join with
+    blank lines (reference fasttext_filter.py:95-111 span semantics)."""
+    text = (
+        "the cat and the dog have to be with all of that here today.\n\n"
+        "le chien et le chat sont dans la maison avec les enfants la.\n\n"
+        "the house of the man is to be with the dog and the cat now."
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = ops.classifier_filter(df, remove_labels=[("fr", 0.5)], unit="PARAGRAPH").collect()[0]
+    assert out.keep
+    assert "chien" not in out.text
+    assert out.text.count("\n\n") == 1  # two surviving paragraphs re-joined
+
+
+def test_url_filter_operator_subwords_and_soft(spark):
+    """The Spark operator path exercises the Aho-Corasick subword scan and
+    the soft-word threshold, not just the kernel."""
+    cfg = UrlFilterConfig(
+        banned_subwords=("evilfrag",),
+        soft_banned_words=frozenset({"s1", "s2"}),
+        soft_word_threshold=2,
+    )
+    rows = [
+        (1, "https://ok.com/fine/page"),
+        (2, "https://x.com/myevilfragmentpage"),
+        (3, "https://y.com/s1/s2"),
+        (4, "https://z.com/s1/only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r.doc_id: (r.keep, r.drop_reason) for r in ops.url_filter_op(df, cfg).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, "blacklisted_subword")
+    assert out[3] == (False, "soft_blacklisted")
+    assert out[4] == (True, None)
