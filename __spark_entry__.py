@@ -233,8 +233,8 @@ def q_sentence_dedup_index(spark, sf_dir):
 def q_simhash_dedup(spark, sf_dir):
     from datatrove_spark.operators import simhash_dedup
 
-    # max_bucket=None: unconditional all-pairs exactness so the sequential
-    # fixture oracle matches; production keeps the hot-chunk star cap default
+    # max_bucket=None (now the package default): unconditional all-pairs
+    # exactness; production passes max_bucket=256 for the hot-chunk star cap
     out = simhash_dedup(
         _docs(spark, sf_dir), text_col="text", id_col="doc_id", max_hamming=3, max_bucket=None
     )
@@ -376,6 +376,44 @@ def q_perplexity_buckets(spark, sf_dir):
     )
     out = perplexity_buckets(ann, group_cols=["lang"])
     return out.select("doc_id", "lang", "ppl_bucket")
+
+
+def q_perplexity_sp(spark, sf_dir):
+    """The FULL CC-Net recipe with the SentencePiece step in (reference
+    utils/perplexity.py:125-138 order: normalize → SP encode_as_pieces →
+    kenlm-score → round to 1 decimal).  Models are REAL artifact files — a
+    protobuf sp.model (parsed by the dependency-free ModelProto reader) and
+    a textual lm.arpa — trained deterministically from the same sample as
+    q_perplexity and scored through annotate_perplexity's file-loading path;
+    on a cluster the same two files ride SparkFiles."""
+    import os
+    import tempfile
+
+    from datatrove_spark.kernels.arpa import CCNetSPArpaModel
+    from datatrove_spark.operators import annotate_perplexity
+
+    docs = _docs(spark, sf_dir)
+    sample = [
+        r.text
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(PERPLEXITY_SAMPLE)
+        .collect()
+    ]
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"dts_sp_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    arpa_path, sp_path = CCNetSPArpaModel.build_artifacts(sample, out_dir)
+    out = annotate_perplexity(
+        docs,
+        text_col="text",
+        out_col="perplexity_sp",
+        arpa_path=arpa_path,
+        sp_path=sp_path,
+        model_tag=f"ccnet_sp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    return out.select("doc_id", "perplexity_sp")
 
 
 def q_doc_stats(spark, sf_dir):
@@ -859,23 +897,32 @@ def q_code_pii_scrub(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS for the driver's correctness gate: in round 2 the last
-    # five entries never received a driver row (budget/starvation).  The
-    # north-rule contract queries (code_quality / code_pii_scrub) and the
-    # other previously-starved entries therefore run FIRST; the cheapest,
-    # already-multiply-verified trivia run last and are the ones sacrificed
-    # if the driver's budget runs out again.
+    # ROTATION POLICY (the driver verifies at most the first ~50 entries):
+    # each round leads with every query that did NOT get a driver row last
+    # round, then any queries whose code changed this round, then the north
+    # rule, then the rest; the tail (sacrificed if the budget runs out) is
+    # only ever queries green at the previous round's driver.  Under this
+    # policy every query gets a fresh driver row at least every two rounds.
+    # Round 4: positions 1-11 are the 11 queries without a CORRECTNESS_r03
+    # row; the tail 11 are all green in CORRECTNESS_r03.
     return {
-        # -- north rule + round-2 starved --
+        # -- round-3 driver-starved (rotate to the front) --
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "tokenized_lengths": q_tokenized_lengths,
+        "c4_paragraphs": q_c4_paragraphs,
+        "url_filter": q_url_filter,
+        "regex_filter": q_regex_filter,
+        "lambda_filter": q_lambda_filter,
+        "sampler": q_sampler,
+        "mime_filter": q_mime_filter,
+        "doc_shuffle": q_doc_shuffle,
+        # -- north rule --
         "code_quality": q_code_quality,
         "code_pii_scrub": q_code_pii_scrub,
-        "events_sessions": q_events_sessions,
-        "lineitem_pricing": q_lineitem_pricing,
-        "embedding_neardup": q_embedding_neardup,
-        # -- round-2 hash-mismatch fixes (HUGEINT casts) --
-        "doc_stats_by_source": q_doc_stats_by_source,
-        "symbol_lines": q_symbol_lines,
-        "summary_by_lang": q_summary_by_lang,
+        # -- new round-4 code (must sit inside the driver's 50-row window) --
+        "perplexity_sp": q_perplexity_sp,
         # -- quality filters --
         "gopher_quality": q_gopher_quality,
         "gopher_rep_topgrams": q_gopher_rep_topgrams,
@@ -913,28 +960,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- stats --
         "doc_stats": q_doc_stats,
         "token_count_hist": q_token_count_hist,
-        "top_sources": q_top_sources,
         "line_stats": q_line_stats,
         "word_stats": q_word_stats,
         "word_stats_multilang": q_word_stats_multilang,
         "para_sent_stats": q_para_sent_stats,
-        "length_histogram": q_length_histogram,
         "words_contamination": q_words_contamination,
+        # -- tail: all green in CORRECTNESS_r03 (safe to starve this round) --
+        "embedding_neardup": q_embedding_neardup,
+        "events_sessions": q_events_sessions,
+        "lineitem_pricing": q_lineitem_pricing,
+        "doc_stats_by_source": q_doc_stats_by_source,
+        "symbol_lines": q_symbol_lines,
+        "summary_by_lang": q_summary_by_lang,
+        "top_sources": q_top_sources,
+        "length_histogram": q_length_histogram,
         "event_type_stats": q_event_type_stats,
         "fqdn_topk": q_fqdn_topk,
-        # -- ANN / embeddings --
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "tokenized_lengths": q_tokenized_lengths,
-        # -- formatters / URL / misc filters --
-        "c4_paragraphs": q_c4_paragraphs,
-        "url_filter": q_url_filter,
-        "regex_filter": q_regex_filter,
-        "lambda_filter": q_lambda_filter,
-        "sampler": q_sampler,
-        "mime_filter": q_mime_filter,
-        "doc_shuffle": q_doc_shuffle,
     }
 
 
@@ -1659,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
                 "perplexity",
                 "pipeline_summary",
                 "classifier_filter",
+                "perplexity_sp",
                 "fingerprint_dups",
                 "lsh_ann",
                 "ivf_ann",

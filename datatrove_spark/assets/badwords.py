@@ -82,9 +82,13 @@ def load_badwords(path: str | None = None) -> dict[str, frozenset[str]]:
         for fname in os.listdir(path):
             with open(os.path.join(path, fname), encoding="utf-8") as f:
                 table[fname] = {line.strip() for line in f if line.strip()}
-    for lang, allow in BADWORDS_ALLOWLIST.items():
-        if lang in table:
-            table[lang] = table[lang] - allow
+    # The reference subtracts EVERY language's allowlist from EVERY
+    # language's word set (c4_filters.py:255-256 loops all allowlists per
+    # list), so e.g. an 'en' allowlist entry also rescues a matching word
+    # that a full LDNOOBW 'de' dump happens to contain.
+    allow_union = frozenset().union(*BADWORDS_ALLOWLIST.values()) if BADWORDS_ALLOWLIST else frozenset()
+    for lang in table:
+        table[lang] = table[lang] - allow_union
     return {lang: frozenset(words) for lang, words in table.items()}
 
 

@@ -61,3 +61,4 @@ from .text import (  # noqa: F401
 from .bpe import BPETokenizer, train_bpe  # noqa: F401,E402
 from .fasttext_bin import FastTextModel, write_supervised_bin  # noqa: F401,E402
 from .media import probe_media  # noqa: F401,E402
+from .sentencepiece import SentencePieceUnigram, train_unigram  # noqa: F401,E402

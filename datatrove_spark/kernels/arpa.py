@@ -93,12 +93,17 @@ class ArpaLM:
     # --- training (fixture-quality bigram model) ------------------------------
 
     @classmethod
-    def train_arpa(cls, texts, discount: float = 0.5) -> "ArpaLM":
-        """Absolute-discount bigram ARPA from a text iterable."""
+    def train_arpa(cls, texts, discount: float = 0.5, tokenize=None) -> "ArpaLM":
+        """Absolute-discount bigram ARPA from a text iterable.  ``tokenize``
+        overrides the default word tokenization (CC-Net normalize + split) —
+        pass the SentencePiece piece tokenizer to train the LM over the same
+        units the CC-Net recipe scores (utils/perplexity.py:125-127)."""
+        if tokenize is None:
+            tokenize = lambda t: ccnet_normalize(t).split()  # noqa: E731
         uni: Counter = Counter()
         bi: Counter = Counter()
         for t in texts:
-            toks = [BOS] + ccnet_normalize(t).split() + [EOS]
+            toks = [BOS] + tokenize(t) + [EOS]
             uni.update(toks)
             bi.update(zip(toks, toks[1:]))
         total = sum(uni.values())
@@ -135,11 +140,10 @@ class ArpaLM:
             # accumulate backoff down the chain
             return bo + self.logprob_word(context, word)
 
-    def score_line(self, line: str) -> tuple[float, int]:
-        """(sum log10 p, n_scored) with <s> context and </s> terminator."""
-        toks = ccnet_normalize(line).split()
-        if not toks:
-            return 0.0, 0
+    def score_tokens(self, toks: list[str]) -> tuple[float, int]:
+        """(sum log10 p, n_scored) over pre-tokenized input with <s> context
+        and </s> terminator — kenlm's ``model.score(line)`` convention
+        (length = len(tokens) + 1, and the empty line scores </s>|<s>)."""
         total = 0.0
         context: tuple[str, ...] = (BOS,)
         for w in toks + [EOS]:
@@ -147,11 +151,79 @@ class ArpaLM:
             context = (context + (w,))[-(self.order - 1) :] if self.order > 1 else ()
         return total, len(toks) + 1
 
+    def score_line(self, line: str) -> tuple[float, int]:
+        """(sum log10 p, n_scored) with <s> context and </s> terminator."""
+        toks = ccnet_normalize(line).split()
+        if not toks:
+            return 0.0, 0
+        return self.score_tokens(toks)
+
     def perplexity(self, text: str) -> float:
         """Doc perplexity, reference convention (perplexity.py:125-138)."""
         log_score, length = 0.0, 0
         for line in text.split("\n"):
             s, n = self.score_line(line)
+            log_score += s
+            length += n
+        if length == 0:
+            return 0.0
+        return round(10.0 ** (-log_score / length), 1)
+
+
+class CCNetSPArpaModel:
+    """The full CC-Net perplexity recipe with the SentencePiece step IN —
+    reference utils/perplexity.py:125-138 order exactly:
+
+        normalize (CC-Net chain) → SentencePiece encode_as_pieces →
+        join pieces with spaces → per-"line" kenlm score → 10^(−Σ/len),
+        rounded to 1 decimal.
+
+    Note the reference's per-line loop is effectively whole-doc: its
+    normalizer strips control chars (including \\n, perplexity.py:84-85), so
+    ``tokenize(doc).split("\\n")`` yields one line.  We reproduce that
+    faithfully; lengths count pieces + 1 per line (kenlm convention),
+    including the +1 for an empty line."""
+
+    def __init__(self, arpa: "ArpaLM", sp) -> None:
+        self.arpa = arpa
+        self.sp = sp
+
+    @classmethod
+    def build_artifacts(
+        cls, texts: list[str], out_dir: str, vocab_size: int = 400
+    ) -> tuple[str, str]:
+        """Train fixture SP + ARPA models over ``texts`` and write them as
+        REAL artifact files (`sp.model` protobuf + `lm.arpa`), returning
+        (arpa_path, sp_path).  Scoring must load from these files — the
+        protobuf float32 and ARPA %.7f quantization then lands identically in
+        the distributed path and any sequential oracle."""
+        import os
+
+        from .sentencepiece import SentencePieceUnigram, train_unigram
+
+        os.makedirs(out_dir, exist_ok=True)
+        sp = train_unigram(texts, vocab_size=vocab_size)
+        sp_path = os.path.join(out_dir, "sp.model")
+        from .sentencepiece import save_model_proto
+
+        save_model_proto(
+            [("<unk>", 0.0, 2)] + [(p, s, 1) for p, s in sorted(sp.pieces.items())],
+            sp_path,
+        )
+        sp_loaded = SentencePieceUnigram.load(sp_path)
+        arpa = ArpaLM.train_arpa(
+            texts, tokenize=lambda t: sp_loaded.encode_as_pieces(ccnet_normalize(t))
+        )
+        arpa_path = os.path.join(out_dir, "lm.arpa")
+        arpa.dump(arpa_path)
+        return arpa_path, sp_path
+
+    def perplexity(self, text: str) -> float:
+        doc = ccnet_normalize(text)
+        tok = self.sp.tokenize(doc)
+        log_score, length = 0.0, 0
+        for line in tok.split("\n"):
+            s, n = self.arpa.score_tokens(line.split())
             log_score += s
             length += n
         if length == 0:

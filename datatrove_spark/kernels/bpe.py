@@ -146,7 +146,20 @@ class BPETokenizer:
                 n = len(part)  # one byte proxy char per original byte
                 c_start = byte_to_char[pos]
                 c_end = byte_to_char[pos + n - 1] + 1
-                out.append((self.vocab.get(part, -1), base + c_start, base + c_end))
+                tid = self.vocab.get(part)
+                if tid is None:
+                    # A correctly-paired vocab/merges never reaches here.
+                    # Emitting a shared sentinel (-1 or <unk>) would make
+                    # DISTINCT unknown tokens hash-equal, and exact-substring
+                    # windows over those ids could falsely match and cut
+                    # different texts — refuse instead.
+                    raise ValueError(
+                        f"token {part!r} missing from vocab: vocab/merges pair "
+                        "is inconsistent (truncated vocab?); offset encoding "
+                        "requires a complete pair so window hashes never "
+                        "conflate distinct unknown tokens"
+                    )
+                out.append((tid, base + c_start, base + c_end))
                 pos += n
         return out
 

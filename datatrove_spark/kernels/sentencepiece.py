@@ -1,0 +1,299 @@
+"""Dependency-free SentencePiece unigram inference (Viterbi segmentation).
+
+The reference's CC-Net perplexity recipe tokenizes with a real SentencePiece
+model between normalization and KenLM scoring (reference
+utils/perplexity.py:38-41,96-138: ``encode_as_pieces`` → join with spaces →
+score).  The ``sentencepiece`` package is absent in this sandbox, so this
+module implements the PUBLIC unigram-model inference algorithm (Kudo 2018,
+arXiv:1804.10959; google/sentencepiece ``unigram_model.cc``):
+
+* pretokenization: whitespace runs collapse to the meta symbol U+2581 ("▁"),
+  with the standard dummy-prefix ▁ prepended (``add_dummy_prefix=true``,
+  ``remove_extra_whitespaces=true`` defaults) after NFKC normalization —
+  a documented simplification of SP's full nmt_nfkc ruleset,
+* Viterbi decoding: the segmentation maximizing the sum of piece log
+  probabilities, with the unigram model's unknown-character fallback
+  (``unk_score = min_piece_score - unk_penalty``, penalty 10.0 as in
+  ``unigram_model.cc`` kUnkPenalty),
+* model IO: the ``.vocab`` text export (piece<TAB>score per line), and a
+  minimal protobuf reader/writer for the real ``.model`` ModelProto wire
+  format (field 1 = repeated SentencePiece{piece=1:string, score=2:float,
+  type=3:enum}) — so a genuine ``xx.sp.model`` file loads with no
+  protobuf/sentencepiece dependency,
+* a fixture-quality trainer (substring-frequency scores, NOT SP's EM) that
+  guarantees single-character coverage, for deterministic tests.
+
+Drop-in procedure for a real artifact: pass the ``.model`` (or ``.vocab``)
+path to ``SentencePieceUnigram.load``; predictions then depend only on this
+file.  Divergences from real SP inference: simplified normalizer (NFKC vs
+nmt_nfkc) and first-best-only decoding (no n-best/sampling).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+import unicodedata
+
+SP_SPACE = "▁"  # the SentencePiece meta symbol "▁"
+_WS_RE = re.compile(r"\s+")
+
+# SentencePiece piece types (sentencepiece_model.proto)
+NORMAL, UNKNOWN, CONTROL, USER_DEFINED, UNUSED, BYTE = 1, 2, 3, 4, 5, 6
+_UNK_PENALTY = 10.0  # unigram_model.cc kUnkPenalty
+
+
+class SentencePieceUnigram:
+    """Unigram-model inference over a {piece: log10-or-ln score} table.
+
+    Scores are used only relatively (argmax segmentation), so the log base
+    of the stored scores does not matter; real .model files carry ln probs.
+    """
+
+    def __init__(self, pieces: dict[str, float], unk_piece: str = "<unk>"):
+        if not pieces:
+            raise ValueError("empty piece table")
+        self.pieces = {
+            p: s for p, s in pieces.items() if p not in ("<unk>", "<s>", "</s>", "<pad>")
+        }
+        if not self.pieces:
+            raise ValueError("piece table holds only control/unk symbols")
+        self.unk_piece = unk_piece
+        self.max_piece_len = max(len(p) for p in self.pieces)
+        self.unk_score = min(self.pieces.values()) - _UNK_PENALTY
+
+    # --- model IO -------------------------------------------------------------
+
+    @classmethod
+    def load(cls, path: str) -> "SentencePieceUnigram":
+        if path.endswith(".vocab"):
+            return cls(load_vocab(path))
+        return cls(load_model_proto(path))
+
+    # --- normalization / pretokenization -------------------------------------
+
+    @staticmethod
+    def normalize(text: str) -> str:
+        """NFKC + whitespace collapse + dummy prefix + meta-symbol spaces."""
+        text = unicodedata.normalize("NFKC", text)
+        text = _WS_RE.sub(" ", text).strip()
+        if not text:
+            return ""
+        return SP_SPACE + text.replace(" ", SP_SPACE)
+
+    # --- Viterbi segmentation -------------------------------------------------
+
+    def encode_as_pieces(self, text: str) -> list[str]:
+        s = self.normalize(text)
+        n = len(s)
+        if n == 0:
+            return []
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        best[0] = 0.0
+        back: list[tuple[int, str] | None] = [None] * (n + 1)
+        pieces, maxlen, unk = self.pieces, self.max_piece_len, self.unk_score
+        for i in range(n):
+            base = best[i]
+            if base == NEG:
+                continue
+            top = min(maxlen, n - i)
+            for L in range(1, top + 1):
+                cand = s[i : i + L]
+                sc = pieces.get(cand)
+                if sc is not None and base + sc > best[i + L]:
+                    best[i + L] = base + sc
+                    back[i + L] = (i, cand)
+            # unknown-character fallback: one char, fixed penalty score
+            if base + unk > best[i + 1]:
+                best[i + 1] = base + unk
+                back[i + 1] = (i, s[i : i + 1])
+        out: list[str] = []
+        pos = n
+        while pos > 0:
+            prev, piece = back[pos]  # type: ignore[misc]
+            out.append(piece)
+            pos = prev
+        out.reverse()
+        return out
+
+    def tokenize(self, text: str) -> str:
+        """Reference SentencePiece.tokenize: pieces joined by single spaces
+        (utils/perplexity.py:38-41)."""
+        return " ".join(self.encode_as_pieces(text))
+
+
+# --- .vocab text format -------------------------------------------------------
+
+
+def load_vocab(path: str) -> dict[str, float]:
+    """The spm ``.vocab`` export: one ``piece<TAB>score`` per line."""
+    pieces: dict[str, float] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            piece, _, score = line.partition("\t")
+            pieces[piece] = float(score) if score else 0.0
+    return pieces
+
+
+def save_vocab(pieces: dict[str, float], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for piece, score in pieces.items():
+            f.write(f"{piece}\t{score}\n")
+
+
+# --- minimal protobuf ModelProto reader/writer --------------------------------
+#
+# Wire format (developers.google.com/protocol-buffers/docs/encoding):
+# key = varint (field_no << 3 | wire_type); wire types used here:
+#   0 varint, 1 64-bit, 2 length-delimited, 5 32-bit.
+# ModelProto.pieces = field 1 (length-delimited submessages);
+# SentencePiece.piece = field 1 (bytes), .score = field 2 (float32),
+# .type = field 3 (varint enum, default NORMAL=1).
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
+    if wire_type == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire_type == 1:
+        pos += 8
+    elif wire_type == 2:
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+    elif wire_type == 5:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported wire type {wire_type}")
+    return pos
+
+
+def _parse_sentencepiece(buf: bytes) -> tuple[str, float, int]:
+    piece, score, ptype = "", 0.0, NORMAL
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            piece = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 2 and wt == 5:
+            (score,) = struct.unpack("<f", buf[pos : pos + 4])
+            pos += 4
+        elif field == 3 and wt == 0:
+            ptype, pos = _read_varint(buf, pos)
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return piece, score, ptype
+
+
+def load_model_proto(path: str) -> dict[str, float]:
+    """Parse a real SentencePiece ``.model`` file's piece table.  CONTROL
+    and UNKNOWN pieces are skipped (they never match surface text)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    pieces: dict[str, float] = {}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            piece, score, ptype = _parse_sentencepiece(buf[pos : pos + ln])
+            pos += ln
+            if ptype in (NORMAL, USER_DEFINED, BYTE):
+                pieces[piece] = float(score)
+        else:
+            pos = _skip_field(buf, pos, wt)
+    if not pieces:
+        raise ValueError(f"{path}: no scorable pieces found (not a ModelProto?)")
+    return pieces
+
+
+def _encode_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def save_model_proto(pieces: list[tuple[str, float, int]], path: str) -> None:
+    """Write a wire-valid ModelProto piece table (fixture generator — lets
+    tests exercise the real-.model loading path without artifacts)."""
+    body = bytearray()
+    for piece, score, ptype in pieces:
+        raw = piece.encode("utf-8")
+        sub = bytearray()
+        sub += b"\x0a" + _encode_varint(len(raw)) + raw          # field 1, bytes
+        sub += b"\x15" + struct.pack("<f", score)                 # field 2, f32
+        sub += b"\x18" + _encode_varint(ptype)                    # field 3, enum
+        body += b"\x0a" + _encode_varint(len(sub)) + sub          # ModelProto.1
+    with open(path, "wb") as f:
+        f.write(bytes(body))
+
+
+# --- fixture trainer ----------------------------------------------------------
+
+
+def train_unigram(
+    corpus: list[str], vocab_size: int = 400, max_piece_len: int = 6
+) -> SentencePieceUnigram:
+    """Substring-frequency unigram table (NOT SentencePiece's EM training —
+    fixture quality).  Every seen character is included, so training text
+    never hits the unknown fallback; scores are log10 relative frequencies,
+    which makes Viterbi prefer frequent long pieces exactly as a real
+    unigram model does."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in corpus:
+        s = SentencePieceUnigram.normalize(text)
+        n = len(s)
+        for i in range(n):
+            for L in range(1, min(max_piece_len, n - i) + 1):
+                cand = s[i : i + L]
+                # SP default split_by_whitespace=true: the meta symbol only
+                # ever starts a piece, pieces never span word boundaries
+                if SP_SPACE in cand[1:]:
+                    break
+                counts[cand] += 1
+    singles = {p for p in counts if len(p) == 1}
+    multi = [(p, c) for p, c in counts.items() if len(p) > 1]
+    multi.sort(key=lambda x: (-x[1] * len(x[0]), x[0]))
+    keep = singles | {p for p, _ in multi[: max(0, vocab_size - len(singles))]}
+    total = sum(counts[p] for p in keep)
+    return SentencePieceUnigram(
+        {p: math.log10(counts[p] / total) for p in keep}
+    )
+
+
+__all__ = [
+    "SP_SPACE",
+    "SentencePieceUnigram",
+    "load_vocab",
+    "save_vocab",
+    "load_model_proto",
+    "save_model_proto",
+    "train_unigram",
+]

@@ -13,6 +13,8 @@ fastText supervised model rides via SparkFiles on clusters.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -81,9 +83,21 @@ def classifier_filter(
 
     sep = "" if unit == DOCUMENT else ("\n\n" if unit == PARAGRAPH else " ")
 
+    # The executor-side cache key must identify the MODEL, not just the
+    # tag: two classifier_filter calls in one application with different
+    # model_path / model_dict would otherwise silently share whichever
+    # model each executor built first (same pattern as f"bpe:{vocab_path}"
+    # in tokens.py).
+    _dict_fp = (
+        hashlib.sha1(repr(sorted(model_dict.items())).encode()).hexdigest()[:12]
+        if model_dict
+        else "default"
+    )
+    _model_key = f"{model_tag}:{model_path}:{_dict_fp}"
+
     @F.pandas_udf(_RESULT)
     def _udf(texts: pd.Series) -> pd.DataFrame:
-        model = _singleton(model_tag, _make_model)
+        model = _singleton(_model_key, _make_model)
         rows = []
         for text in texts.fillna(""):
             spans = split(text)

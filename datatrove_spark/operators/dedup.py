@@ -724,11 +724,15 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_size: int = 3,
-    max_bucket: int = 256,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints over word shingles, banded into
-    4x16-bit chunks (any chunk equality → candidate, guarantees recall for
-    hamming ≤ 3), hamming-verified, CC-clustered, min-id survives.
+    4x16-bit chunks (any chunk equality → candidate), hamming-verified,
+    CC-clustered, min-id survives.  With ``max_bucket=None`` (the default)
+    candidate generation is all-pairs within a chunk bucket and recall for
+    hamming ≤ 3 is guaranteed; setting ``max_bucket`` trades that guarantee
+    for bounded work on hot buckets (see below) and is the recommended
+    production setting (e.g. 256) — the loss is opt-in, not silent.
 
     ``max_bucket`` is the hot-chunk discipline for 100 TB: candidate
     generation joins on 16-bit chunk equality, so a degenerate chunk value
@@ -1008,7 +1012,7 @@ def jaccard_neardup_pairs(
 
 def bloom_dedup_sequential(
     df: DataFrame,
-    m_bytes: int = 1 << 20,
+    m_bytes: int = (1 << 20) - 1,
     k: int = 7,
     n_grams: int = 13,
     duplicate_threshold: float = 0.8,
@@ -1037,6 +1041,17 @@ def bloom_dedup_sequential(
     import numpy as np
 
     from ..kernels.text import normalize_text
+
+    # The AND-mask addressing below only spreads bits when the mask is an
+    # all-ones bitmask (2^n - 1).  A power-of-two mask (e.g. 1<<20) maps
+    # every hash to bit 0 or bit m_bytes, so after the first document
+    # virtually everything reads as a duplicate — reject it loudly.
+    if m_bytes <= 0 or (m_bytes & (m_bytes + 1)) != 0:
+        raise ValueError(
+            f"m_bytes={m_bytes} is not an all-ones bitmask (2^n - 1); the "
+            "reference's AND-mask addressing (bloom_filter.py:146-149) "
+            "degenerates for any other value — pass e.g. (1 << 20) - 1"
+        )
 
     _MERSENNE = (1 << 61) - 1
     rng = np.random.RandomState(seed)

@@ -38,6 +38,8 @@ from ..kernels import (
 )
 from ..kernels.lid import NgramBayesLID
 from ..kernels.perplexity import InterpolatedLM
+from ..kernels.text import tokenize_words
+from ..kernels.tokenizers import tokenize_words_lang
 from .base import ensure_channel
 from .language import _singleton
 
@@ -99,12 +101,8 @@ def evaluate_document(
     ):
         return result(False, "language_id", text)
     if multilingual:
-        from ..kernels.tokenizers import tokenize_words_lang
-
         words = tokenize_words_lang(text, lang)
     else:
-        from ..kernels.text import tokenize_words
-
         words = tokenize_words(text)  # shared by both Gopher stages (same text)
     keep, reason = gopher_repetition(text, words=words)
     if not keep:

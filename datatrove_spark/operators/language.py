@@ -11,6 +11,8 @@ keep if score > threshold), language_filter.py:43-65.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -138,6 +140,7 @@ def annotate_perplexity(
     model_tag: str = "default_lm",
     arpa_path: str | None = None,
     kenlm_paths: tuple[str, str] | None = None,
+    sp_path: str | None = None,
 ) -> DataFrame:
     """KenLM-style perplexity column (utils/perplexity.py:125-138 convention:
     10^(−logsum/len) rounded to 1 decimal), broadcast-singleton LM.
@@ -145,7 +148,21 @@ def annotate_perplexity(
     Backends, in precedence order: real kenlm+sentencepiece
     (``kenlm_paths=(model, sp)``, import-gated), dependency-free ARPA backoff
     model (``arpa_path`` — a SparkFiles-distributed .arpa), or the
-    interpolated-LM dict (``lm_dict``)."""
+    interpolated-LM dict (``lm_dict``).  ``sp_path`` (a .model or .vocab
+    file) composes with ``arpa_path`` into the full CC-Net recipe —
+    normalize → SentencePiece → score (the reference's step order,
+    perplexity.py:125-127) via the dependency-free unigram Viterbi in
+    ``kernels.sentencepiece``."""
+    # model-identity key, computed ONCE driver-side (an lm_dict fingerprint
+    # per batch would be wasted work)
+    _lm_fp = (
+        hashlib.sha1(
+            repr((sorted(lm_dict.get("uni", {}).items())[:50], lm_dict.get("oov"))).encode()
+        ).hexdigest()[:12]
+        if lm_dict
+        else "default"
+    )
+    _model_key = f"{model_tag}:{kenlm_paths}:{arpa_path}:{sp_path}:{_lm_fp}"
 
     @F.pandas_udf(DoubleType())
     def _udf(texts: pd.Series) -> pd.Series:
@@ -158,12 +175,17 @@ def annotate_perplexity(
                 except ImportError:
                     pass
             if arpa_path is not None:
-                from ..kernels.arpa import ArpaLM
+                from ..kernels.arpa import ArpaLM, CCNetSPArpaModel
 
-                return ArpaLM.load(arpa_path)
+                arpa = ArpaLM.load(arpa_path)
+                if sp_path is not None:
+                    from ..kernels.sentencepiece import SentencePieceUnigram
+
+                    return CCNetSPArpaModel(arpa, SentencePieceUnigram.load(sp_path))
+                return arpa
             return InterpolatedLM(lm_dict)
 
-        lm = _singleton(model_tag, build)
+        lm = _singleton(_model_key, build)
         return pd.Series([lm.perplexity(t) for t in texts.fillna("")])
 
     return df.withColumn(out_col, _udf(F.col(text_col)))

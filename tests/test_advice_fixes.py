@@ -1,0 +1,104 @@
+"""Regression tests for the round-3 advisor findings."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from datatrove_spark.operators import bloom_dedup_sequential
+from datatrove_spark.operators.classifier import classifier_filter
+
+
+def test_bloom_rejects_power_of_two_mask(spark):
+    """m_bytes=1<<20 under AND-mask addressing maps every hash to bit 0 or
+    bit 2^20 — after one document everything looks duplicate.  The operator
+    must refuse non-all-ones masks instead of silently dropping the corpus."""
+    df = spark.createDataFrame([(1, "a b c d e f g h i j k l m n")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="all-ones bitmask"):
+        bloom_dedup_sequential(df, m_bytes=1 << 20)
+    with pytest.raises(ValueError, match="all-ones bitmask"):
+        bloom_dedup_sequential(df, m_bytes=0)
+    # all-ones masks pass validation (plan construction succeeds)
+    bloom_dedup_sequential(df, m_bytes=(1 << 16) - 1)
+
+
+def test_bloom_default_mask_keeps_distinct_docs(spark):
+    """With the (fixed) default mask, clearly distinct documents must all
+    survive — the degenerate-default failure mode was everything-after-the-
+    first dropping as a duplicate."""
+    # normalize_text folds digits, so distinctness must be alphabetic
+    rows = [
+        (i, " ".join(f"w{chr(97 + i)}{chr(97 + j)}" for j in range(20)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.keep for r in bloom_dedup_sequential(df).collect()}
+    assert all(out.values()), out
+
+
+def test_classifier_singleton_keyed_by_model(spark):
+    """Two classifier_filter calls with DIFFERENT models in one application
+    must not share an executor-cached model (advisor: the key ignored
+    model_path/model_dict)."""
+    from datatrove_spark.kernels.lid import NgramBayesLID
+
+    m_en = NgramBayesLID.train({"en": "the cat sat on the mat and the dog ran"})
+    m_xx = NgramBayesLID.train({"xx": "zzq zzq vrb vrb plk plk qqw qqw"})
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+
+    out_en = classifier_filter(
+        df, keep_labels=[("en", 0.5)], model_dict=m_en.model
+    ).select("keep").collect()
+    out_xx = classifier_filter(
+        df, keep_labels=[("en", 0.5)], model_dict=m_xx.model
+    ).select("keep").collect()
+    # same default model_tag, different model_dict: the second call must see
+    # ITS model (which has no 'en' label at all → keep=False)
+    assert out_en[0].keep is True
+    assert out_xx[0].keep is False
+
+
+def test_bpe_offsets_raise_on_truncated_vocab(tmp_path):
+    """encode_with_offsets must never conflate distinct unknown tokens under
+    a shared sentinel id (the advisor's exact-substrings hash-collision
+    scenario) — a vocab/merges mismatch raises instead."""
+    from datatrove_spark.kernels.bpe import BPETokenizer, train_bpe
+
+    tok = train_bpe(["aaab aaac aaab aaac"], vocab_size=300)
+    text = "aaab aaac"
+    # pick a multi-char token the encoding ACTUALLY produces, then remove it
+    # from the vocab while keeping its merge rule — the classic truncated-
+    # vocab inconsistency
+    produced = [tok.id_to_token[i] for i in tok.encode(text)]
+    victims = [t for t in produced if len(t) > 1]
+    assert victims, "fixture must produce at least one merged token"
+    victim = victims[0]
+    broken = BPETokenizer(
+        {t: i for t, i in tok.vocab.items() if t != victim}, list(tok.ranks)
+    )
+    with pytest.raises(ValueError, match="missing from vocab"):
+        broken.encode_with_offsets(text)
+
+
+def test_badwords_allowlist_union_applies_across_languages():
+    """The reference subtracts EVERY allowlist from EVERY language's list
+    (c4_filters.py:255-256); a word allowlisted for one language must not
+    survive in another language's set."""
+    from datatrove_spark.assets import badwords as bw
+
+    table = bw.load_badwords()
+    allow_union = set().union(*bw.BADWORDS_ALLOWLIST.values())
+    for lang, words in table.items():
+        assert not (words & allow_union), (lang, words & allow_union)
+
+
+def test_simhash_default_is_exact_mode(spark):
+    """Default max_bucket must be None (opt-in recall loss, advisor item)."""
+    import inspect
+
+    from datatrove_spark.operators import simhash_dedup
+
+    sig = inspect.signature(simhash_dedup)
+    assert sig.parameters["max_bucket"].default is None

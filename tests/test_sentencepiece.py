@@ -1,0 +1,185 @@
+"""SentencePiece unigram inference: hand-traced Viterbi, protobuf ModelProto
+round-trip, and the CC-Net perplexity recipe with the SP step in
+(reference utils/perplexity.py:38-41,125-138)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+
+from datatrove_spark.kernels.arpa import ArpaLM, CCNetSPArpaModel
+from datatrove_spark.kernels.sentencepiece import (
+    SP_SPACE,
+    SentencePieceUnigram,
+    load_model_proto,
+    load_vocab,
+    save_model_proto,
+    save_vocab,
+    train_unigram,
+)
+
+
+def _brute_force_best(pieces: dict[str, float], s: str, unk_score: float) -> float:
+    """Best segmentation score by exhaustive enumeration over all 2^(n-1)
+    cut sets — the independent oracle for the Viterbi DP."""
+    n = len(s)
+    best = -math.inf
+    for cuts in itertools.product([0, 1], repeat=n - 1):
+        bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        score = 0.0
+        ok = True
+        for a, b in zip(bounds, bounds[1:]):
+            seg = s[a:b]
+            if seg in pieces:
+                score += pieces[seg]
+            elif len(seg) == 1:
+                score += unk_score
+            else:
+                ok = False
+                break
+        if ok:
+            best = max(best, score)
+    return best
+
+
+class TestViterbi:
+    PIECES = {
+        f"{SP_SPACE}he": math.log10(0.2),
+        "llo": math.log10(0.1),
+        f"{SP_SPACE}hello": math.log10(0.005),
+        SP_SPACE: math.log10(0.05),
+        "h": math.log10(0.01),
+        "e": math.log10(0.01),
+        "l": math.log10(0.01),
+        "o": math.log10(0.01),
+    }
+
+    def test_hand_traced_segmentation(self):
+        # "hello" normalizes to "▁hello".  Candidate segmentations:
+        #   ▁hello            = log10(.005)             ≈ -2.301
+        #   ▁he + llo         = log10(.2)+log10(.1)     ≈ -1.699   ← argmax
+        #   ▁ + h+e+l+l+o     = -1.301 + 5*(-2)         = -11.301
+        sp = SentencePieceUnigram(self.PIECES)
+        assert sp.encode_as_pieces("hello") == [f"{SP_SPACE}he", "llo"]
+
+    def test_viterbi_matches_exhaustive(self):
+        sp = SentencePieceUnigram(self.PIECES)
+        for text in ["hello", "he", "ohe", "hellohello", "h"]:
+            got = sum(
+                self.PIECES.get(p, sp.unk_score) for p in sp.encode_as_pieces(text)
+            )
+            want = _brute_force_best(
+                self.PIECES, SentencePieceUnigram.normalize(text), sp.unk_score
+            )
+            assert got == pytest.approx(want), text
+
+    def test_unknown_char_fallback_is_single_chars(self):
+        sp = SentencePieceUnigram(self.PIECES)
+        pieces = sp.encode_as_pieces("hexo")
+        # x is not in the vocab: it must surface as its own one-char piece
+        assert "x" in pieces
+        assert "".join(pieces) == f"{SP_SPACE}hexo"
+        # unk score: min piece score − 10 (unigram_model.cc kUnkPenalty)
+        assert sp.unk_score == pytest.approx(min(self.PIECES.values()) - 10.0)
+
+    def test_normalize_dummy_prefix_and_whitespace(self):
+        n = SentencePieceUnigram.normalize
+        assert n("a b") == f"{SP_SPACE}a{SP_SPACE}b"
+        assert n("  a \t\n b  ") == f"{SP_SPACE}a{SP_SPACE}b"  # collapse+strip
+        assert n("") == ""
+        assert n("  \n ") == ""
+
+    def test_concat_always_reconstructs_normalized_text(self):
+        sp = SentencePieceUnigram(self.PIECES)
+        for text in ["hello world", "zzz", "he llo", ""]:
+            assert "".join(sp.encode_as_pieces(text)) == sp.normalize(text)
+
+
+class TestModelIO:
+    def test_proto_roundtrip(self, tmp_path):
+        pieces = [("<unk>", 0.0, 2), (f"{SP_SPACE}ab", -1.5, 1), ("c", -2.25, 1),
+                  ("<s>", 0.0, 3), ("€µ", -3.125, 1)]
+        path = str(tmp_path / "m.model")
+        save_model_proto(pieces, path)
+        got = load_model_proto(path)
+        # control/unknown pieces are skipped; scores survive float32 exactly
+        # (the fixture scores are dyadic rationals)
+        assert got == {f"{SP_SPACE}ab": -1.5, "c": -2.25, "€µ": -3.125}
+
+    def test_proto_skips_unknown_fields(self, tmp_path):
+        # a real ModelProto carries trainer_spec (field 2) etc. — the reader
+        # must skip fields it doesn't know at both nesting levels
+        import struct
+
+        path = str(tmp_path / "m.model")
+        save_model_proto([("a", -1.0, 1)], path)
+        with open(path, "rb") as f:
+            base = f.read()
+        extra = b"\x12\x03xyz"  # field 2, length-delimited, 3 bytes
+        with open(path, "wb") as f:
+            f.write(base + extra)
+        assert load_model_proto(path) == {"a": -1.0}
+
+    def test_vocab_roundtrip(self, tmp_path):
+        table = {f"{SP_SPACE}the": -2.5, "ing": -3.0, "a": -4.25}
+        path = str(tmp_path / "m.vocab")
+        save_vocab(table, path)
+        assert load_vocab(path) == table
+        sp = SentencePieceUnigram.load(path)
+        assert sp.pieces == table
+
+    def test_trainer_covers_all_chars_and_respects_word_bounds(self):
+        sp = train_unigram(["abc abc xyz"] * 3, vocab_size=30)
+        # every seen char present → no unk on training text
+        for ch in "abcxyz":
+            assert ch in sp.pieces
+        # no piece spans a word boundary (SP split_by_whitespace default)
+        for p in sp.pieces:
+            assert SP_SPACE not in p[1:], p
+
+
+class TestCCNetSPRecipe:
+    def _model(self):
+        texts = ["the cat sat on the mat", "a cat and a hat", "the mat sat"]
+        sp = train_unigram(texts, vocab_size=100)
+        arpa = ArpaLM.train_arpa(texts, tokenize=sp.encode_as_pieces)
+        return CCNetSPArpaModel(arpa, sp), sp, arpa
+
+    def test_step_order_normalize_then_sp_then_score(self):
+        model, sp, arpa = self._model()
+        from datatrove_spark.kernels.perplexity import ccnet_normalize
+
+        doc = "The CAT sat 42 times"
+        # independent recomputation of the reference order
+        # (perplexity.py:125-138): normalize → tokenize → one "line" (the
+        # normalizer strips \n) → kenlm score with len(pieces)+1
+        pieces = sp.encode_as_pieces(ccnet_normalize(doc))
+        s, n = arpa.score_tokens(pieces)
+        assert n == len(pieces) + 1
+        assert model.perplexity(doc) == round(10.0 ** (-s / n), 1)
+
+    def test_newlines_fold_into_one_line(self):
+        model, sp, arpa = self._model()
+        # \n is a control char: the CC-Net normalizer strips it, so a
+        # multi-line doc scores as ONE tokenized line (reference behavior —
+        # perplexity.py:84-85 strips range(0,32))
+        assert model.perplexity("the cat\nsat on") == model.perplexity("the catsat on")
+
+    def test_empty_doc(self):
+        model, _, _ = self._model()
+        # empty text → SP yields no pieces → one line of 0 tokens → kenlm
+        # still scores </s>|<s> with length 1 (reference len(split())+1)
+        assert model.perplexity("") > 0
+
+    def test_artifact_roundtrip_scores_identically(self, tmp_path):
+        texts = ["the cat sat on the mat", "a cat and a hat", "the mat sat"]
+        arpa_path, sp_path = CCNetSPArpaModel.build_artifacts(texts, str(tmp_path))
+        m = CCNetSPArpaModel(ArpaLM.load(arpa_path), SentencePieceUnigram.load(sp_path))
+        for t in texts + ["unseen words entirely"]:
+            assert m.perplexity(t) > 0
+        # loading twice gives bit-identical scores (determinism of the
+        # file-quantized path — what the fixture oracle relies on)
+        m2 = CCNetSPArpaModel(ArpaLM.load(arpa_path), SentencePieceUnigram.load(sp_path))
+        assert [m.perplexity(t) for t in texts] == [m2.perplexity(t) for t in texts]

@@ -382,6 +382,34 @@ def gen_perplexity(docs: pd.DataFrame) -> pa.Table:
     )
 
 
+def gen_perplexity_sp(docs: pd.DataFrame) -> pa.Table:
+    """CC-Net recipe WITH the SentencePiece step: identical artifact files
+    (protobuf sp.model + textual lm.arpa) to the Spark query, scored
+    sequentially — the float32/%.7f quantization lands on both sides."""
+    import tempfile
+
+    from datatrove_spark.kernels.arpa import ArpaLM, CCNetSPArpaModel
+    from datatrove_spark.kernels.sentencepiece import SentencePieceUnigram
+
+    sample = (
+        docs[docs["doc_id"] % 10 == 0]
+        .sort_values("doc_id")["text"]
+        .fillna("")
+        .head(PERPLEXITY_SAMPLE)
+        .tolist()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        arpa_path, sp_path = CCNetSPArpaModel.build_artifacts(sample, tmp)
+        model = CCNetSPArpaModel(ArpaLM.load(arpa_path), SentencePieceUnigram.load(sp_path))
+        vals = [model.perplexity(t) for t in docs["text"].fillna("")]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs["doc_id"], pa.int64()),
+            "perplexity_sp": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 def gen_pipeline_summary(docs: pd.DataFrame) -> pa.Table:
     from datatrove_spark.kernels import CODE_C4_QUALITY, DEFAULT_GOPHER_QUALITY, PiiScrubber
     from datatrove_spark.kernels.fineweb import DEFAULT_FINEWEB_QUALITY
@@ -702,6 +730,7 @@ GENERATORS = {
     "simhash_dedup": gen_simhash_dedup,
     "language_id": gen_language_id,
     "perplexity": gen_perplexity,
+    "perplexity_sp": gen_perplexity_sp,
     "pipeline_summary": gen_pipeline_summary,
     "classifier_filter": gen_classifier_filter,
     "quality_multilingual": gen_quality_multilingual,
