@@ -13,8 +13,15 @@ src/args.cc, src/dictionary.cc, src/model.cc) so that:
   inference against an independent numpy trace — the same pattern as
   ``kernels/arpa.py`` for KenLM.
 
-Scope: dense (non-quantized) supervised models, loss ∈ {softmax, hs}.
-Quantized ``.ftz`` input is rejected loudly.
+Scope: supervised models, loss ∈ {softmax, hs}, dense ``.bin`` AND
+product-quantized ``.ftz`` (the commonly-shipped small artifact, e.g.
+lid.176.ftz).  Quantized matrices follow the public QuantMatrix /
+ProductQuantizer layout (src/quantmatrix.cc::save, src/productquantizer.cc::
+save): qnorm flag, codes, then the PQ (dim/nsubq/dsub/lastdsub + ksub=256
+centroids per subquantizer), plus norm codes + a 1-d norm PQ when qnorm;
+rows reconstruct as ``norm * concat(centroid[m][code[m]])``.  Quantization
+prunes the ngram-bucket dictionary — the saved ``pruneidx`` pairs remap
+surviving hash ids and unseen ids are skipped (dictionary.cc::pushHash).
 
 Format constants (all public):
   magic=793712314, version=12; Args = 12×int32 + double(t);
@@ -71,10 +78,110 @@ def compute_subwords(word: str, minn: int, maxn: int) -> list[str]:
     return out
 
 
+KSUB = 256  # ProductQuantizer ksub_ (1 << 8 bits per code)
+
+
+class ProductQuantizer:
+    """The public PQ layout: ``nsubq`` subquantizers of ``dsub`` dims each
+    (the last one ``lastdsub``), KSUB centroids per subquantizer stored
+    contiguously (productquantizer.cc::save)."""
+
+    def __init__(self, dim: int, nsubq: int, dsub: int, lastdsub: int, centroids: np.ndarray):
+        self.dim, self.nsubq, self.dsub, self.lastdsub = dim, nsubq, dsub, lastdsub
+        self.centroids = centroids  # flat float32, dim * KSUB entries
+
+    @classmethod
+    def read(cls, f) -> "ProductQuantizer":
+        dim, nsubq, dsub, lastdsub = struct.unpack("<4i", f.read(16))
+        cents = np.frombuffer(f.read(4 * dim * KSUB), dtype="<f4").astype(np.float64)
+        return cls(dim, nsubq, dsub, lastdsub, cents)
+
+    def write(self, f) -> None:
+        f.write(struct.pack("<4i", self.dim, self.nsubq, self.dsub, self.lastdsub))
+        f.write(self.centroids.astype("<f4").tobytes())
+
+    def get_centroid(self, m: int, i: int) -> np.ndarray:
+        """productquantizer.cc::get_centroids — note the last subquantizer's
+        stride is lastdsub within its own block."""
+        if m == self.nsubq - 1:
+            base = m * KSUB * self.dsub + i * self.lastdsub
+            return self.centroids[base : base + self.lastdsub]
+        base = (m * KSUB + i) * self.dsub
+        return self.centroids[base : base + self.dsub]
+
+    def decode_row(self, codes_row: np.ndarray, alpha: float = 1.0) -> np.ndarray:
+        """productquantizer.cc::addcode for one row."""
+        out = np.empty(self.dim)
+        pos = 0
+        for m in range(self.nsubq):
+            c = self.get_centroid(m, int(codes_row[m]))
+            out[pos : pos + len(c)] = alpha * c
+            pos += len(c)
+        return out
+
+
+class QuantMatrix:
+    """quantmatrix.cc layout: qnorm flag, m/n, codes, PQ (+ norm codes and a
+    1-d norm PQ when qnorm).  Exposes dense-matrix-compatible row gather so
+    inference code is backend-agnostic."""
+
+    def __init__(self, m, n, qnorm, codes, pq, norm_codes=None, npq=None):
+        self.shape = (m, n)
+        self.qnorm = qnorm
+        self.codes = codes          # (m, nsubq) uint8
+        self.pq = pq
+        self.norm_codes = norm_codes
+        self.npq = npq
+        self._cache: dict[int, np.ndarray] = {}
+
+    @classmethod
+    def read(cls, f) -> "QuantMatrix":
+        (qnorm,) = struct.unpack("<b", f.read(1))
+        m, n = struct.unpack("<2q", f.read(16))
+        (codesize,) = struct.unpack("<i", f.read(4))
+        codes = np.frombuffer(f.read(codesize), dtype=np.uint8)
+        pq = ProductQuantizer.read(f)
+        codes = codes.reshape(m, pq.nsubq)
+        norm_codes = npq = None
+        if qnorm:
+            norm_codes = np.frombuffer(f.read(m), dtype=np.uint8)
+            npq = ProductQuantizer.read(f)
+        return cls(m, n, bool(qnorm), codes, pq, norm_codes, npq)
+
+    def write(self, f) -> None:
+        f.write(struct.pack("<b", 1 if self.qnorm else 0))
+        f.write(struct.pack("<2q", *self.shape))
+        flat = self.codes.astype(np.uint8).reshape(-1)
+        f.write(struct.pack("<i", len(flat)))
+        f.write(flat.tobytes())
+        self.pq.write(f)
+        if self.qnorm:
+            f.write(self.norm_codes.astype(np.uint8).tobytes())
+            self.npq.write(f)
+
+    def row(self, t: int) -> np.ndarray:
+        got = self._cache.get(t)
+        if got is None:
+            alpha = 1.0
+            if self.qnorm:
+                alpha = float(self.npq.get_centroid(0, int(self.norm_codes[t]))[0])
+            got = self.pq.decode_row(self.codes[t], alpha)
+            if len(self._cache) < 100_000:
+                self._cache[t] = got
+        return got
+
+    def __getitem__(self, ids) -> np.ndarray:
+        return np.stack([self.row(int(t)) for t in ids])
+
+    def to_dense(self) -> np.ndarray:
+        return self[range(self.shape[0])]
+
+
 class FastTextModel:
     """Loaded supervised model: dictionary + input/output matrices."""
 
-    def __init__(self, args: dict, words: list, counts: list, types: list, inp: np.ndarray, out: np.ndarray):
+    def __init__(self, args: dict, words: list, counts: list, types: list, inp, out,
+                 pruneidx: dict[int, int] | None = None):
         self.args = args
         self.vocab = words
         self.counts = counts
@@ -91,6 +198,11 @@ class FastTextModel:
                 self.label_counts.append(c)
         self.input = inp
         self.output = out
+        # quantized output matrices are tiny (nlabels rows) — densify so the
+        # softmax/HS paths below stay backend-agnostic numpy
+        if isinstance(self.output, QuantMatrix):
+            self.output = self.output.to_dense()
+        self.pruneidx = pruneidx  # None = unpruned; {} = prune everything
         self._hs_tree = None
 
     # --- IO -----------------------------------------------------------------
@@ -111,8 +223,6 @@ class FastTextModel:
                         bucket=bucket, minn=minn, maxn=maxn, lr_update=lr_update, t=t)
             size, nwords, nlabels = struct.unpack("<3i", f.read(12))
             _ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
-            if pruneidx_size > 0:
-                raise ValueError("pruned dictionaries not supported")
             words, counts, types = [], [], []
             for _ in range(size):
                 chars = bytearray()
@@ -126,17 +236,27 @@ class FastTextModel:
                 (typ,) = struct.unpack("<b", f.read(1))
                 counts.append(cnt)
                 types.append(typ)
+            pruneidx: dict[int, int] | None = None
+            if pruneidx_size >= 0:
+                # quantize() pruned the ngram buckets: surviving hash ids
+                # remap through these pairs, everything else is skipped
+                pruneidx = {}
+                for _ in range(pruneidx_size):
+                    first, second = struct.unpack("<2i", f.read(8))
+                    pruneidx[first] = second
             (quant_input,) = struct.unpack("<b", f.read(1))
             if quant_input:
-                raise ValueError("quantized (.ftz) models not supported — use the dense .bin")
-            m, n = struct.unpack("<2q", f.read(16))
-            inp = np.frombuffer(f.read(4 * m * n), dtype="<f4").reshape(m, n).astype(np.float64)
+                inp = QuantMatrix.read(f)
+            else:
+                m, n = struct.unpack("<2q", f.read(16))
+                inp = np.frombuffer(f.read(4 * m * n), dtype="<f4").reshape(m, n).astype(np.float64)
             (qout,) = struct.unpack("<b", f.read(1))
             if qout:
-                raise ValueError("quantized output matrix not supported")
-            m2, n2 = struct.unpack("<2q", f.read(16))
-            out = np.frombuffer(f.read(4 * m2 * n2), dtype="<f4").reshape(m2, n2).astype(np.float64)
-        return cls(args, words, counts, types, inp, out)
+                out = QuantMatrix.read(f)
+            else:
+                m2, n2 = struct.unpack("<2q", f.read(16))
+                out = np.frombuffer(f.read(4 * m2 * n2), dtype="<f4").reshape(m2, n2).astype(np.float64)
+        return cls(args, words, counts, types, inp, out, pruneidx=pruneidx)
 
     # --- inference ------------------------------------------------------------
 
@@ -149,6 +269,17 @@ class FastTextModel:
             tokens = tokens + [EOS]
         ids: list[int] = []
         hashes: list[int] = []
+
+        def push_hash(bucket_id: int) -> None:
+            # dictionary.cc::pushHash — pruned dictionaries (every .ftz)
+            # remap surviving ngram ids and silently skip the rest
+            if self.pruneidx is not None:
+                mapped = self.pruneidx.get(bucket_id)
+                if mapped is None:
+                    return
+                bucket_id = mapped
+            ids.append(self.nwords + bucket_id)
+
         for tok in tokens:
             if tok.startswith("__label__"):
                 continue
@@ -158,13 +289,13 @@ class FastTextModel:
                 ids.append(wid)
             if a["maxn"] > 0 and tok != EOS:
                 for ng in compute_subwords(tok, a["minn"], a["maxn"]):
-                    ids.append(self.nwords + ft_hash(ng) % a["bucket"])
+                    push_hash(ft_hash(ng) % a["bucket"])
         if a["word_ngrams"] > 1 and a["bucket"] > 0:
             for i in range(len(hashes)):
                 h = hashes[i]
                 for j in range(i + 1, min(i + a["word_ngrams"], len(hashes))):
                     h = (h * 116049371 + hashes[j]) & 0xFFFFFFFFFFFFFFFF
-                    ids.append(self.nwords + h % a["bucket"])
+                    push_hash(h % a["bucket"])
         return ids
 
     def sentence_vector(self, text: str) -> np.ndarray:
@@ -241,6 +372,37 @@ class FastTextModel:
         return [(self.labels[i], float(probs[i])) for i in top]
 
 
+def _write_header_and_dict(
+    f,
+    words: list[str],
+    labels: list[str],
+    dim: int,
+    loss: int,
+    bucket: int,
+    minn: int,
+    maxn: int,
+    word_ngrams: int,
+    label_counts: dict[str, int] | None,
+    pruneidx: dict[int, int] | None,
+) -> None:
+    nwords, nlabels = len(words), len(labels)
+    f.write(struct.pack("<ii", MAGIC, VERSION))
+    f.write(struct.pack("<12i", dim, 5, 5, 0, 5, word_ngrams, loss, MODEL_SUP,
+                        bucket, minn, maxn, 100))
+    f.write(struct.pack("<d", 1e-4))
+    f.write(struct.pack("<3i", nwords + nlabels, nwords, nlabels))
+    f.write(struct.pack("<2q", 1000, -1 if pruneidx is None else len(pruneidx)))
+    for w in words:
+        f.write(w.encode("utf-8") + b"\x00")
+        f.write(struct.pack("<qb", 10, 0))
+    for lb in labels:
+        f.write(lb.encode("utf-8") + b"\x00")
+        f.write(struct.pack("<qb", (label_counts or {}).get(lb, 10), 1))
+    if pruneidx is not None:
+        for first, second in sorted(pruneidx.items()):
+            f.write(struct.pack("<2i", first, second))
+
+
 def write_supervised_bin(
     path: str,
     word_vectors: dict[str, np.ndarray],
@@ -258,7 +420,6 @@ def write_supervised_bin(
     tests exercise the real reader/inference with no network or package."""
     words = list(word_vectors)
     labels = list(label_vectors)
-    nwords, nlabels = len(words), len(labels)
     inp_rows = [word_vectors[w] for w in words]
     if bucket > 0:
         bv = bucket_vectors if bucket_vectors is not None else np.zeros((bucket, dim))
@@ -266,18 +427,8 @@ def write_supervised_bin(
     inp = np.asarray(inp_rows, dtype="<f4")
     out = np.asarray([label_vectors[lb] for lb in labels], dtype="<f4")
     with open(path, "wb") as f:
-        f.write(struct.pack("<ii", MAGIC, VERSION))
-        f.write(struct.pack("<12i", dim, 5, 5, 0, 5, word_ngrams, loss, MODEL_SUP,
-                            bucket, minn, maxn, 100))
-        f.write(struct.pack("<d", 1e-4))
-        f.write(struct.pack("<3i", nwords + nlabels, nwords, nlabels))
-        f.write(struct.pack("<2q", 1000, 0))
-        for w in words:
-            f.write(w.encode("utf-8") + b"\x00")
-            f.write(struct.pack("<qb", 10, 0))
-        for lb in labels:
-            f.write(lb.encode("utf-8") + b"\x00")
-            f.write(struct.pack("<qb", (label_counts or {}).get(lb, 10), 1))
+        _write_header_and_dict(f, words, labels, dim, loss, bucket, minn, maxn,
+                               word_ngrams, label_counts, None)
         f.write(struct.pack("<b", 0))  # quant_input = false
         f.write(struct.pack("<2q", inp.shape[0], inp.shape[1]))
         f.write(inp.tobytes(order="C"))
@@ -286,9 +437,101 @@ def write_supervised_bin(
         f.write(out.tobytes(order="C"))
 
 
+def _pq_encode_exact(rows: np.ndarray, dsub: int = 2, qnorm: bool = True) -> QuantMatrix:
+    """PQ-encode ≤256 rows EXACTLY (each row becomes its own centroid in
+    every subquantizer — code[t][m] = t).  Reconstruction error is then pure
+    float32 rounding, which lets tests diff quantized vs dense predictions
+    meaningfully.  Real .ftz files come from k-means; the FORMAT is
+    identical."""
+    m, dim = rows.shape
+    if m > KSUB:
+        raise ValueError(f"exact PQ fixture supports ≤{KSUB} rows, got {m}")
+    nsubq = (dim + dsub - 1) // dsub
+    lastdsub = dim - (nsubq - 1) * dsub
+    norms = np.linalg.norm(rows, axis=1)
+    if qnorm:
+        safe = np.where(norms == 0, 1.0, norms)
+        units = rows / safe[:, None]
+    else:
+        units = rows
+    cents = np.zeros(dim * KSUB)
+    for sq in range(nsubq):
+        d = lastdsub if sq == nsubq - 1 else dsub
+        for t in range(m):
+            # mirror get_centroid's addressing: the last block strides by
+            # lastdsub within its own region
+            if sq == nsubq - 1:
+                off = sq * KSUB * dsub + t * lastdsub
+            else:
+                off = (sq * KSUB + t) * dsub
+            cents[off : off + d] = units[t, sq * dsub : sq * dsub + d]
+    pq = ProductQuantizer(dim, nsubq, dsub, lastdsub, cents)
+    codes = np.tile(np.arange(m, dtype=np.uint8)[:, None], (1, nsubq))
+    if not qnorm:
+        return QuantMatrix(m, dim, False, codes, pq)
+    ncents = np.zeros(KSUB)
+    ncents[:m] = norms
+    npq = ProductQuantizer(1, 1, 1, 1, ncents)
+    norm_codes = np.arange(m, dtype=np.uint8)
+    return QuantMatrix(m, dim, True, codes, pq, norm_codes, npq)
+
+
+def write_quantized_ftz(
+    path: str,
+    word_vectors: dict[str, np.ndarray],
+    label_vectors: dict[str, np.ndarray],
+    dim: int,
+    loss: int = LOSS_SOFTMAX,
+    bucket: int = 0,
+    minn: int = 0,
+    maxn: int = 0,
+    word_ngrams: int = 1,
+    bucket_vectors: np.ndarray | None = None,
+    label_counts: dict[str, int] | None = None,
+    pruneidx: dict[int, int] | None = None,
+    qnorm: bool = True,
+    qout: bool = False,
+    dsub: int = 2,
+) -> None:
+    """Write a wire-valid product-quantized ``.ftz`` (fixture-quality exact
+    PQ) so tests exercise the QuantMatrix/ProductQuantizer/pruneidx reading
+    path — the drop-in procedure for a real lid.176.ftz.
+
+    ``pruneidx`` maps surviving ngram-bucket hash ids → compact rows; input
+    matrix rows are words then the len(pruneidx) surviving ngram rows (the
+    quantize -cutoff layout).  ``None`` writes an unpruned dictionary."""
+    words = list(word_vectors)
+    labels = list(label_vectors)
+    inp_rows = [word_vectors[w] for w in words]
+    if pruneidx is not None:
+        if bucket_vectors is None or len(bucket_vectors) != len(pruneidx):
+            raise ValueError("pruned .ftz needs one bucket_vector per pruneidx entry")
+        inp_rows.extend(bucket_vectors)
+    elif bucket > 0:
+        bv = bucket_vectors if bucket_vectors is not None else np.zeros((bucket, dim))
+        inp_rows.extend(bv)
+    inp = np.asarray(inp_rows, dtype=np.float64)
+    out = np.asarray([label_vectors[lb] for lb in labels], dtype=np.float64)
+    with open(path, "wb") as f:
+        _write_header_and_dict(f, words, labels, dim, loss, bucket, minn, maxn,
+                               word_ngrams, label_counts, pruneidx)
+        f.write(struct.pack("<b", 1))  # quant_input = true
+        _pq_encode_exact(inp, dsub=dsub, qnorm=qnorm).write(f)
+        f.write(struct.pack("<b", 1 if qout else 0))
+        if qout:
+            _pq_encode_exact(out, dsub=dsub, qnorm=qnorm).write(f)
+        else:
+            out32 = out.astype("<f4")
+            f.write(struct.pack("<2q", out32.shape[0], out32.shape[1]))
+            f.write(out32.tobytes(order="C"))
+
+
 __all__ = [
     "FastTextModel",
+    "ProductQuantizer",
+    "QuantMatrix",
     "write_supervised_bin",
+    "write_quantized_ftz",
     "ft_hash",
     "compute_subwords",
     "LOSS_HS",

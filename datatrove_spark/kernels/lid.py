@@ -172,7 +172,8 @@ class FastTextLID:
 
     Uses the fasttext package when installed; otherwise falls back to the
     dependency-free ``kernels.fasttext_bin`` reader, which loads the same
-    dense ``.bin`` files (e.g. lid.176.bin) and reproduces fastText's
+    dense ``.bin`` AND product-quantized ``.ftz`` files (e.g. lid.176.bin /
+    lid.176.ftz, incl. pruned dictionaries) and reproduces fastText's
     published prediction math — so a model FILE alone is enough, no C++
     extension required on the executors."""
 
