@@ -219,6 +219,9 @@ STOPWORD_SETS: dict[str, frozenset[str]] = {
     "zh": frozenset("的 了 是 在 我 有 和 就 不 人 也 这 他 上 个".split()),
     "ja": frozenset("の は に を が と で た も です ます から する いる ある".split()),
     "th": frozenset("ที่ ใน ไม่ ได้ ให้ ไป ก็ แต่".split()),
+    # ko: the josa particles the segmentation splits off (+ common
+    # standalone function words) — tokens _tokenize_ko actually produces
+    "ko": frozenset("은 는 이 가 을 를 의 에 로 와 과 도 만 에서 으로 부터 까지 그 것 수 등".split()),
 }
 
 

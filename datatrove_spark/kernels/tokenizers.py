@@ -36,8 +36,14 @@ Whitespace-less scripts (reference word_tokenizers.py:104-135 jieba/Sudachi,
   pythainlp's newmm dictionary matching is built on.  DIVERGENCE: newmm
   merges clusters into dictionary words; cluster tokens are the
   deterministic dependency-free proxy.
-* ``ko`` — Hangul eojeol are whitespace-delimited; generic rules apply
-  (the reference's Kiwi backend does morpheme analysis — divergence).
+* ``ko`` — eojeol (whitespace-delimited Hangul words) with the most common
+  case/topic particles (josa) split off the end by longest match — the
+  morpheme-proxy slice that matters for stop-word checks, since Korean
+  function words ARE the particles.  DIVERGENCE: the reference's Kiwi
+  backend (tokenizer_assignment.csv row kor) is a full morphological
+  analyzer (also splits verb endings, disambiguates homographs); the josa
+  split is the deterministic dependency-free proxy.  A single-syllable
+  eojeol never splits (the particle must follow a non-empty stem).
 
 Every tokenizer shares the base word/number/punctuation segmentation of
 ``kernels.text.tokenize_words`` so single-language behavior is unchanged.
@@ -111,7 +117,39 @@ def _tokenize_th(text: str) -> list[str]:
     return out
 
 
-_SCRIPT_TOKENIZERS = {"zh": _tokenize_zh, "ja": _tokenize_ja, "th": _tokenize_th}
+_HANGUL_RE = _regex.compile(r"^\p{Hangul}+$", _regex.UNICODE)
+
+# The most common josa (case/topic particles), longest first so 에서/으로
+# beat their single-syllable suffixes.  Restricted to unambiguous,
+# high-frequency particles — exactly the tokens STOPWORD_SETS['ko'] holds.
+_KO_PARTICLES = (
+    "에서", "에게", "한테", "부터", "까지", "으로", "이나", "처럼", "보다",
+    "은", "는", "이", "가", "을", "를", "의", "에", "로", "와", "과", "도", "만",
+)
+
+
+def _tokenize_ko(text: str) -> list[str]:
+    out: list[str] = []
+    for tok in _WORD_RE.findall(text):
+        if len(tok) >= 2 and _HANGUL_RE.match(tok):
+            for p in _KO_PARTICLES:
+                if tok.endswith(p) and len(tok) > len(p):
+                    out.append(tok[: -len(p)])
+                    out.append(p)
+                    break
+            else:
+                out.append(tok)
+        else:
+            out.append(tok)
+    return out
+
+
+_SCRIPT_TOKENIZERS = {
+    "zh": _tokenize_zh,
+    "ja": _tokenize_ja,
+    "th": _tokenize_th,
+    "ko": _tokenize_ko,
+}
 
 
 def tokenize_words_lang(text: str, lang: str | None = "en") -> list[str]:

@@ -191,6 +191,54 @@ def test_word_stats_zh_not_english_fallback():
     assert s_fallback["n_words"] < s_zh["n_words"]
 
 
+TEXT_KO = (
+    "나는 학교에 간다 고양이가 상자에서 잤다 그 사람은 서울로 떠났다 "
+    "우리는 내일까지 일을 끝내야 한다 바다의 물은 푸르다"
+)
+
+
+def test_ko_josa_segmentation():
+    """Genuine-Hangul fixture: the josa-split proxy separates case/topic
+    particles from their stems (longest match first), never splits a bare
+    single-syllable eojeol, and leaves Latin/digit runs to generic rules."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    assert tokenize_words_lang("고양이가 상자에서 잤다", "ko") == [
+        "고양이", "가", "상자", "에서", "잤다",
+    ]
+    assert tokenize_words_lang("나는 학교에 간다", "ko") == [
+        "나", "는", "학교", "에", "간다",
+    ]
+    # longest-match: 에서 wins over bare 서-less suffix 에
+    assert tokenize_words_lang("도서관에서", "ko") == ["도서관", "에서"]
+    # a lone particle-homograph eojeol stays whole
+    assert tokenize_words_lang("가", "ko") == ["가"]
+    # mixed script: Hangul splits, Latin/digits use generic rules
+    assert tokenize_words_lang("한국어와 english 123", "ko") == [
+        "한국어", "와", "english", "123",
+    ]
+
+
+def test_gopher_stopword_check_ko():
+    cfg = GopherQualityConfig(
+        min_doc_words=5, min_avg_word_length=None, max_avg_word_length=None,
+        min_alpha_words_ratio=None, min_stop_words=3,
+    )
+    keep_ko, _ = gopher_quality(TEXT_KO, cfg, lang="ko")
+    assert keep_ko  # 는/에/가/에서/은/로/까지/의 clear the bar under ko dispatch
+    keep_en, reason_en = gopher_quality(TEXT_KO, cfg, lang="en")
+    assert not keep_en and reason_en == "gopher_enough_stop_words"
+
+
+def test_word_stats_ko_not_english_fallback():
+    s_ko = word_stats(TEXT_KO, lang="ko")
+    s_xx = word_stats(TEXT_KO, lang="xx")
+    # josa split: more tokens than whitespace eojeol, nonzero stop ratio
+    assert s_ko["n_words"] > s_xx["n_words"]
+    assert s_ko["stop_word_ratio"] > 0.2
+    assert s_xx["stop_word_ratio"] == 0.0
+
+
 def test_c4_badwords_multilang_flanking_and_allowlist(spark):
     """Per-language dispatch (c4_filters.py:209-282): zh matches un-flanked,
     Latin langs require word flanking, the zh/ja subword allowlist applies."""
