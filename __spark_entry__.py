@@ -128,27 +128,44 @@ def q_c4_badwords(spark, sf_dir):
 # alternation can match it), %5==1 rows get near-misses ('cumulative' contains
 # 'cum' but is not flanked; zh '性' is allowlisted).  Identical CASE semantics
 # in Spark SQL and DuckDB.
+# remap a deterministic slice of docs onto languages absent from the test
+# corpus so the oracle exercises the FULL per-language dispatch (the corpus
+# lang column only carries en/de/fr/es/zh) — shared verbatim by the Spark
+# query and the DuckDB oracle
+BADWORDS_LANG2_SQL = (
+    "CASE doc_id % 13 WHEN 3 THEN 'pt' WHEN 4 THEN 'it' WHEN 5 THEN 'ru' "
+    "WHEN 6 THEN 'nl' WHEN 7 THEN 'ko' WHEN 8 THEN 'pl' WHEN 9 THEN 'ja' "
+    "WHEN 10 THEN 'th' ELSE lang END"
+)
+
 BADWORDS_INJECT_SQL = (
     "CASE WHEN doc_id % 5 = 0 THEN "
-    "(CASE lang WHEN 'zh' THEN '色情' WHEN 'en' THEN ' porn ' WHEN 'de' THEN ' ficken '"
-    " WHEN 'fr' THEN ' pute ' WHEN 'es' THEN ' mierda ' ELSE '' END) "
+    "(CASE lang2 WHEN 'zh' THEN '色情' WHEN 'en' THEN ' porn ' WHEN 'de' THEN ' ficken '"
+    " WHEN 'fr' THEN ' pute ' WHEN 'es' THEN ' mierda ' WHEN 'pt' THEN ' caralho '"
+    " WHEN 'it' THEN ' cazzo ' WHEN 'ru' THEN ' сука ' WHEN 'nl' THEN ' neuken '"
+    " WHEN 'ko' THEN ' 씨발 ' WHEN 'pl' THEN ' kurwa ' WHEN 'ja' THEN '変態'"
+    " WHEN 'th' THEN 'ควย' ELSE '' END) "
     "WHEN doc_id % 5 = 1 THEN "
-    "(CASE lang WHEN 'zh' THEN '性' ELSE ' cumulative' END) "
+    "(CASE lang2 WHEN 'zh' THEN '性' ELSE ' cumulative' END) "
     "ELSE '' END"
 )
 
 
 def q_c4_badwords_multilang(spark, sf_dir):
     """Per-language LDNOOBW dispatch: word lists + flanking rules selected by
-    the lang column (zh un-flanked, Latin langs word-flanked, allowlist
-    applied) — reference c4_filters.py:209-282."""
+    the lang column (zh/ja/th un-flanked, everything else word-flanked,
+    allowlist applied) — reference c4_filters.py:209-282.  A deterministic
+    doc_id remap widens coverage to 13 languages (pt/it/ru/nl/ko/pl/ja/th on
+    top of the corpus's en/de/fr/es/zh)."""
     from datatrove_spark.operators import c4_badwords_filter_multilang
 
-    df = _docs(spark, sf_dir).withColumn(
-        "text2", F.concat(F.col("text"), F.expr(BADWORDS_INJECT_SQL))
+    df = (
+        _docs(spark, sf_dir)
+        .withColumn("lang2", F.expr(BADWORDS_LANG2_SQL))
+        .withColumn("text2", F.concat(F.col("text"), F.expr(BADWORDS_INJECT_SQL)))
     )
-    out = c4_badwords_filter_multilang(df, lang_col="lang", text_col="text2")
-    return out.select("doc_id", "lang", "keep", "drop_reason")
+    out = c4_badwords_filter_multilang(df, lang_col="lang2", text_col="text2")
+    return out.select("doc_id", F.col("lang2").alias("lang"), "keep", "drop_reason")
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -1201,14 +1218,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "c4_badwords_multilang": f"""
-            WITH base AS (
-              SELECT doc_id, lang, text || {BADWORDS_INJECT_SQL} AS t FROM documents
+            WITH remapped AS (
+              SELECT doc_id, ({BADWORDS_LANG2_SQL}) AS lang2, text FROM documents
+            ), base AS (
+              SELECT doc_id, lang2, text || {BADWORDS_INJECT_SQL} AS t FROM remapped
             ), m AS (
-              SELECT doc_id, lang,
-                     (CASE lang {_BADWORDS_CASES} ELSE FALSE END) AS hit
+              SELECT doc_id, lang2,
+                     (CASE lang2 {_BADWORDS_CASES} ELSE FALSE END) AS hit
               FROM base
             )
-            SELECT doc_id, lang, NOT hit AS keep,
+            SELECT doc_id, lang2 AS lang, NOT hit AS keep,
                    CASE WHEN hit THEN 'document_removed_with_badwords' END AS drop_reason
             FROM m
         """,

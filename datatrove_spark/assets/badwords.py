@@ -60,6 +60,30 @@ BADWORDS: dict[str, frozenset[str]] = {
     "it": frozenset(
         "cazzo culo figa fottere minchia porca puttana stronzo troia vaffanculo".split()
     ),
+    "ru": frozenset(
+        "блядь блять ебать сука хуй пизда мудак мудила говно жопа шлюха"
+        " дрочить трахать хер пидор залупа манда".split()
+    ),
+    "nl": frozenset(
+        "kut lul hoer neuken kanker klootzak pik sperma slet kutje pijpen"
+        " naaien".split()
+    ),
+    "pl": frozenset(
+        "kurwa chuj pizda jebać jebany dupa cipa spierdalaj pierdolić"
+        " skurwysyn".split()
+    ),
+    "ko": frozenset(
+        "씨발 병신 보지 자지 섹스 야동 창녀 좆 지랄 개새끼".split()
+    ),
+    "tr": frozenset(
+        "amcık yarrak orospu sik sikmek göt piç kaltak taşak".split()
+    ),
+    "sv": frozenset("fitta kuk knulla hora röv runka".split()),
+    "da": frozenset("fisse pik luder kneppe røv".split()),
+    "ar": frozenset("طيز شرموطة كس زب قحبة نيك خرا عاهرة".split()),
+    "hi": frozenset(
+        "चूत लंड भोसड़ा रंडी चूतिया गांड मादरचोद बहनचोद हरामी".split()
+    ),
     # un-flanked scripts (NO_FLANK_LANGS)
     "ja": frozenset(
         "エロ ポルノ セックス オナニー 中出し 痴漢 乱交 変態 淫乱 素人".split()

@@ -89,13 +89,21 @@ _PSL_MULTI = frozenset(
     github.io gitlab.io blogspot.com appspot.com herokuapp.com netlify.app
     vercel.app pages.dev web.app firebaseapp.com azurewebsites.net
     wordpress.com cloudfront.net fastly.net
+    readthedocs.io myshopify.com weebly.com wixsite.com neocities.org
+    surge.sh workers.dev glitch.me onrender.com fly.dev deno.dev ngrok.io
+    duckdns.org s3.amazonaws.com pythonanywhere.com
+    blogspot.co.uk blogspot.de blogspot.fr blogspot.com.br blogspot.jp
     """.split()
 )
 
-# classic wildcard TLD rules (*.X) with their published exceptions (!y.X)
+# classic wildcard rules (*.X) with their published exceptions (!y.X) —
+# ICANN ccTLD wildcards, the jp city wildcards, and PRIVATE-section
+# wildcards (e.g. *.compute.amazonaws.com: every EC2 region is its own
+# registrable namespace)
 _PSL_WILDCARD_BASES = frozenset(
     "ck er fk jm kh mm pg bn "
-    "kawasaki.jp kitakyushu.jp kobe.jp nagoya.jp sapporo.jp sendai.jp yokohama.jp".split()
+    "kawasaki.jp kitakyushu.jp kobe.jp nagoya.jp sapporo.jp sendai.jp yokohama.jp "
+    "compute.amazonaws.com compute-1.amazonaws.com".split()
 )
 _PSL_EXCEPTIONS = frozenset(
     "www.ck city.kawasaki.jp city.kitakyushu.jp city.kobe.jp city.nagoya.jp "

@@ -654,6 +654,35 @@ def test_public_suffix_exception_rules():
     assert public_suffix("random.kobe.jp") == "random.kobe.jp"  # *.kobe.jp
 
 
+def test_public_suffix_private_section_exotics():
+    """PRIVATE-section rules: hosting platforms where every customer label
+    is its own registrable namespace, including the *.compute.amazonaws.com
+    wildcard (each EC2 region is a separate suffix)."""
+    from datatrove_spark.kernels.url import public_suffix, split_host
+
+    # plain private suffixes
+    assert public_suffix("mydocs.readthedocs.io") == "readthedocs.io"
+    assert public_suffix("shop.myshopify.com") == "myshopify.com"
+    assert public_suffix("api.workers.dev") == "workers.dev"
+    assert public_suffix("me.blogspot.co.uk") == "blogspot.co.uk"
+    # registrable = one label past the private suffix, deep subdomains kept
+    assert split_host("https://a.b.site.neocities.org/") == (
+        "a.b.site.neocities.org", "site.neocities.org",
+    )
+    # wildcard private rule: *.compute.amazonaws.com — the REGION label is
+    # part of the suffix, the instance label is the registrable domain
+    assert (
+        public_suffix("ec2-1-2-3-4.eu-west-1.compute.amazonaws.com")
+        == "eu-west-1.compute.amazonaws.com"
+    )
+    assert split_host("https://myapp.us-east-2.compute.amazonaws.com/x") == (
+        "myapp.us-east-2.compute.amazonaws.com",
+        "myapp.us-east-2.compute.amazonaws.com",
+    )
+    # non-wildcard amazonaws path: s3 is a single private suffix
+    assert public_suffix("bucket.s3.amazonaws.com") == "s3.amazonaws.com"
+
+
 def test_aho_corasick_matches_bruteforce():
     import random
 
