@@ -236,3 +236,42 @@ def test_psl_split_host_invariants(labels):
     assert host == suffix or host.endswith("." + suffix)
     assert registered == suffix or registered.count(".") == suffix.count(".") + 1
     assert host == registered or host.endswith("." + registered)
+
+
+def test_salted_repartition_tames_megarepo_skew(spark):
+    """The corpus's documented skew profile (1% of repos own ~50% of files,
+    corpus.row_for_index) must be visibly flattened by the salted
+    repo-hash repartitioning: the max/median per-partition row count drops
+    versus plain repartition-by-repo, and no repo's locality is lost beyond
+    the salt fan-out (each repo touches ≤ salt_buckets partitions)."""
+    import statistics
+
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.pipeline import partition_by_repo
+
+    P, SALT = 8, 8
+    df = synth_corpus(spark, 8000, n_repos=60, partitions=8)
+
+    def counts(d):
+        return sorted(
+            r["count"]
+            for r in d.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        )
+
+    unsalted = counts(df.repartition(P, F.xxhash64(F.col("repo"))))
+    salted_df = partition_by_repo(df, P, salt_buckets=SALT)
+    salted = counts(salted_df)
+    ratio_u = unsalted[-1] / statistics.median(unsalted)
+    ratio_s = salted[-1] / statistics.median(salted)
+    assert ratio_s < ratio_u, (unsalted, salted)
+    # locality bound: a repo spreads over at most SALT partitions
+    spread = (
+        salted_df.withColumn("p", F.spark_partition_id())
+        .groupBy("repo")
+        .agg(F.countDistinct("p").alias("np"))
+        .agg(F.max("np"))
+        .collect()[0][0]
+    )
+    assert spread <= SALT

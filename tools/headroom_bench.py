@@ -1,8 +1,11 @@
 """Corpus-size headroom evidence: the two scale runs the round reports cite
 (1M-file quality pipeline, 1M-doc minhash dedup), repeatable per round.
 
-Writes BENCH/headroom.json.  Usage: python tools/headroom_bench.py
-[--files 1000000] [--docs 1000000] [--cores 16]
+Writes BENCH/headroom.json (or --out).  Usage: python tools/headroom_bench.py
+[--files 1000000] [--docs 1000000] [--cores 16] [--out BENCH/headroom.json]
+
+``--files 0`` skips the pipeline stage (the 10M dedup-only headroom point
+runs minhash + exact dedup one order of magnitude above the 1M record).
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=1_000_000)
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--out", default=os.path.join("BENCH", "headroom.json"))
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -38,20 +42,21 @@ def main() -> None:
     out: dict = {"cores": args.cores}
 
     # -- 1M-file quality pipeline ------------------------------------------
-    corpus = synth_corpus(spark, args.files, partitions=args.cores * 4).localCheckpoint()
-    n = corpus.count()
-    t0 = time.time()
-    kept = quality_pipeline(corpus, QualityPipelineConfig()).filter(F.col("keep")).count()
-    wall = time.time() - t0
-    out["pipeline"] = {
-        "n_files": n,
-        "n_kept": kept,
-        "keep_rate": round(kept / n, 6),
-        "wall_sec": round(wall, 1),
-        "files_per_sec": round(n / wall, 1),
-    }
-    print(f"pipeline: {n} files in {wall:.1f}s = {n/wall:.0f} files/s, kept {kept}")
-    corpus.unpersist()
+    if args.files > 0:
+        corpus = synth_corpus(spark, args.files, partitions=args.cores * 4).localCheckpoint()
+        n = corpus.count()
+        t0 = time.time()
+        kept = quality_pipeline(corpus, QualityPipelineConfig()).filter(F.col("keep")).count()
+        wall = time.time() - t0
+        out["pipeline"] = {
+            "n_files": n,
+            "n_kept": kept,
+            "keep_rate": round(kept / n, 6),
+            "wall_sec": round(wall, 1),
+            "files_per_sec": round(n / wall, 1),
+        }
+        print(f"pipeline: {n} files in {wall:.1f}s = {n/wall:.0f} files/s, kept {kept}")
+        corpus.unpersist()
 
     # -- 1M-doc minhash dedup ----------------------------------------------
     # deterministic mix: 95% unique docs (token values keyed by a large-prime
@@ -104,8 +109,28 @@ def main() -> None:
     }
     print(f"minhash: {args.docs} docs in {wall:.1f}s = {args.docs/wall:.0f} docs/s, {n_dups} dups")
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "headroom.json"), "w") as f:
+    # -- exact dedup over the same corpus ----------------------------------
+    from datatrove_spark.operators import exact_dedup
+
+    t0 = time.time()
+    n_exact = exact_dedup(docs, text_col="text").filter(~F.col("keep")).count()
+    wall = time.time() - t0
+    out["exact"] = {
+        "n_docs": args.docs,
+        "n_dups": n_exact,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(args.docs / wall, 1),
+    }
+    print(f"exact: {args.docs} docs in {wall:.1f}s = {args.docs/wall:.0f} docs/s, {n_exact} dups")
+
+    # exactness gate: the planted duplicate count is known by construction
+    expected_dups = args.docs - n_unique
+    out["planted_dups"] = expected_dups
+    out["minhash_exactness"] = out["minhash"]["n_dups"] == expected_dups
+    out["exact_exactness"] = n_exact == expected_dups
+
+    os.makedirs(os.path.dirname(os.path.join(REPO, args.out)) or ".", exist_ok=True)
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
 

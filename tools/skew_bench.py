@@ -1,0 +1,105 @@
+"""Mega-repo skew demonstration: quantifies what the salted repo-hash
+repartitioning (pipeline.partition_by_repo) buys on the corpus's documented
+1%-owns-50% skew profile (corpus.row_for_index).
+
+Two partitionings of the same corpus at the same partition count:
+  unsalted — repartition(P, xxhash64(repo)): every mega-repo lands whole in
+             one partition; the biggest partition is the straggler task.
+  salted   — partition_by_repo(P, salt_buckets): the salt term splits each
+             repo across up to salt_buckets partitions.
+
+Reported per mode: per-partition row-count distribution (max/median ratio —
+the deterministic task-time proxy for per-row UDF work) and the wall-clock
+of the fused quality pipeline over that partitioning (the straggler shows
+up directly).  Writes BENCH/skew.json.
+
+Usage: python tools/skew_bench.py [--docs 150000] [--cores 8] [--salt 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def partition_stats(df) -> dict:
+    import pyspark.sql.functions as F
+
+    counts = [
+        r["count"]
+        for r in df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    ]
+    counts.sort()
+    return {
+        "partitions_nonempty": len(counts),
+        "rows_max": counts[-1],
+        "rows_median": int(statistics.median(counts)),
+        "max_over_median": round(counts[-1] / statistics.median(counts), 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=150_000)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=16)
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.pipeline import (
+        QualityPipelineConfig,
+        partition_by_repo,
+        quality_pipeline,
+    )
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark(
+        "skew", master=f"local[{args.cores}]", shuffle_partitions=args.cores
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # AQE rebalances skewed shuffles at runtime, which would mask exactly the
+    # effect this bench isolates — the salting must stand on its own
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    corpus = synth_corpus(spark, args.docs, partitions=args.cores * 4).localCheckpoint()
+    n = corpus.count()
+    P = args.cores
+
+    unsalted = corpus.repartition(P, F.xxhash64(F.col("repo")))
+    salted = partition_by_repo(corpus, P, salt_buckets=args.salt)
+
+    out: dict = {"n_docs": n, "cores": args.cores, "partitions": P, "salt_buckets": args.salt}
+    cfg = QualityPipelineConfig()
+    for name, df in (("unsalted", unsalted), ("salted", salted)):
+        stats = partition_stats(df)
+        # warm workers/singletons, then time the fused pipeline over this
+        # exact partitioning (mapInPandas preserves it — the biggest
+        # partition IS the longest task)
+        quality_pipeline(df, cfg).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        quality_pipeline(df, cfg).write.format("noop").mode("overwrite").save()
+        stats["pipeline_wall_sec"] = round(time.time() - t0, 2)
+        out[name] = stats
+        print(f"{name}: {stats}")
+
+    out["wall_speedup_salted"] = round(
+        out["unsalted"]["pipeline_wall_sec"] / out["salted"]["pipeline_wall_sec"], 3
+    )
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "skew.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
