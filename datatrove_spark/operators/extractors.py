@@ -31,6 +31,19 @@ _WS_RE = re.compile(r"\s+")
 _SKIP_TAGS = frozenset(
     "script style noscript svg nav header footer aside form template iframe button".split()
 )
+# class/id hints marking discardable regions — the same public heuristic
+# trafilatura's OVERALL_DISCARD_XPATH encodes (comments, sidebars, related-
+# article boxes, social/share widgets, ads, breadcrumbs, paginators)
+_SKIP_ATTR_RE = re.compile(
+    r"comment|sidebar|related|recommend|share|social|promo|advert|sponsor|"
+    r"banner|breadcrumb|crumb|widget|cookie|popup|newsletter|pager|pagination|"
+    r"badge|byline-sharing|menu\b|footer|masthead",
+    re.IGNORECASE,
+)
+# void elements never receive end tags — keep them off the element stack
+_VOID_TAGS = frozenset(
+    "br img input meta link hr area base col embed source track wbr".split()
+)
 # tags that terminate the current text block
 _BLOCK_TAGS = frozenset(
     "p div li ul ol h1 h2 h3 h4 h5 h6 tr table section article blockquote pre td th dd dt br main body".split()
@@ -50,6 +63,10 @@ class _BlockParser(HTMLParser):
         self._skip_depth = 0
         self._link_depth = 0
         self._heading = False
+        # element stack for class/id-hinted discard regions (trafilatura's
+        # overall-discard heuristic); each entry is (tag, is_attr_skip)
+        self._stack: list[tuple[str, bool]] = []
+        self._attr_skip_depth = 0
 
     def _flush(self):
         text = _WS_RE.sub(" ", "".join(self._parts)).strip()
@@ -62,6 +79,13 @@ class _BlockParser(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
             return
+        if tag not in _VOID_TAGS:
+            hint = " ".join(v for k, v in attrs if k in ("class", "id") and v)
+            attr_skip = bool(hint and _SKIP_ATTR_RE.search(hint))
+            self._stack.append((tag, attr_skip))
+            if attr_skip:
+                self._flush()
+                self._attr_skip_depth += 1
         if tag == "a":
             self._link_depth += 1
         if tag in _BLOCK_TAGS:
@@ -72,6 +96,15 @@ class _BlockParser(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
+        # pop to the matching open element; real-world HTML leaves <p>/<li>
+        # unclosed, so everything above the match pops with it
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                for t, attr_skip in self._stack[i:]:
+                    if attr_skip:
+                        self._attr_skip_depth = max(0, self._attr_skip_depth - 1)
+                del self._stack[i:]
+                break
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
         if tag in _BLOCK_TAGS:
@@ -79,7 +112,7 @@ class _BlockParser(HTMLParser):
             self._heading = False
 
     def handle_data(self, data):
-        if self._skip_depth:
+        if self._skip_depth or self._attr_skip_depth:
             return
         self._parts.append(data)
         if self._link_depth:
@@ -106,19 +139,32 @@ def basic_html_to_text(html_doc: str) -> str:
         # malformed beyond the parser's tolerance: strip tags crudely
         return _WS_RE.sub(" ", _html.unescape(re.sub(r"<[^>]*>", " ", html_doc))).strip()
     parser._flush()
-    kept = []
+    kept: list[tuple[str, bool]] = []
     for text, link_chars, heading in parser.blocks:
         if link_chars / max(len(text), 1) > _MAX_LINK_DENSITY:
             continue  # navigation / link farm
         if not heading and len(text) < _MIN_BLOCK_CHARS:
             continue  # short fragment (button labels, breadcrumbs)
-        kept.append(text)
-    # headings with no surviving body text below them are boilerplate too —
-    # but detecting that needs lookahead; keep headings only when ANY body
-    # block survived (jusText's short/near-good simplification)
-    if not any(len(t) >= _MIN_BLOCK_CHARS for t in kept):
+        kept.append((text, heading))
+    # jusText's heading rule, with real lookahead: a heading survives only
+    # if a kept BODY block follows it before the next heading — a heading
+    # over a link farm or an emptied region is boilerplate itself
+    out = []
+    for i, (text, heading) in enumerate(kept):
+        if heading:
+            followed = False
+            for nxt, nxt_heading in kept[i + 1 :]:
+                if nxt_heading:
+                    break
+                if len(nxt) >= _MIN_BLOCK_CHARS:
+                    followed = True
+                    break
+            if not followed:
+                continue
+        out.append(text)
+    if not any(len(t) >= _MIN_BLOCK_CHARS for t in out):
         return ""
-    return "\n\n".join(kept)
+    return "\n\n".join(out)
 
 
 def _build_extractor(backend: str, favour_precision: bool):
