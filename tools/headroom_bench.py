@@ -78,11 +78,15 @@ def main() -> None:
                         # letter-encoded value: minhash normalization maps
                         # digits to a constant (CC-Net norm_numbers), so
                         # digit-distinguished docs would all normalize
-                        # identical and collapse into one dup class
+                        # identical and collapse into one dup class.
+                        # modulus 100000037 (prime) keeps seeds < 100M
+                        # collision-free — the first 10M run used 1000003
+                        # and silently wrapped, turning 90% of "unique"
+                        # docs into genuine duplicates
                         F.translate(
                             (
-                                (F.col("_seed") * (2654435761 * (i + 1) % 1000003) + i)
-                                % 1000003
+                                (F.col("_seed") * (2654435761 * (i + 1) % 100000037) + i)
+                                % 100000037
                             ).cast("string"),
                             "0123456789",
                             "abcdefghij",
