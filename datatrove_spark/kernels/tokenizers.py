@@ -36,6 +36,18 @@ Whitespace-less scripts (reference word_tokenizers.py:104-135 jieba/Sudachi,
   pythainlp's newmm dictionary matching is built on.  DIVERGENCE: newmm
   merges clusters into dictionary words; cluster tokens are the
   deterministic dependency-free proxy.
+* ``km``/``my``/``lo`` — orthographic-cluster segmentation for the Khmer,
+  Myanmar and Lao scripts (tokenizer_assignment.csv rows khm/mya/lao →
+  khmernltk / a Burmese tokenizer / laonlp): base character + subscript
+  stacks (Khmer coeng U+17D2, Myanmar virama U+1039) + dependent
+  vowels/medials/signs form one indivisible cluster; Lao adds Thai-style
+  preposed vowels.  DIVERGENCE: the reference backends merge clusters into
+  dictionary words; clusters are the deterministic dependency-free unit
+  (same proxy as th).
+* ``bo`` — Tibetan syllables split on the tsheg mark U+0F0B (and shad
+  U+0F0D/U+0F0E), the script's explicit syllable delimiter
+  (tokenizer_assignment.csv row bod → botok).  DIVERGENCE: botok merges
+  syllables into words; tsheg syllables are the exact orthographic unit.
 * ``ko`` — eojeol (whitespace-delimited Hangul words) with the most common
   case/topic particles (josa) split off the end by longest match — the
   morpheme-proxy slice that matters for stop-word checks, since Korean
@@ -117,6 +129,71 @@ def _tokenize_th(text: str) -> list[str]:
     return out
 
 
+# Khmer (U+1780-17FF): cluster = base (consonant/indep vowel) + {coeng
+# U+17D2 + consonant}* + dependent vowels (17B6-17C5) + signs (17C6-17D1,
+# 17DD); digits/punct in the block fall through as single chars
+_KM_RUN_RE = _regex.compile(r"([ក-៿]+)")
+_KM_CLUSTER_RE = _regex.compile(
+    r"[ក-ឳ](?:្[ក-អ]|[ា-៑៝])*"
+    r"|[ក-៿]"
+)
+
+# Myanmar (U+1000-109F): cluster = consonant/indep vowel + {virama U+1039 +
+# consonant}* + medials (103B-103E) + vowels (102B-1035, 1056-1059) + signs
+# (1036-103A, 108F-109D partial)
+_MY_RUN_RE = _regex.compile(r"([က-႟]+)")
+_MY_CLUSTER_RE = _regex.compile(
+    r"[က-ဪဿ၎](?:္[က-ဪ]|[ါ-ှၖ-ၙံ-်])*"
+    r"|[က-႟]"
+)
+
+# Lao (U+0E80-0EFF): Thai-style — optional preposed vowel (0EC0-0EC4) +
+# base + combining vowels/tones (0EB1, 0EB4-0EBC, 0EC8-0ECD)
+_LO_RUN_RE = _regex.compile(r"([຀-໿]+)")
+_LO_CLUSTER_RE = _regex.compile(
+    r"[ເ-ໄ]?[ກ-ຯະາຳຽໜ-ໟ]"
+    r"[ັິ-ຼ່-ໍ]*"
+    r"|[຀-໿]"
+)
+
+# Tibetan (U+0F00-0FFF): syllables are explicitly delimited by the tsheg
+# mark U+0F0B; shad U+0F0D/U+0F0E terminate clauses
+_BO_RUN_RE = _regex.compile(r"([ༀ-࿿]+)")
+_BO_SPLIT_RE = _regex.compile(r"[་-༎༔\s]+")
+
+
+def _make_cluster_tokenizer(run_re, cluster_re):
+    def tok(text: str) -> list[str]:
+        out: list[str] = []
+        for part in run_re.split(text):
+            if not part:
+                continue
+            if run_re.fullmatch(part):
+                out.extend(cluster_re.findall(part))
+            else:
+                out.extend(_WORD_RE.findall(part))
+        return out
+
+    return tok
+
+
+_tokenize_km = _make_cluster_tokenizer(_KM_RUN_RE, _KM_CLUSTER_RE)
+_tokenize_my = _make_cluster_tokenizer(_MY_RUN_RE, _MY_CLUSTER_RE)
+_tokenize_lo = _make_cluster_tokenizer(_LO_RUN_RE, _LO_CLUSTER_RE)
+
+
+def _tokenize_bo(text: str) -> list[str]:
+    out: list[str] = []
+    for part in _BO_RUN_RE.split(text):
+        if not part:
+            continue
+        if _BO_RUN_RE.fullmatch(part):
+            out.extend(s for s in _BO_SPLIT_RE.split(part) if s)
+        else:
+            out.extend(_WORD_RE.findall(part))
+    return out
+
+
 _HANGUL_RE = _regex.compile(r"^\p{Hangul}+$", _regex.UNICODE)
 
 # The most common josa (case/topic particles), longest first so 에서/으로
@@ -149,6 +226,10 @@ _SCRIPT_TOKENIZERS = {
     "ja": _tokenize_ja,
     "th": _tokenize_th,
     "ko": _tokenize_ko,
+    "km": _tokenize_km,
+    "my": _tokenize_my,
+    "lo": _tokenize_lo,
+    "bo": _tokenize_bo,
 }
 
 

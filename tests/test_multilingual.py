@@ -239,6 +239,43 @@ def test_word_stats_ko_not_english_fallback():
     assert s_xx["stop_word_ratio"] == 0.0
 
 
+def test_km_my_lo_cluster_segmentation():
+    """Genuine-script fixtures for the Khmer/Myanmar/Lao cluster tokenizers:
+    subscript stacks (Khmer coeng, Myanmar virama) and dependent vowels stay
+    attached to their base, every token is non-empty, and concatenation
+    reconstructs the input run."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    km = tokenize_words_lang("ខ្ញុំនៅក្នុងផ្ទះ", "km")
+    assert "ខ្ញុំ" in km  # coeng stack ខ + ្ញ + ុ + ំ is ONE cluster
+    assert "".join(km) == "ខ្ញុំនៅក្នុងផ្ទះ"
+
+    my = tokenize_words_lang("မြန်မာစာ ကို မှာ", "my")
+    assert "မြ" in my       # medial ြ attaches
+    assert "န်" in my       # asat ် attaches
+    assert "ကို" in my and "မှာ" in my  # single-cluster particles
+    assert "".join(my) == "မြန်မာစာကိုမှာ"
+
+    lo = tokenize_words_lang("ຢູ່ໃນເຮືອນ ບໍ່", "lo")
+    assert "ໃນ" in lo       # preposed vowel binds forward
+    assert "ບໍ່" in lo       # tone marks attach
+    assert "".join(lo) == "ຢູ່ໃນເຮືອນບໍ່"
+
+    # mixed script falls back to generic rules outside the runs
+    assert tokenize_words_lang("ຂໍ hello 123", "lo")[-2:] == ["hello", "123"]
+
+
+def test_bo_tsheg_syllable_segmentation():
+    """Tibetan splits on the tsheg mark — the script's explicit syllable
+    delimiter; shad clause marks terminate without producing tokens."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    bo = tokenize_words_lang("བོད་སྐད་ནི་སྙན་པོ་ཡོད།", "bo")
+    assert bo == ["བོད", "སྐད", "ནི", "སྙན", "པོ", "ཡོད"]
+    # the genitive particle གི and ergative གིས are distinct syllables
+    assert tokenize_words_lang("ང་གི་དེབ", "bo") == ["ང", "གི", "དེབ"]
+
+
 def test_c4_badwords_multilang_flanking_and_allowlist(spark):
     """Per-language dispatch (c4_filters.py:209-282): zh matches un-flanked,
     Latin langs require word flanking, the zh/ja subword allowlist applies."""
