@@ -1,0 +1,54 @@
+"""Frequent-word lexicon for the dictionary-based Chinese tokenizer mode.
+
+~400 of the highest-frequency multi-character Mandarin words (public
+frequency-list knowledge: SUBTLEX-CH / jieba's top entries), 2-4 characters
+each.  This is deliberately a SUBSET: the dict mode's forward-maximum-match
+falls back to per-character segmentation for anything absent, so a bigger
+lexicon only improves word merging, never changes coverage.  Production can
+pass a full dictionary via ``load_zh_lexicon(path)`` (one word per line).
+"""
+
+from __future__ import annotations
+
+ZH_LEXICON: frozenset[str] = frozenset("""
+我们 你们 他们 她们 它们 自己 大家 什么 怎么 怎样 为什么 这个 那个 这些 那些
+这里 那里 哪里 现在 时候 时间 今天 明天 昨天 以前 以后 后来 开始 最后 已经
+还是 就是 但是 可是 因为 所以 如果 虽然 然后 而且 或者 并且 不过 只是 只有
+可以 可能 应该 必须 需要 知道 认为 觉得 希望 喜欢 想要 愿意 决定 发现 感觉
+看到 听到 找到 得到 遇到 想到 回到 来到 进行 出现 发生 成为 变成 继续 停止
+工作 学习 生活 学校 老师 学生 朋友 家庭 父母 孩子 先生 女士 同学 同事 领导
+问题 事情 东西 地方 方面 方法 办法 情况 结果 原因 关系 意思 内容 信息 消息
+国家 中国 美国 世界 社会 政府 人民 经济 文化 历史 科学 技术 教育 发展 建设
+城市 农村 公司 企业 市场 银行 医院 医生 电话 电脑 网络 手机 电视 新闻 报纸
+汽车 火车 飞机 道路 交通 环境 自然 动物 植物 身体 健康 生命 安全 食物 水果
+重要 主要 一般 特别 非常 十分 比较 更加 最好 不同 相同 一样 这样 那样 所有
+一些 许多 很多 不少 大概 可能 一定 当然 确实 真正 突然 马上 立刻 经常 总是
+有点 有些 几乎 差不多 左右 大约 一起 一直 一些 每天 每年 曾经 正在 刚刚
+第一 第二 两个 三个 一个 一次 一下 一点 一种 一切 一边 之间 之后 之前 其中
+上面 下面 里面 外面 前面 后面 中间 旁边 附近 北京 上海 东西 南北 部分 全部
+研究 分析 调查 讨论 介绍 解释 说明 表示 表达 提出 提供 帮助 支持 参加 组织
+管理 服务 使用 利用 采用 增加 减少 提高 降低 改变 改革 改进 影响 作用 效果
+要求 规定 标准 水平 程度 质量 数量 价格 价值 成本 收入 利润 投资 贸易 产品
+生产 制造 设计 计划 项目 任务 目标 目的 过程 阶段 基础 条件 能力 经验 知识
+语言 文字 文章 故事 音乐 电影 艺术 运动 比赛 游戏 旅游 休息 睡觉 吃饭 喝水
+高兴 快乐 幸福 难过 伤心 生气 害怕 担心 紧张 奇怪 有趣 无聊 容易 困难 简单
+复杂 清楚 明白 正确 错误 真的 假的 新的 旧的 大的 小的 好的 坏的 多少 如何
+中文 英文 日文 外语 汉语 英语 处理 数据 系统 软件 程序 模型 训练 文件 代码
+用户 功能 测试 版本 工具 平台 应用 计算 计算机 互联网 人工智能 机器 学会
+""".split())
+
+
+def load_zh_lexicon(path: str) -> frozenset[str]:
+    """Full-dictionary production path: one word per line (the jieba
+    dict.txt layout's first column also works — whitespace-split, first
+    field)."""
+    words = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            w = line.split()[0] if line.split() else ""
+            if len(w) >= 2:
+                words.add(w)
+    return frozenset(words)
+
+
+__all__ = ["ZH_LEXICON", "load_zh_lexicon"]

@@ -105,6 +105,53 @@ def _tokenize_zh(text: str) -> list[str]:
     return out
 
 
+def tokenize_zh_dict(text: str, lexicon: frozenset[str] | None = None) -> list[str]:
+    """Dictionary-based Chinese segmentation: forward maximum matching (FMM)
+    over a frequent-word lexicon, per-character fallback — the classic
+    dependency-free step between char segmentation and jieba.  Registered as
+    lang key ``zh-dict``; the default ``zh`` stays per-character (the oracle-
+    pinned mode).  DIVERGENCE vs jieba: no HMM for OOV words, no frequency-
+    weighted DAG — FMM greedily takes the longest lexicon match (≤4 chars).
+    Pass a full dictionary via assets.zh_lexicon.load_zh_lexicon."""
+    if lexicon is None:
+        from ..assets.zh_lexicon import ZH_LEXICON
+
+        lexicon = ZH_LEXICON
+    out: list[str] = []
+    for part in _ZH_SPLIT_RE.split(text):
+        if not part:
+            continue
+        if _HAN_RE.fullmatch(part):
+            out.append(part)
+        else:
+            out.extend(_WORD_RE.findall(part))
+    # second pass: merge adjacent single-Han tokens by FMM
+    merged: list[str] = []
+    i = 0
+    while i < len(out):
+        if _HAN_RE.fullmatch(out[i]):
+            # collect the maximal Han run starting here
+            j = i
+            while j < len(out) and _HAN_RE.fullmatch(out[j]):
+                j += 1
+            run = "".join(out[i:j])
+            k = 0
+            while k < len(run):
+                for L in (4, 3, 2):
+                    if run[k : k + L] in lexicon:
+                        merged.append(run[k : k + L])
+                        k += L
+                        break
+                else:
+                    merged.append(run[k])
+                    k += 1
+            i = j
+        else:
+            merged.append(out[i])
+            i += 1
+    return merged
+
+
 def _tokenize_ja(text: str) -> list[str]:
     out: list[str] = []
     for part in _JA_SPLIT_RE.split(text):
@@ -223,6 +270,7 @@ def _tokenize_ko(text: str) -> list[str]:
 
 _SCRIPT_TOKENIZERS = {
     "zh": _tokenize_zh,
+    "zh-dict": tokenize_zh_dict,
     "ja": _tokenize_ja,
     "th": _tokenize_th,
     "ko": _tokenize_ko,

@@ -30,4 +30,10 @@ from .readers import (  # noqa: F401
     union_sources,
 )
 from .warc import iter_warc_records, read_warc  # noqa: F401
-from .writers import write_documents, write_exclusions, write_jsonl, write_parquet  # noqa: F401
+from .writers import (  # noqa: F401
+    write_bucketed,
+    write_documents,
+    write_exclusions,
+    write_jsonl,
+    write_parquet,
+)

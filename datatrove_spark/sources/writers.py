@@ -62,3 +62,33 @@ def write_exclusions(df: DataFrame, out_dir: str, fmt: str = "parquet", **kw) ->
 
     kw.setdefault("partition_by", ["drop_reason"])
     write_documents(dropped(df), out_dir, fmt=fmt, **kw)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed managed-table write — the 100-TB co-location primitive.
+
+    Two tables bucketed by the same columns into the same bucket count join
+    WITHOUT a shuffle: every join key lives in matching bucket files, so the
+    physical plan has no Exchange on either side (SortMergeJoin reads
+    buckets directly).  For a corpus re-joined repeatedly on ``doc_id`` (dedup
+    index refresh, annotation joins, decontamination passes) this removes
+    the dominant shuffle from every downstream run — pay one bucketed write,
+    skip N shuffles.
+
+    Bucketing requires the session catalog (``saveAsTable``); ``path`` makes
+    it an external table at that location.  ``sort_cols`` additionally sorts
+    within buckets so merge joins skip their sort.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

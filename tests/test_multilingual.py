@@ -265,6 +265,28 @@ def test_km_my_lo_cluster_segmentation():
     assert tokenize_words_lang("ຂໍ hello 123", "lo")[-2:] == ["hello", "123"]
 
 
+def test_zh_dict_mode_forward_maximum_match():
+    """The opt-in zh-dict mode merges lexicon words by forward maximum
+    matching and falls back to single chars for OOV; the default zh mode
+    stays per-character (oracle-pinned)."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang, tokenize_zh_dict
+
+    s = "我们今天在学校学习中文因为中国文化很重要"
+    chars = tokenize_words_lang(s, "zh")
+    words = tokenize_words_lang(s, "zh-dict")
+    assert all(len(t) == 1 for t in chars)
+    for w in ("我们", "今天", "学校", "学习", "中文", "因为", "中国", "文化", "重要"):
+        assert w in words, words
+    # FMM is greedy-longest: 人工智能 (4 chars, in lexicon) beats 人工 alone
+    assert "人工智能" in tokenize_zh_dict("人工智能时代")
+    # reconstruction + char fallback for OOV runs
+    assert "".join(words) == s
+    mixed = tokenize_zh_dict("我们用 Spark 处理数据")
+    assert mixed[0] == "我们" and "Spark" in mixed and "处理" in mixed and "数据" in mixed
+    # custom lexicon wins over the built-in
+    assert tokenize_zh_dict("天地人", lexicon=frozenset({"天地"})) == ["天地", "人"]
+
+
 def test_bo_tsheg_syllable_segmentation():
     """Tibetan splits on the tsheg mark — the script's explicit syllable
     delimiter; shad clause marks terminate without producing tokens."""

@@ -143,3 +143,47 @@ def test_badwords_multilang_single_arrow_pass(spark, docs):
 # test_operators_smoke.test_simhash_hot_bucket_star_path — the candidate
 # plan executes eagerly inside the operator via localCheckpoint + CC, so the
 # returned frame's plan only shows the final join-back)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The co-location primitive: two tables bucketed by doc_id into the
+    same bucket count must SortMergeJoin with ZERO Exchange on either side
+    — the plan shape that removes the dominant shuffle from every repeated
+    join at 100 TB.  The unbucketed control join shuffles both sides."""
+    from datatrove_spark.sources import write_bucketed
+
+    corpus = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    annots = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("w")
+    )
+    try:
+        write_bucketed(corpus, "t_corpus_b", ["doc_id"], n_buckets=8,
+                       sort_cols=["doc_id"], path=str(tmp_path / "corpus"))
+        write_bucketed(annots, "t_annots_b", ["doc_id"], n_buckets=8,
+                       sort_cols=["doc_id"], path=str(tmp_path / "annots"))
+        a = spark.table("t_corpus_b")
+        b = spark.table("t_annots_b")
+        # disable auto-broadcast so the join strategy is SMJ either way and
+        # the only difference is the shuffle
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "doc_id")
+            plan = _plan(spark, joined)
+            tree = plan.split("\n\n")[0]
+            assert "SortMergeJoin" in tree
+            assert tree.count("Exchange") == 0, tree
+            # control: the same join without bucketing shuffles both sides
+            plain = corpus.join(annots, "doc_id")
+            plan2 = _plan(spark, plain)
+            assert plan2.split("\n\n")[0].count("Exchange") >= 2
+            # values identical
+            assert joined.count() == plain.count() == 2000
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_corpus_b")
+        spark.sql("DROP TABLE IF EXISTS t_annots_b")
