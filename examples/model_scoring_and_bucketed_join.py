@@ -1,0 +1,81 @@
+"""Score a corpus with file-based models, persist annotations bucketed, and
+re-join shuffle-free — the artifact + co-location workflow.
+
+1. Train tiny SentencePiece + ARPA artifacts from a corpus sample and score
+   every document with the FULL CC-Net perplexity recipe (normalize → SP →
+   KenLM-semantics ARPA) via ``annotate_perplexity(arpa_path=, sp_path=)``.
+   A real deployment points the same two arguments at its production
+   ``xx.sp.model`` / ``xx.arpa`` files (and ``fasttext_path=`` at a real
+   lid.176.bin or quantized lid.176.ftz) — the readers are dependency-free.
+2. Write the annotations as a doc_id-bucketed table (``write_bucketed``).
+3. Join corpus ⋈ annotations on doc_id: with both sides bucketed the plan
+   has ZERO Exchange — the join every downstream pass repeats becomes
+   shuffle-free after one bucketed write.
+
+Run: spark-submit --py-files dist/datatrove_spark.zip \\
+        examples/model_scoring_and_bucketed_join.py <docs_parquet> <out_dir>
+"""
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.kernels.arpa import CCNetSPArpaModel
+from datatrove_spark.operators import annotate_language, annotate_perplexity
+from datatrove_spark.session import get_spark
+from datatrove_spark.sources import write_bucketed
+
+
+def main(docs_path: str, out_dir: str) -> None:
+    spark = get_spark("model-scoring")
+    docs = spark.read.parquet(docs_path)
+
+    # -- 1. artifact-file scoring ------------------------------------------
+    sample = [r.text for r in docs.select("text").limit(200).collect()]
+    arpa_path, sp_path = CCNetSPArpaModel.build_artifacts(
+        sample, os.path.join(out_dir, "models")
+    )
+    scored = annotate_perplexity(
+        docs, text_col="text", arpa_path=arpa_path, sp_path=sp_path,
+        out_col="ccnet_perplexity", model_tag="example_sp",
+    )
+    scored = annotate_language(scored, text_col="text")
+
+    # -- 2. bucketed annotation table --------------------------------------
+    annots = scored.select("doc_id", "ccnet_perplexity", "language", "language_score")
+    write_bucketed(
+        annots, "example_annotations", ["doc_id"], n_buckets=16,
+        sort_cols=["doc_id"], path=os.path.join(out_dir, "annotations"),
+    )
+    write_bucketed(
+        docs.select("doc_id", "text", "source"), "example_corpus",
+        ["doc_id"], n_buckets=16, sort_cols=["doc_id"],
+        path=os.path.join(out_dir, "corpus_bucketed"),
+    )
+
+    # -- 3. shuffle-free re-join -------------------------------------------
+    a = spark.table("example_corpus")
+    b = spark.table("example_annotations")
+    # force the merge-join strategy so the demo shows the bucketed property
+    # (with broadcast enabled Spark would just broadcast the small side —
+    # also shuffle-free, but not the plan shape this example demonstrates)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        head = joined.filter(F.col("ccnet_perplexity") > 0).count()
+        print(f"joined rows with perplexity: {head}; shuffle exchanges: {n_shuffles}")
+        assert n_shuffles == 0, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    spark.sql("DROP TABLE IF EXISTS example_annotations")
+    spark.sql("DROP TABLE IF EXISTS example_corpus")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
