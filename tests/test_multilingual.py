@@ -92,6 +92,32 @@ def test_operator_lang_col_dispatch(spark):
     assert all(v > 0 for v in ws.values())
 
 
+def test_operator_lang_col_dispatch_new_scripts(spark):
+    """The round-4 script tokenizers through the SPARK operator path: a
+    lang-col word-stats pass over genuine ko/km/my/lo/bo rows must produce
+    more tokens than the whitespace fallback would, and the ko row must
+    register stop-word hits (its particles are in the ko stop set)."""
+    from datatrove_spark.operators.stats import with_word_stats
+
+    rows = [
+        (1, TEXT_KO, "ko"),
+        (2, "ខ្ញុំនៅក្នុងផ្ទះ ខ្ញុំនៅទីនោះ", "km"),
+        (3, "မြန်မာစာ ကို မှာ သင်ယူသည်", "my"),
+        (4, "ຂ້ອຍຢູ່ໃນເຮືອນ ບໍ່ແມ່ນ", "lo"),
+        (5, "བོད་སྐད་ནི་སྙན་པོ་ཡོད།", "bo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, language string")
+    got = {r.doc_id: r for r in with_word_stats(df, lang_col="language").collect()}
+    fallback = {r.doc_id: r for r in with_word_stats(df).collect()}
+    # cluster segmentation yields more tokens than whitespace eojeol/words…
+    for i in (2, 3, 4):
+        assert got[i].n_words > fallback[i].n_words, (i, got[i], fallback[i])
+    # …while Tibetan dispatch yields exactly the 6 tsheg syllables (the
+    # generic fallback OVER-splits this string into 12 letter fragments)
+    assert got[5].n_words == 6, got[5]
+    assert got[1].stop_word_ratio > 0.2
+
+
 def test_fused_pipeline_multilingual_mode(spark):
     """The production (fused) pipeline dispatches tokenizer + stop words by
     the language LID just detected when cfg.multilingual is set."""
