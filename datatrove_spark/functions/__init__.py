@@ -81,6 +81,19 @@ def register_sql_functions(spark, prefix: str = "dt_") -> list[str]:
             dtype="int32",
         )
 
+    @pandas_udf(StringType())
+    def _sp_tokenize(texts: pd.Series, vocab_paths: pd.Series) -> pd.Series:
+        # SentencePiece pieces joined by spaces (the CC-Net tokenize step);
+        # the model loads once per executor via the path-keyed singleton
+        from ..kernels.sentencepiece import SentencePieceUnigram
+        from ..operators.language import _singleton
+
+        out = []
+        for t, p in zip(texts.fillna(""), vocab_paths):
+            sp = _singleton(f"sql_sp:{p}", lambda: SentencePieceUnigram.load(p))
+            out.append(sp.tokenize(t))
+        return pd.Series(out)
+
     udfs = {
         "normalize": _normalize,
         "sha1_i64": _sha1_i64,
@@ -88,6 +101,7 @@ def register_sql_functions(spark, prefix: str = "dt_") -> list[str]:
         "gopher_keep": _gopher_keep,
         "lid_lang": _lid_lang,
         "word_count_lang": _word_count_lang,
+        "sp_tokenize": _sp_tokenize,
     }
     names = []
     for name, fn in udfs.items():

@@ -887,6 +887,24 @@ def test_sql_function_registration(spark):
     )
 
 
+def test_sql_sp_tokenize(spark, tmp_path):
+    """dt_sp_tokenize: SentencePiece segmentation from SQL over a model file
+    (the CC-Net tokenize step exposed to pure-SQL users)."""
+    from datatrove_spark.functions import register_sql_functions
+    from datatrove_spark.kernels.sentencepiece import save_vocab
+
+    path = str(tmp_path / "m.vocab")
+    save_vocab({"▁he": -1.0, "llo": -1.5, "▁": -2.0, "h": -3.0, "e": -3.0,
+                "l": -3.0, "o": -3.0}, path)
+    register_sql_functions(spark)
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    df.createOrReplaceTempView("sp_docs")
+    row = spark.sql(
+        f"SELECT dt_sp_tokenize(text, '{path}') AS toks FROM sp_docs"
+    ).collect()[0]
+    assert row.toks == "▁he llo"
+
+
 SYMBOL_LINES_INPUT = (
     "-\n-\n-\n"
     ">> Harold Brantley is a 6-2, 283-pound Defensive Tackle from Hershey, PA. "
