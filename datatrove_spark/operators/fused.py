@@ -142,7 +142,17 @@ def fused_quality_filter(
     scrub_pii: bool = True,
     multilingual: bool = False,
     model_tag: str = "fused_lid",
+    fasttext_path: str | None = None,
+    arpa_path: str | None = None,
+    sp_path: str | None = None,
 ) -> DataFrame:
+    """``fasttext_path`` (a real .bin or quantized .ftz) swaps the LID stage
+    onto the file-based fastText backend; ``arpa_path`` (+ optional
+    ``sp_path`` for the SentencePiece step) swaps the perplexity stage onto
+    the CC-Net artifact recipe — the same files the staged
+    language_filter / annotate_perplexity operators load, so fused and
+    staged stay decision-identical under real production models.  Models
+    build once per executor (path-keyed singletons) and batch-score."""
     lang_set = tuple(languages) if languages else None
     df = ensure_channel(df)
 
@@ -154,10 +164,29 @@ def fused_quality_filter(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lid = _singleton(model_tag, lambda: NgramBayesLID(lid_model_dict))
+        def build_lid():
+            if fasttext_path is not None:
+                from ..kernels.lid import FastTextLID
+
+                return FastTextLID(fasttext_path)
+            return NgramBayesLID(lid_model_dict)
+
+        def build_lm():
+            if arpa_path is not None:
+                from ..kernels.arpa import ArpaLM, CCNetSPArpaModel
+
+                arpa = ArpaLM.load(arpa_path)
+                if sp_path is not None:
+                    from ..kernels.sentencepiece import SentencePieceUnigram
+
+                    return CCNetSPArpaModel(arpa, SentencePieceUnigram.load(sp_path))
+                return arpa
+            return InterpolatedLM(lm_dict)
+
+        lid = _singleton(f"{model_tag}:{fasttext_path}", build_lid)
         lm = (
-            _singleton(model_tag + "_lm", lambda: InterpolatedLM(lm_dict))
-            if lm_dict is not None
+            _singleton(f"{model_tag}_lm:{arpa_path}:{sp_path}", build_lm)
+            if (lm_dict is not None or arpa_path is not None)
             else None
         )
         scrubber = PiiScrubber(remove_phones=True) if scrub_pii else None

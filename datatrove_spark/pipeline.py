@@ -58,6 +58,12 @@ class QualityPipelineConfig:
     lm_dict: dict | None = None
     max_perplexity: float | None = None
     scrub_pii: bool = True
+    # file-based production models (the same artifacts the staged operators
+    # load): a real fastText .bin/.ftz for LID, a KenLM-semantics .arpa for
+    # perplexity, optionally with the SentencePiece .model/.vocab step
+    fasttext_path: str | None = None
+    arpa_path: str | None = None
+    sp_path: str | None = None
     # tokenize + stop-word-check by the LID-detected language per row (the
     # reference's per-language tokenizer assignment); off by default — the
     # single-language (English) profile the oracles pin
@@ -118,20 +124,27 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
             max_perplexity=cfg.max_perplexity,
             scrub_pii=cfg.scrub_pii,
             multilingual=cfg.multilingual,
+            fasttext_path=cfg.fasttext_path,
+            arpa_path=cfg.arpa_path,
+            sp_path=cfg.sp_path,
         )
         return df.withColumn("content_sha256", F.sha2(F.col(t), 256))
 
     df = length_filter(df, cfg.min_chars, cfg.max_chars, text_col=t)
+    lid_kwargs = {"fasttext_path": cfg.fasttext_path} if cfg.fasttext_path else {}
     df = language_filter(
         df, languages=list(cfg.languages) if cfg.languages else None,
-        threshold=cfg.language_threshold, text_col=t,
+        threshold=cfg.language_threshold, text_col=t, **lid_kwargs,
     )
     df = gopher_repetition_filter(df, text_col=t)
     df = gopher_quality_filter(df, cfg.gopher_quality, text_col=t)
     df = c4_quality_filter(df, cfg.c4, text_col=t)
     df = fineweb_quality_filter(df, cfg.fineweb, text_col=t)
-    if cfg.lm_dict is not None:
-        df = annotate_perplexity(df, cfg.lm_dict, text_col=t)
+    if cfg.lm_dict is not None or cfg.arpa_path is not None:
+        df = annotate_perplexity(
+            df, cfg.lm_dict, text_col=t,
+            arpa_path=cfg.arpa_path, sp_path=cfg.sp_path,
+        )
         if cfg.max_perplexity is not None:
             from .operators import apply_native_filter
 

@@ -192,3 +192,96 @@ def test_perplexity_branch_fused_equals_staged(spark):
     by_path = {p: (k, reason) for p, k, reason, _ in results[True]}
     assert by_path["a"] == (True, None)
     assert by_path["b"] == (False, "perplexity")
+
+
+def test_file_based_models_fused_equals_staged(spark, tmp_path):
+    """The PRODUCTION model path: a real (fixture-written) quantized .ftz
+    for LID plus artifact .arpa + SentencePiece .model for perplexity, run
+    through BOTH the fused single-pass pipeline and the staged operator
+    chain — decisions, languages, and perplexities must be identical, and
+    the language stage must actually use the file model (labels only that
+    model knows)."""
+    import random
+
+    import numpy as np
+
+    from datatrove_spark.kernels.arpa import CCNetSPArpaModel
+    from datatrove_spark.kernels.fasttext_bin import write_quantized_ftz
+    from datatrove_spark.kernels.fineweb import FineWebQualityConfig
+    from datatrove_spark.kernels.gopher import GopherQualityConfig
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    en_vocab = ["the", "cat", "sat", "mat", "house", "with", "and", "dog", "ran"]
+    xq_vocab = ["zork", "blarg", "quux", "frobn", "mxyz", "vwxq", "jklmn", "pqrst"]
+
+    # -- fixture LID model: separable en/xx clusters, labels only it knows
+    rng = np.random.RandomState(9)
+    dim = 8
+    wv = {"</s>": rng.randn(dim)}
+    for w in en_vocab:
+        wv[w] = rng.randn(dim) + np.array([3.0] + [0.0] * (dim - 1))
+    for w in xq_vocab:
+        wv[w] = rng.randn(dim) - np.array([3.0] + [0.0] * (dim - 1))
+    lv = {
+        "__label__en": np.array([2.0] + [0.0] * (dim - 1)),
+        "__label__xq": np.array([-2.0] + [0.0] * (dim - 1)),
+    }
+    ftz = str(tmp_path / "lid.ftz")
+    write_quantized_ftz(ftz, wv, lv, dim, qout=True)
+
+    # varied-permutation docs: long enough for Gopher, no hot n-grams,
+    # C4-terminal-punctuated lines
+    prng = random.Random(7)
+
+    def doc(words):
+        return "\n".join(
+            " ".join(prng.choice(words) for _ in range(9)).capitalize() + "."
+            for _ in range(8)
+        )
+
+    # -- fixture perplexity artifacts over in-domain text
+    train = [doc(en_vocab) for _ in range(20)]
+    arpa_path, sp_path = CCNetSPArpaModel.build_artifacts(train, str(tmp_path / "lm"))
+
+    docs = [
+        ("r", "en_doc", "c", "py", doc(en_vocab)),
+        ("r", "xq_doc", "c", "py", doc(xq_vocab)),
+    ]
+    df = spark.createDataFrame(
+        docs, "repo string, path string, commit string, lang string, content string"
+    )
+    g = GopherQualityConfig(
+        min_doc_words=3, min_avg_word_length=None, max_avg_word_length=None,
+        min_alpha_words_ratio=None, min_stop_words=None,
+    )
+    fw = FineWebQualityConfig(char_duplicates_ratio=1.0, new_line_ratio=1.0)
+    results = {}
+    for fused in (True, False):
+        cfg = QualityPipelineConfig(
+            languages=("en",), language_threshold=0.5, min_chars=5,
+            fasttext_path=ftz, arpa_path=arpa_path, sp_path=sp_path,
+            fused=fused, gopher_quality=g, fineweb=fw,
+        )
+        results[fused] = sorted(
+            (
+                r.path,
+                r.keep,
+                r.drop_reason,
+                r.language,
+                # the fused path short-circuits: language-dropped rows never
+                # reach the LM (perplexity stays null), while the staged
+                # annotator scores every row — compare survivors' values
+                round(r.perplexity, 4) if r.keep and r.perplexity is not None else None,
+            )
+            for r in quality_pipeline(df, cfg)
+            .select("path", "keep", "drop_reason", "language", "perplexity")
+            .collect()
+        )
+    assert results[True] == results[False], results
+    # the kept row's perplexity must be real on both paths
+    assert all(row[4] is not None for res in results.values() for row in res if row[1])
+    by_path = {p: (k, reason, lang) for p, k, reason, lang, _ in results[True]}
+    # the .ftz model's decision: en doc keeps with label 'en', the xq doc is
+    # dropped at the language stage with the model's own other label
+    assert by_path["en_doc"][0] is True and by_path["en_doc"][2] == "en"
+    assert by_path["xq_doc"] == (False, "language_id", "xq")
