@@ -9,8 +9,9 @@ arXiv:1804.10959; google/sentencepiece ``unigram_model.cc``):
 
 * pretokenization: whitespace runs collapse to the meta symbol U+2581 ("▁"),
   with the standard dummy-prefix ▁ prepended (``add_dummy_prefix=true``,
-  ``remove_extra_whitespaces=true`` defaults) after NFKC normalization —
-  a documented simplification of SP's full nmt_nfkc ruleset,
+  ``remove_extra_whitespaces=true`` defaults) after nmt_nfkc normalization
+  (NFKC plus the builder.cc NMT overrides: controls removed, zero-width and
+  separator code points forced to space),
 * Viterbi decoding: the segmentation maximizing the sum of piece log
   probabilities, with the unigram model's unknown-character fallback
   (``unk_score = min_piece_score - unk_penalty``, penalty 10.0 as in
@@ -25,8 +26,9 @@ arXiv:1804.10959; google/sentencepiece ``unigram_model.cc``):
 
 Drop-in procedure for a real artifact: pass the ``.model`` (or ``.vocab``)
 path to ``SentencePieceUnigram.load``; predictions then depend only on this
-file.  Divergences from real SP inference: simplified normalizer (NFKC vs
-nmt_nfkc) and first-best-only decoding (no n-best/sampling).
+file.  Divergences from real SP inference: the nmt_nfkc charsmap is
+reconstructed from the published builder.cc rules (long-tail precompiled
+entries may differ) and decoding is first-best-only (no n-best/sampling).
 """
 
 from __future__ import annotations
@@ -38,6 +40,42 @@ import unicodedata
 
 SP_SPACE = "▁"  # the SentencePiece meta symbol "▁"
 _WS_RE = re.compile(r"\s+")
+
+# nmt_nfkc = NFKC plus the NMT-specific overrides from google/sentencepiece
+# builder.cc BuildNmtNFKCMap: a set of separator-ish code points forced to
+# ASCII space, and ASCII/C1 control characters removed outright (note the
+# upstream quirk: of the C1 range only 0x7F, 0x8F, 0x9F are listed).  The
+# precompiled charsmap applies longest-match over the raw text; applying
+# these single-codepoint overrides before NFKC is equivalent for every
+# override here (none participates in NFKC compositions).
+_NMT_CHARS_MAP: dict[int, str | None] = {
+    c: " "
+    for c in (
+        0x0009,  # TAB
+        0x000A,  # LINE FEED
+        0x000C,  # FORM FEED
+        0x000D,  # CARRIAGE RETURN
+        0x1680,  # OGHAM SPACE MARK
+        0x200B,  # ZERO WIDTH SPACE
+        0x200C,  # ZERO WIDTH NON-JOINER
+        0x200D,  # ZERO WIDTH JOINER
+        0x200E,  # LEFT-TO-RIGHT MARK
+        0x200F,  # RIGHT-TO-LEFT MARK
+        0x2028,  # LINE SEPARATOR
+        0x2029,  # PARAGRAPH SEPARATOR
+        0x2581,  # LOWER ONE EIGHTH BLOCK (the meta symbol itself)
+        0xFEFF,  # ZERO WIDTH NO-BREAK SPACE / BOM
+        0xFFFD,  # REPLACEMENT CHARACTER
+    )
+}
+_NMT_CHARS_MAP.update(
+    {c: None for c in range(0x0001, 0x0009)}  # ASCII controls SOH..BS
+)
+_NMT_CHARS_MAP[0x000B] = None  # VERTICAL TAB
+_NMT_CHARS_MAP.update({c: None for c in range(0x000E, 0x0020)})  # SO..US
+_NMT_CHARS_MAP[0x007F] = None  # DEL
+_NMT_CHARS_MAP[0x008F] = None  # C1 (upstream lists only these two of C1)
+_NMT_CHARS_MAP[0x009F] = None
 
 # SentencePiece piece types (sentencepiece_model.proto)
 NORMAL, UNKNOWN, CONTROL, USER_DEFINED, UNUSED, BYTE = 1, 2, 3, 4, 5, 6
@@ -75,7 +113,14 @@ class SentencePieceUnigram:
 
     @staticmethod
     def normalize(text: str) -> str:
-        """NFKC + whitespace collapse + dummy prefix + meta-symbol spaces."""
+        """nmt_nfkc + whitespace collapse + dummy prefix + meta-symbol spaces.
+
+        NMT overrides (controls removed, separators → space) then NFKC, then
+        ``remove_extra_whitespaces`` collapse/strip — the default SP recipe.
+        Residual divergence from the precompiled nmt_nfkc charsmap is limited
+        to long-tail multi-codepoint entries absent from the published
+        builder.cc rule list."""
+        text = text.translate(_NMT_CHARS_MAP)
         text = unicodedata.normalize("NFKC", text)
         text = _WS_RE.sub(" ", text).strip()
         if not text:

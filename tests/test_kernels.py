@@ -367,7 +367,7 @@ def test_committed_expected_fixtures_are_current():
     import make_expected as me
 
     docs = me._docs("/root/testdata/sf0.001")
-    for name in ("language_id", "classifier_filter", "fingerprint_dups", "gopher_repetition", "quality_multilingual", "bloom_dedup"):
+    for name in ("language_id", "classifier_filter", "fingerprint_dups", "gopher_repetition", "quality_multilingual", "bloom_dedup", "perplexity_sp"):
         fresh = me.GENERATORS[name](docs)
         committed = pq.read_table(os.path.join(repo, "tests", "expected", "sf0.001", f"{name}.parquet"))
         assert fresh.equals(committed), f"{name} fixture is stale — regenerate via tools/make_expected.py"

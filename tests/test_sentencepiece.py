@@ -91,6 +91,25 @@ class TestViterbi:
         assert n("") == ""
         assert n("  \n ") == ""
 
+    def test_normalize_nmt_nfkc_rules(self):
+        """The builder.cc NMT overrides on top of NFKC (nmt_nfkc recipe)."""
+        n = SentencePieceUnigram.normalize
+        # zero-width and separator code points become spaces (then collapse)
+        assert n("a​b") == f"{SP_SPACE}a{SP_SPACE}b"   # ZWSP
+        assert n("a‍b") == f"{SP_SPACE}a{SP_SPACE}b"   # ZWJ
+        assert n("a b") == f"{SP_SPACE}a{SP_SPACE}b"   # LINE SEP
+        assert n("﻿a") == f"{SP_SPACE}a"                # BOM
+        # a raw meta symbol in the input is whitespace, not a literal piece
+        assert n("a▁b") == f"{SP_SPACE}a{SP_SPACE}b"
+        # ASCII/C1 controls are REMOVED (no space introduced)
+        assert n("a\x01b") == f"{SP_SPACE}ab"
+        assert n("a\x07\x1fb") == f"{SP_SPACE}ab"
+        assert n("a\x7fb") == f"{SP_SPACE}ab"
+        # NFKC still applies after the overrides (full-width → ASCII)
+        assert n("ａ​ｂ") == f"{SP_SPACE}a{SP_SPACE}b"
+        # controls-only input normalizes to empty
+        assert n("\x01\x02\x1f") == ""
+
     def test_concat_always_reconstructs_normalized_text(self):
         sp = SentencePieceUnigram(self.PIECES)
         for text in ["hello world", "zzz", "he llo", ""]:
