@@ -81,6 +81,7 @@ from .stats import (  # noqa: F401
     words_contamination,
 )
 from .tokens import (  # noqa: F401
+    check_tokenized_dataset,
     merge_ds_shards,
     read_ds,
     read_ds_loss,

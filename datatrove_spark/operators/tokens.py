@@ -418,6 +418,76 @@ def read_ds_loss(path: str) -> list[bool]:
     return [bool(b) for b in struct.unpack("<%d?" % len(raw), raw)]
 
 
+def check_tokenized_dataset(
+    folder: str,
+    eos_id: int | None = None,
+    token_size: int = 2,
+    chunk_size: int | None = None,
+    check_loss: bool | None = None,
+) -> dict:
+    """Validate a folder of ``.ds``/``.ds.index``/``.ds.loss`` shards — the
+    reference's ``tools/check_dataset.py:56-101`` checks, re-expressed as
+    O(n_docs) seeks instead of a full read (a 100 GB shard validates by
+    stat + per-doc-end 2-byte reads):
+
+    * every ``.ds`` has its ``.index`` (and ``.loss`` when any shard has one),
+    * doc ends are strictly increasing and exactly exhaust the ``.ds`` bytes
+      (size == last_end * token_size; the reference's "dataset should be
+      exhausted" probe) and the ``.loss`` bytes (1 per token),
+    * with ``eos_id``: the last token of every document is EOS, except at
+      exact ``chunk_size`` boundaries (the reference's chunked-doc carve-out).
+
+    Raises ``ValueError`` naming the first offending shard/doc; returns
+    ``{"n_files", "n_docs", "n_tokens"}`` on success.
+    """
+    import glob as _glob
+    import os
+    import struct
+
+    fmt = "I" if token_size == 4 else "H"
+    ds_files = sorted(_glob.glob(os.path.join(folder, "*.ds")))
+    if not ds_files:
+        raise ValueError(f"no .ds shards under {folder!r}")
+    idx_files = sorted(_glob.glob(os.path.join(folder, "*.ds.index")))
+    loss_files = sorted(_glob.glob(os.path.join(folder, "*.ds.loss")))
+    if check_loss is None:
+        check_loss = bool(loss_files)
+    if len(ds_files) != len(idx_files) or (check_loss and len(ds_files) != len(loss_files)):
+        raise ValueError(
+            f"shard count mismatch: {len(ds_files)} .ds, {len(idx_files)} "
+            f".ds.index, {len(loss_files)} .ds.loss"
+        )
+    n_docs = n_tokens = 0
+    read_count = 0  # running token count across shards, for chunk boundaries
+    for ds in ds_files:
+        with open(ds + ".index", "rb") as f:
+            raw = f.read()
+        ends = struct.unpack("<%dQ" % (len(raw) // 8), raw)
+        if any(b <= a for a, b in zip(ends, ends[1:])) or (ends and ends[0] == 0):
+            raise ValueError(f"{ds}.index: doc ends not strictly increasing")
+        last = ends[-1] if ends else 0
+        size = os.path.getsize(ds)
+        if size != last * token_size:
+            raise ValueError(
+                f"{ds}: {size} bytes != last doc end {last} * {token_size}"
+            )
+        if check_loss and os.path.getsize(ds + ".loss") != last:
+            raise ValueError(f"{ds}.loss: size != {last} tokens")
+        if eos_id is not None:
+            with open(ds, "rb") as f:
+                for doci, end in enumerate(ends):
+                    read_count += end - (ends[doci - 1] if doci else 0)
+                    f.seek((end - 1) * token_size)
+                    (tok,) = struct.unpack(f"<{fmt}", f.read(token_size))
+                    if tok != eos_id and not (chunk_size and read_count % chunk_size == 0):
+                        raise ValueError(f"{ds}: no EOS at end of doc {doci} (got {tok})")
+        else:
+            read_count += last
+        n_docs += len(ends)
+        n_tokens += last
+    return {"n_files": len(ds_files), "n_docs": n_docs, "n_tokens": n_tokens}
+
+
 def write_tokenized(
     df: DataFrame,
     out_dir: str,

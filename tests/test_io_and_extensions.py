@@ -398,6 +398,43 @@ def test_tokenized_binary_roundtrip(spark, tmp_path):
     expected = sorted([list(r.token_ids) for r in tok.collect()])
     assert sorted(docs) == expected
 
+    # --- check_tokenized_dataset (reference tools/check_dataset.py CLI) ---
+    import os
+    import struct
+
+    import pytest
+
+    from datatrove_spark.operators.tokens import check_tokenized_dataset
+
+    summary2 = check_tokenized_dataset(out_dir, eos_id=0)
+    assert summary2["n_files"] == 3 and summary2["n_docs"] == 20
+    assert summary2["n_tokens"] == sum(len(d) for d in docs)
+    # wrong EOS id → named doc failure
+    with pytest.raises(ValueError, match="no EOS"):
+        check_tokenized_dataset(out_dir, eos_id=99)
+    # truncated shard → size/exhaustion failure
+    with open(shards[0], "rb") as f:
+        blob = f.read()
+    with open(shards[0], "wb") as f:
+        f.write(blob[:-2])
+    with pytest.raises(ValueError, match="bytes"):
+        check_tokenized_dataset(out_dir, eos_id=0)
+    with open(shards[0], "wb") as f:
+        f.write(blob)
+    # missing index → count mismatch
+    os.replace(shards[1] + ".index", shards[1] + ".index.bak")
+    with pytest.raises(ValueError, match="count mismatch"):
+        check_tokenized_dataset(out_dir)
+    os.replace(shards[1] + ".index.bak", shards[1] + ".index")
+    # chunk-size carve-out: a doc cut at an exact chunk boundary may lack EOS
+    n0 = len(read_ds(shards[0])[0])
+    with open(shards[0], "r+b") as f:
+        f.seek((n0 - 1) * 2)
+        f.write(struct.pack("<H", 7))  # overwrite first doc's EOS
+    with pytest.raises(ValueError, match="no EOS"):
+        check_tokenized_dataset(out_dir, eos_id=0)
+    assert check_tokenized_dataset(out_dir, eos_id=0, chunk_size=n0)["n_docs"] == 20
+
 
 def test_megatron_binary_roundtrip(spark, tmp_path):
     """Megatron MMIDIDX .bin/.idx shards (reference megatron_tokenizer.py):

@@ -1,0 +1,39 @@
+"""Validate tokenized .ds/.ds.index/.ds.loss shards (reference
+tools/check_dataset.py CLI): EOS at every doc end, index/data/loss sizes
+consistent, data exactly exhausted.
+
+    python tools/check_dataset.py OUT_DIR --eos-id 50256 [--token-size 2]
+                                  [--chunk-size N] [--no-loss]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datatrove_spark.operators.tokens import check_tokenized_dataset  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data", nargs="?", default=os.getcwd(), help="shard folder")
+    p.add_argument("--eos-id", type=int, default=None,
+                   help="EOS token id to require at every doc end")
+    p.add_argument("--token-size", type=int, default=2, choices=(2, 4))
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="allow missing EOS at exact chunk boundaries")
+    p.add_argument("--no-loss", action="store_true",
+                   help="skip .ds.loss size checks even if files exist")
+    a = p.parse_args()
+    summary = check_tokenized_dataset(
+        a.data, eos_id=a.eos_id, token_size=a.token_size,
+        chunk_size=a.chunk_size, check_loss=False if a.no_loss else None,
+    )
+    print(f"All checks ok: {summary}")
+
+
+if __name__ == "__main__":
+    main()

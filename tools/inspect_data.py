@@ -1,0 +1,123 @@
+"""Inspect corpus samples from parquet/jsonl/csv (reference
+tools/inspect_data.py, non-interactive: this container has no `rich`, so
+panels render as plain boxes and filtering is a SQL WHERE instead of a
+Python eval prompt).
+
+    python tools/inspect_data.py PATH [-s 0.01] [-n 10] [-w "lang='en'"]
+                                 [--text-col text] [--columns id,lang]
+
+Sampling is the SamplerFilter's deterministic md5-of-row rule, so the same
+invocation always shows the same documents.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import hashlib
+import json
+import os
+import sys
+
+
+def _detect_format(path: str) -> tuple[str, list[str]]:
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            f
+            for pat in ("*.parquet", "*.jsonl", "*.jsonl.gz", "*.json", "*.csv")
+            for f in glob.glob(os.path.join(path, pat))
+        )
+    if not files:
+        sys.exit(f"no data files under {path!r}")
+    if len(files) > 1:
+        # a directory of differently-named single-table files (e.g. the
+        # TPC-H-ish sf dirs): inspect `documents` by default, or tell the
+        # user to name one
+        stems = {os.path.basename(f).split(".")[0] for f in files}
+        if len(stems) > 1:
+            doc_files = [f for f in files if os.path.basename(f).startswith("documents.")]
+            if doc_files:
+                files = doc_files
+            else:
+                sys.exit(f"multiple tables under {path!r}: {sorted(stems)} — pass one file")
+    first = files[0]
+    for ext, kind in ((".parquet", "parquet"), (".csv", "csv")):
+        if first.endswith(ext):
+            return kind, files
+    return "jsonl", files
+
+
+def _rows(kind: str, files: list[str], where: str | None, limit: int, sample: float):
+    """Yield row dicts via DuckDB (SQL pushdown) with a deterministic sample."""
+    import duckdb
+
+    reader = {
+        "parquet": "read_parquet",
+        "csv": "read_csv_auto",
+        "jsonl": "read_json_auto",
+    }[kind]
+    con = duckdb.connect()
+    src = f"{reader}({files!r})"
+    clauses = []
+    if where:
+        clauses.append(f"({where})")
+    if sample < 1.0:
+        # md5-of-row-text deterministic sampler (operators/filters.py rule)
+        clauses.append(
+            f"(hash(to_json(t)::VARCHAR) % 1000000) < {int(sample * 1000000)}"
+        )
+    cond = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+    q = f"SELECT * FROM {src} t {cond} LIMIT {limit}"
+    cur = con.execute(q)
+    cols = [d[0] for d in cur.description]
+    for rec in cur.fetchall():
+        yield dict(zip(cols, rec))
+
+
+def _panel(doc: dict, text_col: str, columns: list[str] | None, width: int = 100) -> str:
+    meta = {
+        k: v
+        for k, v in doc.items()
+        if k != text_col and (columns is None or k in columns)
+    }
+    head = " | ".join(f"{k}={_short(v)}" for k, v in meta.items())
+    text = doc.get(text_col)
+    if text is None:
+        body = "(no text column)" if text_col not in doc else "(null text)"
+    else:
+        body = text if isinstance(text, str) else json.dumps(text, default=str)
+    bar = "─" * width
+    return f"┌{bar}┐\n│ {head}\n├{bar}┤\n{body}\n└{bar}┘"
+
+
+def _short(v, n: int = 60) -> str:
+    s = str(v)
+    return s if len(s) <= n else s[: n - 1] + "…"
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("path", nargs="?", default=os.getcwd())
+    p.add_argument("-s", "--sample", type=float, default=1.0,
+                   help="deterministic sample rate in [0,1]")
+    p.add_argument("-n", "--limit", type=int, default=10)
+    p.add_argument("-w", "--where", default=None, help="SQL WHERE predicate")
+    p.add_argument("--text-col", default=None,
+                   help="document text column (default: text, else content)")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated metadata columns to show")
+    a = p.parse_args()
+    kind, files = _detect_format(a.path)
+    cols = a.columns.split(",") if a.columns else None
+    shown = 0
+    for doc in _rows(kind, files, a.where, a.limit, a.sample):
+        text_col = a.text_col or ("text" if "text" in doc else "content")
+        print(_panel(doc, text_col, cols))
+        shown += 1
+    print(f"-- {shown} document(s) from {len(files)} {kind} file(s)")
+
+
+if __name__ == "__main__":
+    main()
