@@ -100,6 +100,9 @@ class SentencePieceUnigram:
         self.unk_piece = unk_piece
         self.max_piece_len = max(len(p) for p in self.pieces)
         self.unk_score = min(self.pieces.values()) - _UNK_PENALTY
+        # per-word decomposition is exact iff no piece has an internal ▁
+        self._word_safe = not any(SP_SPACE in p[1:] for p in self.pieces)
+        self._cache: dict[str, tuple[str, ...]] = {}
 
     # --- model IO -------------------------------------------------------------
 
@@ -131,9 +134,36 @@ class SentencePieceUnigram:
 
     def encode_as_pieces(self, text: str) -> list[str]:
         s = self.normalize(text)
-        n = len(s)
-        if n == 0:
+        if not s:
             return []
+        if not self._word_safe:
+            return self._viterbi(s)
+        # Per-word Viterbi with memoization.  When no piece contains ▁ past
+        # position 0 (true for standard unigram vocabs), a piece can never
+        # cross from one word into the next, so the whole-string optimum is
+        # exactly the concatenation of per-word optima — and natural text's
+        # word repetition (Zipf) makes the cache hit rate very high.
+        out: list[str] = []
+        cache = self._cache
+        start, n = 0, len(s)
+        while start < n:
+            end = s.find(SP_SPACE, start + 1)
+            if end == -1:
+                end = n
+            seg = s[start:end]
+            hit = cache.get(seg)
+            if hit is None:
+                hit = tuple(self._viterbi(seg))
+                if len(cache) < self._CACHE_MAX:
+                    cache[seg] = hit
+            out.extend(hit)
+            start = end
+        return out
+
+    _CACHE_MAX = 200_000  # word segments; ~tens of MB worst case per executor
+
+    def _viterbi(self, s: str) -> list[str]:
+        n = len(s)
         NEG = float("-inf")
         best = [NEG] * (n + 1)
         best[0] = 0.0

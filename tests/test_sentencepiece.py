@@ -110,6 +110,39 @@ class TestViterbi:
         # controls-only input normalizes to empty
         assert n("\x01\x02\x1f") == ""
 
+    def test_per_word_memoized_viterbi_matches_whole_string(self):
+        """The per-word cache path (word-safe vocabs) is exactly the
+        whole-string Viterbi: same total score, same reconstruction, and
+        repeated encodes (warm cache) are deterministic."""
+        import random
+
+        rng = random.Random(11)
+        for trial in range(30):
+            chars = "abcde"
+            vocab = {}
+            for _ in range(rng.randint(5, 25)):
+                L = rng.randint(1, 4)
+                p = "".join(rng.choice(chars) for _ in range(L))
+                if rng.random() < 0.5:
+                    p = SP_SPACE + p  # word-start pieces only: word-safe
+                vocab[p] = -float(rng.randint(1, 64))  # integer scores: no fp ties
+            sp = SentencePieceUnigram(vocab)
+            assert sp._word_safe
+            text = " ".join(
+                "".join(rng.choice(chars) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(1, 6))
+            )
+            fast = sp.encode_as_pieces(text)
+            slow = sp._viterbi(sp.normalize(text))
+            assert "".join(fast) == sp.normalize(text)
+            score = lambda ps: sum(sp.pieces.get(p, sp.unk_score) for p in ps)
+            assert score(fast) == score(slow), (vocab, text)
+            assert sp.encode_as_pieces(text) == fast  # warm-cache determinism
+        # a vocab with an INTERNAL meta symbol disables the shortcut
+        unsafe = SentencePieceUnigram({f"a{SP_SPACE}b": -1.0, "a": -2.0, "b": -2.0})
+        assert not unsafe._word_safe
+        assert "".join(unsafe.encode_as_pieces("x y")) == unsafe.normalize("x y")
+
     def test_concat_always_reconstructs_normalized_text(self):
         sp = SentencePieceUnigram(self.PIECES)
         for text in ["hello world", "zzz", "he llo", ""]:
