@@ -418,10 +418,28 @@ def q_perplexity_sp(spark, sf_dir):
         .limit(PERPLEXITY_SAMPLE)
         .collect()
     ]
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"dts_sp_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    arpa_path, sp_path = CCNetSPArpaModel.build_artifacts(sample, out_dir)
+    # content-keyed artifact dir + atomic rename: a fixed world-shared path
+    # keyed on the sf basename would race concurrent runs (one process
+    # overwriting sp.model while another's executors lazily load it).  Keyed
+    # by the training sample, identical inputs produce identical bytes, and
+    # os.replace means a reader only ever sees a complete file.
+    import hashlib
+    import shutil
+
+    sample_fp = hashlib.sha1("\x00".join(sample).encode()).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), f"dts_sp_{sample_fp}")
+    built_arpa = os.path.join(out_dir, "lm.arpa")
+    built_sp = os.path.join(out_dir, "sp.model")
+    if not (os.path.exists(built_arpa) and os.path.exists(built_sp)):
+        build_dir = tempfile.mkdtemp(prefix="dts_sp_build_")
+        a, s = CCNetSPArpaModel.build_artifacts(sample, build_dir)
+        built_arpa = os.path.join(out_dir, os.path.basename(a))
+        built_sp = os.path.join(out_dir, os.path.basename(s))
+        os.makedirs(out_dir, exist_ok=True)
+        os.replace(a, built_arpa)
+        os.replace(s, built_sp)
+        shutil.rmtree(build_dir, ignore_errors=True)
+    arpa_path, sp_path = built_arpa, built_sp
     out = annotate_perplexity(
         docs,
         text_col="text",

@@ -64,8 +64,12 @@ class _BlockParser(HTMLParser):
         self._link_depth = 0
         self._heading = False
         # element stack for class/id-hinted discard regions (trafilatura's
-        # overall-discard heuristic); each entry is (tag, is_attr_skip)
-        self._stack: list[tuple[str, bool]] = []
+        # overall-discard heuristic) AND skip-tag subtrees; each entry is
+        # (tag, is_attr_skip, is_skip_tag).  Skip tags live on the same
+        # stack so e.g. </nav> also pops an unclosed attr-skip <div> opened
+        # inside it — otherwise _attr_skip_depth stays elevated and blanks
+        # the rest of the document.
+        self._stack: list[tuple[str, bool, bool]] = []
         self._attr_skip_depth = 0
 
     def _flush(self):
@@ -78,11 +82,12 @@ class _BlockParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
+            self._stack.append((tag, False, True))
             return
         if tag not in _VOID_TAGS:
             hint = " ".join(v for k, v in attrs if k in ("class", "id") and v)
             attr_skip = bool(hint and _SKIP_ATTR_RE.search(hint))
-            self._stack.append((tag, attr_skip))
+            self._stack.append((tag, attr_skip, False))
             if attr_skip:
                 self._flush()
                 self._attr_skip_depth += 1
@@ -93,16 +98,16 @@ class _BlockParser(HTMLParser):
             self._heading = tag in _HEADING_TAGS
 
     def handle_endtag(self, tag):
-        if tag in _SKIP_TAGS:
-            self._skip_depth = max(0, self._skip_depth - 1)
-            return
         # pop to the matching open element; real-world HTML leaves <p>/<li>
-        # unclosed, so everything above the match pops with it
+        # unclosed, so everything above the match pops with it — including
+        # attr-skip and skip-tag entries, whose depths decrement on pop
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
-                for t, attr_skip in self._stack[i:]:
+                for t, attr_skip, is_skip_tag in self._stack[i:]:
                     if attr_skip:
                         self._attr_skip_depth = max(0, self._attr_skip_depth - 1)
+                    if is_skip_tag:
+                        self._skip_depth = max(0, self._skip_depth - 1)
                 del self._stack[i:]
                 break
         if tag == "a":

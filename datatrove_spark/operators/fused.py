@@ -41,7 +41,7 @@ from ..kernels.perplexity import InterpolatedLM
 from ..kernels.text import tokenize_words
 from ..kernels.tokenizers import tokenize_words_lang
 from .base import ensure_channel
-from .language import _singleton
+from .language import _singleton, model_fingerprint
 
 _EXTRA_FIELDS = (
     ("language", "string"),
@@ -156,6 +156,12 @@ def fused_quality_filter(
     lang_set = tuple(languages) if languages else None
     df = ensure_channel(df)
 
+    # model-identity keys, computed ONCE driver-side: tag+path alone would
+    # let a second fused call with a different dict-backed model silently
+    # reuse whichever model each warm executor built first
+    _lid_key = f"{model_tag}:{fasttext_path}:{model_fingerprint(lid_model_dict)}"
+    _lm_key = f"{model_tag}_lm:{arpa_path}:{sp_path}:{model_fingerprint(lm_dict)}"
+
     in_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     in_names = [n for n, _ in in_fields]
     out_schema = ", ".join(
@@ -183,9 +189,9 @@ def fused_quality_filter(
                 return arpa
             return InterpolatedLM(lm_dict)
 
-        lid = _singleton(f"{model_tag}:{fasttext_path}", build_lid)
+        lid = _singleton(_lid_key, build_lid)
         lm = (
-            _singleton(f"{model_tag}_lm:{arpa_path}:{sp_path}", build_lm)
+            _singleton(_lm_key, build_lm)
             if (lm_dict is not None or arpa_path is not None)
             else None
         )

@@ -35,6 +35,19 @@ LID_RESULT = StructType(
 _MODEL_CACHE: dict[str, object] = {}
 
 
+def model_fingerprint(obj) -> str:
+    """Deterministic identity of a (possibly nested) model dict, computed
+    once driver-side for singleton cache keys.  Full content — a truncated
+    fingerprint lets two distinct models share a key and silently reuse
+    whichever an executor built first."""
+    import json
+
+    if obj is None:
+        return "none"
+    blob = json.dumps(obj, sort_keys=True, default=repr).encode()
+    return hashlib.sha1(blob).hexdigest()[:16]
+
+
 def _singleton(tag: str, factory):
     model = _MODEL_CACHE.get(tag)
     if model is None:
@@ -59,6 +72,10 @@ def annotate_language(
     the deterministic default.
     """
 
+    # model-identity key (driver-side): tag alone would let a later call with
+    # a different path/dict silently reuse this model on warm executors
+    _model_key = f"{model_tag}:{fasttext_path}:{model_fingerprint(model_dict)}"
+
     @F.pandas_udf(LID_RESULT)
     def _udf(texts: pd.Series) -> pd.DataFrame:
         def build():
@@ -66,7 +83,7 @@ def annotate_language(
                 return FastTextLID(fasttext_path)
             return NgramBayesLID(model_dict)
 
-        model = _singleton(model_tag, build)
+        model = _singleton(_model_key, build)
         langs, scores = [], []
         for t in texts.fillna(""):
             (lang, score), _ = model.predict(t)
@@ -154,15 +171,11 @@ def annotate_perplexity(
     perplexity.py:125-127) via the dependency-free unigram Viterbi in
     ``kernels.sentencepiece``."""
     # model-identity key, computed ONCE driver-side (an lm_dict fingerprint
-    # per batch would be wasted work)
-    _lm_fp = (
-        hashlib.sha1(
-            repr((sorted(lm_dict.get("uni", {}).items())[:50], lm_dict.get("oov"))).encode()
-        ).hexdigest()[:12]
-        if lm_dict
-        else "default"
+    # per batch would be wasted work); full-content fingerprint — a prefix
+    # would collide LMs sharing their head unigrams
+    _model_key = (
+        f"{model_tag}:{kenlm_paths}:{arpa_path}:{sp_path}:{model_fingerprint(lm_dict)}"
     )
-    _model_key = f"{model_tag}:{kenlm_paths}:{arpa_path}:{sp_path}:{_lm_fp}"
 
     @F.pandas_udf(DoubleType())
     def _udf(texts: pd.Series) -> pd.Series:

@@ -458,7 +458,6 @@ def check_tokenized_dataset(
             f".ds.index, {len(loss_files)} .ds.loss"
         )
     n_docs = n_tokens = 0
-    read_count = 0  # running token count across shards, for chunk boundaries
     for ds in ds_files:
         with open(ds + ".index", "rb") as f:
             raw = f.read()
@@ -476,13 +475,17 @@ def check_tokenized_dataset(
         if eos_id is not None:
             with open(ds, "rb") as f:
                 for doci, end in enumerate(ends):
-                    read_count += end - (ends[doci - 1] if doci else 0)
                     f.seek((end - 1) * token_size)
                     (tok,) = struct.unpack(f"<{fmt}", f.read(token_size))
-                    if tok != eos_id and not (chunk_size and read_count % chunk_size == 0):
+                    # chunk boundaries are SHARD-LOCAL: every shard is
+                    # tokenized independently, so `end` (the doc's within-
+                    # shard token position) decides the EOS carve-out — a
+                    # counter carried across shards would both mis-flag and
+                    # wrongly exempt docs in multi-shard folders.  (The
+                    # reference check_dataset CLI counts across files, but
+                    # it validates one sequentially-merged stream.)
+                    if tok != eos_id and not (chunk_size and end % chunk_size == 0):
                         raise ValueError(f"{ds}: no EOS at end of doc {doci} (got {tok})")
-        else:
-            read_count += last
         n_docs += len(ends)
         n_tokens += last
     return {"n_files": len(ds_files), "n_docs": n_docs, "n_tokens": n_tokens}

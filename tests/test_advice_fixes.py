@@ -102,3 +102,23 @@ def test_simhash_default_is_exact_mode(spark):
 
     sig = inspect.signature(simhash_dedup)
     assert sig.parameters["max_bucket"].default is None
+
+
+def test_annotate_language_singleton_keyed_by_model(spark):
+    """Two annotate_language calls with DIFFERENT dict models in one
+    application must not share an executor-cached model — the key must
+    carry the model identity, not just model_tag (the round-4 review's
+    highest-impact finding: the fasttext_path pipeline wiring made the
+    collision reachable with default arguments)."""
+    from datatrove_spark.kernels.lid import NgramBayesLID
+    from datatrove_spark.operators import annotate_language
+
+    m_en = NgramBayesLID.train({"en": "the cat sat on the mat and the dog ran"})
+    m_xx = NgramBayesLID.train({"xx": "the cat sat on the mat and the dog ran"})
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+
+    lang_a = annotate_language(df, model_dict=m_en.model).collect()[0].language
+    lang_b = annotate_language(df, model_dict=m_xx.model).collect()[0].language
+    # identical training text under different labels: each call must score
+    # with ITS OWN model, so the labels must differ
+    assert lang_a == "en" and lang_b == "xx"

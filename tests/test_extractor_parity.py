@@ -99,3 +99,18 @@ def test_heading_over_link_farm_drops():
     assert "Real Section" in text
     assert "More From The Web" not in text
     assert "Clickbait" not in text
+
+
+def test_skip_tag_end_pops_unclosed_discard_regions():
+    """An attr-skip element left unclosed inside <nav> must not blank the
+    rest of the document: </nav> pops everything opened inside it.
+    Regression: skip-tag end tags bypassed the element-stack pop, leaving
+    _attr_skip_depth permanently elevated."""
+    html = (
+        '<nav><div class="menu-wrap">Home About Contact'
+        "</nav><p>This is the long main article content that must survive "
+        "extraction after the malformed navigation block.</p>"
+    )
+    out = basic_html_to_text(html)
+    assert "long main article content" in out
+    assert "Home About" not in out

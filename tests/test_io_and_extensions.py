@@ -1123,3 +1123,43 @@ def test_url_filter_operator_subwords_and_soft(spark):
     assert out[2] == (False, "blacklisted_subword")
     assert out[3] == (False, "soft_blacklisted")
     assert out[4] == (True, None)
+
+
+def test_check_tokenized_dataset_chunk_boundaries_are_shard_local(tmp_path):
+    """Chunk boundaries are per-shard (each shard tokenized independently):
+    a doc cut at a shard-LOCAL multiple of chunk_size may lack EOS, while a
+    doc whose cumulative cross-shard position merely happens to hit a
+    multiple gets no exemption.  Regression: a counter carried across
+    shards inverted both cases."""
+    import struct
+
+    import pytest
+
+    from datatrove_spark.operators.tokens import check_tokenized_dataset
+
+    def write_shard(dirpath, name, docs):
+        ends, flat = [], []
+        for d in docs:
+            flat.extend(d)
+            ends.append(len(flat))
+        with open(dirpath / f"{name}.ds", "wb") as f:
+            f.write(struct.pack(f"<{len(flat)}H", *flat))
+        with open(dirpath / f"{name}.ds.index", "wb") as f:
+            f.write(struct.pack(f"<{len(ends)}Q", *ends))
+
+    # shard_a: 10 tokens ending in EOS; shard_b: doc cut at shard-local 8
+    # (== chunk_size) with no EOS.  Cumulative position would be 18.
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    write_shard(ok, "shard_a", [[5] * 9 + [0]])
+    write_shard(ok, "shard_b", [[7] * 8])
+    assert check_tokenized_dataset(str(ok), eos_id=0, chunk_size=8)["n_docs"] == 2
+
+    # shard_a: 6 tokens + EOS; shard_b: doc ending at shard-local 10 with no
+    # EOS.  Cumulative position 16 is a multiple of 8 — must still raise.
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    write_shard(bad, "shard_a", [[5] * 5 + [0]])
+    write_shard(bad, "shard_b", [[7] * 10])
+    with pytest.raises(ValueError, match="no EOS"):
+        check_tokenized_dataset(str(bad), eos_id=0, chunk_size=8)
