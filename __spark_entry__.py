@@ -212,6 +212,25 @@ def q_minhash_dedup(spark, sf_dir):
     return out.select("doc_id", "keep", "drop_reason")
 
 
+def q_minhash_staged(spark, sf_dir):
+    """Crash-resumable 4-stage minhash (parquet-staged, reference
+    minhash.py stage architecture).  Decisions are identical to
+    minhash_dedup, so it shares that sequential fixture oracle.  A fresh
+    private stage dir per call — the query verifies the staged DATAFLOW;
+    resume/skip semantics are pinned by
+    tests/test_operators_smoke.py::test_minhash_dedup_staged_matches_and_resumes."""
+    import shutil
+    import tempfile
+
+    from datatrove_spark.operators import minhash_dedup_staged
+
+    stage_dir = tempfile.mkdtemp(prefix="dts_mh_staged_")
+    out = minhash_dedup_staged(_docs(spark, sf_dir), stage_dir)
+    rows = out.select("doc_id", "keep", "drop_reason").localCheckpoint()
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return rows
+
+
 def q_minhash_dedup_index(spark, sf_dir):
     """Minhash dedup-against-index (reference MinhashDedupBuckets with
     index_folder): docs with doc_id % 10 == 0 are the prior corpus; batch
@@ -939,7 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only ever queries green at the previous round's driver.  Under this
     # policy every query gets a fresh driver row at least every two rounds.
     # Round 4: positions 1-11 are the 11 queries without a CORRECTNESS_r03
-    # row; the tail 11 are all green in CORRECTNESS_r03.
+    # row; every query beyond the driver's 50-row window is green in
+    # CORRECTNESS_r03.
     return {
         # -- round-3 driver-starved (rotate to the front) --
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -958,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_pii_scrub": q_code_pii_scrub,
         # -- new round-4 code (must sit inside the driver's 50-row window) --
         "perplexity_sp": q_perplexity_sp,
+        "minhash_staged": q_minhash_staged,
         # -- quality filters --
         "gopher_quality": q_gopher_quality,
         "gopher_rep_topgrams": q_gopher_rep_topgrams,
@@ -1747,6 +1768,9 @@ def oracle_sql() -> dict[str, str]:
         },
         # code-corpus fixtures are sf-independent (the corpus is synthesized,
         # not read from the sf dir)
+        # staged minhash makes decisions identical to minhash_dedup by
+        # construction — it verifies against the same sequential fixture
+        "minhash_staged": _fixture_values_sql(f"sf{_expected_sf()}/minhash_dedup"),
         "code_quality": _fixture_values_sql("code/code_quality"),
         "code_pii_scrub": _fixture_values_sql("code/code_pii_scrub"),
         # LangStats: per-language aggregation is real SQL over the

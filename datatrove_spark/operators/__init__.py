@@ -26,6 +26,7 @@ from .dedup import (  # noqa: F401
     jaccard_neardup_pairs,
     minhash_band_table,
     minhash_dedup,
+    minhash_dedup_staged,
     minhash_signatures,
     ngram_decontaminate,
     ngram_shingles,

@@ -387,6 +387,119 @@ def minhash_dedup(
     return out.drop("_dup_id")
 
 
+def _stage_complete(spark, path: str) -> bool:
+    """A stage output is complete iff Spark's _SUCCESS marker exists.  Checked
+    through the Hadoop FileSystem API so hdfs:///s3a:// paths work on a real
+    cluster; plain os.path covers local runs without a JVM round-trip."""
+    import os
+
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return True
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        return False
+
+
+def minhash_dedup_staged(
+    df: DataFrame,
+    out_dir: str,
+    cfg: MinhashConfig = DEFAULT_MINHASH,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crash-resumable minhash dedup: the reference's 4-stage file-backed
+    architecture (minhash.py MinhashDedupSignature → Buckets → Cluster →
+    Filter, with executor/base.py completion markers) as parquet-staged
+    Spark jobs.
+
+    ``minhash_dedup`` holds its intermediates in ``localCheckpoint`` —
+    executor memory/disk, gone on driver crash.  Fine at test scale; at
+    100 TB the signature pass alone is hours of work, so each stage's
+    output must be durable for a restarted driver to reuse it:
+
+    * ``stage1_bands``      — the expensive signature/band UDF, run once
+    * ``stage2_edges``      — bucket-join star edges (seed = min id per bucket)
+    * ``stage3_components`` — connected components (id, component)
+    * stage 4 joins components back onto ``df`` in memory (cheap, recomputed
+      on every call — it is the *answer*, not a checkpoint).
+
+    A stage is complete iff its directory carries Spark's ``_SUCCESS``
+    marker; a crash mid-write leaves no marker and the resumed run
+    overwrites the partial output in place (same idempotence argument as
+    ``lineage.run_checkpointed``).  Stage records (skipped, wall ms) append
+    to ``out_dir/_stages.jsonl``.  Decisions are identical to
+    ``minhash_dedup``: same band hashes, same star edges, same CC, smallest
+    id per cluster survives.
+    """
+    import json
+    import os
+    import time
+
+    spark = df.sparkSession
+    df = ensure_channel(df)
+
+    def _run_stage(name: str, path: str, build) -> DataFrame:
+        t0 = time.time()
+        skipped = _stage_complete(spark, path)
+        if not skipped:
+            build().write.mode("overwrite").parquet(path)
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "_stages.jsonl"), "a") as f:
+                f.write(
+                    json.dumps(
+                        {"stage": name, "skipped": skipped,
+                         "wall_ms": int((time.time() - t0) * 1000), "ts": time.time()},
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+        except OSError:
+            pass  # non-local out_dir: stage data is on the cluster FS, the
+            # local manifest is best-effort telemetry only
+        return spark.read.parquet(path)
+
+    bands = _run_stage(
+        "signatures",
+        os.path.join(out_dir, "stage1_bands"),
+        lambda: minhash_band_table(
+            df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col
+        ),
+    )
+
+    def _build_edges():
+        seeds = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.min("id").alias("seed"), F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > 1)
+        )
+        return (
+            bands.join(seeds, ["band_idx", "band_hash"])
+            .filter(F.col("id") != F.col("seed"))
+            .select(F.col("seed").alias("src"), F.col("id").alias("dst"))
+            .distinct()
+        )
+
+    edges = _run_stage("edges", os.path.join(out_dir, "stage2_edges"), _build_edges)
+    comps = _run_stage(
+        "components",
+        os.path.join(out_dir, "stage3_components"),
+        lambda: connected_components(edges),
+    )
+
+    survivors_drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_dup_id")
+    )
+    out = df.join(survivors_drop, df[id_col] == survivors_drop["_dup_id"], "left")
+    out = apply_native_filter(out, F.col("_dup_id").isNull(), "minhash_duplicate")
+    return out.drop("_dup_id")
+
+
 # --------------------------------------------------------------------------
 # sentence dedup (reference dedup/sentence_dedup.py: hash every
 # n_sentences-span; first owner keeps it, later docs lose the span)

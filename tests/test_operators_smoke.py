@@ -701,3 +701,48 @@ def test_exact_substring_reference_corpus_shape(spark, tmp_path):
     assert "one must first answer" in out[4]
     assert "coca zero" in out[5]
     assert out[8] == unique  # unique doc byte-exact
+
+
+def test_minhash_dedup_staged_matches_and_resumes(spark, tmp_path):
+    """The parquet-staged resumable minhash must (a) make the same decisions
+    as the in-memory operator, (b) skip every completed stage on re-run
+    (crash-restart reuse), and (c) rebuild exactly the stages whose outputs
+    are missing their _SUCCESS marker."""
+    import itertools
+    import json
+    import shutil
+    import string
+
+    vocab = ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)]
+    base = " ".join(vocab[:100])
+    near = " ".join(vocab[:95] + "xq xr xs xt xu".split())
+    other = " ".join(vocab[200:300])
+    df = _docs(spark, [(1, base), (2, near), (3, other), (4, base)])
+    out_dir = str(tmp_path / "mh_staged")
+
+    expected = {r.doc_id: r.keep for r in ops.minhash_dedup(df).collect()}
+    got = {r.doc_id: r.keep for r in ops.minhash_dedup_staged(df, out_dir).collect()}
+    assert got == expected
+
+    def stage_records():
+        with open(f"{out_dir}/_stages.jsonl") as f:
+            return [json.loads(line) for line in f]
+
+    n_first = len(stage_records())
+    assert n_first == 3 and not any(r["skipped"] for r in stage_records())
+
+    # re-run: all three stages reused from disk, decisions unchanged
+    got2 = {r.doc_id: r.keep for r in ops.minhash_dedup_staged(df, out_dir).collect()}
+    assert got2 == expected
+    recs = stage_records()[n_first:]
+    assert [r["skipped"] for r in recs] == [True, True, True]
+
+    # lose the cluster stage (crash mid-write leaves no _SUCCESS): only it
+    # rebuilds, the expensive signature stage stays skipped
+    shutil.rmtree(f"{out_dir}/stage3_components")
+    got3 = {r.doc_id: r.keep for r in ops.minhash_dedup_staged(df, out_dir).collect()}
+    assert got3 == expected
+    recs = stage_records()[n_first + 3:]
+    assert {r["stage"]: r["skipped"] for r in recs} == {
+        "signatures": True, "edges": True, "components": False,
+    }
