@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--out", default=os.path.join("BENCH", "headroom.json"))
+    ap.add_argument("--staged", action="store_true",
+                    help="also run the crash-resumable staged minhash + a resume pass")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -112,6 +114,42 @@ def main() -> None:
         "docs_per_sec": round(args.docs / wall, 1),
     }
     print(f"minhash: {args.docs} docs in {wall:.1f}s = {args.docs/wall:.0f} docs/s, {n_dups} dups")
+
+    # -- staged (crash-resumable) minhash over the same corpus --------------
+    # the durability tax of parquet stage checkpoints vs localCheckpoint,
+    # plus the resume dividend: a second call must reuse all three stages
+    if args.staged:
+        import shutil
+        import tempfile
+
+        from datatrove_spark.operators import minhash_dedup_staged
+
+        stage_dir = tempfile.mkdtemp(prefix="headroom_mh_staged_")
+        t0 = time.time()
+        n_staged = (
+            minhash_dedup_staged(docs, stage_dir).filter(~F.col("keep")).count()
+        )
+        wall = time.time() - t0
+        t0 = time.time()
+        n_resumed = (
+            minhash_dedup_staged(docs, stage_dir).filter(~F.col("keep")).count()
+        )
+        resume_wall = time.time() - t0
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        assert n_staged == n_dups and n_resumed == n_dups, (n_staged, n_resumed, n_dups)
+        out["minhash_staged"] = {
+            "n_docs": args.docs,
+            "n_dups": n_staged,
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": round(args.docs / wall, 1),
+            "overhead_vs_inmemory": round(wall / out["minhash"]["wall_sec"] - 1, 3),
+            "resume_wall_sec": round(resume_wall, 1),
+        }
+        print(
+            f"minhash_staged: {wall:.1f}s = {args.docs/wall:.0f} docs/s "
+            f"(+{out['minhash_staged']['overhead_vs_inmemory']*100:.0f}% vs in-memory), "
+            f"resume {resume_wall:.1f}s"
+        )
 
     # -- exact dedup over the same corpus ----------------------------------
     from datatrove_spark.operators import exact_dedup
