@@ -448,20 +448,23 @@ def minhash_dedup_staged(
         skipped = _stage_complete(spark, path)
         if not skipped:
             build().write.mode("overwrite").parquet(path)
-        try:
-            os.makedirs(out_dir, exist_ok=True)
-            with open(os.path.join(out_dir, "_stages.jsonl"), "a") as f:
-                f.write(
-                    json.dumps(
-                        {"stage": name, "skipped": skipped,
-                         "wall_ms": int((time.time() - t0) * 1000), "ts": time.time()},
-                        sort_keys=True,
+        # the jsonl manifest is best-effort LOCAL telemetry; for a cluster-FS
+        # out_dir (s3a://, hdfs://) the durable state is the parquet stages
+        # themselves and no local manifest is attempted
+        if "://" not in out_dir:
+            try:
+                os.makedirs(out_dir, exist_ok=True)
+                with open(os.path.join(out_dir, "_stages.jsonl"), "a") as f:
+                    f.write(
+                        json.dumps(
+                            {"stage": name, "skipped": skipped,
+                             "wall_ms": int((time.time() - t0) * 1000), "ts": time.time()},
+                            sort_keys=True,
+                        )
+                        + "\n"
                     )
-                    + "\n"
-                )
-        except OSError:
-            pass  # non-local out_dir: stage data is on the cluster FS, the
-            # local manifest is best-effort telemetry only
+            except OSError:
+                pass
         return spark.read.parquet(path)
 
     bands = _run_stage(
