@@ -225,10 +225,13 @@ def q_minhash_staged(spark, sf_dir):
     from datatrove_spark.operators import minhash_dedup_staged
 
     stage_dir = tempfile.mkdtemp(prefix="dts_mh_staged_")
-    out = minhash_dedup_staged(_docs(spark, sf_dir), stage_dir)
-    rows = out.select("doc_id", "keep", "drop_reason").localCheckpoint()
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    return rows
+    try:
+        out = minhash_dedup_staged(_docs(spark, sf_dir), stage_dir)
+        return out.select("doc_id", "keep", "drop_reason").localCheckpoint()
+    finally:
+        # always reclaim the stage parquet — a failing build must not
+        # accumulate dts_mh_staged_* dirs in /tmp across oracle runs
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def q_minhash_dedup_index(spark, sf_dir):

@@ -357,52 +357,67 @@ def minhash_dedup(
         # remaining within-batch dedup runs over the non-index-dropped rows
         bands = bands.join(hit.withColumnRenamed("_idx_dup", "id"), "id", "left_anti")
 
-    # bucket-join: docs sharing (band_idx, band_hash); min id per bucket is the
-    # cluster seed — emit star edges (seed, member) instead of all pairs so the
-    # edge count is linear in bucket size (vs quadratic pair explosion).  The
-    # seed comes from an agg + re-join, not collect_list: a degenerate bucket
-    # (e.g. millions of identical docs at 10^12 scale) must never materialize
-    # one giant array in a single task.
-    seeds = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.min("id").alias("seed"), F.count("*").alias("n_members"))
-        .filter(F.col("n_members") > 1)
-    )
-    edges = (
-        bands.join(seeds, ["band_idx", "band_hash"])
-        .filter(F.col("id") != F.col("seed"))
-        .select(F.col("seed").alias("src"), F.col("id").alias("dst"))
-        .distinct()
-    ).localCheckpoint()
+    edges = _star_edges(bands).localCheckpoint()
 
     # no isEmpty() pre-check: connected_components counts the edges anyway
     # (an empty graph yields an empty label frame and the join-back keeps
     # every row) — one fewer fixed-latency job on the minhash critical path
     comps = connected_components(edges)
+    return _drop_cluster_members(df, comps, id_col, "minhash_duplicate")
+
+
+def _star_edges(bands: DataFrame) -> DataFrame:
+    """Bucket-join: docs sharing (band_idx, band_hash); min id per bucket is
+    the cluster seed — emit star edges (seed, member) instead of all pairs so
+    the edge count is linear in bucket size (vs quadratic pair explosion).
+    The seed comes from an agg + re-join, not collect_list: a degenerate
+    bucket (e.g. millions of identical docs at 10^12 scale) must never
+    materialize one giant array in a single task.  Shared by the in-memory
+    and staged minhash operators so candidate semantics cannot drift."""
+    seeds = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.min("id").alias("seed"), F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+    return (
+        bands.join(seeds, ["band_idx", "band_hash"])
+        .filter(F.col("id") != F.col("seed"))
+        .select(F.col("seed").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
+
+
+def _drop_cluster_members(
+    df: DataFrame, comps: DataFrame, id_col: str, reason: str
+) -> DataFrame:
+    """Join-back tail shared by the minhash operators: every doc that is not
+    its own component root drops into the keep/drop channel."""
     survivors_drop = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("_dup_id")
     )
     out = df.join(survivors_drop, df[id_col] == survivors_drop["_dup_id"], "left")
-    out = apply_native_filter(out, F.col("_dup_id").isNull(), "minhash_duplicate")
+    out = apply_native_filter(out, F.col("_dup_id").isNull(), reason)
     return out.drop("_dup_id")
 
 
 def _stage_complete(spark, path: str) -> bool:
-    """A stage output is complete iff Spark's _SUCCESS marker exists.  Checked
-    through the Hadoop FileSystem API so hdfs:///s3a:// paths work on a real
-    cluster; plain os.path covers local runs without a JVM round-trip."""
+    """A stage output is complete iff Spark's _SUCCESS marker exists.  The
+    Hadoop FileSystem API is consulted FIRST because it resolves unqualified
+    paths against fs.defaultFS exactly the way the stage write/read do — on a
+    cluster, '/data/stages' means an HDFS path, and a stale local directory
+    of the same name must not short-circuit the check.  os.path is only the
+    fallback when no JVM gateway is reachable (plain-local sessions resolve
+    identically either way)."""
     import os
 
     marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
-        return True
     try:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(marker)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(jpath))
     except Exception:
-        return False
+        return os.path.exists(marker)
 
 
 def minhash_dedup_staged(
@@ -433,8 +448,18 @@ def minhash_dedup_staged(
     overwrites the partial output in place (same idempotence argument as
     ``lineage.run_checkpointed``).  Stage records (skipped, wall ms) append
     to ``out_dir/_stages.jsonl``.  Decisions are identical to
-    ``minhash_dedup``: same band hashes, same star edges, same CC, smallest
-    id per cluster survives.
+    ``minhash_dedup``: same band hashes (``minhash_band_table``), same star
+    edges (``_star_edges``), same CC, same join-back
+    (``_drop_cluster_members``) — the candidate/ownership logic is shared
+    code, not a copy.
+
+    Stale-reuse guard: ``out_dir`` belongs to ONE (input, config) run.  A
+    ``_meta`` record (cfg + column names + a best-effort logical-plan hash)
+    is written on first use and validated on resume — pointing a different
+    corpus or config at an old stage dir raises instead of silently joining
+    new rows against stale components.  The plan hash catches a changed
+    source even at 100 TB where counting rows for a fingerprint would be a
+    full scan; an identical restarted script hashes identically.
     """
     import json
     import os
@@ -442,6 +467,37 @@ def minhash_dedup_staged(
 
     spark = df.sparkSession
     df = ensure_channel(df)
+
+    try:
+        plan_hash = str(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        plan_hash = "unknown"
+    run_sig = {
+        "cfg": repr(cfg),
+        "id_col": id_col,
+        "text_col": text_col,
+        "plan_hash": plan_hash,
+    }
+    meta_path = os.path.join(out_dir, "_meta")
+    if _stage_complete(spark, meta_path):
+        prev = json.loads(spark.read.parquet(meta_path).collect()[0]["sig"])
+        mismatch = [
+            k
+            for k in run_sig
+            if prev.get(k) != run_sig[k]
+            and not (k == "plan_hash" and "unknown" in (prev.get(k), run_sig[k]))
+        ]
+        if mismatch:
+            raise ValueError(
+                f"stage dir {out_dir!r} was built for a different run "
+                f"(mismatched: {mismatch}; recorded {prev}, current {run_sig}). "
+                "Resume must see the same input and config — use a fresh "
+                "out_dir (or delete the old one) for a new dataset/config."
+            )
+    else:
+        spark.createDataFrame(
+            [(json.dumps(run_sig, sort_keys=True),)], "sig string"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
     def _run_stage(name: str, path: str, build) -> DataFrame:
         t0 = time.time()
@@ -475,32 +531,15 @@ def minhash_dedup_staged(
         ),
     )
 
-    def _build_edges():
-        seeds = (
-            bands.groupBy("band_idx", "band_hash")
-            .agg(F.min("id").alias("seed"), F.count("*").alias("n_members"))
-            .filter(F.col("n_members") > 1)
-        )
-        return (
-            bands.join(seeds, ["band_idx", "band_hash"])
-            .filter(F.col("id") != F.col("seed"))
-            .select(F.col("seed").alias("src"), F.col("id").alias("dst"))
-            .distinct()
-        )
-
-    edges = _run_stage("edges", os.path.join(out_dir, "stage2_edges"), _build_edges)
+    edges = _run_stage(
+        "edges", os.path.join(out_dir, "stage2_edges"), lambda: _star_edges(bands)
+    )
     comps = _run_stage(
         "components",
         os.path.join(out_dir, "stage3_components"),
         lambda: connected_components(edges),
     )
-
-    survivors_drop = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("_dup_id")
-    )
-    out = df.join(survivors_drop, df[id_col] == survivors_drop["_dup_id"], "left")
-    out = apply_native_filter(out, F.col("_dup_id").isNull(), "minhash_duplicate")
-    return out.drop("_dup_id")
+    return _drop_cluster_members(df, comps, id_col, "minhash_duplicate")
 
 
 # --------------------------------------------------------------------------

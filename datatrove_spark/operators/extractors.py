@@ -99,8 +99,11 @@ class _BlockParser(HTMLParser):
 
     def handle_endtag(self, tag):
         # pop to the matching open element; real-world HTML leaves <p>/<li>
-        # unclosed, so everything above the match pops with it — including
-        # attr-skip and skip-tag entries, whose depths decrement on pop
+        # unclosed, so everything above the match pops with it — and EVERY
+        # depth counter (attr-skip, skip-tag, link) decrements via the popped
+        # entries, never via the end tag name alone: an unclosed <a> popped
+        # by its ancestor's </li> must release _link_depth too, or the rest
+        # of the document counts as link text and gets dropped as navigation
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
                 for t, attr_skip, is_skip_tag in self._stack[i:]:
@@ -108,10 +111,10 @@ class _BlockParser(HTMLParser):
                         self._attr_skip_depth = max(0, self._attr_skip_depth - 1)
                     if is_skip_tag:
                         self._skip_depth = max(0, self._skip_depth - 1)
+                    if t == "a":
+                        self._link_depth = max(0, self._link_depth - 1)
                 del self._stack[i:]
                 break
-        if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
         if tag in _BLOCK_TAGS:
             self._flush()
             self._heading = False

@@ -114,3 +114,16 @@ def test_skip_tag_end_pops_unclosed_discard_regions():
     out = basic_html_to_text(html)
     assert "long main article content" in out
     assert "Home About" not in out
+
+
+def test_unclosed_links_do_not_inflate_link_density():
+    """Unclosed <a> elements popped by an ancestor's end tag must release
+    the link-depth counter — otherwise all following text counts as link
+    chars and the whole document drops as navigation."""
+    html = (
+        "<ul><li><a href='/x'>Home</li><li><a href='/y'>About</li></ul>"
+        "<p>This long main article content must survive extraction even "
+        "though the navigation links above were never closed properly.</p>"
+    )
+    out = basic_html_to_text(html)
+    assert "long main article content" in out

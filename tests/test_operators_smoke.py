@@ -746,3 +746,29 @@ def test_minhash_dedup_staged_matches_and_resumes(spark, tmp_path):
     assert {r["stage"]: r["skipped"] for r in recs} == {
         "signatures": True, "edges": True, "components": False,
     }
+
+
+def test_minhash_dedup_staged_rejects_mismatched_run(spark, tmp_path):
+    """A stage dir built for one (input, config) must refuse a resume with a
+    different corpus or config instead of silently joining new rows against
+    stale components."""
+    import itertools
+    import string
+
+    import pytest
+    from datatrove_spark.kernels.minhash import MinhashConfig
+
+    vocab = ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)]
+    df1 = _docs(spark, [(1, " ".join(vocab[:100])), (2, " ".join(vocab[200:300]))])
+    df2 = _docs(spark, [(7, " ".join(vocab[300:400])), (8, " ".join(vocab[400:500]))])
+    out_dir = str(tmp_path / "mh_guard")
+
+    ops.minhash_dedup_staged(df1, out_dir).collect()
+    # different input plan → refuse
+    with pytest.raises(ValueError, match="different run"):
+        ops.minhash_dedup_staged(df2, out_dir)
+    # same input, different config → refuse
+    with pytest.raises(ValueError, match="different run"):
+        ops.minhash_dedup_staged(df1, out_dir, cfg=MinhashConfig(num_buckets=7))
+    # identical restart → resumes fine
+    assert ops.minhash_dedup_staged(df1, out_dir).count() == 2

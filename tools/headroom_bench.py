@@ -147,7 +147,7 @@ def main() -> None:
         }
         print(
             f"minhash_staged: {wall:.1f}s = {args.docs/wall:.0f} docs/s "
-            f"(+{out['minhash_staged']['overhead_vs_inmemory']*100:.0f}% vs in-memory), "
+            f"({out['minhash_staged']['overhead_vs_inmemory']*100:+.0f}% vs in-memory), "
             f"resume {resume_wall:.1f}s"
         )
 
