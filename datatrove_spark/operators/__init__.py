@@ -27,6 +27,7 @@ from .dedup import (  # noqa: F401
     minhash_band_table,
     minhash_dedup,
     minhash_dedup_staged,
+    sentence_dedup_staged,
     minhash_signatures,
     ngram_decontaminate,
     ngram_shingles,

@@ -420,6 +420,82 @@ def _stage_complete(spark, path: str) -> bool:
         return os.path.exists(marker)
 
 
+def _plan_hash(df: DataFrame) -> str:
+    """Best-effort semantic hash of the analyzed logical plan — stable for an
+    identically-restarted script, different for a different source/filter, so
+    stale stage dirs are caught without a row-count scan (a full pass at
+    100 TB)."""
+    try:
+        return str(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return "unknown"
+
+
+class _StageRunner:
+    """Parquet stage checkpoints shared by the ``*_staged`` dedup operators:
+    a stage is complete iff its dir carries ``_SUCCESS`` (crash mid-write
+    leaves none; the resumed run overwrites in place), and ``out_dir`` is
+    bound to one (input, config) run via a ``_meta`` record validated on
+    resume — pointing a different corpus or config at old stage parquet
+    raises instead of silently combining fresh rows with stale state."""
+
+    def __init__(self, spark, out_dir: str, run_sig: dict):
+        import json
+        import os
+
+        self.spark = spark
+        self.out_dir = out_dir
+        meta_path = os.path.join(out_dir, "_meta")
+        if _stage_complete(spark, meta_path):
+            prev = json.loads(spark.read.parquet(meta_path).collect()[0]["sig"])
+            mismatch = [
+                k
+                for k in run_sig
+                if prev.get(k) != run_sig[k]
+                and not (k == "plan_hash" and "unknown" in (prev.get(k), run_sig[k]))
+            ]
+            if mismatch:
+                raise ValueError(
+                    f"stage dir {out_dir!r} was built for a different run "
+                    f"(mismatched: {mismatch}; recorded {prev}, current {run_sig}). "
+                    "Resume must see the same input and config — use a fresh "
+                    "out_dir (or delete the old one) for a new dataset/config."
+                )
+        else:
+            spark.createDataFrame(
+                [(json.dumps(run_sig, sort_keys=True),)], "sig string"
+            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+    def stage(self, name: str, build) -> DataFrame:
+        import json
+        import os
+        import time
+
+        path = os.path.join(self.out_dir, name)
+        t0 = time.time()
+        skipped = _stage_complete(self.spark, path)
+        if not skipped:
+            build().write.mode("overwrite").parquet(path)
+        # the jsonl manifest is best-effort LOCAL telemetry; for a cluster-FS
+        # out_dir (s3a://, hdfs://) the durable state is the parquet stages
+        # themselves and no local manifest is attempted
+        if "://" not in self.out_dir:
+            try:
+                os.makedirs(self.out_dir, exist_ok=True)
+                with open(os.path.join(self.out_dir, "_stages.jsonl"), "a") as f:
+                    f.write(
+                        json.dumps(
+                            {"stage": name, "skipped": skipped,
+                             "wall_ms": int((time.time() - t0) * 1000), "ts": time.time()},
+                            sort_keys=True,
+                        )
+                        + "\n"
+                    )
+            except OSError:
+                pass
+        return self.spark.read.parquet(path)
+
+
 def minhash_dedup_staged(
     df: DataFrame,
     out_dir: str,
@@ -461,84 +537,21 @@ def minhash_dedup_staged(
     source even at 100 TB where counting rows for a fingerprint would be a
     full scan; an identical restarted script hashes identically.
     """
-    import json
-    import os
-    import time
-
-    spark = df.sparkSession
     df = ensure_channel(df)
-
-    try:
-        plan_hash = str(df._jdf.queryExecution().analyzed().semanticHash())
-    except Exception:
-        plan_hash = "unknown"
-    run_sig = {
-        "cfg": repr(cfg),
-        "id_col": id_col,
-        "text_col": text_col,
-        "plan_hash": plan_hash,
-    }
-    meta_path = os.path.join(out_dir, "_meta")
-    if _stage_complete(spark, meta_path):
-        prev = json.loads(spark.read.parquet(meta_path).collect()[0]["sig"])
-        mismatch = [
-            k
-            for k in run_sig
-            if prev.get(k) != run_sig[k]
-            and not (k == "plan_hash" and "unknown" in (prev.get(k), run_sig[k]))
-        ]
-        if mismatch:
-            raise ValueError(
-                f"stage dir {out_dir!r} was built for a different run "
-                f"(mismatched: {mismatch}; recorded {prev}, current {run_sig}). "
-                "Resume must see the same input and config — use a fresh "
-                "out_dir (or delete the old one) for a new dataset/config."
-            )
-    else:
-        spark.createDataFrame(
-            [(json.dumps(run_sig, sort_keys=True),)], "sig string"
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-
-    def _run_stage(name: str, path: str, build) -> DataFrame:
-        t0 = time.time()
-        skipped = _stage_complete(spark, path)
-        if not skipped:
-            build().write.mode("overwrite").parquet(path)
-        # the jsonl manifest is best-effort LOCAL telemetry; for a cluster-FS
-        # out_dir (s3a://, hdfs://) the durable state is the parquet stages
-        # themselves and no local manifest is attempted
-        if "://" not in out_dir:
-            try:
-                os.makedirs(out_dir, exist_ok=True)
-                with open(os.path.join(out_dir, "_stages.jsonl"), "a") as f:
-                    f.write(
-                        json.dumps(
-                            {"stage": name, "skipped": skipped,
-                             "wall_ms": int((time.time() - t0) * 1000), "ts": time.time()},
-                            sort_keys=True,
-                        )
-                        + "\n"
-                    )
-            except OSError:
-                pass
-        return spark.read.parquet(path)
-
-    bands = _run_stage(
-        "signatures",
-        os.path.join(out_dir, "stage1_bands"),
+    runner = _StageRunner(
+        df.sparkSession,
+        out_dir,
+        {"cfg": repr(cfg), "id_col": id_col, "text_col": text_col,
+         "plan_hash": _plan_hash(df)},
+    )
+    bands = runner.stage(
+        "stage1_bands",
         lambda: minhash_band_table(
             df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col
         ),
     )
-
-    edges = _run_stage(
-        "edges", os.path.join(out_dir, "stage2_edges"), lambda: _star_edges(bands)
-    )
-    comps = _run_stage(
-        "components",
-        os.path.join(out_dir, "stage3_components"),
-        lambda: connected_components(edges),
-    )
+    edges = runner.stage("stage2_edges", lambda: _star_edges(bands))
+    comps = runner.stage("stage3_components", lambda: connected_components(edges))
     return _drop_cluster_members(df, comps, id_col, "minhash_duplicate")
 
 
@@ -570,6 +583,93 @@ def _span_hashes(text: str, n_sentences: int) -> list:
     return out
 
 
+def _sentence_span_table(
+    df: DataFrame, n_sentences: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, span_hash, sent_idx) — one row per n-sentence span.  The span
+    UDF is confined to this branch (join-back uses the original frame);
+    carrying the column would re-evaluate the UDF per consumer.  Shared by
+    the one-plan and staged sentence-dedup operators."""
+
+    @F.pandas_udf(_SPAN_SCHEMA)
+    def _spans_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([_span_hashes(t, n_sentences) for t in texts.fillna("")])
+
+    _spans_udf = _spans_udf.asNondeterministic()  # see minhash_band_table
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_spans_udf(F.col(text_col))).alias("s")
+    ).select(
+        "id", F.col("s.span_hash").alias("span_hash"), F.col("s.sent_idx").alias("sent_idx")
+    )
+
+
+def _span_losers(spans: DataFrame) -> DataFrame:
+    """(id, _remove_idx) — the span start indexes each doc loses.  Owner =
+    doc with the smallest (id, sent_idx) per span hash, via groupBy-min +
+    join-back — NOT a per-span-hash window: a degenerate span (boilerplate
+    sentence in millions of docs) would serialize its whole hash class into
+    one window task; partial aggregation stays skew-free and AQE splits the
+    skewed join side.  A row loses its span iff its doc is not the owner doc
+    (self-repeats inside the owner survive, matching the reference's
+    first-occurrence bookkeeping)."""
+    owners = (
+        spans.groupBy("span_hash")
+        .agg(F.min(F.struct("id", "sent_idx")).alias("_own"))
+        .select("span_hash", F.col("_own.id").alias("_owner_id"))
+    )
+    return (
+        spans.join(owners, "span_hash")
+        .filter(F.col("id") != F.col("_owner_id"))
+        .groupBy("id")
+        .agg(F.collect_set("sent_idx").alias("_remove_idx"))
+    )
+
+
+def _apply_span_removal(
+    df: DataFrame,
+    losers: DataFrame,
+    n_sentences: int,
+    text_col: str,
+    id_col: str,
+    min_words_to_keep_doc: int,
+) -> DataFrame:
+    """Byte-exact rewrite of each doc to its surviving sentences (reference
+    sentence_dedup.py:329-378 removes ranges, never re-joins); docs reduced
+    below ``min_words_to_keep_doc`` drop with 'sentence_dedup_too_short'."""
+    joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
+
+    rewrite_schema = StructType(
+        [StructField("text", StringType(), True), StructField("n_words", IntegerType(), False)]
+    )
+
+    @F.pandas_udf(rewrite_schema)
+    def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.DataFrame:
+        from ..kernels.text import sentence_spans
+
+        out_text, out_words = [], []
+        for text, rem in zip(texts.fillna(""), removes):
+            if rem is None or len(rem) == 0:
+                out_text.append(text)
+                out_words.append(len(tokenize_words(text)))
+                continue
+            spans = sentence_spans(text)
+            drop = set()
+            for start in rem:
+                drop.update(range(start, min(start + n_sentences, len(spans))))
+            new_text = "".join(text[a:b] for i, (a, b) in enumerate(spans) if i not in drop)
+            out_text.append(new_text)
+            out_words.append(len(tokenize_words(new_text)))
+        return pd.DataFrame({"text": out_text, "n_words": out_words})
+
+    joined = joined.withColumn("_rw", _rewrite_udf(F.col(text_col), F.col("_remove_idx")))
+    joined = joined.withColumn(text_col, F.col("_rw.text"))
+    if min_words_to_keep_doc > 0:
+        joined = apply_native_filter(
+            joined, F.col("_rw.n_words") >= min_words_to_keep_doc, "sentence_dedup_too_short"
+        )
+    return joined.drop("_rw", "_remove_idx")
+
+
 def sentence_dedup(
     df: DataFrame,
     n_sentences: int = 3,
@@ -593,25 +693,20 @@ def sentence_dedup(
     index-owned span hashes.
     """
     df = ensure_channel(df)
-
-    @F.pandas_udf(_SPAN_SCHEMA)
-    def _spans_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([_span_hashes(t, n_sentences) for t in texts.fillna("")])
-
-    _spans_udf = _spans_udf.asNondeterministic()  # see minhash_band_table
-    # span UDF confined to this branch (join-back uses the original frame) —
-    # carrying the column would re-evaluate the UDF per consumer
-    spans = df.select(
-        F.col(id_col).alias("id"), F.explode(_spans_udf(F.col(text_col))).alias("s")
-    ).select("id", F.col("s.span_hash").alias("span_hash"), F.col("s.sent_idx").alias("sent_idx"))
+    spans = _sentence_span_table(df, n_sentences, text_col, id_col)
 
     if index_df is not None:
-        # index-owned spans: remove EVERY batch occurrence of these hashes by
-        # marking the owner as a sentinel no batch doc can be
+        # index-owned spans: remove EVERY batch occurrence of these hashes.
+        # A synthetic id keeps the index contract unchanged (an index corpus
+        # need not carry the batch's id column).
         idx_spans = (
-            index_df.select(_spans_udf(F.col(text_col)).alias("_spans"))
-            .select(F.explode("_spans").alias("s"))
-            .select(F.col("s.span_hash").alias("span_hash"))
+            _sentence_span_table(
+                index_df.select(F.lit(0).alias("_idx_id"), F.col(text_col)),
+                n_sentences,
+                text_col,
+                "_idx_id",
+            )
+            .select("span_hash")
             .distinct()
         )
         idx_losers = (
@@ -622,22 +717,7 @@ def sentence_dedup(
     else:
         idx_losers = None
 
-    # owner = doc with the smallest (id, sent_idx) per span hash, via
-    # groupBy-min + join-back — NOT a per-span-hash window: a degenerate span
-    # (boilerplate sentence in millions of docs) would serialize its whole
-    # hash class into one window task; partial aggregation stays skew-free
-    # and AQE splits the skewed join side.  A row loses its span iff its doc
-    # is not the owner doc (self-repeats inside the owner survive, matching
-    # the reference's first-occurrence bookkeeping).
-    owners = spans.groupBy("span_hash").agg(
-        F.min(F.struct("id", "sent_idx")).alias("_own")
-    ).select("span_hash", F.col("_own.id").alias("_owner_id"))
-    losers = (
-        spans.join(owners, "span_hash")
-        .filter(F.col("id") != F.col("_owner_id"))
-        .groupBy("id")
-        .agg(F.collect_set("sent_idx").alias("_remove_idx"))
-    )
+    losers = _span_losers(spans)
     if idx_losers is not None:
         merged = losers.join(idx_losers, "id", "full_outer").select(
             "id",
@@ -648,40 +728,44 @@ def sentence_dedup(
         )
         losers = merged
 
-    joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
-
-    rewrite_schema = StructType(
-        [StructField("text", StringType(), True), StructField("n_words", IntegerType(), False)]
+    return _apply_span_removal(
+        df, losers, n_sentences, text_col, id_col, min_words_to_keep_doc
     )
 
-    @F.pandas_udf(rewrite_schema)
-    def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.DataFrame:
-        from ..kernels.text import sentence_spans
 
-        out_text, out_words = [], []
-        for text, rem in zip(texts.fillna(""), removes):
-            if rem is None or len(rem) == 0:
-                out_text.append(text)
-                out_words.append(len(tokenize_words(text)))
-                continue
-            spans = sentence_spans(text)
-            drop = set()
-            for start in rem:
-                drop.update(range(start, min(start + n_sentences, len(spans))))
-            # byte-exact reconstruction from surviving char spans (reference
-            # sentence_dedup.py:329-378 removes ranges, never re-joins)
-            new_text = "".join(text[a:b] for i, (a, b) in enumerate(spans) if i not in drop)
-            out_text.append(new_text)
-            out_words.append(len(tokenize_words(new_text)))
-        return pd.DataFrame({"text": out_text, "n_words": out_words})
-
-    joined = joined.withColumn("_rw", _rewrite_udf(F.col(text_col), F.col("_remove_idx")))
-    joined = joined.withColumn(text_col, F.col("_rw.text"))
-    if min_words_to_keep_doc > 0:
-        joined = apply_native_filter(
-            joined, F.col("_rw.n_words") >= min_words_to_keep_doc, "sentence_dedup_too_short"
-        )
-    return joined.drop("_rw", "_remove_idx")
+def sentence_dedup_staged(
+    df: DataFrame,
+    out_dir: str,
+    n_sentences: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_to_keep_doc: int = 0,
+) -> DataFrame:
+    """Crash-resumable sentence dedup: the reference runs this as
+    file-backed stages too (SentenceDedupSignature → FindDedups →
+    Filter, sentence_dedup.py) — span hashing is the expensive pass, so a
+    restarted 100 TB job must reuse it.  Two parquet stages
+    (``stage1_spans``: the span-hash UDF; ``stage2_losers``: owner
+    selection) under the same ``_SUCCESS``-marker + stale-reuse-guard
+    machinery as ``minhash_dedup_staged``; the final byte-exact rewrite is
+    recomputed per call (it is the answer, not a checkpoint).  Decisions
+    and rewrites are identical to ``sentence_dedup`` — the span table,
+    owner selection, and rewrite are shared code."""
+    df = ensure_channel(df)
+    runner = _StageRunner(
+        df.sparkSession,
+        out_dir,
+        {"n_sentences": n_sentences, "min_words": min_words_to_keep_doc,
+         "id_col": id_col, "text_col": text_col, "plan_hash": _plan_hash(df)},
+    )
+    spans = runner.stage(
+        "stage1_spans",
+        lambda: _sentence_span_table(df, n_sentences, text_col, id_col),
+    )
+    losers = runner.stage("stage2_losers", lambda: _span_losers(spans))
+    return _apply_span_removal(
+        df, losers, n_sentences, text_col, id_col, min_words_to_keep_doc
+    )
 
 
 # --------------------------------------------------------------------------

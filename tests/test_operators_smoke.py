@@ -744,7 +744,7 @@ def test_minhash_dedup_staged_matches_and_resumes(spark, tmp_path):
     assert got3 == expected
     recs = stage_records()[n_first + 3:]
     assert {r["stage"]: r["skipped"] for r in recs} == {
-        "signatures": True, "edges": True, "components": False,
+        "stage1_bands": True, "stage2_edges": True, "stage3_components": False,
     }
 
 
@@ -772,3 +772,24 @@ def test_minhash_dedup_staged_rejects_mismatched_run(spark, tmp_path):
         ops.minhash_dedup_staged(df1, out_dir, cfg=MinhashConfig(num_buckets=7))
     # identical restart → resumes fine
     assert ops.minhash_dedup_staged(df1, out_dir).count() == 2
+
+
+def test_sentence_dedup_staged_matches_and_resumes(spark, tmp_path):
+    """Staged sentence dedup must rewrite identically to the one-plan
+    operator and reuse both parquet stages on an identical re-run."""
+    import json
+
+    shared = "First shared sentence here. Second shared sentence here. Third shared sentence here."
+    doc1 = shared + " Unique tail for doc one."
+    doc2 = shared + " Different ending for doc two."
+    df = _docs(spark, [(1, doc1), (2, doc2)])
+    out_dir = str(tmp_path / "sd_staged")
+
+    expected = {r.doc_id: r.text for r in ops.sentence_dedup(df).collect()}
+    got = {r.doc_id: r.text for r in ops.sentence_dedup_staged(df, out_dir).collect()}
+    assert got == expected
+    got2 = {r.doc_id: r.text for r in ops.sentence_dedup_staged(df, out_dir).collect()}
+    assert got2 == expected
+    with open(f"{out_dir}/_stages.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    assert [r["skipped"] for r in recs] == [False, False, True, True]
