@@ -25,6 +25,7 @@ from .dedup import (  # noqa: F401
     exact_substring_dedup,
     jaccard_neardup_pairs,
     minhash_band_table,
+    exact_substring_dedup_staged,
     minhash_dedup,
     minhash_dedup_staged,
     sentence_dedup_staged,

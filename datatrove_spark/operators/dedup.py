@@ -830,8 +830,30 @@ def exact_substring_dedup(
         raise ValueError(f"mode must be 'first_owner' or 'remove_all', got {mode!r}")
     if (bpe_vocab_path is None) != (bpe_merges_path is None):
         raise ValueError("pass BOTH bpe_vocab_path and bpe_merges_path, or neither")
-    use_bpe = bpe_vocab_path is not None
     df = ensure_channel(df)
+    wins = _substring_window_table(
+        df, min_tokens, text_col, id_col, bpe_vocab_path, bpe_merges_path
+    )
+    losers = _window_losers(wins, mode)
+    return _apply_window_removal(
+        df, losers, min_tokens, text_col, id_col, bpe_vocab_path, bpe_merges_path
+    )
+
+
+def _substring_window_table(
+    df: DataFrame,
+    min_tokens: int,
+    text_col: str,
+    id_col: str,
+    bpe_vocab_path: str | None,
+    bpe_merges_path: str | None,
+) -> DataFrame:
+    """(id, win_hash, tok_idx) — one row per rolling ``min_tokens`` window.
+    The window UDF lives ONLY in this branch — carrying its column into the
+    join-back frame would re-evaluate it per consumer (verified via explain:
+    2x ArrowEvalPython before this split).  Shared by the one-plan and staged
+    exact-substrings operators."""
+    use_bpe = bpe_vocab_path is not None
 
     def _bpe_singleton():
         from ..kernels.bpe import BPETokenizer
@@ -878,14 +900,17 @@ def exact_substring_dedup(
             out.append(wins)
         return pd.Series(out)
 
-    # the window UDF lives ONLY in this branch — carrying its column into the
-    # join-back frame would re-evaluate it per consumer (verified via
-    # explain: 2x ArrowEvalPython before this split)
-    wins = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
         F.explode(_windows_udf.asNondeterministic()(F.col(text_col))).alias("w"),
     ).select("id", F.col("w.win_hash").alias("win_hash"), F.col("w.tok_idx").alias("tok_idx"))
-    # duplicated windows only (map-side combine keeps the groupBy skew-free)
+
+
+def _window_losers(wins: DataFrame, mode: str) -> DataFrame:
+    """(id, _rm_idx) — window start indexes to cut per doc.  Duplicated
+    windows only (map-side combine keeps the groupBy skew-free); in
+    'first_owner' mode the globally-first occurrence survives, in
+    'remove_all' every occurrence is cut (the Rust self-similar default)."""
     owners = (
         wins.groupBy("win_hash")
         .agg(F.min(F.struct("id", "tok_idx")).alias("_own"), F.count("*").alias("_n"))
@@ -897,7 +922,31 @@ def exact_substring_dedup(
         dup_occurrences = dup_occurrences.filter(
             (F.col("id") != F.col("_oid")) | (F.col("tok_idx") != F.col("_oidx"))
         )
-    losers = dup_occurrences.groupBy("id").agg(F.collect_set("tok_idx").alias("_rm_idx"))
+    return dup_occurrences.groupBy("id").agg(F.collect_set("tok_idx").alias("_rm_idx"))
+
+
+def _apply_window_removal(
+    df: DataFrame,
+    losers: DataFrame,
+    min_tokens: int,
+    text_col: str,
+    id_col: str,
+    bpe_vocab_path: str | None,
+    bpe_merges_path: str | None,
+) -> DataFrame:
+    """Char-exact rewrite from the surviving token spans (reference stage-3
+    byte-range cutting)."""
+    use_bpe = bpe_vocab_path is not None
+
+    def _bpe_singleton():
+        from ..kernels.bpe import BPETokenizer
+        from .language import _singleton
+
+        return _singleton(
+            f"bpe:{bpe_vocab_path}",
+            lambda: BPETokenizer.load(bpe_vocab_path, bpe_merges_path),
+        )
+
     joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
 
     @F.pandas_udf(StringType())
@@ -950,6 +999,48 @@ def exact_substring_dedup(
 
     joined = joined.withColumn(text_col, _rewrite_udf(F.col(text_col), F.col("_rm_idx")))
     return joined.drop("_rm_idx")
+
+
+def exact_substring_dedup_staged(
+    df: DataFrame,
+    out_dir: str,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "first_owner",
+    bpe_vocab_path: str | None = None,
+    bpe_merges_path: str | None = None,
+) -> DataFrame:
+    """Crash-resumable exact-substrings: the reference's pipeline IS
+    file-staged (sequence files → suffix-array tool → byte-range cuts), and
+    the window-hash UDF (BPE encode + rolling hashes) is the most expensive
+    pass in the dedup family — a restarted 100 TB job must reuse it.  Two
+    parquet stages (``stage1_windows``, ``stage2_losers``) under the shared
+    ``_StageRunner`` machinery; the char-exact rewrite is recomputed per
+    call.  Rewrites are identical to ``exact_substring_dedup`` — window
+    table, owner selection, and rewrite are shared code."""
+    if mode not in ("first_owner", "remove_all"):
+        raise ValueError(f"mode must be 'first_owner' or 'remove_all', got {mode!r}")
+    if (bpe_vocab_path is None) != (bpe_merges_path is None):
+        raise ValueError("pass BOTH bpe_vocab_path and bpe_merges_path, or neither")
+    df = ensure_channel(df)
+    runner = _StageRunner(
+        df.sparkSession,
+        out_dir,
+        {"min_tokens": min_tokens, "mode": mode, "id_col": id_col,
+         "text_col": text_col, "bpe": f"{bpe_vocab_path}:{bpe_merges_path}",
+         "plan_hash": _plan_hash(df)},
+    )
+    wins = runner.stage(
+        "stage1_windows",
+        lambda: _substring_window_table(
+            df, min_tokens, text_col, id_col, bpe_vocab_path, bpe_merges_path
+        ),
+    )
+    losers = runner.stage("stage2_losers", lambda: _window_losers(wins, mode))
+    return _apply_window_removal(
+        df, losers, min_tokens, text_col, id_col, bpe_vocab_path, bpe_merges_path
+    )
 
 
 # --------------------------------------------------------------------------

@@ -793,3 +793,46 @@ def test_sentence_dedup_staged_matches_and_resumes(spark, tmp_path):
     with open(f"{out_dir}/_stages.jsonl") as f:
         recs = [json.loads(line) for line in f]
     assert [r["skipped"] for r in recs] == [False, False, True, True]
+
+
+def test_exact_substring_dedup_staged_matches_and_resumes(spark, tmp_path):
+    """Staged exact-substrings must rewrite identically to the one-plan
+    operator (both modes) and reuse its parquet stages on re-run."""
+    import json
+
+    shared = " ".join(f"w{i}" for i in range(60))
+    df = _docs(
+        spark,
+        [(1, shared + " unique one tail"), (2, shared + " different two tail"), (3, "totally other doc")],
+    )
+    for mode in ("first_owner", "remove_all"):
+        out_dir = str(tmp_path / f"es_{mode}")
+        expected = {
+            r.doc_id: r.text
+            for r in ops.exact_substring_dedup(df, min_tokens=50, mode=mode).collect()
+        }
+        got = {
+            r.doc_id: r.text
+            for r in ops.exact_substring_dedup_staged(
+                df, out_dir, min_tokens=50, mode=mode
+            ).collect()
+        }
+        assert got == expected, mode
+        got2 = {
+            r.doc_id: r.text
+            for r in ops.exact_substring_dedup_staged(
+                df, out_dir, min_tokens=50, mode=mode
+            ).collect()
+        }
+        assert got2 == expected, mode
+        with open(f"{out_dir}/_stages.jsonl") as f:
+            recs = [json.loads(line) for line in f]
+        assert [r["skipped"] for r in recs] == [False, False, True, True], mode
+    # mode is part of the run signature: resuming the first_owner dir in
+    # remove_all mode must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="different run"):
+        ops.exact_substring_dedup_staged(
+            df, str(tmp_path / "es_first_owner"), min_tokens=50, mode="remove_all"
+        )
