@@ -366,6 +366,20 @@ def minhash_dedup(
     return _drop_cluster_members(df, comps, id_col, "minhash_duplicate")
 
 
+def _load_bpe_singleton(vocab_path: str, merges_path: str):
+    """Executor-side BPE tokenizer cache.  The key carries BOTH file paths —
+    vocab alone would alias two tokenizers sharing a vocab file but
+    different merges, and the window pass and rewrite pass could then
+    tokenize differently (the model-identity key class from ADVICE)."""
+    from ..kernels.bpe import BPETokenizer
+    from .language import _singleton
+
+    return _singleton(
+        f"bpe:{vocab_path}:{merges_path}",
+        lambda: BPETokenizer.load(vocab_path, merges_path),
+    )
+
+
 def _star_edges(bands: DataFrame) -> DataFrame:
     """Bucket-join: docs sharing (band_idx, band_hash); min id per bucket is
     the cluster seed — emit star edges (seed, member) instead of all pairs so
@@ -452,7 +466,9 @@ class _StageRunner:
                 k
                 for k in run_sig
                 if prev.get(k) != run_sig[k]
-                and not (k == "plan_hash" and "unknown" in (prev.get(k), run_sig[k]))
+                # best-effort plan hashes: an 'unknown' on either side (no
+                # JVM gateway) must not fail the guard
+                and not (k.endswith("plan_hash") and "unknown" in (prev.get(k), run_sig[k]))
             ]
             if mismatch:
                 raise ValueError(
@@ -636,7 +652,11 @@ def _apply_span_removal(
     """Byte-exact rewrite of each doc to its surviving sentences (reference
     sentence_dedup.py:329-378 removes ranges, never re-joins); docs reduced
     below ``min_words_to_keep_doc`` drop with 'sentence_dedup_too_short'."""
-    joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
+    # losers' id renamed before the join: drop("id") would delete EVERY
+    # column of that name, including a user data column called 'id' (or the
+    # join key itself when id_col='id')
+    losers = losers.withColumnRenamed("id", "_loser_id")
+    joined = df.join(losers, df[id_col] == losers["_loser_id"], "left").drop("_loser_id")
 
     rewrite_schema = StructType(
         [StructField("text", StringType(), True), StructField("n_words", IntegerType(), False)]
@@ -694,42 +714,54 @@ def sentence_dedup(
     """
     df = ensure_channel(df)
     spans = _sentence_span_table(df, n_sentences, text_col, id_col)
-
-    if index_df is not None:
-        # index-owned spans: remove EVERY batch occurrence of these hashes.
-        # A synthetic id keeps the index contract unchanged (an index corpus
-        # need not carry the batch's id column).
-        idx_spans = (
-            _sentence_span_table(
-                index_df.select(F.lit(0).alias("_idx_id"), F.col(text_col)),
-                n_sentences,
-                text_col,
-                "_idx_id",
-            )
-            .select("span_hash")
-            .distinct()
-        )
-        idx_losers = (
-            spans.join(idx_spans, "span_hash", "left_semi")
-            .groupBy("id")
-            .agg(F.collect_set("sent_idx").alias("_idx_remove"))
-        )
-    else:
-        idx_losers = None
-
-    losers = _span_losers(spans)
-    if idx_losers is not None:
-        merged = losers.join(idx_losers, "id", "full_outer").select(
-            "id",
-            F.array_union(
-                F.coalesce("_remove_idx", F.array().cast("array<int>")),
-                F.coalesce("_idx_remove", F.array().cast("array<int>")),
-            ).alias("_remove_idx"),
-        )
-        losers = merged
-
+    idx_spans = (
+        _index_span_hashes(index_df, n_sentences, text_col)
+        if index_df is not None
+        else None
+    )
+    losers = _span_losers_with_index(spans, idx_spans)
     return _apply_span_removal(
         df, losers, n_sentences, text_col, id_col, min_words_to_keep_doc
+    )
+
+
+def _index_span_hashes(index_df: DataFrame, n_sentences: int, text_col: str) -> DataFrame:
+    """Distinct span hashes of an index corpus.  A synthetic id keeps the
+    index contract simple (an index corpus need not carry the batch's id
+    column)."""
+    return (
+        _sentence_span_table(
+            index_df.select(F.lit(0).alias("_idx_id"), F.col(text_col)),
+            n_sentences,
+            text_col,
+            "_idx_id",
+        )
+        .select("span_hash")
+        .distinct()
+    )
+
+
+def _span_losers_with_index(
+    spans: DataFrame, idx_spans: DataFrame | None
+) -> DataFrame:
+    """Within-batch losers, plus — when an index is given — every batch
+    occurrence of an index-owned span (reference SentenceDedup index_folder:
+    index hashes sort BEFORE any batch doc, sentence_dedup.py:45,198).
+    Shared by the one-plan and staged operators."""
+    losers = _span_losers(spans)
+    if idx_spans is None:
+        return losers
+    idx_losers = (
+        spans.join(idx_spans, "span_hash", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("sent_idx").alias("_idx_remove"))
+    )
+    return losers.join(idx_losers, "id", "full_outer").select(
+        "id",
+        F.array_union(
+            F.coalesce("_remove_idx", F.array().cast("array<int>")),
+            F.coalesce("_idx_remove", F.array().cast("array<int>")),
+        ).alias("_remove_idx"),
     )
 
 
@@ -740,29 +772,44 @@ def sentence_dedup_staged(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words_to_keep_doc: int = 0,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Crash-resumable sentence dedup: the reference runs this as
     file-backed stages too (SentenceDedupSignature → FindDedups →
     Filter, sentence_dedup.py) — span hashing is the expensive pass, so a
-    restarted 100 TB job must reuse it.  Two parquet stages
-    (``stage1_spans``: the span-hash UDF; ``stage2_losers``: owner
-    selection) under the same ``_SUCCESS``-marker + stale-reuse-guard
-    machinery as ``minhash_dedup_staged``; the final byte-exact rewrite is
-    recomputed per call (it is the answer, not a checkpoint).  Decisions
-    and rewrites are identical to ``sentence_dedup`` — the span table,
-    owner selection, and rewrite are shared code."""
+    restarted 100 TB job must reuse it.  Parquet stages (``stage1_spans``:
+    the span-hash UDF; ``stage1b_index_spans`` when ``index_df`` is given;
+    ``stage2_losers``: owner selection + index merge) under the same
+    ``_SUCCESS``-marker + stale-reuse-guard machinery as
+    ``minhash_dedup_staged``; the final byte-exact rewrite is recomputed
+    per call (it is the answer, not a checkpoint), so
+    ``min_words_to_keep_doc`` is deliberately NOT in the resume signature —
+    tuning it reuses the expensive stages.  Decisions and rewrites are
+    identical to ``sentence_dedup`` — span table, owner selection, index
+    merge, and rewrite are shared code."""
     df = ensure_channel(df)
     runner = _StageRunner(
         df.sparkSession,
         out_dir,
-        {"n_sentences": n_sentences, "min_words": min_words_to_keep_doc,
-         "id_col": id_col, "text_col": text_col, "plan_hash": _plan_hash(df)},
+        {"n_sentences": n_sentences, "id_col": id_col, "text_col": text_col,
+         "plan_hash": _plan_hash(df),
+         "index_plan_hash": _plan_hash(index_df) if index_df is not None else "none"},
     )
     spans = runner.stage(
         "stage1_spans",
         lambda: _sentence_span_table(df, n_sentences, text_col, id_col),
     )
-    losers = runner.stage("stage2_losers", lambda: _span_losers(spans))
+    idx_spans = (
+        runner.stage(
+            "stage1b_index_spans",
+            lambda: _index_span_hashes(index_df, n_sentences, text_col),
+        )
+        if index_df is not None
+        else None
+    )
+    losers = runner.stage(
+        "stage2_losers", lambda: _span_losers_with_index(spans, idx_spans)
+    )
     return _apply_span_removal(
         df, losers, n_sentences, text_col, id_col, min_words_to_keep_doc
     )
@@ -856,13 +903,7 @@ def _substring_window_table(
     use_bpe = bpe_vocab_path is not None
 
     def _bpe_singleton():
-        from ..kernels.bpe import BPETokenizer
-        from .language import _singleton
-
-        return _singleton(
-            f"bpe:{bpe_vocab_path}",
-            lambda: BPETokenizer.load(bpe_vocab_path, bpe_merges_path),
-        )
+        return _load_bpe_singleton(bpe_vocab_path, bpe_merges_path)
 
     @F.pandas_udf(_WINDOW_SCHEMA)
     def _windows_udf(texts: pd.Series) -> pd.Series:
@@ -939,15 +980,13 @@ def _apply_window_removal(
     use_bpe = bpe_vocab_path is not None
 
     def _bpe_singleton():
-        from ..kernels.bpe import BPETokenizer
-        from .language import _singleton
+        return _load_bpe_singleton(bpe_vocab_path, bpe_merges_path)
 
-        return _singleton(
-            f"bpe:{bpe_vocab_path}",
-            lambda: BPETokenizer.load(bpe_vocab_path, bpe_merges_path),
-        )
-
-    joined = df.join(losers, df[id_col] == losers["id"], "left").drop("id")
+    # losers' id renamed before the join: drop("id") would delete EVERY
+    # column of that name, including a user data column called 'id' (or the
+    # join key itself when id_col='id')
+    losers = losers.withColumnRenamed("id", "_loser_id")
+    joined = df.join(losers, df[id_col] == losers["_loser_id"], "left").drop("_loser_id")
 
     @F.pandas_udf(StringType())
     def _rewrite_udf(texts: pd.Series, removes: pd.Series) -> pd.Series:

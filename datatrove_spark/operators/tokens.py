@@ -57,12 +57,11 @@ def tokenize_documents(
 
         @F.pandas_udf(ArrayType(IntegerType()))
         def _udf(texts: pd.Series) -> pd.Series:
-            from ..kernels.bpe import BPETokenizer
-            from .language import _singleton
+            from .dedup import _load_bpe_singleton
 
-            tok = _singleton(
-                f"bpe:{vocab_path}", lambda: BPETokenizer.load(vocab_path, merges_path)
-            )
+            # keyed by BOTH paths — vocab alone would alias tokenizers
+            # sharing a vocab file but different merges
+            tok = _load_bpe_singleton(vocab_path, merges_path)
             out = []
             for t in texts.fillna(""):
                 ids = tok.encode(t)

@@ -836,3 +836,43 @@ def test_exact_substring_dedup_staged_matches_and_resumes(spark, tmp_path):
         ops.exact_substring_dedup_staged(
             df, str(tmp_path / "es_first_owner"), min_tokens=50, mode="remove_all"
         )
+
+
+def test_sentence_dedup_preserves_user_id_column(spark):
+    """A corpus column literally named 'id' must survive the dedup
+    join-back (regression: drop('id') deleted every column of that name)."""
+    shared = "First shared sentence here. Second shared sentence here. Third shared sentence here."
+    df = _docs(spark, [(1, shared + " One."), (2, shared + " Two.")]).withColumn(
+        "id", F.col("doc_id") * 100
+    )
+    out = ops.sentence_dedup(df)
+    assert "id" in out.columns
+    assert {r.id for r in out.collect()} == {100, 200}
+    out2 = ops.exact_substring_dedup(df, min_tokens=50)
+    assert "id" in out2.columns
+    assert {r.id for r in out2.collect()} == {100, 200}
+
+
+def test_sentence_dedup_staged_index_mode(spark, tmp_path):
+    """Staged sentence dedup with an index corpus must match the one-plan
+    index mode, with the index span table checkpointed as its own stage;
+    min_words tuning must NOT invalidate the resume."""
+    shared = "First shared sentence here. Second shared sentence here. Third shared sentence here."
+    batch = _docs(spark, [(1, shared + " Batch tail one."), (2, "Totally separate document two.")])
+    index_df = _docs(spark, [(9, shared)])
+    out_dir = str(tmp_path / "sd_idx")
+
+    expected = {
+        r.doc_id: r.text for r in ops.sentence_dedup(batch, index_df=index_df).collect()
+    }
+    got = {
+        r.doc_id: r.text
+        for r in ops.sentence_dedup_staged(batch, out_dir, index_df=index_df).collect()
+    }
+    assert got == expected
+    assert "shared" not in got[1]  # index owns the span
+    # a different min_words reuses the checkpointed stages (not in the sig)
+    out2 = ops.sentence_dedup_staged(
+        batch, out_dir, index_df=index_df, min_words_to_keep_doc=2
+    )
+    assert out2.count() == 2
