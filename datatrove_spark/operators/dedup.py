@@ -1284,7 +1284,10 @@ def shingle_overlap_filter(
             )
         )
     )
-    out = df.join(overlap, df[id_col] == overlap["id"], "left").drop("id")
+    # private alias before the join: drop("id") would delete a user data
+    # column of that name (or the join key itself when id_col='id')
+    overlap = overlap.withColumnRenamed("id", "_ov_id")
+    out = df.join(overlap, df[id_col] == overlap["_ov_id"], "left").drop("_ov_id")
     out = apply_native_filter(
         out,
         F.coalesce(F.col("_overlap_frac"), F.lit(0.0)) <= max_overlap,

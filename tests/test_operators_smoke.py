@@ -851,6 +851,9 @@ def test_sentence_dedup_preserves_user_id_column(spark):
     out2 = ops.exact_substring_dedup(df, min_tokens=50)
     assert "id" in out2.columns
     assert {r.id for r in out2.collect()} == {100, 200}
+    out3 = ops.shingle_overlap_filter(df)
+    assert "id" in out3.columns
+    assert {r.id for r in out3.collect()} == {100, 200}
 
 
 def test_sentence_dedup_staged_index_mode(spark, tmp_path):
