@@ -272,8 +272,8 @@ def q_sentence_dedup_index(spark, sf_dir):
 def q_simhash_dedup(spark, sf_dir):
     from datatrove_spark.operators import simhash_dedup
 
-    # max_bucket=None (now the package default): unconditional all-pairs
-    # exactness; production passes max_bucket=256 for the hot-chunk star cap
+    # max_bucket=None: unconditional all-pairs exactness (oracle mode);
+    # the package default is 256 (hot-chunk star cap, the scale-safe choice)
     out = simhash_dedup(
         _docs(spark, sf_dir), text_col="text", id_col="doc_id", max_hamming=3, max_bucket=None
     )

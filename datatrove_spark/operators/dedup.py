@@ -420,8 +420,10 @@ def _stage_complete(spark, path: str) -> bool:
     paths against fs.defaultFS exactly the way the stage write/read do — on a
     cluster, '/data/stages' means an HDFS path, and a stale local directory
     of the same name must not short-circuit the check.  os.path is only the
-    fallback when no JVM gateway is reachable (plain-local sessions resolve
-    identically either way)."""
+    fallback when no JVM gateway is reachable AND the path is plainly local
+    (no scheme): for an explicitly-remote path (``hdfs://``, ``s3a://``,
+    ...) a transient gateway error must RE-RAISE rather than silently read
+    "incomplete" and rebuild hours of finished work over the _meta guard."""
     import os
 
     marker = os.path.join(path, "_SUCCESS")
@@ -431,6 +433,8 @@ def _stage_complete(spark, path: str) -> bool:
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(jpath))
     except Exception:
+        if "://" in path:
+            raise
         return os.path.exists(marker)
 
 
@@ -1093,15 +1097,16 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_size: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints over word shingles, banded into
     4x16-bit chunks (any chunk equality → candidate), hamming-verified,
-    CC-clustered, min-id survives.  With ``max_bucket=None`` (the default)
-    candidate generation is all-pairs within a chunk bucket and recall for
-    hamming ≤ 3 is guaranteed; setting ``max_bucket`` trades that guarantee
-    for bounded work on hot buckets (see below) and is the recommended
-    production setting (e.g. 256) — the loss is opt-in, not silent.
+    CC-clustered, min-id survives.  The default ``max_bucket=256`` keeps
+    candidate generation bounded on hot chunk values (the safe default at
+    scale); pass ``max_bucket=None`` for unconditional all-pairs exactness
+    within each chunk bucket (recall for hamming ≤ max_hamming guaranteed) —
+    that is the oracle/parity mode, opt-in because it can go quadratic on
+    boilerplate-heavy corpora.
 
     ``max_bucket`` is the hot-chunk discipline for 100 TB: candidate
     generation joins on 16-bit chunk equality, so a degenerate chunk value

@@ -447,15 +447,20 @@ def check_tokenized_dataset(
     ds_files = sorted(_glob.glob(os.path.join(folder, "*.ds")))
     if not ds_files:
         raise ValueError(f"no .ds shards under {folder!r}")
-    idx_files = sorted(_glob.glob(os.path.join(folder, "*.ds.index")))
     loss_files = sorted(_glob.glob(os.path.join(folder, "*.ds.loss")))
     if check_loss is None:
         check_loss = bool(loss_files)
-    if len(ds_files) != len(idx_files) or (check_loss and len(ds_files) != len(loss_files)):
-        raise ValueError(
-            f"shard count mismatch: {len(ds_files)} .ds, {len(idx_files)} "
-            f".ds.index, {len(loss_files)} .ds.loss"
-        )
+    # Pairing is PER-SHARD, derived from each .ds filename — an aggregate
+    # count compare would let {a.ds, b.ds.index} pass and then crash with a
+    # raw FileNotFoundError on a.ds.index instead of naming the bad shard.
+    missing = [
+        ds + suffix
+        for ds in ds_files
+        for suffix in ([".index"] + ([".loss"] if check_loss else []))
+        if not os.path.exists(ds + suffix)
+    ]
+    if missing:
+        raise ValueError(f"shards missing companion files: {missing}")
     n_docs = n_tokens = 0
     for ds in ds_files:
         with open(ds + ".index", "rb") as f:

@@ -94,14 +94,16 @@ def test_badwords_allowlist_union_applies_across_languages():
         assert not (words & allow_union), (lang, words & allow_union)
 
 
-def test_simhash_default_is_exact_mode(spark):
-    """Default max_bucket must be None (opt-in recall loss, advisor item)."""
+def test_simhash_default_is_bounded_mode(spark):
+    """Default max_bucket must be 256 (round-4 advisor: the unbounded
+    all-pairs default was a silent scalability regression; exactness is
+    opt-in via max_bucket=None, which the oracle query passes explicitly)."""
     import inspect
 
     from datatrove_spark.operators import simhash_dedup
 
     sig = inspect.signature(simhash_dedup)
-    assert sig.parameters["max_bucket"].default is None
+    assert sig.parameters["max_bucket"].default == 256
 
 
 def test_annotate_language_singleton_keyed_by_model(spark):
@@ -122,3 +124,32 @@ def test_annotate_language_singleton_keyed_by_model(spark):
     # identical training text under different labels: each call must score
     # with ITS OWN model, so the labels must differ
     assert lang_a == "en" and lang_b == "xx"
+
+
+def test_stage_complete_reraises_for_remote_paths(spark):
+    """Round-4 advisor: a transient JVM/gateway error probing an explicitly
+    remote stage dir must re-raise, not silently report 'incomplete' via the
+    local-path fallback (which would rebuild hours of finished work)."""
+    from datatrove_spark.operators.dedup import _stage_complete
+
+    class _BrokenSpark:
+        @property
+        def _jvm(self):
+            raise RuntimeError("gateway down")
+
+    with pytest.raises(RuntimeError, match="gateway down"):
+        _stage_complete(_BrokenSpark(), "hdfs://nn/stages/sigs")
+    # plainly-local path: fallback to os.path is the correct behavior
+    assert _stage_complete(_BrokenSpark(), "/nonexistent/local/stages") is False
+
+
+def test_check_tokenized_names_shard_missing_companion(tmp_path):
+    """Round-4 advisor: {a.ds, b.ds.index} passes an aggregate count compare
+    and then dies with a raw FileNotFoundError; pairing must be per-shard
+    and the error must name the offending files."""
+    from datatrove_spark.operators.tokens import check_tokenized_dataset
+
+    (tmp_path / "a.ds").write_bytes(b"\x00\x00")
+    (tmp_path / "b.ds.index").write_bytes(b"")
+    with pytest.raises(ValueError, match=r"a\.ds\.index"):
+        check_tokenized_dataset(str(tmp_path), token_size=2)

@@ -12,6 +12,7 @@ utils/perplexity.py:125-138, pipeline/tokens/tokenizer.py:281-476)."""
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -353,3 +354,24 @@ class TestBPEWorkedExample:
         assert "".join("café"[a:b] for _, a, b in triples) == "café"
         for tid, a, b in triples:
             assert 0 <= a < b <= 4
+
+
+def test_verify_artifacts_selftest(tmp_path):
+    """The one-command real-artifact harness (tools/verify_artifacts.py) must
+    run green on the repo's own fixture artifacts: loads + engine outputs +
+    bin-vs-ftz consistency, with package-parity checks reported as SKIP when
+    the reference packages are absent (never as failures)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "res.json"
+    proc = subprocess.run(
+        [sys.executable, "tools/verify_artifacts.py", "--self-test", "--out", str(out)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads(out.read_text())
+    assert res["ok"] and res["checks_run"] >= 6, res

@@ -6,8 +6,13 @@ Python eval prompt).
     python tools/inspect_data.py PATH [-s 0.01] [-n 10] [-w "lang='en'"]
                                  [--text-col text] [--columns id,lang]
 
-Sampling is the SamplerFilter's deterministic md5-of-row rule, so the same
-invocation always shows the same documents.
+Sampling is deterministic: when the table has a ``doc_id`` column the
+sample applies the SamplerFilter's exact md5 rule
+(``substr(md5(doc_id || ':' || seed), 1, 8) < hex_threshold``,
+operators/filters.py sampler_filter method='md5'), so the rows shown are
+EXACTLY the rows that operator would keep at the same rate/seed.  Tables
+without ``doc_id`` fall back to DuckDB's hash-of-row — still deterministic
+per invocation, but NOT SamplerFilter-identical.
 """
 
 from __future__ import annotations
@@ -64,10 +69,23 @@ def _rows(kind: str, files: list[str], where: str | None, limit: int, sample: fl
     if where:
         clauses.append(f"({where})")
     if sample < 1.0:
-        # md5-of-row-text deterministic sampler (operators/filters.py rule)
-        clauses.append(
-            f"(hash(to_json(t)::VARCHAR) % 1000000) < {int(sample * 1000000)}"
-        )
+        cols = {
+            d[0]
+            for d in con.execute(f"SELECT * FROM {src} t LIMIT 0").description
+        }
+        if "doc_id" in cols:
+            # EXACT SamplerFilter rule (operators/filters.py sampler_filter,
+            # method='md5', seed=42): engine-portable by construction, so the
+            # sample here is the operator's keep-set at the same rate.
+            threshold = format(int(sample * 0xFFFFFFFF), "08x")
+            clauses.append(
+                f"(substr(md5(doc_id::VARCHAR || ':42'), 1, 8) < '{threshold}')"
+            )
+        else:
+            # no doc_id: deterministic but NOT SamplerFilter-identical
+            clauses.append(
+                f"(hash(to_json(t)::VARCHAR) % 1000000) < {int(sample * 1000000)}"
+            )
     cond = ("WHERE " + " AND ".join(clauses)) if clauses else ""
     q = f"SELECT * FROM {src} t {cond} LIMIT {limit}"
     cur = con.execute(q)
