@@ -18,17 +18,27 @@ arXiv:1804.10959; google/sentencepiece ``unigram_model.cc``):
   ``unigram_model.cc`` kUnkPenalty),
 * model IO: the ``.vocab`` text export (piece<TAB>score per line), and a
   minimal protobuf reader/writer for the real ``.model`` ModelProto wire
-  format (field 1 = repeated SentencePiece{piece=1:string, score=2:float,
-  type=3:enum}) — so a genuine ``xx.sp.model`` file loads with no
-  protobuf/sentencepiece dependency,
+  format (pieces = field 1 repeated SentencePiece{piece=1:string,
+  score=2:float, type=3:enum}; normalizer_spec = field 3
+  NormalizerSpec{name=1:string, precompiled_charsmap=2:bytes}) — so a
+  genuine ``xx.sp.model`` file loads with no protobuf/sentencepiece
+  dependency,
+* the precompiled charsmap itself: when the NormalizerSpec carries a
+  non-empty ``precompiled_charsmap`` blob, normalization runs the REAL
+  longest-match replacement over its darts-clone double-array trie
+  (normalizer.cc ``DecodePrecompiledCharsMap``/``NormalizePrefix``,
+  darts_clone ``commonPrefixSearch`` unit layout) instead of the
+  rule-derived nmt_nfkc below — byte-exact with the shipping model's
+  normalizer including long-tail multi-codepoint entries,
 * a fixture-quality trainer (substring-frequency scores, NOT SP's EM) that
-  guarantees single-character coverage, for deterministic tests.
+  guarantees single-character coverage, for deterministic tests, plus a
+  charsmap blob builder for wire-valid fixture ``.model`` files.
 
 Drop-in procedure for a real artifact: pass the ``.model`` (or ``.vocab``)
 path to ``SentencePieceUnigram.load``; predictions then depend only on this
-file.  Divergences from real SP inference: the nmt_nfkc charsmap is
-reconstructed from the published builder.cc rules (long-tail precompiled
-entries may differ) and decoding is first-best-only (no n-best/sampling).
+file (including its own charsmap).  Residual divergences from real SP
+inference: decoding is first-best-only (no n-best/sampling), and ``.vocab``
+inputs (no charsmap available) use the rule-derived nmt_nfkc fallback.
 """
 
 from __future__ import annotations
@@ -82,6 +92,159 @@ NORMAL, UNKNOWN, CONTROL, USER_DEFINED, UNUSED, BYTE = 1, 2, 3, 4, 5, 6
 _UNK_PENALTY = 10.0  # unigram_model.cc kUnkPenalty
 
 
+# --- precompiled charsmap (NormalizerSpec.precompiled_charsmap) ---------------
+#
+# Blob layout (normalizer.cc DecodePrecompiledCharsMap): uint32 LE trie blob
+# size, then that many bytes of darts-clone double-array units (uint32 LE
+# each), then the replacement-string blob ('\0'-terminated entries; a leaf
+# value is a byte offset into it).  darts-clone unit accessors (darts.h
+# DoubleArrayUnit): label = unit & 0x800000FF, has_leaf = (unit >> 8) & 1,
+# offset = (unit >> 10) << ((unit & 0x200) >> 6); a leaf VALUE unit has bit
+# 31 set with the value in bits 0..30.  Traversal XORs: from node base,
+# child slot = base ^ byte; a node's own base = slot ^ offset(unit).
+
+
+def _da_offset(unit: int) -> int:
+    return (unit >> 10) << ((unit & 0x200) >> 6)
+
+
+_UTF8_LEN = [1] * 0x80 + [1] * 0x40 + [2] * 0x20 + [3] * 0x10 + [4] * 0x08 + [1] * 0x08
+
+
+class PrecompiledCharsMap:
+    """Longest-match replacement over a real precompiled charsmap blob —
+    normalizer.cc NormalizePrefix semantics over the darts-clone trie."""
+
+    def __init__(self, blob: bytes):
+        if len(blob) < 4:
+            raise ValueError("precompiled charsmap blob too short")
+        (trie_size,) = struct.unpack("<I", blob[:4])
+        if 4 + trie_size > len(blob) or trie_size % 4:
+            raise ValueError("precompiled charsmap: bad trie blob size")
+        self.units = struct.unpack("<%dI" % (trie_size // 4), blob[4 : 4 + trie_size])
+        self.normalized = blob[4 + trie_size :]
+
+    def longest_match(self, data: bytes, start: int) -> tuple[int, bytes] | None:
+        """(consumed_bytes, replacement) for the longest trie match at
+        ``start``, or None (darts commonPrefixSearch, last result wins)."""
+        units = self.units
+        n_units = len(units)
+        node_pos = _da_offset(units[0])
+        best = None
+        for i in range(start, len(data)):
+            b = data[i]
+            node_pos ^= b
+            if node_pos >= n_units:
+                break
+            unit = units[node_pos]
+            if (unit & 0x800000FF) != b:
+                break
+            node_pos ^= _da_offset(unit)
+            if (unit >> 8) & 1:
+                value = units[node_pos] & 0x7FFFFFFF
+                end = self.normalized.index(b"\0", value)
+                best = (i + 1 - start, self.normalized[value:end])
+        return best
+
+    def normalize(self, text: str) -> str:
+        """Apply the charsmap over the UTF-8 bytes: longest match replaces,
+        an unmatched valid character copies through, an unmatched malformed
+        byte becomes U+FFFD (normalizer.cc Normalize)."""
+        data = text.encode("utf-8")
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            m = self.longest_match(data, i)
+            if m is not None:
+                out += m[1]
+                i += m[0]
+                continue
+            ln = _UTF8_LEN[data[i]]
+            chunk = data[i : i + ln]
+            try:
+                chunk.decode("utf-8")
+            except UnicodeDecodeError:
+                out += b"\xef\xbf\xbd"  # U+FFFD
+                i += 1
+                continue
+            out += chunk
+            i += ln
+        return out.decode("utf-8")
+
+
+def build_charsmap_blob(mapping: dict[str, str]) -> bytes:
+    """Compile a replacement mapping into a wire-valid precompiled-charsmap
+    blob (fixture generator mirroring builder.cc CompileCharsMap + the
+    darts-clone build): a hand-built double-array whose traversal follows
+    the exact unit accessors the reader uses, so tests exercise the REAL
+    decode path without a sentencepiece dependency."""
+    if not mapping:
+        raise ValueError("empty charsmap mapping")
+    norm = bytearray()
+    values: dict[str, int] = {}
+    for k in sorted(mapping):
+        if not k:
+            raise ValueError("empty charsmap key")
+        values[k] = len(norm)
+        norm += mapping[k].encode("utf-8") + b"\0"
+
+    # byte-level trie
+    root: dict = {}
+    leaf_value: dict[int, int] = {}
+    for k, off in values.items():
+        node = root
+        for b in k.encode("utf-8"):
+            node = node.setdefault(b, {})
+        leaf_value[id(node)] = off
+
+    units = [0] * 64
+    used = [False] * 64
+    used[0] = True
+
+    def _ensure(idx: int) -> None:
+        while idx >= len(units):
+            units.extend([0] * len(units))
+            used.extend([False] * len(used))
+
+    from collections import deque
+
+    queue: deque = deque([(root, 0)])
+    used_base: set[int] = set()
+    while queue:
+        node, pos = queue.popleft()
+        labels = sorted(node)
+        has_leaf = id(node) in leaf_value
+        slots = ([0] if has_leaf else []) + labels
+        base = 1
+        while True:
+            _ensure(base | 0xFF)  # base ^ s <= base | 0xFF for byte labels
+            # base must be UNIQUE per node: two nodes sharing a base would
+            # make each other's children reachable (label check can't tell
+            # same-label children of different parents apart)
+            if base not in used_base and all(not used[base ^ s] for s in slots):
+                break
+            base += 1
+        used_base.add(base)
+        offset = pos ^ base
+        if offset >= 1 << 21:
+            raise ValueError("fixture charsmap too large for short offsets")
+        units[pos] |= (offset << 10) | (0x100 if has_leaf else 0)
+        if has_leaf:
+            used[base] = True
+            units[base] = 0x80000000 | leaf_value[id(node)]
+        for lb in labels:
+            slot = base ^ lb
+            used[slot] = True
+            units[slot] = lb
+        for lb in labels:
+            queue.append((node[lb], base ^ lb))
+
+    # trim trailing unused units (keep index 0..max used)
+    last = max(i for i, u in enumerate(used) if u)
+    trie = b"".join(struct.pack("<I", u) for u in units[: last + 1])
+    return struct.pack("<I", len(trie)) + trie + bytes(norm)
+
+
 class SentencePieceUnigram:
     """Unigram-model inference over a {piece: log10-or-ln score} table.
 
@@ -89,7 +252,12 @@ class SentencePieceUnigram:
     of the stored scores does not matter; real .model files carry ln probs.
     """
 
-    def __init__(self, pieces: dict[str, float], unk_piece: str = "<unk>"):
+    def __init__(
+        self,
+        pieces: dict[str, float],
+        unk_piece: str = "<unk>",
+        charsmap: "PrecompiledCharsMap | None" = None,
+    ):
         if not pieces:
             raise ValueError("empty piece table")
         self.pieces = {
@@ -103,6 +271,13 @@ class SentencePieceUnigram:
         # per-word decomposition is exact iff no piece has an internal ▁
         self._word_safe = not any(SP_SPACE in p[1:] for p in self.pieces)
         self._cache: dict[str, tuple[str, ...]] = {}
+        self.charsmap = charsmap
+        if charsmap is not None:
+            # instance attribute shadows the rule-based staticmethod: this
+            # model normalizes through ITS OWN precompiled charsmap, exactly
+            # like real SP inference (normalizer.cc) — class-level
+            # SentencePieceUnigram.normalize stays the rule-derived fallback
+            self.normalize = self._charsmap_normalize
 
     # --- model IO -------------------------------------------------------------
 
@@ -110,7 +285,9 @@ class SentencePieceUnigram:
     def load(cls, path: str) -> "SentencePieceUnigram":
         if path.endswith(".vocab"):
             return cls(load_vocab(path))
-        return cls(load_model_proto(path))
+        pieces, charsmap_blob = load_model_proto_full(path)
+        charsmap = PrecompiledCharsMap(charsmap_blob) if charsmap_blob else None
+        return cls(pieces, charsmap=charsmap)
 
     # --- normalization / pretokenization -------------------------------------
 
@@ -125,6 +302,17 @@ class SentencePieceUnigram:
         builder.cc rule list."""
         text = text.translate(_NMT_CHARS_MAP)
         text = unicodedata.normalize("NFKC", text)
+        text = _WS_RE.sub(" ", text).strip()
+        if not text:
+            return ""
+        return SP_SPACE + text.replace(" ", SP_SPACE)
+
+    def _charsmap_normalize(self, text: str) -> str:
+        """The real-model path: the .model's own precompiled charsmap does
+        the character mapping (it bakes in NFKC + NMT rules, so neither is
+        re-applied here), then the standard remove_extra_whitespaces
+        collapse, dummy prefix, and whitespace escaping."""
+        text = self.charsmap.normalize(text)
         text = _WS_RE.sub(" ", text).strip()
         if not text:
             return ""
@@ -278,12 +466,32 @@ def _parse_sentencepiece(buf: bytes) -> tuple[str, float, int]:
     return piece, score, ptype
 
 
-def load_model_proto(path: str) -> dict[str, float]:
-    """Parse a real SentencePiece ``.model`` file's piece table.  CONTROL
-    and UNKNOWN pieces are skipped (they never match surface text)."""
+def _parse_normalizer_spec(buf: bytes) -> bytes | None:
+    """NormalizerSpec (sentencepiece_model.proto): name = field 1 (string),
+    precompiled_charsmap = field 2 (bytes).  Returns the charsmap blob."""
+    charsmap = None
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 2 and wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            charsmap = buf[pos : pos + ln]
+            pos += ln
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return charsmap or None
+
+
+def load_model_proto_full(path: str) -> tuple[dict[str, float], bytes | None]:
+    """Parse a real SentencePiece ``.model`` file: the piece table (CONTROL
+    and UNKNOWN pieces skipped — they never match surface text) plus the
+    NormalizerSpec's precompiled charsmap blob (ModelProto.normalizer_spec =
+    field 3) when present."""
     with open(path, "rb") as f:
         buf = f.read()
     pieces: dict[str, float] = {}
+    charsmap: bytes | None = None
     pos = 0
     while pos < len(buf):
         key, pos = _read_varint(buf, pos)
@@ -294,11 +502,20 @@ def load_model_proto(path: str) -> dict[str, float]:
             pos += ln
             if ptype in (NORMAL, USER_DEFINED, BYTE):
                 pieces[piece] = float(score)
+        elif field == 3 and wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            charsmap = _parse_normalizer_spec(buf[pos : pos + ln])
+            pos += ln
         else:
             pos = _skip_field(buf, pos, wt)
     if not pieces:
         raise ValueError(f"{path}: no scorable pieces found (not a ModelProto?)")
-    return pieces
+    return pieces, charsmap
+
+
+def load_model_proto(path: str) -> dict[str, float]:
+    """Back-compat piece-table-only loader."""
+    return load_model_proto_full(path)[0]
 
 
 def _encode_varint(v: int) -> bytes:
@@ -313,9 +530,16 @@ def _encode_varint(v: int) -> bytes:
             return bytes(out)
 
 
-def save_model_proto(pieces: list[tuple[str, float, int]], path: str) -> None:
+def save_model_proto(
+    pieces: list[tuple[str, float, int]],
+    path: str,
+    charsmap_blob: bytes | None = None,
+    normalizer_name: str = "nmt_nfkc",
+) -> None:
     """Write a wire-valid ModelProto piece table (fixture generator — lets
-    tests exercise the real-.model loading path without artifacts)."""
+    tests exercise the real-.model loading path without artifacts).  With
+    ``charsmap_blob``, a NormalizerSpec (ModelProto field 3: name = 1,
+    precompiled_charsmap = 2) is included so the trie decode path runs."""
     body = bytearray()
     for piece, score, ptype in pieces:
         raw = piece.encode("utf-8")
@@ -324,6 +548,12 @@ def save_model_proto(pieces: list[tuple[str, float, int]], path: str) -> None:
         sub += b"\x15" + struct.pack("<f", score)                 # field 2, f32
         sub += b"\x18" + _encode_varint(ptype)                    # field 3, enum
         body += b"\x0a" + _encode_varint(len(sub)) + sub          # ModelProto.1
+    if charsmap_blob is not None:
+        name_raw = normalizer_name.encode("utf-8")
+        spec = bytearray()
+        spec += b"\x0a" + _encode_varint(len(name_raw)) + name_raw    # name = 1
+        spec += b"\x12" + _encode_varint(len(charsmap_blob)) + charsmap_blob  # 2
+        body += b"\x1a" + _encode_varint(len(spec)) + spec            # ModelProto.3
     with open(path, "wb") as f:
         f.write(bytes(body))
 
@@ -365,10 +595,13 @@ def train_unigram(
 
 __all__ = [
     "SP_SPACE",
+    "PrecompiledCharsMap",
     "SentencePieceUnigram",
+    "build_charsmap_blob",
     "load_vocab",
     "save_vocab",
     "load_model_proto",
+    "load_model_proto_full",
     "save_model_proto",
     "train_unigram",
 ]

@@ -235,3 +235,118 @@ class TestCCNetSPRecipe:
         # file-quantized path — what the fixture oracle relies on)
         m2 = CCNetSPArpaModel(ArpaLM.load(arpa_path), SentencePieceUnigram.load(sp_path))
         assert [m.perplexity(t) for t in texts] == [m2.perplexity(t) for t in texts]
+
+
+class TestPrecompiledCharsMap:
+    """NormalizerSpec.precompiled_charsmap: darts-clone double-array decode
+    (normalizer.cc DecodePrecompiledCharsMap / NormalizePrefix semantics)."""
+
+    MAPPING = {
+        "A": "a",
+        "ABC": "abc!",          # longest match must beat the "A" prefix
+        "Ａ": "a",              # fullwidth A (multi-byte key)
+        "ﬁ": "fi",              # ligature → two chars (expanding entry)
+        "\t": " ",
+        "…": "...",
+        "ACB": "xx",            # shares "A"+"C" path pieces with ABC
+    }
+
+    def _trie(self):
+        from datatrove_spark.kernels.sentencepiece import (
+            PrecompiledCharsMap,
+            build_charsmap_blob,
+        )
+
+        return PrecompiledCharsMap(build_charsmap_blob(self.MAPPING))
+
+    def test_longest_match_wins(self):
+        cm = self._trie()
+        assert cm.normalize("ABC") == "abc!"
+        assert cm.normalize("AB") == "aB"      # falls back to the "A" entry
+        assert cm.normalize("ACB") == "xx"
+        assert cm.normalize("ABX") == "aBX"
+
+    def test_multibyte_and_expanding_entries(self):
+        cm = self._trie()
+        assert cm.normalize("Ａﬁ…") == "afi..."
+        assert cm.normalize("x\ty") == "x y"
+        # unmatched characters (incl. multi-byte) copy through untouched
+        assert cm.normalize("héllo 早") == "héllo 早"
+
+    def test_malformed_utf8_replacement(self):
+        from datatrove_spark.kernels.sentencepiece import PrecompiledCharsMap
+
+        cm = self._trie()
+        # decode path takes str input; drive the byte loop directly
+        out = bytearray()
+        data = b"A\xff\xfeB"
+        i = 0
+        res = []
+        while i < len(data):
+            m = cm.longest_match(data, i)
+            if m:
+                res.append(m[1].decode())
+                i += m[0]
+            else:
+                res.append("?")
+                i += 1
+        assert res == ["a", "?", "?", "?"]  # B unmatched too
+
+    def test_model_file_roundtrip_uses_trie_path(self, tmp_path):
+        """A fixture .model carrying a charsmap must normalize through the
+        trie (fullwidth→ascii proves it: the rule path's NFKC maps Ａ→A,
+        only the charsmap maps it to lowercase a)."""
+        from datatrove_spark.kernels.sentencepiece import (
+            NORMAL,
+            SentencePieceUnigram,
+            build_charsmap_blob,
+            save_model_proto,
+        )
+
+        pieces = [("<unk>", 0.0, 2)] + [
+            (p, s, NORMAL)
+            for p, s in {"▁": -2.0, "a": -3.0, "b": -3.5, "▁ab": -1.5, "c": -4.0}.items()
+        ]
+        path = str(tmp_path / "fx.sp.model")
+        save_model_proto(pieces, path, charsmap_blob=build_charsmap_blob(self.MAPPING))
+        sp = SentencePieceUnigram.load(path)
+        assert sp.charsmap is not None
+        assert sp.normalize("Ａb") == "▁ab"
+        assert sp.encode_as_pieces("Ａb") == ["▁ab"]
+        # class-level fallback unchanged: NFKC folds fullwidth to uppercase A
+        assert SentencePieceUnigram.normalize("Ａb") == "▁Ab"
+
+    def test_model_without_charsmap_falls_back(self, tmp_path):
+        from datatrove_spark.kernels.sentencepiece import (
+            NORMAL,
+            SentencePieceUnigram,
+            save_model_proto,
+        )
+
+        pieces = [("<unk>", 0.0, 2), ("▁", -2.0, NORMAL), ("A", -3.0, NORMAL)]
+        path = str(tmp_path / "plain.sp.model")
+        save_model_proto(pieces, path)
+        sp = SentencePieceUnigram.load(path)
+        assert sp.charsmap is None
+        assert sp.normalize("Ａ") == "▁A"  # rule-derived nmt_nfkc (NFKC fold)
+
+    def test_dense_mapping_property(self):
+        """Every key of a larger generated mapping must round-trip through
+        build → decode (the builder and reader must agree on the unit
+        layout for arbitrary byte patterns, incl. shared prefixes)."""
+        from datatrove_spark.kernels.sentencepiece import (
+            PrecompiledCharsMap,
+            build_charsmap_blob,
+        )
+
+        mapping = {}
+        for i in range(120):
+            key = chr(0x100 + 7 * i) + ("x" if i % 3 == 0 else "")
+            mapping[key] = f"r{i}"
+        for i in range(40):  # ascii + shared-prefix cluster
+            mapping["pre" + chr(0x41 + i % 26) + str(i)] = f"p{i}"
+        cm = PrecompiledCharsMap(build_charsmap_blob(mapping))
+        for k, v in mapping.items():
+            data = k.encode("utf-8")
+            m = cm.longest_match(data, 0)
+            assert m is not None and m[0] == len(data) and m[1].decode() == v, k

@@ -192,7 +192,10 @@ def verify_sp(path: str, rep: Report) -> None:
     from datatrove_spark.kernels.sentencepiece import SentencePieceUnigram
 
     sp = SentencePieceUnigram.load(path)
-    print(f"-- sentencepiece {path}: pieces={len(sp.pieces)}")
+    print(
+        f"-- sentencepiece {path}: pieces={len(sp.pieces)} "
+        f"charsmap={'precompiled-trie' if sp.charsmap else 'rule-derived nmt_nfkc'}"
+    )
     rep.check(f"sp:load {os.path.basename(path)}", True)
 
     ours = [sp.encode_as_pieces(t.replace("\n", " ")) for t in FIXTURE_CORPUS]
