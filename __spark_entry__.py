@@ -953,54 +953,168 @@ def q_code_pii_scrub(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# merged suite queries — round-5 oracle consolidation
+#
+# The driver verifies at most ~50 queries per round; with 63 entries, 13 per
+# round fell back to judge-local evidence.  Near-twin queries are therefore
+# merged: each suite UNIONs its variants under a leading `mode` column, so
+# ONE driver row hash-verifies every variant and CORRECTNESS_r{N} covers
+# 100% of the registry with no rotation.  The per-variant q_* functions stay
+# (bench.py and tests drive them directly).
+# --------------------------------------------------------------------------
+
+
+def _mode(df, mode):
+    return df.select(F.lit(mode).alias("mode"), "*")
+
+
+def q_exact_dedup_suite(spark, sf_dir):
+    return _mode(q_exact_dedup(spark, sf_dir), "batch").unionByName(
+        _mode(q_exact_dedup_index(spark, sf_dir), "index")
+    )
+
+
+def q_minhash_suite(spark, sf_dir):
+    """inmem + staged (decision-identical, distinct dataflow) + index."""
+    return (
+        _mode(q_minhash_dedup(spark, sf_dir), "inmem")
+        .unionByName(_mode(q_minhash_staged(spark, sf_dir), "staged"))
+        .unionByName(_mode(q_minhash_dedup_index(spark, sf_dir), "index"))
+    )
+
+
+def q_sentence_dedup_suite(spark, sf_dir):
+    return _mode(q_sentence_dedup(spark, sf_dir), "batch").unionByName(
+        _mode(q_sentence_dedup_index(spark, sf_dir), "index")
+    )
+
+
+def q_exact_substrings_suite(spark, sf_dir):
+    return _mode(q_exact_substrings(spark, sf_dir), "owner").unionByName(
+        _mode(q_exact_substrings_all(spark, sf_dir), "remove_all")
+    )
+
+
+def q_perplexity_suite(spark, sf_dir):
+    """word-LM perplexity + full CC-Net SP/ARPA recipe + head/middle/tail
+    buckets, one (mode, doc_id, pp, bucket) relation."""
+    null_s = F.lit(None).cast("string")
+    w = q_perplexity(spark, sf_dir).select(
+        F.lit("word_lm").alias("mode"),
+        "doc_id",
+        F.col("perplexity").alias("pp"),
+        null_s.alias("bucket"),
+    )
+    s = q_perplexity_sp(spark, sf_dir).select(
+        F.lit("ccnet_sp").alias("mode"),
+        "doc_id",
+        F.col("perplexity_sp").alias("pp"),
+        null_s.alias("bucket"),
+    )
+    b = q_perplexity_buckets(spark, sf_dir).select(
+        F.lit("bucket").alias("mode"),
+        "doc_id",
+        F.lit(None).cast("double").alias("pp"),
+        F.col("ppl_bucket").alias("bucket"),
+    )
+    return w.unionByName(s).unionByName(b)
+
+
+def q_ann_suite(spark, sf_dir):
+    """exact brute-force + multi-table LSH + IVF top-k, one relation."""
+    return (
+        _mode(q_ann_cosine_topk(spark, sf_dir), "exact")
+        .unionByName(_mode(q_lsh_ann(spark, sf_dir), "lsh"))
+        .unionByName(_mode(q_ivf_ann(spark, sf_dir), "ivf"))
+    )
+
+
+def q_c4_badwords_suite(spark, sf_dir):
+    en = q_c4_badwords(spark, sf_dir).select(
+        F.lit("en").alias("mode"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "keep",
+        "drop_reason",
+    )
+    return en.unionByName(_mode(q_c4_badwords_multilang(spark, sf_dir), "multilang"))
+
+
+def q_word_stats_suite(spark, sf_dir):
+    en = q_word_stats(spark, sf_dir).select(
+        F.lit("en").alias("mode"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "n_words",
+        "avg_word_length",
+        "stop_word_ratio",
+        "type_token_ratio",
+    )
+    ml = q_word_stats_multilang(spark, sf_dir).select(
+        F.lit("multilang").alias("mode"),
+        "doc_id",
+        "lang",
+        "n_words",
+        F.lit(None).cast("double").alias("avg_word_length"),
+        "stop_word_ratio",
+        F.lit(None).cast("double").alias("type_token_ratio"),
+    )
+    return en.unionByName(ml)
+
+
+def q_topk_suite(spark, sf_dir):
+    src = q_top_sources(spark, sf_dir).select(
+        F.lit("source").alias("mode"), F.col("source").alias("grp"), "n"
+    )
+    fq = q_fqdn_topk(spark, sf_dir).select(
+        F.lit("fqdn").alias("mode"), F.col("fqdn").alias("grp"), "n"
+    )
+    return src.unionByName(fq)
+
+
+def q_histogram_suite(spark, sf_dir):
+    chars = _mode(q_length_histogram(spark, sf_dir), "chars")
+    toks = q_token_count_hist(spark, sf_dir).select(
+        F.lit("tokens").alias("mode"), F.col("token_count").cast("double").alias("bin"), "n"
+    )
+    return chars.unionByName(toks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION POLICY (the driver verifies at most the first ~50 entries):
-    # each round leads with every query that did NOT get a driver row last
-    # round, then any queries whose code changed this round, then the north
-    # rule, then the rest; the tail (sacrificed if the budget runs out) is
-    # only ever queries green at the previous round's driver.  Under this
-    # policy every query gets a fresh driver row at least every two rounds.
-    # Round 4: positions 1-11 are the 11 queries without a CORRECTNESS_r03
-    # row; every query beyond the driver's 50-row window is green in
-    # CORRECTNESS_r03.
+    # FULL COVERAGE, NO ROTATION (round-5 consolidation): exactly 50 entries
+    # — the driver's per-round verification window — so every operator gets
+    # a fresh CORRECTNESS row every round.  Near-twin variants that used to
+    # be separate entries (index modes, staged dataflow, remove_all,
+    # CC-Net-SP/bucket perplexity, LSH/IVF ANN, multilang dispatches, the
+    # two top-k/histogram shapes) are suites: one relation, `mode` column
+    # per variant, every variant hash-verified in the same driver row.
     return {
-        # -- round-3 driver-starved (rotate to the front) --
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "tokenized_lengths": q_tokenized_lengths,
-        "c4_paragraphs": q_c4_paragraphs,
-        "url_filter": q_url_filter,
-        "regex_filter": q_regex_filter,
-        "lambda_filter": q_lambda_filter,
-        "sampler": q_sampler,
-        "mime_filter": q_mime_filter,
-        "doc_shuffle": q_doc_shuffle,
         # -- north rule --
         "code_quality": q_code_quality,
         "code_pii_scrub": q_code_pii_scrub,
-        # -- new round-4 code (must sit inside the driver's 50-row window) --
-        "perplexity_sp": q_perplexity_sp,
-        "minhash_staged": q_minhash_staged,
         # -- quality filters --
         "gopher_quality": q_gopher_quality,
         "gopher_rep_topgrams": q_gopher_rep_topgrams,
         "gopher_repetition": q_gopher_repetition,
         "c4_quality": q_c4_quality,
+        "c4_paragraphs": q_c4_paragraphs,
         "fineweb_quality": q_fineweb_quality,
-        "c4_badwords": q_c4_badwords,
-        "c4_badwords_multilang": q_c4_badwords_multilang,
+        "c4_badwords": q_c4_badwords_suite,
         "pii_scrub": q_pii_scrub,
+        "url_filter": q_url_filter,
+        "regex_filter": q_regex_filter,
+        "lambda_filter": q_lambda_filter,
+        "sampler": q_sampler,
+        "mime_filter": q_mime_filter,
+        "quality_multilingual": q_quality_multilingual,
+        "pipeline_summary": q_pipeline_summary,
         # -- dedup family --
-        "exact_dedup": q_exact_dedup,
-        "exact_dedup_index": q_exact_dedup_index,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_index": q_minhash_dedup_index,
-        "sentence_dedup": q_sentence_dedup,
-        "sentence_dedup_index": q_sentence_dedup_index,
+        "exact_dedup": q_exact_dedup_suite,
+        "minhash_dedup": q_minhash_suite,
+        "sentence_dedup": q_sentence_dedup_suite,
         "simhash_dedup": q_simhash_dedup,
-        "exact_substrings": q_exact_substrings,
-        "exact_substrings_all": q_exact_substrings_all,
+        "exact_substrings": q_exact_substrings_suite,
         "bloom_dedup": q_bloom_dedup,
         "ngram_decont": q_ngram_decont,
         "shingle_overlap": q_shingle_overlap,
@@ -1011,30 +1125,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "lang_stats": q_lang_stats,
         "unigram_logprob": q_unigram_logprob,
-        "perplexity": q_perplexity,
-        "perplexity_buckets": q_perplexity_buckets,
+        "perplexity": q_perplexity_suite,
         "classifier_filter": q_classifier_filter,
-        "quality_multilingual": q_quality_multilingual,
-        "pipeline_summary": q_pipeline_summary,
         # -- stats --
         "doc_stats": q_doc_stats,
-        "token_count_hist": q_token_count_hist,
+        "doc_stats_by_source": q_doc_stats_by_source,
         "line_stats": q_line_stats,
-        "word_stats": q_word_stats,
-        "word_stats_multilang": q_word_stats_multilang,
+        "word_stats": q_word_stats_suite,
         "para_sent_stats": q_para_sent_stats,
         "words_contamination": q_words_contamination,
-        # -- tail: all green in CORRECTNESS_r03 (safe to starve this round) --
-        "embedding_neardup": q_embedding_neardup,
-        "events_sessions": q_events_sessions,
-        "lineitem_pricing": q_lineitem_pricing,
-        "doc_stats_by_source": q_doc_stats_by_source,
         "symbol_lines": q_symbol_lines,
         "summary_by_lang": q_summary_by_lang,
-        "top_sources": q_top_sources,
-        "length_histogram": q_length_histogram,
+        "top_groups": q_topk_suite,
+        "histogram": q_histogram_suite,
+        # -- ANN / embeddings --
+        "ann_cosine_topk": q_ann_suite,
+        "embedding_neardup": q_embedding_neardup,
+        # -- tokens --
+        "tokenized_lengths": q_tokenized_lengths,
+        "doc_shuffle": q_doc_shuffle,
+        # -- relational / events --
+        "events_sessions": q_events_sessions,
+        "lineitem_pricing": q_lineitem_pricing,
         "event_type_stats": q_event_type_stats,
-        "fqdn_topk": q_fqdn_topk,
     }
 
 
@@ -1150,7 +1263,9 @@ def oracle_sql() -> dict[str, str]:
         for lang in sorted(STOPWORD_SETS)
     )
 
-    return {
+    # per-variant SQL; suite entries are composed below by UNIONing variant
+    # arms under the same `mode` literals the Spark suites emit
+    arms = {
         "gopher_quality": f"""
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -1807,3 +1922,88 @@ def oracle_sql() -> dict[str, str]:
             FROM j JOIN c USING (lang)
         """,
     }
+
+    def union(*mode_arm_pairs, cols="s.*"):
+        return "\nUNION ALL\n".join(
+            f"SELECT '{mode}' AS mode, {cols} FROM ({arms[arm]}) s"
+            for mode, arm in mode_arm_pairs
+        )
+
+    out = dict(arms)
+    # round-5 suite composition (one driver row hash-verifies every variant)
+    out["exact_dedup"] = union(("batch", "exact_dedup"), ("index", "exact_dedup_index"))
+    out["minhash_dedup"] = union(
+        ("inmem", "minhash_dedup"),
+        ("staged", "minhash_staged"),
+        ("index", "minhash_dedup_index"),
+    )
+    out["sentence_dedup"] = union(
+        ("batch", "sentence_dedup"), ("index", "sentence_dedup_index")
+    )
+    out["exact_substrings"] = union(
+        ("owner", "exact_substrings"), ("remove_all", "exact_substrings_all")
+    )
+    out["perplexity"] = "\nUNION ALL\n".join(
+        [
+            f"SELECT 'word_lm' AS mode, doc_id, perplexity AS pp, "
+            f"NULL::VARCHAR AS bucket FROM ({arms['perplexity']}) s",
+            f"SELECT 'ccnet_sp' AS mode, doc_id, perplexity_sp AS pp, "
+            f"NULL::VARCHAR AS bucket FROM ({arms['perplexity_sp']}) s",
+            f"SELECT 'bucket' AS mode, doc_id, NULL::DOUBLE AS pp, "
+            f"ppl_bucket AS bucket FROM ({arms['perplexity_buckets']}) s",
+        ]
+    )
+    out["ann_cosine_topk"] = union(
+        ("exact", "ann_cosine_topk"), ("lsh", "lsh_ann"), ("ivf", "ivf_ann")
+    )
+    out["c4_badwords"] = "\nUNION ALL\n".join(
+        [
+            f"SELECT 'en' AS mode, doc_id, NULL::VARCHAR AS lang, keep, "
+            f"drop_reason FROM ({arms['c4_badwords']}) s",
+            f"SELECT 'multilang' AS mode, s.* FROM ({arms['c4_badwords_multilang']}) s",
+        ]
+    )
+    out["word_stats"] = "\nUNION ALL\n".join(
+        [
+            f"SELECT 'en' AS mode, doc_id, NULL::VARCHAR AS lang, n_words, "
+            f"avg_word_length, stop_word_ratio, type_token_ratio "
+            f"FROM ({arms['word_stats']}) s",
+            f"SELECT 'multilang' AS mode, doc_id, lang, n_words, "
+            f"NULL::DOUBLE AS avg_word_length, stop_word_ratio, "
+            f"NULL::DOUBLE AS type_token_ratio "
+            f"FROM ({arms['word_stats_multilang']}) s",
+        ]
+    )
+    out["top_groups"] = "\nUNION ALL\n".join(
+        [
+            f"SELECT 'source' AS mode, source AS grp, n FROM ({arms['top_sources']}) s",
+            f"SELECT 'fqdn' AS mode, fqdn AS grp, n FROM ({arms['fqdn_topk']}) s",
+        ]
+    )
+    out["histogram"] = "\nUNION ALL\n".join(
+        [
+            f"SELECT 'chars' AS mode, bin, n FROM ({arms['length_histogram']}) s",
+            f"SELECT 'tokens' AS mode, token_count::DOUBLE AS bin, n "
+            f"FROM ({arms['token_count_hist']}) s",
+        ]
+    )
+    # drop variant arms that are now covered inside a suite entry
+    for name in (
+        "exact_dedup_index",
+        "minhash_staged",
+        "minhash_dedup_index",
+        "sentence_dedup_index",
+        "exact_substrings_all",
+        "perplexity_sp",
+        "perplexity_buckets",
+        "lsh_ann",
+        "ivf_ann",
+        "c4_badwords_multilang",
+        "word_stats_multilang",
+        "top_sources",
+        "fqdn_topk",
+        "length_histogram",
+        "token_count_hist",
+    ):
+        out.pop(name, None)
+    return out

@@ -31,65 +31,133 @@ BADWORDS_ALLOWLIST: dict[str, frozenset[str]] = {
     "zh": frozenset({"性"}),
 }
 
-# Representative subsets of the public LDNOOBW lists (full lists are several
-# hundred entries per language).  Multi-word phrases are kept — the regex
-# alternation matches them across spaces exactly like the reference.
+# Snapshots of the public LDNOOBW lists, grown round-over-round (en ~170 of
+# the published ~400; other languages carry the high-frequency core of their
+# list).  Still a curated checked-in snapshot, not the full dump — swap in a
+# complete LDNOOBW checkout via ``load_badwords(path=...)`` for production.
+# Multi-word phrases are kept — the regex alternation matches them across
+# spaces exactly like the reference.
 BADWORDS: dict[str, frozenset[str]] = {
     "en": frozenset(
-        "anal anus ballsack bastard bitch blowjob boner boob bukkake clitoris"
-        " cock cum cunt dick dildo dyke fag faggot fuck handjob jizz milf"
-        " nigger nigga paki penis porn pussy rimjob shit slut smut tit twat"
-        " vagina wank whore".split()
+        "anal anus areola arsehole ballsack bastard bestiality bimbo bitch"
+        " blowjob bollocks boner boob boobs bukkake buttplug clit clitoris"
+        " cock cocksucker coon creampie cum cumshot cunnilingus cunt dick"
+        " dildo dogging dyke ecchi ejaculate ejaculation erotic erotism"
+        " fag faggot felch fellatio femdom fisting fuck fucked fucker"
+        " fucking futanari gangbang genitals goatse gokkun handjob hentai"
+        " homoerotic hooker horny humping incest jackoff jerkoff jailbait"
+        " jizz kike knobbing livesex masturbate masturbation milf minge"
+        " motherfucker neonazi nigga nigger nipple nipples nude nudity"
+        " nympho orgasm orgy paedophile paki panties pedophile penis"
+        " piss pissing playboy ponyplay poon poontang porn porno"
+        " pornography pubes pussies pussy queef raghead rape raping rapist"
+        " rectum rimjob santorum scat schlong scissoring semen sex sexo"
+        " sexy shemale shibari shit shota skeet slanteye slut smut snatch"
+        " sodomize sodomy spastic spic splooge spooge spunk strapon"
+        " threesome tit tits titties titty topless tosser towelhead tranny"
+        " tribadism tube8 tushy twat vagina vibrator vorarephilia voyeur"
+        " vulva wank wetback whore xhamster xnxx xvideos xxx yaoi yiffy"
+        " zoophilia".split()
     )
-    | frozenset({"deep throat", "strap on"}),
+    | frozenset(
+        {
+            "deep throat",
+            "strap on",
+            "golden shower",
+            "female squirting",
+            "girl on top",
+            "group sex",
+            "reverse cowgirl",
+            "rosy palm",
+            "rusty trombone",
+            "bunny fucker",
+            "carpet muncher",
+            "cleveland steamer",
+            "dirty sanchez",
+            "donkey punch",
+        }
+    ),
     "es": frozenset(
-        "cabron capullo chocha concha coño culo follar gilipollas joder mierda"
-        " pendejo polla puta verga".split()
+        "cabron cabrón capullo chingar chocha cojones concha coño culo"
+        " drogas follar gilipollas hijaputa hijoputa joder machete marica"
+        " maricon maricón mierda pendejo pinche polla puta puto teta tetas"
+        " verga zorra".split()
     ),
     "fr": frozenset(
-        "bite chatte connard connasse couilles encule enculer foutre nique"
-        " pute salope".split()
+        "baiser bite bordel branler chatte connard connasse couilles cul"
+        " emmerder encule enculer enculé foutre merde niquer nique putain"
+        " pute salope suceuse zizi".split()
     ),
     "de": frozenset(
-        "arschloch fick ficken fotze hure hurensohn mösen muschi schlampe"
-        " schwanz wichser".split()
+        "arsch arschloch bumsen drecksau fick ficken fotze hure hurensohn"
+        " kackbratze mistkerl muschi mösen neger onanieren schlampe"
+        " schwanzlutscher schwuchtel titten vögeln wichse wichsen wichser"
+        " schwanz".split()
     ),
     "pt": frozenset(
-        "boceta buceta caralho foder porra puta punheta viado xoxota".split()
+        "boceta boquete buceta caralho chupada cu foder grelo porra puta"
+        " putaria punheta sacanagem siririca transar viado xana xoxota"
+        " pinto".split()
     ),
     "it": frozenset(
-        "cazzo culo figa fottere minchia porca puttana stronzo troia vaffanculo".split()
+        "bocchino cazzo culattone culo figa fica fottere fregna frocio"
+        " minchia mignotta pompino porca puttana sborra scopare stronzo"
+        " succhiami troia vaffanculo zoccola".split()
     ),
     "ru": frozenset(
-        "блядь блять ебать сука хуй пизда мудак мудила говно жопа шлюха"
-        " дрочить трахать хер пидор залупа манда".split()
+        "анал блядь блять выебать гандон говно дрочить ебал ебать жопа"
+        " залупа манда минет мудак мудила пидор пидорас пизда пиздец"
+        " порно проститутка секс сиськи сука трахать хер хуй хуйня"
+        " шлюха".split()
     ),
     "nl": frozenset(
-        "kut lul hoer neuken kanker klootzak pik sperma slet kutje pijpen"
-        " naaien".split()
+        "aftrekken hoer kanker klootzak kut kutje lul naaien neuken"
+        " pijpen pik porno reet slet sperma stront tieten trut".split()
     ),
     "pl": frozenset(
-        "kurwa chuj pizda jebać jebany dupa cipa spierdalaj pierdolić"
-        " skurwysyn".split()
+        "burdel chuj cipa cycki dupa dupek dziwka fiut gówno huj jebać"
+        " jebany kurwa kutas pierdolić pizda spierdalaj skurwysyn sraka".split()
     ),
     "ko": frozenset(
-        "씨발 병신 보지 자지 섹스 야동 창녀 좆 지랄 개새끼".split()
+        "간통 강간 개새끼 걸레 병신 보지 빠구리 섹스 씨발 야동 애무 자위"
+        " 자지 지랄 창녀 포르노 좆 호모".split()
     ),
     "tr": frozenset(
-        "amcık yarrak orospu sik sikmek göt piç kaltak taşak".split()
+        "amcık amına göt ibne kahpe kaltak orospu otuzbir piç sik"
+        " sikmek sikik taşak yarak yarrak".split()
     ),
-    "sv": frozenset("fitta kuk knulla hora röv runka".split()),
-    "da": frozenset("fisse pik luder kneppe røv".split()),
-    "ar": frozenset("طيز شرموطة كس زب قحبة نيك خرا عاهرة".split()),
+    "sv": frozenset(
+        "arsle fitta hora knulla kuk kuksugare mutta pippa runka röv"
+        " rövhål".split()
+    ),
+    "da": frozenset(
+        "anus fisse hore kneppe kusse luder pik pis røv røvhul sperm".split()
+    ),
+    "ar": frozenset(
+        "احتلام اغتصاب بز بزاز حمار خرا خول زب شاذ شرج شرموطة طيز عاهرة"
+        " عرص فرج قحبة كس لبوة لواط مص نيك".split()
+    ),
     "hi": frozenset(
-        "चूत लंड भोसड़ा रंडी चूतिया गांड मादरचोद बहनचोद हरामी".split()
+        "गांड गांडू चूचे चूत चूतिया झाट टट्टी बहनचोद भोसड़ा भड़वा मादरचोद"
+        " मुठ रंडी लंड लौड़ा हरामखोर हरामजादा हरामी".split()
     ),
     # un-flanked scripts (NO_FLANK_LANGS)
     "ja": frozenset(
-        "エロ ポルノ セックス オナニー 中出し 痴漢 乱交 変態 淫乱 素人".split()
+        "アナル エロ オナニー オーガズム グループ・セックス ザーメン"
+        " ストリップ劇場 セックス ソープランド ディルド デリヘル パイズリ"
+        " ファック フェラ ポルノ ポルノグラフィー マスターベーション レイプ"
+        " 中出し 乱交 売春 性交 手コキ 援交 痴漢 変態 淫乱 素人 露出"
+        " 騎乗位".split()
     ),
-    "zh": frozenset("色情 做爱 性交 乱伦 淫 妓女 强奸 肛交 自慰 勃起".split()),
-    "th": frozenset("หี ควย เย็ด แตด โป๊ เงี่ยน ขายตัว สำเร็จความใคร่".split()),
+    "zh": frozenset(
+        "一夜情 三级片 乱伦 做爱 傻屄 勃起 口交 打炮 打飞机 强奸"
+        " 性交 手淫 操你 淫 妓女 婊子 射精 屁眼 幼女 肏 肛交 自慰"
+        " 色情 荡妇 阴唇 阴户 阴茎 阴道 鸡巴 鸡奸".split()
+    ),
+    "th": frozenset(
+        "ขายตัว ควย จิ๋ม ดอกทอง หนังโป๊ หลั่ง หี อมนกเขา เงี่ยน เซ็กซ์"
+        " เย็ด แตด โป๊ โสเภณี สำเร็จความใคร่".split()
+    ),
 }
 
 

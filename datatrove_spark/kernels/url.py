@@ -93,6 +93,100 @@ _PSL_MULTI = frozenset(
     surge.sh workers.dev glitch.me onrender.com fly.dev deno.dev ngrok.io
     duckdns.org s3.amazonaws.com pythonanywhere.com
     blogspot.co.uk blogspot.de blogspot.fr blogspot.com.br blogspot.jp
+    com.co net.co org.co edu.co gov.co mil.co nom.co
+    co.cr ac.cr ed.cr fi.cr go.cr or.cr sa.cr
+    com.cu edu.cu org.cu net.cu gov.cu inf.cu
+    ac.cy biz.cy com.cy gov.cy ltd.cy net.cy org.cy press.cy
+    com.do net.do org.do gob.do edu.do sld.do web.do art.do mil.do
+    com.dz org.dz net.dz gov.dz edu.dz asso.dz art.dz
+    com.ec info.ec net.ec fin.ec k12.ec med.ec pro.ec org.ec edu.ec gov.ec gob.ec mil.ec
+    com.ee pri.ee org.ee fie.ee med.ee riik.ee lib.ee edu.ee gov.ee aip.ee
+    biz.fj com.fj info.fj name.fj net.fj org.fj pro.fj ac.fj gov.fj mil.fj school.fj
+    com.ge edu.ge gov.ge org.ge mil.ge net.ge pvt.ge
+    com.gi ltd.gi gov.gi mod.gi edu.gi org.gi
+    com.gt edu.gt gob.gt ind.gt mil.gt net.gt org.gt
+    com.hn net.hn org.hn edu.hn gob.hn mil.hn
+    iz.hr from.hr name.hr com.hr
+    com.jo net.jo org.jo edu.jo gov.jo mil.jo name.jo sch.jo
+    org.kg net.kg com.kg edu.kg gov.kg mil.kg
+    com.lb edu.lb gov.lb net.lb org.lb
+    com.ly net.ly org.ly gov.ly edu.ly sch.ly med.ly plc.ly id.ly
+    co.ma net.ma org.ma gov.ma ac.ma press.ma
+    com.mt edu.mt net.mt org.mt gov.mt
+    com.mu net.mu org.mu gov.mu ac.mu co.mu or.mu
+    com.ni gob.ni edu.ni org.ni net.ni mil.ni co.ni biz.ni ac.ni in.ni info.ni int.ni nom.ni web.ni
+    com.om net.om org.om gov.om edu.om co.om med.om pro.om museum.om
+    com.pa net.pa org.pa edu.pa gob.pa ac.pa sld.pa ing.pa abo.pa med.pa nom.pa
+    com.pe net.pe org.pe gob.pe edu.pe mil.pe nom.pe
+    com.py net.py org.py gov.py edu.py mil.py coop.py una.py
+    com.sv edu.sv gob.sv org.sv red.sv
+    com.sy net.sy org.sy gov.sy edu.sy mil.sy
+    com.tn net.tn org.tn gov.tn ens.tn fin.tn ind.tn intl.tn nat.tn rns.tn rnu.tn
+    com.uy net.uy org.uy edu.uy gub.uy mil.uy
+    com.ve net.ve org.ve gob.ve edu.ve mil.ve web.ve co.ve info.ve
+    co.zm com.zm org.zm edu.zm gov.zm net.zm ac.zm
+    co.zw org.zw gov.zw ac.zw
+    co.bw org.bw
+    co.ug or.ug ac.ug sc.ug go.ug ne.ug com.ug org.ug
+    com.mw net.mw org.mw edu.mw gov.mw ac.mw co.mw coop.mw int.mw
+    co.mz org.mz gov.mz edu.mz ac.mz adv.mz
+    com.na co.na or.na org.na alt.na net.na ac.na edu.na info.na
+    com.sn org.sn edu.sn univ.sn gouv.sn perso.sn art.sn
+    com.ci org.ci net.ci co.ci edu.ci ac.ci go.ci or.ci int.ci md.ci gouv.ci
+    co.cm com.cm gov.cm net.cm
+    com.bh net.bh org.bh gov.bh edu.bh
+    com.bz net.bz org.bz edu.bz gov.bz
+    com.bo net.bo org.bo gob.bo edu.bo mil.bo int.bo tv.bo web.bo
+    com.by gov.by mil.by of.by
+    com.kz org.kz edu.kz gov.kz mil.kz net.kz
+    com.uz co.uz net.uz org.uz
+    com.tj net.tj org.tj gov.tj edu.tj ac.tj biz.tj co.tj go.tj int.tj mil.tj name.tj web.tj
+    com.tm net.tm org.tm gov.tm edu.tm mil.tm co.tm nom.tm
+    com.az net.az org.az gov.az edu.az int.az mil.az name.az pro.az biz.az info.az pp.az
+    co.am com.am net.am org.am commune.am
+    com.af gov.af org.af net.af edu.af
+    com.la net.la org.la edu.la gov.la info.la int.la per.la
+    com.mo net.mo org.mo gov.mo edu.mo
+    com.mn org.mn edu.mn gov.mn nyc.mn
+    com.ht net.ht org.ht edu.ht gouv.ht firm.ht shop.ht info.ht pro.ht asso.ht coop.ht pol.ht med.ht art.ht perso.ht adult.ht rel.ht
+    com.ag net.ag org.ag co.ag nom.ag
+    com.ai net.ai org.ai off.ai
+    com.bb net.bb org.bb edu.bb gov.bb biz.bb co.bb info.bb store.bb tv.bb
+    com.bs net.bs org.bs edu.bs gov.bs
+    com.gy co.gy net.gy org.gy edu.gy gov.gy
+    com.lc net.lc org.lc edu.lc gov.lc co.lc
+    com.pr net.pr org.pr gov.pr edu.pr isla.pr pro.pr biz.pr info.pr name.pr est.pr prof.pr ac.pr
+    com.sb net.sb org.sb edu.sb gov.sb
+    com.tt net.tt org.tt edu.tt gov.tt co.tt biz.tt info.tt pro.tt name.tt
+    com.vc net.vc org.vc gov.vc mil.vc edu.vc
+    com.vi co.vi net.vi org.vi k12.vi
+    priv.at
+    co.rs org.rs edu.rs ac.rs gov.rs in.rs
+    com.mk org.mk net.mk edu.mk gov.mk inf.mk name.mk
+    com.al edu.al gov.al mil.al net.al org.al
+    com.ba org.ba net.ba edu.ba gov.ba mil.ba co.ba rs.ba
+    com.lv net.lv org.lv edu.lv gov.lv mil.lv asn.lv conf.lv id.lv
+    gov.lt
+    net.is com.is edu.is gov.is org.is int.is
+    co.gg net.gg org.gg co.je net.je org.je
+    co.im com.im net.im org.im ac.im gov.im
+    co.me net.me org.me edu.me ac.me gov.me its.me priv.me
+    com.ws net.ws org.ws gov.ws edu.ws
+    aero.mv biz.mv com.mv coop.mv edu.mv gov.mv info.mv int.mv mil.mv museum.mv name.mv net.mv org.mv pro.mv
+    com.bt org.bt net.bt edu.bt gov.bt
+    com.bn edu.bn gov.bn net.bn org.bn
+    k12.il idf.il
+    com.gu net.gu org.gu edu.gu guam.gu
+    com.fm net.fm org.fm edu.fm
+    com.sc net.sc org.sc edu.sc gov.sc
+    com.sl net.sl org.sl edu.sl gov.sl
+    com.gn ac.gn gov.gn org.gn net.gn
+    com.lr edu.lr gov.lr org.lr net.lr
+    com.ls org.ls co.ls gov.ls ac.ls
+    com.sd net.sd org.sd edu.sd gov.sd med.sd tv.sd info.sd
+    com.so net.so org.so edu.so gov.so me.so
+    com.ss net.ss org.ss edu.ss gov.ss me.ss sch.ss biz.ss co.ss
+    bitbucket.io webflow.io repl.co 000webhostapp.com hatenablog.com hateblo.jp
     """.split()
 )
 

@@ -136,7 +136,10 @@ def _unionfind_components(edge_rows: list, spark, id_type: str = "long") -> Data
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 25, driver_threshold: int = 2_000_000
+    edges: DataFrame,
+    max_iterations: int = 25,
+    driver_threshold: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (id, component) with component = min reachable id.
 
@@ -156,11 +159,17 @@ def connected_components(
     # for WARC/path-derived corpora, numeric for synthetic ones)
     id_type = edges.schema["src"].dataType.simpleString()
     n_edges = edges.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
     if n_edges == 0:
         return edges.sparkSession.createDataFrame([], f"id {id_type}, component {id_type}")
     if n_edges <= driver_threshold:
+        if stats is not None:
+            stats["path"] = "driver_unionfind"
         rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
         return _unionfind_components(rows, edges.sparkSession, id_type)
+    if stats is not None:
+        stats["path"] = "star_contraction"
     # dedup edge sets are tiny relative to the corpus — shrink the shuffle
     # width so each contraction round is a small fast job.
     n_parts = max(1, min(64, n_edges // 500_000 + 1))
@@ -221,8 +230,10 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = None
+    rounds = 0
     for _ in range(max_iterations):
         cur = _small_star(_large_star(cur)).repartition(n_parts).localCheckpoint()
+        rounds += 1
         sig = _checksum(cur)
         if sig == prev:
             break
@@ -233,6 +244,8 @@ def connected_components(
             f"{max_iterations} rounds; the collision graph is pathological — "
             "raise max_iterations"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # converged: the graph is a star forest with edges (v, root=min id)
     labels = nodes.join(
         cur.select(F.col("src").alias("id"), F.col("dst").alias("component")),

@@ -1163,3 +1163,51 @@ def test_check_tokenized_dataset_chunk_boundaries_are_shard_local(tmp_path):
     write_shard(bad, "shard_b", [[7] * 10])
     with pytest.raises(ValueError, match="no EOS"):
         check_tokenized_dataset(str(bad), eos_id=0, chunk_size=8)
+
+
+def test_psl_snapshot_breadth_round5():
+    """The round-5 grown PSL snapshot: the checked-in multi-label rule set
+    covers the standard second-level namespaces of the major ccTLDs (several
+    hundred real publicsuffix.org rules), not just a handful of markets, and
+    the resolution path handles them like any other rule."""
+    from datatrove_spark.kernels.url import _PSL_MULTI, public_suffix
+
+    assert len(_PSL_MULTI) >= 500, len(_PSL_MULTI)
+    # spot-check continents/regions added in round 5
+    for host, suffix in [
+        ("tienda.com.uy", "com.uy"),
+        ("banco.com.ve", "com.ve"),
+        ("uni.edu.pk", "edu.pk"),
+        ("ministry.gov.lk", "gov.lk"),
+        ("shop.co.ke", "co.ke"),
+        ("portal.gob.pa", "gob.pa"),
+        ("firm.com.cy", "com.cy"),
+        ("blog.com.mt", "com.mt"),
+        ("site.ac.ma", "ac.ma"),
+        ("x.com.kz", "com.kz"),
+        ("a.priv.at", "priv.at"),
+        ("b.co.rs", "co.rs"),
+        ("c.com.mv", "com.mv"),
+    ]:
+        assert public_suffix(host) == suffix, (host, public_suffix(host))
+
+
+def test_badwords_snapshot_breadth_round5():
+    """The grown LDNOOBW snapshot: every language carries a meaningful list
+    (≥10 terms) and the total crosses 500 terms; the multilang regex table
+    compiles for all 18 languages."""
+    from datatrove_spark.assets.badwords import badwords_regex_table, load_badwords
+
+    table = load_badwords()
+    assert len(table) == 18
+    assert all(len(words) >= 10 for words in table.values()), {
+        k: len(v) for k, v in table.items()
+    }
+    assert sum(len(w) for w in table.values()) >= 500
+    patterns = badwords_regex_table(table)
+    assert set(patterns) == set(table)
+    # flanked language: substring must NOT match; bare word must
+    assert not patterns["en"].search("a scumulative word")
+    assert patterns["en"].search("total smut here")
+    # un-flanked script: substring match is the defined semantics
+    assert patterns["zh"].search("xx色情yy")

@@ -1,0 +1,187 @@
+"""Connected-components scale bench: the >driver_threshold star-contraction
+branch on a planted multi-million-edge collision graph.
+
+The minhash/simhash cluster stage degrades to graph CC; below 2M edges the
+engine collects to a driver union-find, above it runs alternating
+large-star/small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond").  The contraction branch was correctness-tested
+(driver_threshold=0 fixtures) but never benched at the scale that justifies
+it — this tool plants a graph hostile to naive propagation and reports
+wall, rounds-to-convergence, and exact component recovery:
+
+* long chains — diameter 20k; label propagation needs O(diameter) rounds,
+  star contraction O(log n),
+* giant stars — the skew case: one node with 10^5+ neighbors,
+* bushy random trees — the bulk of the edge volume.
+
+Every planted component occupies a disjoint contiguous id range, so the
+expected label of every node is its range base — exact verification is a
+single distributed comparison, no golden file.
+
+Usage: python tools/cc_bench.py [--edges 5000000] [--cores 16]
+       [--out BENCH/cc_scale.json]
+
+Writes one JSON record: the 5M-edge star-contraction run (wall, rounds,
+mismatches) plus the 2M-edge comparison of driver union-find vs forced
+star-contraction on the SAME subgraph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def planted_graph(spark, target_edges: int):
+    """(edges_df, expected_df): disjoint id ranges per component.
+
+    ~20% chain edges, ~20% giant-star edges, ~60% bushy-tree edges.
+    expected_df maps every node id -> its component's min id (= range base).
+    """
+    import pyspark.sql.functions as F
+
+    n_chain_edges = target_edges // 5
+    n_star_edges = target_edges // 5
+    n_tree_edges = target_edges - n_chain_edges - n_star_edges
+
+    CHAIN_LEN = 20_000          # nodes per chain (diameter stressor)
+    STAR_LEAVES = 200_000       # leaves per giant star (skew stressor)
+    TREE_SIZE = 100             # nodes per bushy tree
+
+    n_chains = max(1, n_chain_edges // (CHAIN_LEN - 1))
+    n_stars = max(1, n_star_edges // STAR_LEAVES)
+    n_trees = max(1, n_tree_edges // (TREE_SIZE - 1))
+
+    # disjoint id ranges: chains at 0.., stars at 10^9.., trees at 2*10^9..
+    CHAIN_BASE, STAR_BASE, TREE_BASE = 0, 1_000_000_000, 2_000_000_000
+
+    chains = (
+        spark.range(n_chains * (CHAIN_LEN - 1))
+        .select(
+            (F.lit(CHAIN_BASE) + (F.col("id") / (CHAIN_LEN - 1)).cast("long") * CHAIN_LEN
+             + F.col("id") % (CHAIN_LEN - 1)).alias("src"),
+            (F.lit(CHAIN_BASE) + (F.col("id") / (CHAIN_LEN - 1)).cast("long") * CHAIN_LEN
+             + F.col("id") % (CHAIN_LEN - 1) + 1).alias("dst"),
+        )
+    )
+    stars = (
+        spark.range(n_stars * STAR_LEAVES)
+        .select(
+            (F.lit(STAR_BASE) + (F.col("id") / STAR_LEAVES).cast("long")
+             * (STAR_LEAVES + 1)).alias("src"),
+            (F.lit(STAR_BASE) + (F.col("id") / STAR_LEAVES).cast("long")
+             * (STAR_LEAVES + 1) + 1 + F.col("id") % STAR_LEAVES).alias("dst"),
+        )
+    )
+    # bushy tree: node k (1<=k<TREE_SIZE) hangs off parent xxhash(k)%k —
+    # deterministic, no Date/random, produces varied fan-out
+    trees = (
+        spark.range(n_trees * (TREE_SIZE - 1))
+        .select(
+            (F.col("id") / (TREE_SIZE - 1)).cast("long").alias("t"),
+            (F.col("id") % (TREE_SIZE - 1) + 1).alias("k"),
+        )
+        .select(
+            (F.lit(TREE_BASE) + F.col("t") * TREE_SIZE
+             + F.pmod(F.xxhash64("t", "k"), F.col("k"))).alias("src"),
+            (F.lit(TREE_BASE) + F.col("t") * TREE_SIZE + F.col("k")).alias("dst"),
+        )
+    )
+    edges = chains.union(stars).union(trees)
+
+    def expected(col):
+        return (
+            F.when(col < STAR_BASE, (col / CHAIN_LEN).cast("long") * CHAIN_LEN)
+            .when(col < TREE_BASE,
+                  F.lit(STAR_BASE) + ((col - STAR_BASE) / (STAR_LEAVES + 1)).cast("long")
+                  * (STAR_LEAVES + 1))
+            .otherwise(F.lit(TREE_BASE) + ((col - TREE_BASE) / TREE_SIZE).cast("long")
+                       * TREE_SIZE)
+        )
+
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    expected_df = nodes.select("id", expected(F.col("id")).alias("expected"))
+    return edges, expected_df
+
+
+def run_cc(edges, expected_df, driver_threshold: int) -> dict:
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.operators.dedup import connected_components
+
+    stats: dict = {}
+    t0 = time.time()
+    labels = connected_components(edges, driver_threshold=driver_threshold, stats=stats)
+    mismatches = (
+        labels.join(expected_df, "id")
+        .filter(F.col("component") != F.col("expected"))
+        .count()
+    )
+    wall = time.time() - t0
+    return {
+        "path": stats.get("path"),
+        "n_edges": stats.get("n_edges"),
+        "rounds": stats.get("rounds"),
+        "wall_sec": round(wall, 1),
+        "edges_per_sec": round(stats.get("n_edges", 0) / wall),
+        "mismatches": mismatches,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=5_000_000)
+    ap.add_argument("--compare-edges", type=int, default=2_000_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--out", default=os.path.join("BENCH", "cc_scale.json"))
+    args = ap.parse_args()
+
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("ccbench", master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    edges, expected_df = planted_graph(spark, args.edges)
+    edges = edges.localCheckpoint()
+    expected_df = expected_df.localCheckpoint()
+    out: dict = {"cores": args.cores}
+
+    out["star_contraction_5m"] = run_cc(edges, expected_df, driver_threshold=0)
+    print("star 5M:", out["star_contraction_5m"])
+
+    cmp_edges, cmp_expected = planted_graph(spark, args.compare_edges)
+    cmp_edges = cmp_edges.localCheckpoint()
+    cmp_expected = cmp_expected.localCheckpoint()
+    # generated graphs can overshoot the target (whole planted structures
+    # only) — an unconditionally-huge threshold pins the driver-UF path
+    out["driver_uf_2m"] = run_cc(cmp_edges, cmp_expected, driver_threshold=1 << 60)
+    print("driver 2M:", out["driver_uf_2m"])
+    out["star_contraction_2m"] = run_cc(cmp_edges, cmp_expected, driver_threshold=0)
+    print("star 2M:", out["star_contraction_2m"])
+
+    ok = all(
+        out[k]["mismatches"] == 0
+        for k in ("star_contraction_5m", "driver_uf_2m", "star_contraction_2m")
+    )
+    out["exact"] = ok
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
