@@ -621,12 +621,19 @@ def q_summary_by_lang(spark, sf_dir):
 
 def q_word_stats_multilang(spark, sf_dir):
     """Per-row language-dispatched stop-word ratio over the documents table's
-    own lang column.  zh now dispatches to the zh tokenizer + zh stop set
-    (Han-char tokens; the ascii test corpus scores 0 hits on both sides —
-    genuine-script behavior is pinned by tests/test_multilingual.py)."""
+    own lang column, with zh running DICTIONARY segmentation (round-5: the
+    1,300-word FMM lexicon is the gate mode; zh stop set shared via the
+    variant-key dispatch).  On the ascii test corpus dict and char modes
+    tokenize identically (no Han runs) so the SQL oracle is mode-agnostic;
+    genuine-script dict behavior incl. measured jieba-example agreement is
+    pinned by tests/test_multilingual.py."""
     from datatrove_spark.operators.stats import with_word_stats
 
-    out = with_word_stats(_docs(spark, sf_dir), text_col="text", lang_col="lang")
+    df = _docs(spark, sf_dir).withColumn(
+        "lang_seg",
+        F.when(F.col("lang") == "zh", F.lit("zh-dict")).otherwise(F.col("lang")),
+    )
+    out = with_word_stats(df, text_col="text", lang_col="lang_seg")
     return out.select(
         "doc_id", "lang", "n_words", F.round("stop_word_ratio", 6).alias("stop_word_ratio")
     )

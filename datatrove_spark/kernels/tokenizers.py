@@ -105,18 +105,33 @@ def _tokenize_zh(text: str) -> list[str]:
     return out
 
 
+_LEXICON_MAXLEN_CACHE: dict[int, int] = {}
+
+
+def _lexicon_maxlen(lexicon: frozenset[str]) -> int:
+    key = id(lexicon)
+    hit = _LEXICON_MAXLEN_CACHE.get(key)
+    if hit is None:
+        hit = max(map(len, lexicon)) if lexicon else 2
+        if len(_LEXICON_MAXLEN_CACHE) < 64:
+            _LEXICON_MAXLEN_CACHE[key] = hit
+    return hit
+
+
 def tokenize_zh_dict(text: str, lexicon: frozenset[str] | None = None) -> list[str]:
     """Dictionary-based Chinese segmentation: forward maximum matching (FMM)
     over a frequent-word lexicon, per-character fallback — the classic
     dependency-free step between char segmentation and jieba.  Registered as
     lang key ``zh-dict``; the default ``zh`` stays per-character (the oracle-
-    pinned mode).  DIVERGENCE vs jieba: no HMM for OOV words, no frequency-
-    weighted DAG — FMM greedily takes the longest lexicon match (≤4 chars).
+    pinned mode).  DIVERGENCE vs jieba (measured in tests/test_multilingual
+    ::test_zh_dict_vs_jieba_published_examples): no HMM for OOV words, no
+    frequency-weighted DAG — FMM greedily takes the longest lexicon match.
     Pass a full dictionary via assets.zh_lexicon.load_zh_lexicon."""
     if lexicon is None:
         from ..assets.zh_lexicon import ZH_LEXICON
 
         lexicon = ZH_LEXICON
+    maxlen = _lexicon_maxlen(lexicon)
     out: list[str] = []
     for part in _ZH_SPLIT_RE.split(text):
         if not part:
@@ -137,7 +152,7 @@ def tokenize_zh_dict(text: str, lexicon: frozenset[str] | None = None) -> list[s
             run = "".join(out[i:j])
             k = 0
             while k < len(run):
-                for L in (4, 3, 2):
+                for L in range(min(maxlen, len(run) - k), 1, -1):
                     if run[k : k + L] in lexicon:
                         merged.append(run[k : k + L])
                         k += L
@@ -312,8 +327,11 @@ def language_stop_words(lang: str | None) -> frozenset[str]:
     from .gopher import STOP_WORDS
     from .lid import STOPWORD_SETS
 
-    if lang in STOPWORD_SETS:
-        return STOPWORD_SETS[lang]
+    # variant keys ("zh-dict") share their base language's stop set — the
+    # en fallback would silently count English stop words on Han text
+    base = (lang or "").split("-")[0]
+    if base in STOPWORD_SETS:
+        return STOPWORD_SETS[base]
     return STOP_WORDS
 
 

@@ -29,7 +29,7 @@ _WS_RE = re.compile(r"\s+")
 
 # subtrees whose text is never content
 _SKIP_TAGS = frozenset(
-    "script style noscript svg nav header footer aside form template iframe button".split()
+    "script style noscript svg nav header footer aside form template iframe button title".split()
 )
 # class/id hints marking discardable regions — the same public heuristic
 # trafilatura's OVERALL_DISCARD_XPATH encodes (comments, sidebars, related-
@@ -44,10 +44,15 @@ _SKIP_ATTR_RE = re.compile(
 _VOID_TAGS = frozenset(
     "br img input meta link hr area base col embed source track wbr".split()
 )
-# tags that terminate the current text block
+# tags that terminate the current text block.  NOTE: td/th are NOT block
+# boundaries — a table ROW is the extraction unit (trafilatura keeps tables
+# in main content; per-cell blocks would drop every short data cell under
+# the jusText length rule, gutting spec/data tables)
 _BLOCK_TAGS = frozenset(
-    "p div li ul ol h1 h2 h3 h4 h5 h6 tr table section article blockquote pre td th dd dt br main body".split()
+    "p div li ul ol h1 h2 h3 h4 h5 h6 tr table section article blockquote pre dd dt br main body".split()
 )
+# cell separators: keep adjacent cells' text from fusing into one word
+_CELL_TAGS = frozenset({"td", "th"})
 _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 
@@ -93,6 +98,8 @@ class _BlockParser(HTMLParser):
                 self._attr_skip_depth += 1
         if tag == "a":
             self._link_depth += 1
+        if tag in _CELL_TAGS:
+            self._parts.append(" ")
         if tag in _BLOCK_TAGS:
             self._flush()
             self._heading = tag in _HEADING_TAGS

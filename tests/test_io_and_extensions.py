@@ -421,9 +421,11 @@ def test_tokenized_binary_roundtrip(spark, tmp_path):
         check_tokenized_dataset(out_dir, eos_id=0)
     with open(shards[0], "wb") as f:
         f.write(blob)
-    # missing index → count mismatch
+    # missing index → per-shard pairing error naming the offending file
+    # (round-4 advisor: aggregate count compares let {a.ds, b.ds.index}
+    # slip through to a raw FileNotFoundError)
     os.replace(shards[1] + ".index", shards[1] + ".index.bak")
-    with pytest.raises(ValueError, match="count mismatch"):
+    with pytest.raises(ValueError, match=r"shard_00001\.ds\.index"):
         check_tokenized_dataset(out_dir)
     os.replace(shards[1] + ".index.bak", shards[1] + ".index")
     # chunk-size carve-out: a doc cut at an exact chunk boundary may lack EOS

@@ -383,3 +383,40 @@ def test_cjk_sentence_splitting():
     # closing bracket binds to the preceding sentence's span
     q = "です。」次の文。"
     assert sentence_spans(q) == [(0, 4), (4, 8)]
+
+
+def test_zh_dict_vs_jieba_published_examples():
+    """Measured divergence vs jieba's published README examples (public
+    canonical segmentations of the accurate mode).  FMM over the checked-in
+    ~1,300-word lexicon recovers 13/16 of jieba's tokens; the misses are
+    exactly the tokens jieba produces via its HMM OOV model (杭研, 小明,
+    计算所) — the documented no-HMM divergence, now pinned by number."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    cases = [
+        ("我来到北京清华大学", ["我", "来到", "北京", "清华大学"]),
+        ("他来到了网易杭研大厦", ["他", "来到", "了", "网易", "杭研", "大厦"]),
+        (
+            "小明硕士毕业于中国科学院计算所",
+            ["小明", "硕士", "毕业", "于", "中国科学院", "计算所"],
+        ),
+    ]
+    total = hits = 0
+    for text, jieba_tokens in cases:
+        ours = tokenize_words_lang(text, "zh-dict")
+        assert "".join(ours) == "".join(jieba_tokens)  # lossless either way
+        total += len(jieba_tokens)
+        hits += sum(1 for t in jieba_tokens if t in ours)
+    assert hits >= 13, f"jieba token agreement regressed: {hits}/{total}"
+    # char mode on the same inputs merges nothing — the delta dict mode buys
+    chars = tokenize_words_lang(cases[0][0], "zh")
+    assert len(chars) == 9 and len(tokenize_words_lang(cases[0][0], "zh-dict")) == 4
+
+
+def test_zh_dict_stop_words_use_zh_set():
+    """The 'zh-dict' variant key must resolve to the zh stop set, not the
+    English fallback (which would count en stop words on ascii runs)."""
+    from datatrove_spark.kernels.tokenizers import language_stop_words
+
+    assert language_stop_words("zh-dict") == language_stop_words("zh")
+    assert "the" not in language_stop_words("zh-dict")

@@ -1,0 +1,66 @@
+"""Chinese segmentation mode bench: char-seg vs FMM dictionary-seg.
+
+The dictionary mode (lang key 'zh-dict', assets/zh_lexicon.py) merges
+lexicon words by forward maximum matching; this measures what that costs
+per character vs the per-character default, on deterministic synthetic
+prose composed from the lexicon itself (worst case for FMM: every position
+attempts a match and most succeed).
+
+Usage: python tools/zh_seg_bench.py [--chars 2000000] [--out BENCH/zh_seg.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chars", type=int, default=2_000_000)
+    ap.add_argument("--out", default=os.path.join("BENCH", "zh_seg.json"))
+    args = ap.parse_args()
+
+    from datatrove_spark.assets.zh_lexicon import ZH_LEXICON
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    words = sorted(ZH_LEXICON)
+    docs, total = [], 0
+    i = 0
+    while total < args.chars:
+        # deterministic doc: 120 lexicon words walked with a varying stride
+        picks = [words[(i * 119 + k * 31) % len(words)] for k in range(120)]
+        doc = "，".join("".join(picks[j : j + 8]) for j in range(0, 120, 8)) + "。"
+        docs.append(doc)
+        total += len(doc)
+        i += 1
+
+    out: dict = {"n_docs": len(docs), "n_chars": total}
+    for mode in ("zh", "zh-dict"):
+        t0 = time.time()
+        n_tokens = sum(len(tokenize_words_lang(d, mode)) for d in docs)
+        wall = time.time() - t0
+        out[mode] = {
+            "wall_sec": round(wall, 2),
+            "chars_per_sec": round(total / wall),
+            "n_tokens": n_tokens,
+            "chars_per_token": round(total / n_tokens, 3),
+        }
+        print(mode, out[mode])
+    out["dict_cost_ratio"] = round(
+        out["zh"]["chars_per_sec"] / out["zh-dict"]["chars_per_sec"], 2
+    )
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
