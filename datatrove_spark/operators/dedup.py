@@ -479,13 +479,25 @@ class _StageRunner:
         meta_path = os.path.join(out_dir, "_meta")
         if _stage_complete(spark, meta_path):
             prev = json.loads(spark.read.parquet(meta_path).collect()[0]["sig"])
+            skipped_plan_keys = [
+                k
+                for k in run_sig
+                if k.endswith("plan_hash") and "unknown" in (prev.get(k), run_sig[k])
+            ]
+            if skipped_plan_keys:
+                # round-4 review nit: make the weakened guard visible — an
+                # 'unknown' hash (no JVM gateway at record or resume time)
+                # means the input-plan comparison is being skipped for the
+                # listed keys, leaving only the config fields to guard
+                print(
+                    f"[datatrove-spark] stage resume guard: plan-hash check "
+                    f"skipped for {skipped_plan_keys} ('unknown' on one side)",
+                    flush=True,
+                )
             mismatch = [
                 k
                 for k in run_sig
-                if prev.get(k) != run_sig[k]
-                # best-effort plan hashes: an 'unknown' on either side (no
-                # JVM gateway) must not fail the guard
-                and not (k.endswith("plan_hash") and "unknown" in (prev.get(k), run_sig[k]))
+                if prev.get(k) != run_sig[k] and k not in skipped_plan_keys
             ]
             if mismatch:
                 raise ValueError(
