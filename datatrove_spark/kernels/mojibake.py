@@ -25,13 +25,21 @@ _SUSPECT_RE = re.compile(r"[\x80-\xff€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“
 
 
 def _span_to_bytes(span: str) -> bytes | None:
-    try:
-        return span.encode("cp1252")
-    except UnicodeEncodeError:
+    """Re-encode a suspect span to its original byte string.  Per character:
+    cp1252 first, latin-1 as the fallback — ftfy's "sloppy-windows-1252"
+    codec (cp1252 with its five holes 81 8D 8F 90 9D filled from latin-1),
+    which is what mixed spans like "â€\\x9d" need: â/€ only encode via
+    cp1252 while the literal C1 char U+009D only encodes via latin-1."""
+    out = bytearray()
+    for ch in span:
         try:
-            return span.encode("latin-1")
+            out += ch.encode("cp1252")
         except UnicodeEncodeError:
-            return None
+            try:
+                out += ch.encode("latin-1")
+            except UnicodeEncodeError:
+                return None
+    return bytes(out)
 
 
 def _fix_once(text: str) -> str:
@@ -51,15 +59,37 @@ def _fix_once(text: str) -> str:
     return _SUSPECT_RE.sub(repl, text)
 
 
-def fix_mojibake(text: str, max_passes: int = 2) -> str:
-    """Repair UTF-8-as-cp1252 mojibake; a second pass handles double
-    encoding ("Ã¢â‚¬â„¢" → "â€™" → "’")."""
+# literal C1 control characters (U+0080–U+009F): no legitimate text contains
+# them — they are latin-1 decodes of cp1252 bytes (ftfy fix_c1_controls,
+# which the reference config ENABLES, formatters/ftfy.py).  Re-interpreting
+# the C1 char through cp1252 recovers the intended punctuation
+# ("\x93quoted\x94" → "“quoted”"); the five cp1252 holes (81 8D 8F 90 9D)
+# have no mapping and pass through unchanged.
+_C1_RE = re.compile(r"[\x80-\x9f]")
+
+
+def _fix_c1_controls(text: str) -> str:
+    def repl(m: re.Match) -> str:
+        ch = m.group(0)
+        try:
+            return ch.encode("latin-1").decode("cp1252")
+        except UnicodeDecodeError:
+            return ch
+
+    return _C1_RE.sub(repl, text)
+
+
+def fix_mojibake(text: str, max_passes: int = 3) -> str:
+    """Repair UTF-8-as-cp1252 mojibake; repeated passes unwind stacked
+    encodings ("Ã¢â‚¬â„¢" → "â€™" → "’"; ftfy's published triple-encoded
+    example resolves on the third pass), then literal C1 controls are
+    re-interpreted through cp1252 (see _fix_c1_controls)."""
     for _ in range(max_passes):
         fixed = _fix_once(text)
         if fixed == text:
             break
         text = fixed
-    return text
+    return _fix_c1_controls(text)
 
 
 __all__ = ["fix_mojibake"]

@@ -185,6 +185,10 @@ def build_charsmap_blob(mapping: dict[str, str]) -> bytes:
     for k in sorted(mapping):
         if not k:
             raise ValueError("empty charsmap key")
+        if "\x00" in mapping[k]:
+            # replacements are '\0'-terminated in the wire format — NUL can
+            # never appear inside one (true of real charsmaps as well)
+            raise ValueError(f"charsmap replacement for {k!r} contains NUL")
         values[k] = len(norm)
         norm += mapping[k].encode("utf-8") + b"\0"
 

@@ -1,0 +1,175 @@
+"""Distributed fastText-style supervised classifier TRAINING.
+
+The reference only CONSUMES pretrained quality classifiers
+(pipeline/filters/fasttext_filter.py loads a .bin; the FineWeb-Edu recipe
+trains its educational-quality classifier offline with the fasttext CLI).
+At 100 TB the training corpus for such a classifier is itself a Spark
+dataset, so this module closes the loop in-engine: train a linear
+bag-of-words softmax classifier with the fastText supervised architecture
+(Joulin et al. 2016, arXiv:1607.01759 — mean of input word vectors →
+linear softmax, SGD with linearly-decaying lr) directly on a DataFrame,
+and write a REAL wire-format ``.bin`` that ``classifier_filter`` /
+``FastTextModel.load`` (and the genuine fasttext package) can read.
+
+Distribution strategy: parameter-averaging SGD (Zinkevich et al. 2010,
+"Parallelized Stochastic Gradient Descent") — per round, every partition
+runs local SGD epochs from the broadcast weights, then the example-count-
+weighted average becomes the next round's weights via ``treeAggregate``
+(sum of n·W, never a per-partition matrix collection on the driver).
+Deterministic: per-partition order is the input order and the shuffled
+visit sequence is seeded by (seed, round, partition id) — same data +
+same partitioning ⇒ bit-identical weights (pinned by test).  NOTE the
+flip side: unlike the engine's filters, the trained weights DO depend on
+the partition count (averaging granularity) — the standard property of
+parallel SGD, worth pinning the input layout when training must be
+reproducible across environments.
+
+Scale notes (the 100-TB shape):
+* the vocab pass is one groupBy-count capped at ``max_vocab`` by frequency
+  (TakeOrdered, no full sort materialization);
+* per round the cluster moves exactly 2 model broadcasts + 1 treeAggregate
+  of the model size — independent of corpus size;
+* partitions stream rows (no materialized per-partition copies beyond the
+  two weight matrices).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def _tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+def train_fasttext_supervised(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = 32,
+    lr: float = 0.5,
+    epochs: int = 5,
+    rounds: int = 3,
+    min_count: int = 1,
+    max_vocab: int = 100_000,
+    seed: int = 17,
+    out_path: str | None = None,
+):
+    """Returns ``(word_vectors, label_vectors, labels)`` and, with
+    ``out_path``, writes a loadable fastText ``.bin`` whose labels carry
+    the standard ``__label__`` prefix.
+
+    ``rounds`` outer parameter-averaging rounds × ``epochs`` local epochs
+    per partition; lr decays linearly over the whole schedule exactly like
+    fastText's ``progress``-based decay."""
+    spark = df.sparkSession
+
+    # --- vocab + label table (one distributed pass each) ------------------
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .filter(F.col("count") >= min_count)
+    )
+    vocab_rows = words.orderBy(F.desc("count"), "w").limit(max_vocab).collect()
+    vocab = [r["w"] for r in vocab_rows]
+    labels = sorted(
+        r[0] for r in df.select(label_col).distinct().collect() if r[0] is not None
+    )
+    if not vocab or len(labels) < 2:
+        raise ValueError(
+            f"need a non-empty vocab and >=2 labels (got {len(vocab)} words, "
+            f"{len(labels)} labels)"
+        )
+    word_id = {w: i for i, w in enumerate(vocab)}
+    nw, nl = len(vocab), len(labels)
+
+    # fastText init: input uniform(-1/dim, 1/dim), output zeros
+    rng = np.random.default_rng(seed)
+    w_in = ((rng.random((nw, dim)) - 0.5) / dim).astype(np.float64)
+    w_out = np.zeros((nl, dim), dtype=np.float64)
+
+    sc = spark.sparkContext
+    label_id = {lb: i for i, lb in enumerate(labels)}
+    data = df.select(F.lower(F.col(text_col)).alias("t"), F.col(label_col).alias("l"))
+    # one deterministic materialization: rounds re-traverse identical rows
+    data = data.localCheckpoint(eager=True)
+    b_word_id = sc.broadcast(word_id)
+    b_label_id = sc.broadcast(label_id)
+    total_steps = max(rounds * epochs, 1)
+
+    for rnd in range(rounds):
+        b_in = sc.broadcast(w_in)
+        b_out = sc.broadcast(w_out)
+
+        def _part(pid, rows, _rnd=rnd):
+            wi = b_in.value.copy()
+            wo = b_out.value.copy()
+            wid = b_word_id.value
+            lid = b_label_id.value
+            docs = []
+            for row in rows:
+                ids = [wid[w] for w in _TOKEN_RE.findall(row["t"] or "") if w in wid]
+                lab = lid.get(row["l"])
+                if ids and lab is not None:
+                    docs.append((np.asarray(ids), lab))
+            if not docs:
+                return iter([])
+            prng = np.random.default_rng((hash((17, _rnd, pid)) & 0x7FFFFFFF))
+            n_seen = 0
+            for ep in range(epochs):
+                # fastText linear lr decay over global progress
+                progress = (_rnd * epochs + ep) / total_steps
+                lrate = lr * (1.0 - progress)
+                for di in prng.permutation(len(docs)):
+                    ids, lab = docs[di]
+                    hidden = wi[ids].mean(axis=0)
+                    scores = wo @ hidden
+                    scores -= scores.max()
+                    e = np.exp(scores)
+                    probs = e / e.sum()
+                    grad_scores = probs
+                    grad_scores[lab] -= 1.0  # d(softmax xent)/d scores
+                    grad_hidden = wo.T @ grad_scores
+                    wo -= lrate * np.outer(grad_scores, hidden)
+                    wi[ids] -= lrate * grad_hidden / len(ids)
+                    n_seen += 1
+            yield (float(n_seen), n_seen * wi, n_seen * wo)
+
+        zero = (0.0, np.zeros_like(w_in), np.zeros_like(w_out))
+        n_total, sum_in, sum_out = data.rdd.mapPartitionsWithIndex(_part).treeAggregate(
+            zero,
+            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        )
+        b_in.unpersist()
+        b_out.unpersist()
+        if n_total == 0:
+            raise ValueError("no trainable examples (empty texts or unknown labels)")
+        w_in = sum_in / n_total
+        w_out = sum_out / n_total
+
+    word_vectors = {w: w_in[i] for i, w in enumerate(vocab)}
+    label_names = [f"__label__{lb}" for lb in labels]
+    label_vectors = {name: w_out[i] for i, name in enumerate(label_names)}
+    if out_path is not None:
+        from ..kernels.fasttext_bin import write_supervised_bin
+
+        write_supervised_bin(
+            out_path,
+            {w: v.astype("<f4") for w, v in word_vectors.items()},
+            {n: v.astype("<f4") for n, v in label_vectors.items()},
+            dim,
+            label_counts={n: 1 for n in label_names},
+        )
+    return word_vectors, label_vectors, labels
+
+
+__all__ = ["train_fasttext_supervised"]

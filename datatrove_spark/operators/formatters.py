@@ -112,9 +112,12 @@ def fix_text_encoding(df: DataFrame, text_col: str = "text", out_col: str | None
 
     The backend actually used is recorded in the ``ftfy_backend`` output
     column.  The native fallback repairs the dominant mojibake class —
-    UTF-8-as-cp1252, incl. double encoding (kernels/mojibake.py) — plus stray
-    control chars, but is still labeled non-parity (no HTML unescape,
-    lossy-sequence heuristics, or terminal-escape removal).
+    UTF-8-as-cp1252 incl. stacked double/triple encodings, mixed
+    sloppy-cp1252 spans, and literal C1 controls (the reference config's
+    fix_encoding + decode_inconsistent_utf8 + fix_c1_controls trio,
+    kernels/mojibake.py, pinned against ftfy's published examples) — plus
+    stray control chars, but is still labeled non-parity (no HTML
+    unescape, lossy-sequence heuristics, or terminal-escape removal).
     """
     try:
         import ftfy  # noqa: import-gated

@@ -791,3 +791,35 @@ def test_bpe_merge_order_hand_example():
     tok = BPETokenizer(vocab, [("a", "b"), ("ab", "c")])
     assert tok.encode("abc") == [4]
     assert tok.encode("acb") == [0, 2, 1]
+
+
+def test_mojibake_ftfy_published_examples():
+    """Round-5 widening of the FTFY fallback, pinned against ftfy's own
+    published canonical examples (docs/README — public): single/double/
+    TRIPLE-stacked utf8-as-cp1252, the mixed sloppy-cp1252 span with a
+    literal C1 hole char (\\x9d), bare C1 smart quotes (fix_c1_controls,
+    which the reference config enables), Cyrillic and CJK payloads — and
+    genuine accented text / lone symbols always untouched."""
+    import unicodedata
+
+    from datatrove_spark.kernels.mojibake import fix_mojibake
+
+    cases = [
+        ("schÃ¶n", "schön"),
+        ("â€œmojibakeâ€\x9d", "“mojibake”"),
+        (
+            "The Mona Lisa doesnÃƒÂ¢Ã¢â€šÂ¬Ã¢â€žÂ¢t have eyebrows.",
+            "The Mona Lisa doesn’t have eyebrows.",
+        ),
+        ("l'humanitÃ©", "l'humanité"),
+        ("d\x93smart quotes\x94", "d“smart quotes”"),
+        ("â\x80\x99", "’"),
+        ("uÌˆ", "ü"),  # NFC-equivalent (we do not force normalization)
+        ("ÐŸÑ€Ð¸Ð²ÐµÑ‚", "Привет"),
+        ("æ—¥æœ¬èªž", "日本語"),
+        ("déjà vu €100", "déjà vu €100"),
+        ("résumé café naïve", "résumé café naïve"),
+    ]
+    for src, want in cases:
+        got = fix_mojibake(src)
+        assert got == want or unicodedata.normalize("NFC", got) == want, (src, got)

@@ -879,3 +879,62 @@ def test_sentence_dedup_staged_index_mode(spark, tmp_path):
         batch, out_dir, index_df=index_df, min_words_to_keep_doc=2
     )
     assert out2.count() == 2
+
+
+def test_train_fasttext_supervised_end_to_end(spark, tmp_path):
+    """Distributed fastText-style supervised training (parameter-averaging
+    SGD): train on a separable two-class corpus, write a REAL .bin, and
+    verify (a) the file loads through the wire-format reader, (b) held-out
+    accuracy is high, (c) classifier_filter consumes the trained file."""
+    from datatrove_spark.kernels.fasttext_bin import FastTextModel
+    from datatrove_spark.operators import classifier_filter, train_fasttext_supervised
+
+    pos_words = "excellent tutorial explains theorem proof lemma clearly".split()
+    neg_words = "buy cheap pills casino winner click subscribe now".split()
+    rows = []
+    for i in range(120):
+        w = pos_words if i % 2 == 0 else neg_words
+        text = " ".join(w[(i + k) % len(w)] for k in range(12))
+        rows.append((i, text, "good" if i % 2 == 0 else "spam"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"]).repartition(4)
+
+    path = str(tmp_path / "quality.bin")
+    wv, lv, labels = train_fasttext_supervised(
+        df, dim=16, rounds=2, epochs=4, out_path=path
+    )
+    assert labels == ["good", "spam"]
+
+    model = FastTextModel.load(path)
+    acc = 0
+    for i, text, label in rows:
+        pred = model.predict(text)[0][0].replace("__label__", "")
+        acc += pred == label
+    assert acc / len(rows) >= 0.95, f"train accuracy {acc}/{len(rows)}"
+    # held-out phrasings (unseen word orderings)
+    assert model.predict("the proof of the lemma is excellent")[0][0].endswith("good")
+    assert model.predict("click now winner casino")[0][0].endswith("spam")
+
+    # the trained artifact drives the reference-shaped filter operator
+    out = classifier_filter(
+        df, keep_labels=[("good", 0.6)], model_path=path, model_tag="trained"
+    )
+    kept = {r.doc_id for r in out.collect() if r.keep}
+    expected = {i for i in range(120) if i % 2 == 0}
+    assert kept == expected
+
+
+def test_train_fasttext_deterministic(spark):
+    """Same seed + same data => bit-identical trained weights (required for
+    staged-resume reproducibility of any pipeline that trains in-line)."""
+    import numpy as np
+
+    from datatrove_spark.operators import train_fasttext_supervised
+
+    rows = [(i, f"token{i % 7} token{(i + 1) % 7} filler", "a" if i % 3 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"]).repartition(3)
+    wv1, lv1, _ = train_fasttext_supervised(df, dim=8, rounds=2, epochs=2)
+    wv2, lv2, _ = train_fasttext_supervised(df, dim=8, rounds=2, epochs=2)
+    for w in wv1:
+        assert np.array_equal(wv1[w], wv2[w])
+    for l in lv1:
+        assert np.array_equal(lv1[l], lv2[l])

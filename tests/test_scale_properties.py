@@ -275,3 +275,85 @@ def test_salted_repartition_tames_megarepo_skew(spark):
         .collect()[0][0]
     )
     assert spread <= SALT
+
+
+# --- round-5 kernels: charsmap + zh FMM ------------------------------------------
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            min_size=1,
+            max_size=4,
+        ),
+        # replacements are NUL-terminated on the wire: the builder rejects
+        # embedded NULs (separate unit expectation), so exclude them here
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_charsmap_build_decode_roundtrip(mapping):
+    """Any mapping compiled by build_charsmap_blob must decode back exactly:
+    each key longest-matches to its own replacement from position 0 (the
+    double-array builder and the darts-clone reader agree on the unit
+    layout for arbitrary UTF-8 byte patterns)."""
+    from datatrove_spark.kernels.sentencepiece import (
+        PrecompiledCharsMap,
+        build_charsmap_blob,
+    )
+
+    cm = PrecompiledCharsMap(build_charsmap_blob(mapping))
+    for k, v in mapping.items():
+        data = k.encode("utf-8")
+        # the longest mapping key that is a prefix of k decides the match
+        best = max(
+            (kk for kk in mapping if data.startswith(kk.encode("utf-8"))),
+            key=lambda kk: len(kk.encode("utf-8")),
+        )
+        m = cm.longest_match(data, 0)
+        assert m is not None
+        assert m[0] == len(best.encode("utf-8"))
+        assert m[1].decode() == mapping[best]
+
+
+@given(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=200
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_charsmap_normalize_total(text):
+    """normalize() must be total over arbitrary unicode input (no crashes,
+    no dropped non-matching characters)."""
+    from datatrove_spark.kernels.sentencepiece import (
+        PrecompiledCharsMap,
+        build_charsmap_blob,
+    )
+
+    cm = PrecompiledCharsMap(build_charsmap_blob({"A": "a", "ﬁ": "fi", "\t": " "}))
+    out = cm.normalize(text)
+    # unmatched characters pass through: stripping the mapped chars from
+    # both sides leaves identical multisets
+    strip = {"A", "ﬁ", "\t"}
+    kept_in = [c for c in text if c not in strip]
+    # replacements only ever produce ascii here; original exotic chars survive
+    for c in set(kept_in):
+        assert out.count(c) >= kept_in.count(c) - out.count("a") - out.count(" "), c
+
+
+@given(st.text(alphabet="天地人大学中国科学院计算所网易来到北京清华", max_size=80))
+@settings(max_examples=80, deadline=None)
+def test_zh_fmm_lossless(run):
+    """FMM segmentation must be lossless over arbitrary Han runs: the
+    concatenation of tokens reproduces the input exactly (no character is
+    dropped or duplicated by the merge pass)."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    toks = tokenize_words_lang(run, "zh-dict")
+    assert "".join(toks) == "".join(run.split())
