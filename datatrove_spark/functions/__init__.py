@@ -82,6 +82,14 @@ def register_sql_functions(spark, prefix: str = "dt_") -> list[str]:
         )
 
     @pandas_udf(StringType())
+    def _fix_text(texts: pd.Series) -> pd.Series:
+        # mojibake repair (kernels/mojibake.py — the FTFY-fallback trio:
+        # stacked utf8-as-cp1252, sloppy-cp1252 spans, C1 controls)
+        from ..kernels.mojibake import fix_mojibake
+
+        return pd.Series([fix_mojibake(t) for t in texts.fillna("")])
+
+    @pandas_udf(StringType())
     def _sp_tokenize(texts: pd.Series, vocab_paths: pd.Series) -> pd.Series:
         # SentencePiece pieces joined by spaces (the CC-Net tokenize step);
         # the model loads once per executor via the path-keyed singleton
@@ -101,6 +109,7 @@ def register_sql_functions(spark, prefix: str = "dt_") -> list[str]:
         "gopher_keep": _gopher_keep,
         "lid_lang": _lid_lang,
         "word_count_lang": _word_count_lang,
+        "fix_text": _fix_text,
         "sp_tokenize": _sp_tokenize,
     }
     names = []

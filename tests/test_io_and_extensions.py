@@ -924,6 +924,11 @@ def test_sql_function_registration(spark):
     assert rows[1].norm == normalize_text(
         "the cat and the dog have to be with all of that in the house today ok"
     )
+    # round-5: mojibake repair from SQL
+    fixed = spark.sql(
+        "SELECT dt_fix_text('schÃ¶n donâ€™t') AS t"
+    ).collect()[0].t
+    assert fixed == "schön don’t"
 
 
 def test_sql_sp_tokenize(spark, tmp_path):
