@@ -1,0 +1,70 @@
+"""Train a FineWeb-Edu-style quality classifier IN-ENGINE, then filter the
+corpus with it — the loop the reference leaves to the offline fasttext CLI
+(its FastTextClassifierFilter only consumes a pretrained .bin).
+
+Stage 1 trains on a labeled sample (here: weak labels from the engine's own
+heuristics — in production, LLM-annotated or curated labels); stage 2 runs
+the trained wire-format .bin through the same classifier_filter operator a
+downloaded model would use.
+
+Run: spark-submit --py-files dist/datatrove_spark.zip \\
+        examples/train_quality_classifier.py <docs_parquet> <model_out.bin>
+"""
+
+import sys
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.operators import classifier_filter, train_fasttext_supervised
+from datatrove_spark.session import get_spark
+
+
+def main(corpus: str, model_path: str) -> None:
+    spark = get_spark("train-quality-classifier")
+    docs = spark.read.parquet(corpus)
+
+    # --- stage 1: weak labels ---------------------------------------------
+    # Production labels come from curation or LLM annotation (or heuristic
+    # filters — e.g. gopher_quality_filter keep/drop — when their split is
+    # non-degenerate on the corpus).  This demo weak-labels by a topic
+    # lexicon so it runs meaningfully on the synthetic test corpus; the
+    # training API only needs (text, label).
+    topic_words = F.array(*[F.lit(w) for w in ("vector", "query", "scan", "join")])
+    labeled = docs.withColumn(
+        "label",
+        F.when(
+            F.size(F.array_intersect(F.split(F.col("text"), " "), topic_words)) > 0,
+            "analytics",
+        ).otherwise("other"),
+    ).select("text", "label")
+    # The demo corpus is small enough to train on in full.  At corpus scale,
+    # bound the training cost with a STRATIFIED deterministic sample — each
+    # label keeps its own hash slice, so a skewed label ratio can never
+    # collapse the training set to one class:
+    #   labeled.filter(F.pmod(F.xxhash64("text", "label"), F.lit(1000))
+    #                  < F.when(F.col("label") == "analytics", 5).otherwise(50))
+    sample = labeled
+
+    train_fasttext_supervised(
+        sample,
+        text_col="text",
+        label_col="label",
+        dim=32,
+        rounds=3,
+        epochs=5,
+        out_path=model_path,
+    )
+    print(f"trained model written to {model_path}")
+
+    # --- stage 2: the trained .bin drives the reference-shaped filter ------
+    filtered = classifier_filter(
+        docs, keep_labels=[("analytics", 0.6)], model_path=model_path, model_tag="quality"
+    )
+    n_total = filtered.count()
+    n_kept = filtered.filter(F.col("keep")).count()
+    print(f"classifier keeps {n_kept}/{n_total} docs")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
