@@ -266,12 +266,30 @@ _KO_PARTICLES = (
     "은", "는", "이", "가", "을", "를", "의", "에", "로", "와", "과", "도", "만",
 )
 
+# High-precision VERB ENDINGS (round 5 — closes half the "ko josa proxy
+# doesn't split verb endings" divergence): only multi-syllable endings that
+# are near-unambiguous sentence-final / polite / connective morphemes, so a
+# noun is essentially never mangled.  Single-syllable endings (다/던/고...)
+# stay unsplit — too ambiguous without real morphological analysis (Kiwi).
+_KO_ENDINGS = (
+    "습니다", "ㅂ니다", "입니다", "합니다",
+    "었습니다", "았습니다", "했습니다",
+    "어요", "아요", "에요", "예요", "네요", "세요", "해요",
+    "지만", "면서", "려고", "거나", "다가", "습니까",
+)
+
+# one longest-first suffix table: an eojeol carries either a particle
+# (noun) or an ending (verb); longest match decides
+_KO_SUFFIXES = tuple(
+    sorted(set(_KO_PARTICLES) | set(_KO_ENDINGS), key=len, reverse=True)
+)
+
 
 def _tokenize_ko(text: str) -> list[str]:
     out: list[str] = []
     for tok in _WORD_RE.findall(text):
         if len(tok) >= 2 and _HANGUL_RE.match(tok):
-            for p in _KO_PARTICLES:
+            for p in _KO_SUFFIXES:
                 if tok.endswith(p) and len(tok) > len(p):
                     out.append(tok[: -len(p)])
                     out.append(p)

@@ -420,3 +420,22 @@ def test_zh_dict_stop_words_use_zh_set():
 
     assert language_stop_words("zh-dict") == language_stop_words("zh")
     assert "the" not in language_stop_words("zh-dict")
+
+
+def test_ko_verb_ending_split():
+    """Round-5: the ko proxy also splits high-precision multi-syllable verb
+    endings (sentence-final/polite/connective), not just josa — closing
+    half the documented Kiwi divergence.  Single-syllable endings stay
+    unsplit (too ambiguous without morphological analysis)."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    cases = {
+        "저는 학교에서 공부합니다": ["저", "는", "학교", "에서", "공부", "합니다"],
+        "밥을 먹었습니다": ["밥", "을", "먹", "었습니다"],
+        "사과는 맛있어요": ["사과", "는", "맛있", "어요"],
+        "좋은 날씨네요": ["좋", "은", "날씨", "네요"],
+    }
+    for text, want in cases.items():
+        assert tokenize_words_lang(text, "ko") == want, text
+    # a suffix-length eojeol never splits (the stem must be non-empty)
+    assert tokenize_words_lang("습니다", "ko") == ["습니다"]
