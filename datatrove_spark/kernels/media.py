@@ -8,9 +8,12 @@ decodable from their public specs with stdlib + numpy:
 * PNG (non-interlaced 8-bit gray/RGB/RGBA) — stdlib zlib + the five scanline
   filters of the PNG spec (RFC 2083 §6).
 
-Compressed formats (JPEG/GIF/WEBP/MP3/FLAC/OGG) stay stubbed — entropy
-decoding without a codec library is out of scope; callers get a loud
-``UnsupportedMediaError``.  ``probe_media`` extracts width/height/duration
+* GIF (87a/89a) — full variable-width LZW (spec Appendix F), global/local
+  color tables, interlace; first frame decodes to RGB.
+
+Remaining compressed formats (JPEG/WEBP/MP3/FLAC/OGG) stay stubbed —
+DCT/entropy decoding without a codec library is out of scope; callers get a
+loud ``UnsupportedMediaError``.  ``probe_media`` extracts width/height/duration
 from HEADERS ONLY (cheap, no pixel/sample decode) for many more formats.
 
 ``encode_wav``/``encode_bmp``/``encode_png`` write minimal valid files so
@@ -298,6 +301,216 @@ def _jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
 
 
 # ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a — the public spec; LZW decode per Appendix F)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable code width starting at min+1 bits (LSB-first
+    bitstream), CLEAR resets the table, codes cap at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        next_code = end + 1
+
+    width = min_code_size + 1
+    next_code = end + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+                next_code += 1
+            elif code == next_code:
+                entry = prev + [prev[0]]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """First frame of a GIF87a/GIF89a as RGB pixels — full LZW decode,
+    global/local color tables, interlace.  Returns
+    {pixels: (h,w,3) uint8, width, height, n_frames_hint}."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMediaError("not a GIF signature")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    n_frames = 0
+    first = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        min_code = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if first is None:
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            idx = _gif_lzw_decode(min_code, bytes(chunks))
+            if len(idx) < w * h:
+                raise ValueError(f"GIF pixel data short: {len(idx)} < {w * h}")
+            grid = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(grid)
+                deinter[order] = grid
+                grid = deinter
+            first = ct[np.clip(grid, 0, len(ct) - 1)]
+    if first is None:
+        raise ValueError("GIF contains no image data")
+    return {
+        "pixels": first,
+        "width": int(first.shape[1]),
+        "height": int(first.shape[0]),
+        "screen_width": int(sw),
+        "screen_height": int(sh),
+        "n_frames_hint": n_frames,
+    }
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal valid single-frame GIF89a (real LZW encoder) so tests drive
+    the genuine decode path without binary fixtures.  Pixels are quantized
+    to their unique colors (≤256 required)."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <=256 unique colors")
+    n_slots = max(2, 1 << int(np.ceil(np.log2(len(colors)))))
+    min_code = max(2, int(np.log2(n_slots)))
+    n_slots = 1 << min_code
+    table = np.zeros((n_slots, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    idx = inverse.astype(np.int32).reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
+    seq = idx.reshape(-1).tolist()
+
+    # LZW encode (GIF variant): emit CLEAR, build dictionary, variable width
+    clear = 1 << min_code
+    end = clear + 1
+    codes: list[tuple[int, int]] = []  # (code, width-at-emit)
+    width = min_code + 1
+    next_code = end + 1
+    dic: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    codes.append((clear, width))
+    run: tuple[int, ...] = ()
+    for s in seq:
+        cand = run + (s,)
+        if cand in dic:
+            run = cand
+            continue
+        codes.append((dic[run], width))
+        dic[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= (1 << 12):
+            codes.append((clear, width))
+            dic = {(i,): i for i in range(clear)}
+            width = min_code + 1
+            next_code = end + 1
+        run = (s,)
+    if run:
+        codes.append((dic[run], width))
+    codes.append((end, width))
+    # pack LSB-first
+    acc = nbits = 0
+    packed = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # feature vectors over decoded media
 # ---------------------------------------------------------------------------
 
@@ -339,6 +552,8 @@ def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 32) -> list
 
 
 __all__ = [
+    "decode_gif",
+    "encode_gif",
     "UnsupportedMediaError",
     "decode_wav",
     "decode_bmp",

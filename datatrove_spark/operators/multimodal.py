@@ -31,6 +31,7 @@ from ..kernels.media import (
     UnsupportedMediaError,
     audio_features,
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_wav,
     image_features,
@@ -45,15 +46,18 @@ FEATURE_DIM = 32
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Real decode for PNG/BMP (kernels/media.py); compressed codecs need an
+    """Real decode for PNG/BMP/GIF (kernels/media.py — GIF incl. full LZW
+    + interlace, first frame); the remaining compressed codecs need an
     image library (PIL/cv2) — swap this function on clusters that have one."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         d = decode_png(payload)
     elif payload[:2] == b"BM":
         d = decode_bmp(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        d = decode_gif(payload)
     else:
         raise UnsupportedMediaError(
-            "compressed image codecs (jpeg/gif/webp) need an image library"
+            "compressed image codecs (jpeg/webp) need an image library"
         )
     return image_features(d["pixels"], FEATURE_DIM)
 

@@ -823,3 +823,52 @@ def test_mojibake_ftfy_published_examples():
     for src, want in cases:
         got = fix_mojibake(src)
         assert got == want or unicodedata.normalize("NFC", got) == want, (src, got)
+
+
+class TestGifCodec:
+    """Round-5: real GIF decode (spec Appendix F LZW, color tables,
+    interlace) — encoder/decoder round-trips over the wire format."""
+
+    def test_roundtrip_plain_and_interlaced(self):
+        import numpy as np
+
+        from datatrove_spark.kernels.media import decode_gif, encode_gif
+
+        rng = np.random.default_rng(3)
+        for shape, ncol, interlace in [
+            ((13, 17), 7, False),
+            ((64, 48), 200, False),
+            ((33, 21), 5, True),
+            ((1, 1), 1, False),
+        ]:
+            palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+            img = palette[rng.integers(0, ncol, size=shape)]
+            d = decode_gif(encode_gif(img, interlace=interlace))
+            assert np.array_equal(d["pixels"], img), (shape, ncol, interlace)
+            assert (d["width"], d["height"]) == (shape[1], shape[0])
+
+    def test_dictionary_reset_at_4096(self):
+        """65k random pixels over 250 colors force the 12-bit cap and the
+        CLEAR-code dictionary reset on both encode and decode."""
+        import numpy as np
+
+        from datatrove_spark.kernels.media import decode_gif, encode_gif
+
+        rng = np.random.default_rng(5)
+        palette = rng.integers(0, 256, size=(250, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, 250, size=(256, 256))]
+        d = decode_gif(encode_gif(img))
+        assert np.array_equal(d["pixels"], img)
+
+    def test_non_gif_raises_and_image_features_path(self):
+        import numpy as np
+        import pytest
+
+        from datatrove_spark.kernels.media import UnsupportedMediaError, decode_gif, encode_gif
+        from datatrove_spark.operators.multimodal import _decode_image
+
+        with pytest.raises(UnsupportedMediaError):
+            decode_gif(b"NOTAGIF")
+        img = np.full((8, 8, 3), 37, dtype=np.uint8)
+        feats = _decode_image(encode_gif(img))
+        assert len(feats) == 32 and feats[0] == 8.0  # width feature
