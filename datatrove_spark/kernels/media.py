@@ -256,6 +256,23 @@ def probe_media(payload: bytes) -> dict:
                 out["width"], out["height"] = dims
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             out["width"], out["height"] = struct.unpack("<HH", payload[6:10])
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # the three public WebP container flavors (RIFF chunk at 12..)
+            tag = payload[12:16]
+            if tag == b"VP8X":  # extended: 24-bit minus-one dims at 24..30
+                w = int.from_bytes(payload[24:27], "little") + 1
+                h = int.from_bytes(payload[27:30], "little") + 1
+                out["width"], out["height"] = w, h
+            elif tag == b"VP8L":  # lossless: 14+14 bits after 0x2F
+                bits = int.from_bytes(payload[21:25], "little")
+                out["width"] = (bits & 0x3FFF) + 1
+                out["height"] = ((bits >> 14) & 0x3FFF) + 1
+            elif tag == b"VP8 ":  # lossy: dims in the keyframe tag
+                # 3-byte frame tag at 20, then start code 9D 01 2A, then dims
+                if payload[23:26] == b"\x9d\x01\x2a":
+                    (w,) = struct.unpack("<H", payload[26:28])
+                    (h,) = struct.unpack("<H", payload[28:30])
+                    out["width"], out["height"] = w & 0x3FFF, h & 0x3FFF
     except Exception:  # noqa: BLE001 — a probe never raises
         pass
     return out

@@ -872,3 +872,55 @@ class TestGifCodec:
         img = np.full((8, 8, 3), 37, dtype=np.uint8)
         feats = _decode_image(encode_gif(img))
         assert len(feats) == 32 and feats[0] == 8.0  # width feature
+
+
+def test_probe_media_webp_dimensions():
+    """Header-only WebP probes for all three container flavors (public
+    RIFF/VP8 bitstream layout), built as synthetic headers."""
+    import struct
+
+    from datatrove_spark.kernels.media import probe_media
+
+    def riff(tag, chunk):
+        body = tag + struct.pack("<I", len(chunk)) + chunk
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    # VP8X: 10-byte feature header with 24-bit minus-one dims
+    vp8x = bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    assert probe_media(riff(b"VP8X", vp8x)) == {
+        "width": 640, "height": 480, "duration_ms": None,
+    }
+    # VP8L: signature byte 0x2F then 14+14 packed minus-one dims
+    bits = (99) | (49 << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    assert probe_media(riff(b"VP8L", vp8l))["width"] == 100
+    assert probe_media(riff(b"VP8L", vp8l))["height"] == 50
+    # VP8 lossy: 3-byte frame tag, start code, 14-bit dims
+    vp8 = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    assert probe_media(riff(b"VP8 ", vp8))["width"] == 320
+    assert probe_media(riff(b"VP8 ", vp8))["height"] == 240
+
+
+def test_gif_decoder_rejects_corrupt_input_quickly():
+    """Fuzz: truncations and byte corruptions of a valid GIF must raise a
+    clean error or return fast — never hang or crash the interpreter."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from datatrove_spark.kernels.media import UnsupportedMediaError, decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    blob = encode_gif(palette[rng.integers(0, 16, size=(24, 24))])
+    for cut in (0, 5, 10, 13, 40, len(blob) // 2, len(blob) - 2):
+        with pytest.raises((ValueError, IndexError, struct.error)):
+            decode_gif(blob[:cut] if cut else b"")
+    for flip_at in range(13, min(len(blob), 200), 17):
+        mutated = bytearray(blob)
+        mutated[flip_at] ^= 0xFF
+        try:
+            decode_gif(bytes(mutated))
+        except (ValueError, IndexError, struct.error):
+            pass  # clean rejection is fine; silent wrong pixels also fine here
