@@ -259,11 +259,13 @@ def probe_media(payload: bytes) -> dict:
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             # the three public WebP container flavors (RIFF chunk at 12..)
             tag = payload[12:16]
-            if tag == b"VP8X":  # extended: 24-bit minus-one dims at 24..30
+            if tag == b"VP8X" and len(payload) >= 30:
+                # extended: 24-bit minus-one dims at 24..30 (length-guarded:
+                # int.from_bytes(b'') would fabricate 1x1 on truncation)
                 w = int.from_bytes(payload[24:27], "little") + 1
                 h = int.from_bytes(payload[27:30], "little") + 1
                 out["width"], out["height"] = w, h
-            elif tag == b"VP8L":  # lossless: 14+14 bits after 0x2F
+            elif tag == b"VP8L" and len(payload) >= 25 and payload[20:21] == b"\x2f":
                 bits = int.from_bytes(payload[21:25], "little")
                 out["width"] = (bits & 0x3FFF) + 1
                 out["height"] = ((bits >> 14) & 0x3FFF) + 1

@@ -122,6 +122,8 @@ class PrecompiledCharsMap:
         if 4 + trie_size > len(blob) or trie_size % 4:
             raise ValueError("precompiled charsmap: bad trie blob size")
         self.units = struct.unpack("<%dI" % (trie_size // 4), blob[4 : 4 + trie_size])
+        if not self.units:
+            raise ValueError("precompiled charsmap: empty trie")
         self.normalized = blob[4 + trie_size :]
 
     def longest_match(self, data: bytes, start: int) -> tuple[int, bytes] | None:
@@ -141,8 +143,18 @@ class PrecompiledCharsMap:
                 break
             node_pos ^= _da_offset(unit)
             if (unit >> 8) & 1:
+                # corrupt blobs must fail LOUDLY here, not with an opaque
+                # IndexError/substring error deep inside a Spark UDF
+                if node_pos >= n_units:
+                    raise ValueError(
+                        "corrupt precompiled charsmap: leaf offset out of range"
+                    )
                 value = units[node_pos] & 0x7FFFFFFF
-                end = self.normalized.index(b"\0", value)
+                end = self.normalized.find(b"\0", value)
+                if end == -1 or value >= len(self.normalized):
+                    raise ValueError(
+                        "corrupt precompiled charsmap: unterminated replacement"
+                    )
                 best = (i + 1 - start, self.normalized[value:end])
         return best
 

@@ -105,17 +105,24 @@ def _tokenize_zh(text: str) -> list[str]:
     return out
 
 
-_LEXICON_MAXLEN_CACHE: dict[int, int] = {}
+# id() is only a valid cache key while the object is alive, so each entry
+# holds a STRONG reference to its lexicon: a GC'd frozenset's reused id can
+# never serve a stale maxlen (review finding: stale maxlen=2 silently
+# mis-segmented a 5-char word after id reuse).  Bounded FIFO keeps the
+# worst case at a handful of retained lexicons.
+_LEXICON_MAXLEN_CACHE: dict[int, tuple[frozenset, int]] = {}
 
 
 def _lexicon_maxlen(lexicon: frozenset[str]) -> int:
     key = id(lexicon)
     hit = _LEXICON_MAXLEN_CACHE.get(key)
-    if hit is None:
-        hit = max(map(len, lexicon)) if lexicon else 2
-        if len(_LEXICON_MAXLEN_CACHE) < 64:
-            _LEXICON_MAXLEN_CACHE[key] = hit
-    return hit
+    if hit is not None and hit[0] is lexicon:
+        return hit[1]
+    maxlen = max(map(len, lexicon)) if lexicon else 2
+    if len(_LEXICON_MAXLEN_CACHE) >= 8:
+        _LEXICON_MAXLEN_CACHE.pop(next(iter(_LEXICON_MAXLEN_CACHE)))
+    _LEXICON_MAXLEN_CACHE[key] = (lexicon, maxlen)
+    return maxlen
 
 
 def tokenize_zh_dict(text: str, lexicon: frozenset[str] | None = None) -> list[str]:

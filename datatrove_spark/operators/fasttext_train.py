@@ -71,8 +71,11 @@ def train_fasttext_supervised(
     spark = df.sparkSession
 
     # --- vocab + label table (one distributed pass each) ------------------
+    # (?U) = Java UNICODE_CHARACTER_CLASS so this split agrees with the
+    # training loop's Python \S+ tokenization on non-ASCII whitespace
+    # (NBSP / ideographic space) — a mismatch silently drops such tokens
     words = (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"(?U)\s+")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .count()
@@ -122,7 +125,7 @@ def train_fasttext_supervised(
                     docs.append((np.asarray(ids), lab))
             if not docs:
                 return iter([])
-            prng = np.random.default_rng((hash((17, _rnd, pid)) & 0x7FFFFFFF))
+            prng = np.random.default_rng((hash((seed, _rnd, pid)) & 0x7FFFFFFF))
             n_seen = 0
             for ep in range(epochs):
                 # fastText linear lr decay over global progress

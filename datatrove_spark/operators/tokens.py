@@ -461,6 +461,17 @@ def check_tokenized_dataset(
     ]
     if missing:
         raise ValueError(f"shards missing companion files: {missing}")
+    # ...and the inverse: a companion whose .ds is gone means a shard was
+    # LOST (partial copy/delete) — silently consuming the rest under-reports
+    ds_set = set(ds_files)
+    orphans = [
+        f
+        for f in _glob.glob(os.path.join(folder, "*.ds.index"))
+        + _glob.glob(os.path.join(folder, "*.ds.loss"))
+        if f.rsplit(".", 1)[0] not in ds_set
+    ]
+    if orphans:
+        raise ValueError(f"companion files whose .ds shard is missing: {sorted(orphans)}")
     n_docs = n_tokens = 0
     for ds in ds_files:
         with open(ds + ".index", "rb") as f:

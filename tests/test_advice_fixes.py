@@ -153,3 +153,90 @@ def test_check_tokenized_names_shard_missing_companion(tmp_path):
     (tmp_path / "b.ds.index").write_bytes(b"")
     with pytest.raises(ValueError, match=r"a\.ds\.index"):
         check_tokenized_dataset(str(tmp_path), token_size=2)
+
+
+def test_zh_lexicon_maxlen_cache_survives_id_reuse():
+    """Round-5 self-review: the maxlen cache must key on the LIVE lexicon
+    (id reuse after GC must never serve a stale maxlen, which silently
+    mis-segments long words)."""
+    from datatrove_spark.kernels.tokenizers import tokenize_zh_dict
+
+    # many short-word lexicons churned through the cache, then a long-word
+    # lexicon (possibly reusing a freed id) must still match its 5-char word
+    for _ in range(50):
+        tokenize_zh_dict("天地", lexicon=frozenset({"天地"}))
+    assert tokenize_zh_dict(
+        "中国科学院", lexicon=frozenset({"中国科学院"})
+    ) == ["中国科学院"]
+
+
+def test_fasttext_train_seed_changes_visit_order(spark):
+    """The seed parameter must actually reach the per-partition SGD RNG
+    (review: the shuffle was seeded with a literal, so different seeds
+    produced identical visit orders)."""
+    import numpy as np
+
+    from datatrove_spark.operators import train_fasttext_supervised
+
+    rows = [
+        (i, " ".join(f"w{(i + k) % 11}" for k in range(8)), "a" if i % 2 else "b")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"]).repartition(2)
+    wv1, _, _ = train_fasttext_supervised(df, dim=8, rounds=1, epochs=2, seed=1)
+    wv2, _, _ = train_fasttext_supervised(df, dim=8, rounds=1, epochs=2, seed=2)
+    assert any(not np.array_equal(wv1[w], wv2[w]) for w in wv1)
+
+
+def test_check_tokenized_flags_orphan_companions(tmp_path):
+    """A companion whose .ds shard is missing means data LOSS — must raise,
+    not silently validate the surviving shards (review finding)."""
+    import struct
+
+    import pytest
+
+    from datatrove_spark.operators.tokens import check_tokenized_dataset
+
+    (tmp_path / "b.ds").write_bytes(b"\x07\x00")
+    (tmp_path / "b.ds.index").write_bytes(struct.pack("<Q", 1))
+    (tmp_path / "a.ds.index").write_bytes(struct.pack("<Q", 1))  # a.ds lost
+    with pytest.raises(ValueError, match=r"a\.ds"):
+        check_tokenized_dataset(str(tmp_path), token_size=2)
+
+
+def test_webp_probe_truncation_returns_unknown_not_1x1():
+    """Truncated VP8X/VP8L headers must leave dims unset (review: empty
+    int.from_bytes fabricated 1x1)."""
+    import struct
+
+    from datatrove_spark.kernels.media import probe_media
+
+    truncated = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8X"
+    assert probe_media(truncated)["width"] is None
+    truncated_l = b"RIFF" + struct.pack("<I", 13) + b"WEBP" + b"VP8L" + b"\x2f"
+    assert probe_media(truncated_l)["width"] is None
+
+
+def test_charsmap_corrupt_blob_raises_cleanly():
+    """Corrupt trie units must raise a named charsmap error, not an opaque
+    IndexError inside a UDF (review finding)."""
+    import struct
+
+    import pytest
+
+    from datatrove_spark.kernels.sentencepiece import PrecompiledCharsMap
+
+    # one root unit + one child with label 'A', has_leaf set, huge offset
+    child = ord("A") | 0x100 | (0x1FFFFF << 10)
+    root = 1 << 10  # offset 1 -> child slot = 1 ^ 0x41 ... keep it simple:
+    units = [0, 0]
+    units[0] = 0  # root base 0 -> child slot = 'A'
+    # place child at index... base 0 ^ 0x41 = 65; build a 66-unit array
+    units = [0] * 66
+    units[65] = child
+    trie = b"".join(struct.pack("<I", u) for u in units)
+    cm = PrecompiledCharsMap(struct.pack("<I", len(trie)) + trie + b"x\0")
+    with pytest.raises(ValueError, match="charsmap"):
+        cm.longest_match(b"A", 0)
+    with pytest.raises(ValueError, match="empty trie"):
+        PrecompiledCharsMap(struct.pack("<I", 0))
