@@ -1,0 +1,570 @@
+"""Dependency-free baseline JPEG codec (ITU-T T.81 / JFIF).
+
+Decodes baseline sequential DCT JPEGs (SOF0, Huffman, 8-bit, 1 or 3
+components, any sampling factors incl. 4:2:0/4:2:2, restart markers) to
+RGB with stdlib + numpy: marker parse → per-MCU Huffman decode →
+dequantize → 8x8 IDCT (vectorized over all blocks) → chroma upsample →
+YCbCr→RGB.  Progressive (SOF2) and arithmetic coding raise
+``UnsupportedMediaError`` — loud, not wrong.
+
+``encode_jpeg`` writes a real baseline JFIF (standard Annex K quantization
+tables scaled by quality, the T.81 Annex K typical Huffman tables, 4:4:4
+or 4:2:0) so tests drive the genuine decode path without binary fixtures;
+JPEG is lossy, so round-trips assert PSNR, not equality.
+
+Public sources: ITU-T T.81 (the JPEG spec — marker syntax §B, Huffman
+decode procedure §F.2.2, IDCT Annex A), JFIF 1.02, and the BT.601 YCbCr
+matrix.  No code is taken from any implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media import UnsupportedMediaError
+
+# --- constants (T.81 Annex K: example tables — the de-facto standard) -----
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# T.81 Annex K.3: typical Huffman tables, (bits[1..16], values)
+HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# DCT basis (type-II, orthonormal) — IDCT is basis.T @ X @ basis
+_DCT = np.array([
+    [np.cos((2 * x + 1) * u * np.pi / 16) * (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+# --- Huffman -----------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) → value, canonical Huffman (T.81 §C.2)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 byte unstuffing
+    and restart-marker awareness (T.81 §B.1.1.5, §F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # marker (EOI etc.): pad with zero bits per spec
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            val = table.get((length, code))
+            if val is not None:
+                return val
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_to_marker(self) -> None:
+        """Drop partial bits and position after a restart marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG → dict(width, height, pixels HxWx3 uint8 RGB,
+    n_components, sampling)."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                b += 1
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(body[b : b + 64], dtype=np.uint8).astype(np.float64)
+                    b += 64
+                else:
+                    qtables[tq] = np.frombuffer(body[b : b + 128], dtype=">u2").astype(np.float64)
+                    b += 128
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                values = list(body[b + 17 : b + 17 + nvals])
+                huff[(tc, th)] = _build_decode_table(bits, values)
+                b += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise UnsupportedMediaError(f"JPEG precision {precision} unsupported")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": sampling >> 4, "v": sampling & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "dc": tables >> 4, "ac": tables & 0x0F})
+            data_pos = pos + 2 + seg_len
+            return _decode_scan(
+                payload, data_pos, frame, scan, qtables, huff, restart_interval
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no SOS marker")
+
+
+def _decode_scan(payload, pos, frame, scan, qtables, huff, restart_interval):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient planes (in MCU units)
+    planes = {}
+    for c in scan:
+        planes[c["id"]] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+    reader = _BitReader(payload, pos)
+    pred = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_to_marker()
+                pred = {c["id"]: 0 for c in scan}
+            try:
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = _decode_block(reader, huff[(0, c["dc"])], huff[(1, c["ac"])])
+                            pred[c["id"]] += blk[0]
+                            blk[0] = pred[c["id"]]
+                            deq = np.zeros(64)
+                            deq[ZIGZAG] = blk * qtables[c["tq"]]
+                            px = _DCT.T @ deq.reshape(8, 8) @ _DCT
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            except _RestartMarker:
+                raise ValueError("unexpected JPEG restart marker") from None
+            mcu_count += 1
+    # upsample to full size and color-convert
+    comps_full = []
+    for c in scan:
+        plane = planes[c["id"]] + 128.0
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        comps_full.append(plane[:h, :w])
+    if len(comps_full) == 1:
+        yp = np.clip(comps_full[0], 0, 255)
+        rgb = np.stack([yp, yp, yp], axis=-1).astype(np.uint8)
+    elif len(comps_full) == 3:
+        yp, cb, cr = comps_full
+        cb = cb - 128.0
+        cr = cr - 128.0
+        r = yp + 1.402 * cr
+        g = yp - 0.344136 * cb - 0.714136 * cr
+        b = yp + 1.772 * cb
+        rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    else:
+        raise UnsupportedMediaError(f"{len(comps_full)}-component JPEG unsupported")
+    return {
+        "width": w,
+        "height": h,
+        "pixels": rgb,
+        "n_components": len(comps_full),
+        "sampling": f"{hmax}x{vmax}",
+    }
+
+
+def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
+    """One 8x8 block in zigzag order; blk[0] holds the dc DIFF."""
+    blk = np.zeros(64)
+    t = reader.decode_huff(dc_table)
+    blk[0] = _extend(reader.read_bits(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = reader.decode_huff(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        blk[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return blk
+
+
+# --- encoder (fixture-quality, real wire format) -----------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1-bits
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size t, t-bit code) for a signed coefficient (T.81 F.1.2.1.1)."""
+    a = abs(v)
+    t = a.bit_length()
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _encode_block(bw, blk, dc_tab, ac_tab) -> None:
+    t, code = _mag_bits(int(blk[0]))
+    c, ln = dc_tab[t]
+    bw.write(c, ln)
+    if t:
+        bw.write(code, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        t, code = _mag_bits(v)
+        c, ln = ac_tab[(run << 4) | t]
+        bw.write(c, ln)
+        bw.write(code, t)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_tab[0x00]  # EOB
+        bw.write(c, ln)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF writer: 4:4:4 (default) or 4:2:0 (subsample=True),
+    Annex K tables scaled by libjpeg's quality formula; optional DRI/RSTn
+    restart markers every ``restart_interval`` MCUs (so tests can drive the
+    decoder's restart resynchronization)."""
+    h, w, _ = pixels.shape
+    # quality scaling (public libjpeg formula)
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip(np.floor((QUANT_LUMA * scale + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((QUANT_CHROMA * scale + 50) / 100), 1, 255)
+
+    px = pixels.astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    hs = 2 if subsample else 1
+    mbw, mbh = 8 * hs, 8 * hs
+    mcux, mcuy = -(-w // mbw), -(-h // mbh)
+
+    def pad(plane, ph, pw):
+        out = np.empty((ph, pw))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1] :] = out[:, plane.shape[1] - 1 : plane.shape[1]]
+        return out
+
+    ypad = pad(yp, mcuy * mbh, mcux * mbw)
+    if subsample:
+        cbs = pad(cb, mcuy * mbh, mcux * mbw)
+        crs = pad(cr, mcuy * mbh, mcux * mbw)
+        cbs = cbs.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crs = crs.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbs = pad(cb, mcuy * 8, mcux * 8)
+        crs = pad(cr, mcuy * 8, mcux * 8)
+
+    dc_l = _build_encode_table(*HUFF_DC_LUMA)
+    ac_l = _build_encode_table(*HUFF_AC_LUMA)
+    dc_c = _build_encode_table(*HUFF_DC_CHROMA)
+    ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+
+    # zigzag mapping: natural-order index ZIGZAG[i] is the i-th zigzag coef,
+    # so zigzag vector = flat[ZIGZAG]
+    bw = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)])
+                pred = {"y": 0, "cb": 0, "cr": 0}
+            mcu_count += 1
+            blocks = []
+            for by in range(hs):
+                for bx in range(hs):
+                    y0, x0 = (my * hs + by) * 8, (mx * hs + bx) * 8
+                    blocks.append(("y", ypad[y0 : y0 + 8, x0 : x0 + 8], ql, dc_l, ac_l))
+            blocks.append(("cb", cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], qc, dc_c, ac_c))
+            blocks.append(("cr", crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], qc, dc_c, ac_c))
+            for name, blockpx, qt, dct_, act_ in blocks:
+                coef = _DCT @ (blockpx - 128.0) @ _DCT.T
+                zz = np.round(coef.reshape(-1)[ZIGZAG] / qt[ZIGZAG])
+                diff = int(zz[0]) - pred[name]
+                pred[name] = int(zz[0])
+                blk = zz.copy()
+                blk[0] = diff
+                _encode_block(bw, blk, dct_, act_)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, table):
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(table[z]) for z in ZIGZAG
+        )
+
+    out += dqt(0, ql) + dqt(1, qc)
+    sampling_y = (hs << 4) | hs
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + bytes([1, sampling_y, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1])
+    )
+
+    def dht(tc, th, spec):
+        bits, values = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">H", 12)
+        + b"\x03"
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        + b"\x00\x3f\x00"
+    )
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(255.0 * 255.0 / mse))
+
+
+__all__ = ["decode_jpeg", "encode_jpeg", "psnr"]

@@ -9,11 +9,12 @@ decodable from their public specs with stdlib + numpy:
   filters of the PNG spec (RFC 2083 §6).
 
 * GIF (87a/89a) — full variable-width LZW (spec Appendix F), global/local
-  color tables, interlace; first frame decodes to RGB.
+  color tables, interlace; first frame decodes to RGB;
+* baseline JPEG — see ``kernels/jpeg.py`` (ITU T.81 Huffman + IDCT +
+  chroma upsampling + restart markers, with a real JFIF encoder).
 
-Remaining compressed formats (JPEG/WEBP/MP3/FLAC/OGG) stay stubbed —
-DCT/entropy decoding without a codec library is out of scope; callers get a
-loud ``UnsupportedMediaError``.  ``probe_media`` extracts width/height/duration
+Remaining compressed formats (progressive JPEG/WEBP/MP3/FLAC/OGG) stay
+stubbed — callers get a loud ``UnsupportedMediaError``.  ``probe_media`` extracts width/height/duration
 from HEADERS ONLY (cheap, no pixel/sample decode) for many more formats.
 
 ``encode_wav``/``encode_bmp``/``encode_png`` write minimal valid files so

@@ -46,8 +46,9 @@ FEATURE_DIM = 32
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Real decode for PNG/BMP/GIF (kernels/media.py — GIF incl. full LZW
-    + interlace, first frame); the remaining compressed codecs need an
+    """Real decode for PNG/BMP/GIF/baseline-JPEG (kernels/media.py +
+    kernels/jpeg.py — GIF incl. full LZW + interlace; JPEG incl. Huffman,
+    IDCT, 4:2:0 upsampling, restart markers); webp/progressive-JPEG need an
     image library (PIL/cv2) — swap this function on clusters that have one."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         d = decode_png(payload)
@@ -55,10 +56,12 @@ def _decode_image(payload: bytes) -> list[float]:
         d = decode_bmp(payload)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         d = decode_gif(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        from ..kernels.jpeg import decode_jpeg
+
+        d = decode_jpeg(payload)
     else:
-        raise UnsupportedMediaError(
-            "compressed image codecs (jpeg/webp) need an image library"
-        )
+        raise UnsupportedMediaError("webp needs an image library")
     return image_features(d["pixels"], FEATURE_DIM)
 
 

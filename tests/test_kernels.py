@@ -924,3 +924,70 @@ def test_gif_decoder_rejects_corrupt_input_quickly():
             decode_gif(bytes(mutated))
         except (ValueError, IndexError, struct.error):
             pass  # clean rejection is fine; silent wrong pixels also fine here
+
+
+class TestJpegCodec:
+    """Round-5: dependency-free baseline JPEG (ITU T.81) — real Huffman +
+    IDCT decode, exercised through the repo's own real JFIF encoder.  JPEG
+    is lossy: round-trips assert PSNR, dims assert exactly."""
+
+    @staticmethod
+    def _smooth(h, w):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))], axis=-1
+        ).astype(np.uint8)
+
+    def test_roundtrip_444_and_420(self):
+        from datatrove_spark.kernels.jpeg import decode_jpeg, encode_jpeg, psnr
+
+        img = self._smooth(40, 56)
+        for subsample, min_psnr, sampling in [(False, 40, "1x1"), (True, 35, "2x2")]:
+            d = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+            assert (d["width"], d["height"]) == (56, 40)
+            assert d["sampling"] == sampling
+            assert psnr(d["pixels"], img) >= min_psnr
+
+    def test_restart_markers_and_odd_dims(self):
+        import numpy as np
+
+        from datatrove_spark.kernels.jpeg import decode_jpeg, encode_jpeg, psnr
+
+        img = self._smooth(48, 64)
+        d = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
+        assert psnr(d["pixels"], img) >= 40
+        d = decode_jpeg(encode_jpeg(img, quality=88, subsample=True, restart_interval=2))
+        assert psnr(d["pixels"], img) >= 35
+        # non-multiple-of-8 dims incl. tiny
+        rng = np.random.default_rng(7)
+        noisy = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(noisy, quality=95))
+        assert (d["width"], d["height"]) == (23, 17)
+        assert psnr(d["pixels"], noisy) >= 30
+        tiny = decode_jpeg(encode_jpeg(img[:3, :5], quality=90))
+        assert (tiny["width"], tiny["height"]) == (5, 3)
+
+    def test_quality_ladder_monotone_size(self):
+        from datatrove_spark.kernels.jpeg import encode_jpeg
+
+        img = self._smooth(32, 32)
+        sizes = [len(encode_jpeg(img, quality=q)) for q in (10, 50, 90)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_unsupported_and_dispatch(self):
+        import pytest
+
+        from datatrove_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+        from datatrove_spark.kernels.media import UnsupportedMediaError, probe_media
+        from datatrove_spark.operators.multimodal import _decode_image
+
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(b"NOTJPEG")
+        blob = encode_jpeg(self._smooth(16, 24))
+        # header probe agrees with the full decode
+        p = probe_media(blob)
+        assert (p["width"], p["height"]) == (24, 16)
+        feats = _decode_image(blob)
+        assert len(feats) == 32 and feats[0] == 24.0
