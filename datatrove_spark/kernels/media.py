@@ -257,6 +257,20 @@ def probe_media(payload: bytes) -> dict:
                 out["width"], out["height"] = dims
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             out["width"], out["height"] = struct.unpack("<HH", payload[6:10])
+        elif payload[:4] == b"fLaC" and len(payload) >= 26:
+            # STREAMINFO is the mandatory first metadata block: sample rate
+            # (20 bits) and total samples (36 bits) at byte 18 of the block
+            # (flac format spec) — duration needs no frame decode
+            info = payload[8:]  # skip magic + block header
+            bits = int.from_bytes(info[10:18], "big")
+            sample_rate = (bits >> 44) & 0xFFFFF
+            total = bits & 0xFFFFFFFFF
+            if sample_rate:
+                out["duration_ms"] = int(total * 1000 / sample_rate)
+        elif payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+            dur = _mp3_duration_ms(payload)
+            if dur is not None:
+                out["duration_ms"] = dur
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             # the three public WebP container flavors (RIFF chunk at 12..)
             tag = payload[12:16]
@@ -279,6 +293,44 @@ def probe_media(payload: bytes) -> dict:
     except Exception:  # noqa: BLE001 — a probe never raises
         pass
     return out
+
+
+# MPEG-1/2 Layer III bitrate (kbps) and sample-rate tables (public header
+# layout) — duration is ESTIMATED as size/byterate from the first frame
+# header (exact for CBR, approximate for VBR; header-only by design)
+_MP3_BITRATE = {
+    1: [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None],
+    2: [None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, None],
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+
+
+def _mp3_duration_ms(payload: bytes) -> int | None:
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # syncsafe 28-bit tag size
+        sz = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) | (
+            (payload[8] & 0x7F) << 7
+        ) | (payload[9] & 0x7F)
+        pos = 10 + sz
+    # find the first frame sync
+    while pos + 4 <= len(payload):
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        return None
+    b1, b2 = payload[pos + 1], payload[pos + 2]
+    version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2
+    layer = (b1 >> 1) & 0x03  # 1=Layer III
+    if version not in (2, 3) or layer != 1:
+        return None
+    v = 1 if version == 3 else 2
+    bitrate = _MP3_BITRATE[v][(b2 >> 4) & 0x0F]
+    rate = _MP3_RATES[v][(b2 >> 2) & 0x03] if ((b2 >> 2) & 0x03) < 3 else None
+    if not bitrate or not rate:
+        return None
+    return int((len(payload) - pos) * 8 / (bitrate * 1000) * 1000)
 
 
 def decode_wav_header(payload: bytes) -> dict:

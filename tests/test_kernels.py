@@ -991,3 +991,25 @@ class TestJpegCodec:
         assert (p["width"], p["height"]) == (24, 16)
         feats = _decode_image(blob)
         assert len(feats) == 32 and feats[0] == 24.0
+
+
+def test_probe_media_flac_and_mp3_duration():
+    """Header-only audio duration probes: FLAC STREAMINFO (exact) and MP3
+    first-frame bitrate estimate (exact for CBR), incl. ID3v2 skip."""
+    from datatrove_spark.kernels.media import probe_media
+
+    info = bytearray(34)
+    bits = (44100 << 44) | (1 << 41) | (15 << 36) | 441000  # 10 s
+    info[10:18] = bits.to_bytes(8, "big")
+    flac = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(info)
+    assert probe_media(flac)["duration_ms"] == 10000
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 Layer III, 128 kbps, 44.1 kHz
+    mp3 = (hdr + bytes(413)) * 250
+    want = int(len(mp3) * 8 / 128000 * 1000)
+    assert probe_media(mp3)["duration_ms"] == want
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10) + mp3
+    assert probe_media(id3)["duration_ms"] == want
+    # truncated/garbage: silent None, probes never raise
+    assert probe_media(b"fLaC\x80")["duration_ms"] is None
+    assert probe_media(b"ID3")["duration_ms"] is None
