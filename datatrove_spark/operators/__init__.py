@@ -2,6 +2,7 @@
 
 from .ann import (  # noqa: F401
     cosine_topk,
+    embed_text,
     embedding_neardup,
     embedding_neardup_pairs,
     ivf_cosine_topk,

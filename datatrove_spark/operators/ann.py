@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, FloatType, IntegerType
 
 from .base import apply_native_filter, ensure_channel
 
@@ -361,3 +361,46 @@ def embedding_neardup(
     out = df.join(dups, df[id_col] == dups["dup_id"], "left")
     out = apply_native_filter(out, F.col("dup_id").isNull(), "embedding_neardup")
     return out.drop("dup_id")
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = 64,
+    ngram: int = 3,
+    seed: int = 97,
+) -> DataFrame:
+    """Deterministic text embeddings via the feature-hashing trick
+    (Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+    Learning"): word-level unigrams + character n-grams hash to a signed
+    ``dim``-bucket vector, L2-normalized — so the similarity stack
+    (cosine_topk / lsh_cosine_topk / ivf / embedding_neardup) runs
+    end-to-end from raw text with no model artifact.
+
+    Scale shape: one Arrow-batched pandas UDF, no shuffle, no driver state;
+    the embedding depends only on (text, dim, ngram, seed) so re-runs and
+    different partitionings are bit-identical."""
+    import hashlib
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        salt = f"{seed}:{dim}:{ngram}".encode()
+        for t in texts.fillna(""):
+            vec = np.zeros(dim, dtype=np.float64)
+            toks = t.lower().split()
+            feats = toks + [
+                w[i : i + ngram]
+                for w in toks
+                for i in range(max(len(w) - ngram + 1, 1))
+            ]
+            for f_ in feats:
+                h = hashlib.blake2b(f_.encode(), salt=salt[:16], digest_size=8).digest()
+                iv = int.from_bytes(h, "little")
+                vec[iv % dim] += 1.0 if (iv >> 62) & 1 else -1.0
+            n = np.linalg.norm(vec)
+            out.append((vec / n if n else vec).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))

@@ -938,3 +938,38 @@ def test_train_fasttext_deterministic(spark):
         assert np.array_equal(wv1[w], wv2[w])
     for l in lv1:
         assert np.array_equal(lv1[l], lv2[l])
+
+
+def test_embed_text_end_to_end_similarity(spark):
+    """Feature-hashing embeddings: deterministic, unit-norm, and actually
+    USEFUL — near-duplicate texts land closer than unrelated texts, and the
+    whole text -> embed -> exact/LSH ANN stack runs end-to-end."""
+    import numpy as np
+
+    from datatrove_spark.operators import cosine_topk, embed_text, lsh_cosine_topk
+
+    rows = [
+        (0, "spark executes distributed dataframe queries with catalyst optimizer"),
+        (1, "spark executes distributed dataframe queries with catalyst planner"),
+        (2, "the quick brown fox jumps over a lazy sleeping dog today"),
+        (3, "completely different topic entirely about cooking pasta recipes"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "text"])
+    emb = embed_text(df, dim=64)
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    # unit-norm and deterministic across a second run
+    for v in vecs.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    vecs2 = {r.vec_id: np.array(r.embedding) for r in embed_text(df, dim=64).collect()}
+    assert all(np.array_equal(vecs[k], vecs2[k]) for k in vecs)
+    # near-dup pair scores higher than unrelated pair
+    assert vecs[0] @ vecs[1] > vecs[0] @ vecs[3] + 0.2
+
+    # end-to-end: the embedding column drives the existing ANN operators
+    queries = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    exact = cosine_topk(corpus, queries, k=2, id_col="vec_id")
+    top = [r.neighbor_id for r in exact.orderBy("rank").collect()]
+    assert top[0] == 1  # the near-duplicate is the nearest neighbor
+    lsh = lsh_cosine_topk(corpus, queries, dim=64, k=2, n_planes=4, n_tables=8)
+    assert 1 in [r.neighbor_id for r in lsh.collect()]
