@@ -2,19 +2,31 @@
 
 Run: spark-submit --py-files dist/datatrove_spark.zip \\
         examples/similarity_search.py <embeddings_parquet> <out_dir>
+
+Pass a DOCUMENTS parquet (with a `text` column and no `embedding`) instead
+and the embeddings are generated in-engine with the feature-hashing
+`embed_text` operator — the whole text → embedding → ANN stack with no
+model artifact.
 """
 
 import sys
 
 import pyspark.sql.functions as F
 
-from datatrove_spark.operators import cosine_topk, embedding_neardup, lsh_cosine_topk
+from datatrove_spark.operators import (
+    cosine_topk,
+    embed_text,
+    embedding_neardup,
+    lsh_cosine_topk,
+)
 from datatrove_spark.session import get_spark
 
 
 def main(emb_path: str, out_dir: str) -> None:
     spark = get_spark("similarity-search")
     emb = spark.read.parquet(emb_path)
+    if "embedding" not in emb.columns:
+        emb = embed_text(emb, dim=64).withColumnRenamed("doc_id", "vec_id")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.limit(100)
 
