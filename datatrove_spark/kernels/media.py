@@ -267,6 +267,23 @@ def probe_media(payload: bytes) -> dict:
             total = bits & 0xFFFFFFFFF
             if sample_rate:
                 out["duration_ms"] = int(total * 1000 / sample_rate)
+        elif payload[:4] == b"OggS":
+            # duration = last page's granule position / rate.  The granule
+            # rate is codec-specific: Opus fixes 48 kHz (RFC 7845 §4);
+            # Vorbis carries its rate in the identification header at byte
+            # 40 of the first page (public Vorbis I spec §4.2.2).
+            rate = None
+            # first page, single-segment: payload at 28; id packet layout is
+            # \x01'vorbis'(7) + version(4) + channels(1) + rate(4) → rate@40
+            if payload[28:35] == b"\x01vorbis":
+                (rate,) = struct.unpack("<I", payload[40:44])
+            elif b"OpusHead" in payload[:128]:
+                rate = 48000
+            if rate:
+                tail = payload.rfind(b"OggS")
+                (granule,) = struct.unpack("<q", payload[tail + 6 : tail + 14])
+                if granule > 0:
+                    out["duration_ms"] = int(granule * 1000 / rate)
         elif payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
             dur = _mp3_duration_ms(payload)
             if dur is not None:

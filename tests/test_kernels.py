@@ -1013,3 +1013,29 @@ def test_probe_media_flac_and_mp3_duration():
     # truncated/garbage: silent None, probes never raise
     assert probe_media(b"fLaC\x80")["duration_ms"] is None
     assert probe_media(b"ID3")["duration_ms"] is None
+
+
+def test_probe_media_ogg_duration():
+    """Ogg duration from the last page's granule position: Opus (fixed
+    48 kHz, RFC 7845) and Vorbis (rate from the id header)."""
+    import struct
+
+    from datatrove_spark.kernels.media import probe_media
+
+    def page(granule, body=b"", first=False):
+        return (
+            b"OggS"
+            + bytes([0, 2 if first else 4])
+            + struct.pack("<q", granule)
+            + bytes(12)
+            + bytes([1, len(body)])
+            + body
+        )
+
+    opus = page(0, b"OpusHead" + bytes(11), first=True) + page(96000)
+    assert probe_media(opus)["duration_ms"] == 2000
+    vorbis_id = b"\x01vorbis" + bytes(5) + struct.pack("<I", 44100) + bytes(8)
+    vorb = page(0, vorbis_id, first=True) + page(441000)
+    assert probe_media(vorb)["duration_ms"] == 10000
+    # garbage OggS never raises
+    assert probe_media(b"OggS")["duration_ms"] is None
