@@ -1,4 +1,4 @@
 from .ingest import resumable_ingest, streaming_quality_pipeline  # noqa: F401
 from .windows import batch_window_counts, streaming_window_counts  # noqa: F401
 from .stateful import batch_sessions, streaming_sessions  # noqa: F401
-from .dedup import streaming_exact_dedup  # noqa: F401
+from .dedup import streaming_exact_dedup, streaming_minhash_dedup  # noqa: F401

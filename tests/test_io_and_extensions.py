@@ -1218,3 +1218,45 @@ def test_badwords_snapshot_breadth_round5():
     assert patterns["en"].search("total smut here")
     # un-flanked script: substring match is the defined semantics
     assert patterns["zh"].search("xx色情yy")
+
+
+def test_streaming_minhash_dedup_cross_run_neardup(spark, tmp_path):
+    """Round-5: incremental minhash-against-index — a NEAR-duplicate (small
+    edit) of a doc kept in an earlier run is dropped via the persistent
+    band index; fresh docs pass; checkpoint resume keeps the index."""
+    from datatrove_spark.streaming import streaming_minhash_dedup
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    schema = "doc_id long, text string"
+    base = (
+        "the distributed engine shuffles partitioned data across executors "
+        "while the optimizer prunes columns and pushes filters into the scan "
+        "so large analytical queries finish quickly on the cluster"
+    )
+    other = (
+        "completely different subject matter entirely about baking bread "
+        "with sourdough starters and long cold fermentation in the fridge "
+        "yielding an open crumb and a crackling caramelized crust"
+    )
+
+    spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, other)], schema
+    ).write.parquet(str(inp / "b1"))
+    streaming_minhash_dedup(spark, f"{inp}/*", str(out), schema)
+    kept1 = sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
+    assert kept1 == [1, 3]  # near-dup 2 collapsed within the run
+
+    # run 2: a near-dup of doc 1 (tail append — Jaccard ≈ 0.9, inside the
+    # 14x8 band config's detection regime; a mid-doc word swap at ~0.68
+    # would be a coin flip by design) + a genuinely new doc
+    spark.createDataFrame(
+        [(4, base + " appended footer"), (5, "fresh unique topic about "
+          "alpine glacier formation and moraine deposits over millennia plus "
+          "the slow carving of u shaped valleys by flowing ice")],
+        schema,
+    ).write.parquet(str(inp / "b2"))
+    streaming_minhash_dedup(spark, f"{inp}/*", str(out), schema)
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
+    assert kept2 == [1, 3, 5], kept2  # 4 dropped as cross-run near-dup
