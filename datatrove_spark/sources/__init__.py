@@ -26,6 +26,7 @@ from .readers import (  # noqa: F401
     read_documents,
     read_ipc,
     read_jsonl,
+    read_orc,
     read_parquet,
     union_sources,
 )

@@ -2,8 +2,12 @@
 
 Reference parity map:
 * JsonlReader  (readers/jsonl.py:9-96)   → spark.read.json, PERMISSIVE mode
-  (tolerant of bad lines like the reference's orjson try/except), gzip/zstd
-  inferred from extension by Spark.
+  (tolerant of bad lines like the reference's orjson try/except); gzip is
+  inferred from the extension by Spark, and ``.jsonl.zst`` — the
+  reference's favorite CommonCrawl layout — routes through a DISTRIBUTED
+  pyarrow-zstd decode (binaryFile → per-file streaming decompress →
+  spark.read.json over the line RDD), because this Spark build ships no
+  zstd text codec.
 * ParquetReader (readers/parquet.py:7-88) → spark.read.parquet (batching and
   column pruning are native; the reference's read_metadata=False pruning is
   Catalyst's default when downstream only selects text/id).
@@ -67,10 +71,38 @@ def _adapt(
     return df
 
 
+def _zst_lines(content: bytes):
+    """One .zst member → its decompressed text lines (executor-side)."""
+    import io
+
+    import pyarrow as pa
+
+    stream = pa.input_stream(pa.BufferReader(content), compression="zstd")
+    wrapper = io.TextIOWrapper(io.BytesIO(stream.read()), encoding="utf-8", errors="replace")
+    for line in wrapper:
+        line = line.strip()
+        if line:
+            yield line
+
+
 def read_jsonl(
     spark: SparkSession, path: str, text_key: str = "text", id_key: str | None = "id", **kw
 ) -> DataFrame:
-    df = spark.read.option("mode", "PERMISSIVE").json(path)
+    if path.endswith((".zst", ".zstd")) or ".zst" in path.rsplit("/", 1)[-1]:
+        # distributed decode: each executor decompresses its own files via
+        # pyarrow's bundled zstd, then standard schema-inferred JSON parse.
+        # Caveat: input_file_name() is lost through the RDD hop, so id-less
+        # records get positional doc_ids over the whole read — pass files
+        # with an id field (the reference's jsonl contract) for stable ids.
+        lines = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .rdd.flatMap(lambda row: _zst_lines(row.content))
+        )
+        df = spark.read.option("mode", "PERMISSIVE").json(lines)
+    else:
+        df = spark.read.option("mode", "PERMISSIVE").json(path)
     return _adapt(df, text_key, id_key, **kw)
 
 
@@ -109,9 +141,17 @@ def read_ipc(
     return _adapt(df, text_key, id_key, **kw)
 
 
+def read_orc(
+    spark: SparkSession, path: str, text_key: str = "text", id_key: str | None = "id", **kw
+) -> DataFrame:
+    """ORC is a native Spark source (predicate pushdown + column pruning
+    like parquet) — common for corpora exported from Hive/Trino warehouses."""
+    return _adapt(spark.read.orc(path), text_key, id_key, **kw)
+
+
 def read_documents(spark: SparkSession, path: str, fmt: str = "parquet", **kw) -> DataFrame:
     reader = {"parquet": read_parquet, "jsonl": read_jsonl, "json": read_jsonl,
-              "csv": read_csv, "ipc": read_ipc, "arrow": read_ipc}[fmt]
+              "csv": read_csv, "ipc": read_ipc, "arrow": read_ipc, "orc": read_orc}[fmt]
     return reader(spark, path, **kw)
 
 

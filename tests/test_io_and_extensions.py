@@ -1260,3 +1260,40 @@ def test_streaming_minhash_dedup_cross_run_neardup(spark, tmp_path):
     streaming_minhash_dedup(spark, f"{inp}/*", str(out), schema)
     kept2 = sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
     assert kept2 == [1, 3, 5], kept2  # 4 dropped as cross-run near-dup
+
+
+def test_read_jsonl_zst_and_orc(spark, tmp_path):
+    """Round-5 IO: .jsonl.zst reads via the distributed pyarrow-zstd decode
+    (this Spark build has no zstd text codec), and ORC is a first-class
+    source through the same adapter."""
+    import json
+
+    import pyarrow as pa
+
+    from datatrove_spark.sources import read_documents, read_jsonl, read_orc
+
+    # write a genuine .jsonl.zst file with pyarrow's zstd codec
+    lines = [json.dumps({"id": i, "content": f"zst doc {i}"}) for i in range(5)]
+    raw = ("\n".join(lines) + "\n").encode()
+    zpath = tmp_path / "docs.jsonl.zst"
+    with pa.output_stream(str(zpath), compression="zstd") as f:
+        f.write(raw)
+    back = read_jsonl(spark, str(zpath), text_key="content", id_key="id")
+    assert {r.doc_id: r.text for r in back.collect()} == {
+        i: f"zst doc {i}" for i in range(5)
+    }
+
+    # corrupt line: PERMISSIVE parse skips it, good rows survive
+    bad = raw + b'{"id": 9, "content": "ok"}\n{not json\n'
+    zbad = tmp_path / "bad.jsonl.zst"
+    with pa.output_stream(str(zbad), compression="zstd") as f:
+        f.write(bad)
+    got = read_jsonl(spark, str(zbad), text_key="content", id_key="id")
+    assert sum(1 for r in got.collect() if r.text and r.text.startswith(("zst", "ok"))) == 6
+
+    # ORC through the adapter + the fmt registry
+    src = spark.createDataFrame([(1, "orc doc")], ["id", "content"])
+    opath = str(tmp_path / "orc")
+    src.write.orc(opath)
+    assert read_orc(spark, opath, text_key="content", id_key="id").collect()[0].text == "orc doc"
+    assert read_documents(spark, opath, fmt="orc", text_key="content", id_key="id").count() == 1
