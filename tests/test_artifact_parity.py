@@ -367,11 +367,11 @@ def test_verify_artifacts_selftest(tmp_path):
 
     out = tmp_path / "res.json"
     proc = subprocess.run(
-        [sys.executable, "tools/verify_artifacts.py", "--self-test", "--out", str(out)],
+        [sys.executable, "tools/verify_artifacts.py", "--self-test", "--spark", "--out", str(out)],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     res = json.loads(out.read_text())
-    assert res["ok"] and res["checks_run"] >= 6, res
+    assert res["ok"] and res["checks_run"] >= 8, res

@@ -313,6 +313,68 @@ def _selftest_consistency(paths: dict[str, str], rep: Report) -> None:
     )
 
 
+def verify_spark_operator_parity(paths: dict[str, str], rep: Report) -> None:
+    """The DISTRIBUTED plumbing must agree with the direct kernel path on
+    the same artifact files: run annotate_language (fasttext_path) and
+    annotate_perplexity (arpa_path + sp_path) over the fixture corpus in a
+    local SparkSession and diff row-by-row against kernel calls — this is
+    what proves the SparkFiles/broadcast singleton wiring feeds executors
+    the same bytes a single process would read."""
+    from datatrove_spark.kernels.arpa import ArpaLM, CCNetSPArpaModel
+    from datatrove_spark.kernels.fasttext_bin import FastTextModel
+    from datatrove_spark.kernels.sentencepiece import SentencePieceUnigram
+    from datatrove_spark.operators import annotate_language, annotate_perplexity
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("artifact-parity", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.createDataFrame(
+            [(i, t.replace("\n", " ")) for i, t in enumerate(FIXTURE_CORPUS)],
+            ["doc_id", "text"],
+        )
+        # LID operator vs kernel
+        got = {
+            r.doc_id: (r.language, round(r.language_score, 6))
+            for r in annotate_language(
+                df, fasttext_path=paths["fasttext"], model_tag="vfy"
+            ).collect()
+        }
+        model = FastTextModel.load(paths["fasttext"])
+        bad = []
+        for i, t in enumerate(FIXTURE_CORPUS):
+            label, prob = model.predict(t.replace("\n", " "))[0]
+            want = (label.replace("__label__", ""), round(prob, 6))
+            if got[i] != want:
+                bad.append(f"doc {i}: spark {got[i]} vs kernel {want}")
+        rep.check("spark:lid-operator-parity", not bad, bad[0] if bad else
+                  f"{len(FIXTURE_CORPUS)} docs, label+score equal")
+
+        # perplexity operator (CC-Net SP recipe) vs kernel
+        gotp = {
+            r.doc_id: r.pp
+            for r in annotate_perplexity(
+                df,
+                arpa_path=paths["arpa"],
+                sp_path=paths["sp"],
+                out_col="pp",
+                model_tag="vfy_pp",
+            ).collect()
+        }
+        cc = CCNetSPArpaModel(
+            ArpaLM.load(paths["arpa"]), SentencePieceUnigram.load(paths["sp"])
+        )
+        badp = []
+        for i, t in enumerate(FIXTURE_CORPUS):
+            want = cc.perplexity(t.replace("\n", " "))
+            if gotp[i] != want:
+                badp.append(f"doc {i}: spark {gotp[i]} vs kernel {want}")
+        rep.check("spark:perplexity-operator-parity", not badp,
+                  badp[0] if badp else "CC-Net pp equal on all docs")
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -327,6 +389,13 @@ def main(argv: list[str] | None = None) -> int:
         "--self-test",
         action="store_true",
         help="build fixture artifacts and verify them (no external files)",
+    )
+    ap.add_argument(
+        "--spark",
+        action="store_true",
+        help="also verify the distributed operators (annotate_language / "
+        "annotate_perplexity) against direct kernel calls on the same files "
+        "(needs --fasttext + --arpa + --sp, or --self-test)",
     )
     ap.add_argument("--out", help="write a JSON result line to this path")
     args = ap.parse_args(argv)
@@ -343,6 +412,8 @@ def main(argv: list[str] | None = None) -> int:
             verify_sp(paths["sp"], rep)
             verify_bpe(paths["bpe_vocab"], paths["bpe_merges"], rep)
             _selftest_consistency(paths, rep)
+            if args.spark:
+                verify_spark_operator_parity(paths, rep)
     else:
         if args.fasttext:
             verify_fasttext(args.fasttext, rep, args.eps)
@@ -354,6 +425,12 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--bpe-vocab and --bpe-merges must be given together")
         if args.bpe_vocab:
             verify_bpe(args.bpe_vocab, args.bpe_merges, rep)
+        if args.spark:
+            if not (args.fasttext and args.arpa and args.sp):
+                ap.error("--spark needs --fasttext, --arpa and --sp")
+            verify_spark_operator_parity(
+                {"fasttext": args.fasttext, "arpa": args.arpa, "sp": args.sp}, rep
+            )
         if not any([args.fasttext, args.arpa, args.sp, args.bpe_vocab]):
             ap.error("no artifacts given (or use --self-test)")
 
