@@ -22,6 +22,15 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--repartition", type=int, default=0)
+    ap.add_argument(
+        "--models",
+        default=None,
+        help="directory with real model artifacts: lid.ftz or lid.bin "
+        "(fastText LID), lm.arpa (KenLM-semantics perplexity), sp.model "
+        "(SentencePiece step) — whichever are present are wired in; the "
+        "north-star 'models broadcast once per executor' configuration. "
+        "Fixture artifacts: tools/verify_artifacts.py build_fixture_artifacts.",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -36,11 +45,27 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     n_rows = df.count()  # warm: file listing + JVM
 
+    model_kw = {}
+    if args.models:
+        import os
+
+        for field, names in (
+            ("fasttext_path", ("lid.ftz", "lid.bin", "lid.176.ftz", "lid.176.bin")),
+            ("arpa_path", ("lm.arpa",)),
+            ("sp_path", ("sp.model",)),
+        ):
+            for name in names:
+                p = os.path.join(args.models, name)
+                if os.path.exists(p):
+                    model_kw[field] = p
+                    break
+
     cfg = QualityPipelineConfig(
         text_col="content",
         languages=("en",),
         language_threshold=0.5,
         repartition_to=args.repartition or None,
+        **model_kw,
     )
     # warmup: spin up + import-load every Python UDF worker (steady-state
     # throughput is the metric; worker cold-start is a per-executor constant)
