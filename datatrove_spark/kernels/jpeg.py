@@ -226,6 +226,9 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD8:
             pos += 2

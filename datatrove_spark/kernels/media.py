@@ -280,11 +280,26 @@ def probe_media(payload: bytes) -> dict:
             elif b"OpusHead" in payload[:128]:
                 rate = 48000
             if rate:
+                # 'OggS' can legally occur inside packet bodies — validate
+                # the candidate as a page header (version byte 0, header
+                # flags <= 7) and scan backwards until one checks out
                 tail = payload.rfind(b"OggS")
-                (granule,) = struct.unpack("<q", payload[tail + 6 : tail + 14])
-                if granule > 0:
-                    out["duration_ms"] = int(granule * 1000 / rate)
-        elif payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+                while tail > 0 and not (
+                    payload[tail + 4] == 0 and payload[tail + 5] <= 0x07
+                ):
+                    tail = payload.rfind(b"OggS", 0, tail)
+                if tail >= 0 and payload[tail + 4] == 0 and payload[tail + 5] <= 0x07:
+                    (granule,) = struct.unpack("<q", payload[tail + 6 : tail + 14])
+                    if granule > 0:
+                        out["duration_ms"] = int(granule * 1000 / rate)
+        elif payload[:3] == b"ID3" or (
+            len(payload) >= 2
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+            and payload[:4] != b"\xff\xd8\xff\xe0"
+        ):
+            # any frame-sync variant (incl. CRC-protected ff fa / ff f4) —
+            # _mp3_duration_ms itself validates version/layer
             dur = _mp3_duration_ms(payload)
             if dur is not None:
                 out["duration_ms"] = dur

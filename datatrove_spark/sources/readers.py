@@ -72,37 +72,82 @@ def _adapt(
 
 
 def _zst_lines(content: bytes):
-    """One .zst member → its decompressed text lines (executor-side)."""
-    import io
-
+    """One .zst member → its decompressed text lines, STREAMED in 1 MB
+    chunks (a CommonCrawl shard decompresses to several GB — materializing
+    it per task would OOM the executor on top of the binaryFile bytes)."""
     import pyarrow as pa
 
     stream = pa.input_stream(pa.BufferReader(content), compression="zstd")
-    wrapper = io.TextIOWrapper(io.BytesIO(stream.read()), encoding="utf-8", errors="replace")
-    for line in wrapper:
-        line = line.strip()
-        if line:
-            yield line
+    buf = b""
+    while True:
+        chunk = stream.read(1 << 20)
+        if not chunk:
+            break
+        buf += chunk
+        *lines, buf = buf.split(b"\n")
+        for ln in lines:
+            ln = ln.strip()
+            if ln:
+                yield ln.decode("utf-8", errors="replace")
+    tail = buf.strip()
+    if tail:
+        yield tail.decode("utf-8", errors="replace")
+
+
+def _is_zst_source(path: str) -> bool:
+    """True when the path names .zst data: by suffix/pattern, or — for a
+    LOCAL directory — by inspecting the actual listing (a bare dir path
+    carries no extension, and routing it to spark.read.json would have
+    PERMISSIVE mode silently turn compressed bytes into null rows)."""
+    import glob as _glob
+    import os
+
+    name = path.rstrip("/").rsplit("/", 1)[-1]
+    if name.endswith((".zst", ".zstd")) or ".zst" in name:
+        return True
+    if os.path.isdir(path):
+        return any(
+            _glob.glob(os.path.join(path, pat)) for pat in ("*.zst", "*.zstd")
+        )
+    return False
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, text_key: str = "text", id_key: str | None = "id", **kw
+    spark: SparkSession,
+    path: str,
+    text_key: str = "text",
+    id_key: str | None = "id",
+    schema=None,
+    **kw,
 ) -> DataFrame:
-    if path.endswith((".zst", ".zstd")) or ".zst" in path.rsplit("/", 1)[-1]:
+    if _is_zst_source(path):
         # distributed decode: each executor decompresses its own files via
-        # pyarrow's bundled zstd, then standard schema-inferred JSON parse.
-        # Caveat: input_file_name() is lost through the RDD hop, so id-less
-        # records get positional doc_ids over the whole read — pass files
-        # with an id field (the reference's jsonl contract) for stable ids.
+        # pyarrow's bundled zstd, then a standard JSON parse.  Pass
+        # ``schema`` for large corpora — inference costs a second full
+        # decompression pass over every file.  Caveat: input_file_name() is
+        # lost through the RDD hop, so id-less records get positional
+        # doc_ids over the whole read — pass files with an id field (the
+        # reference's jsonl contract) for stable ids.
+        load_path = path
+        import os
+
+        if os.path.isdir(path):
+            load_path = os.path.join(path, "*.zst*")
         lines = (
             spark.read.format("binaryFile")
-            .load(path)
+            .load(load_path)
             .select("content")
             .rdd.flatMap(lambda row: _zst_lines(row.content))
         )
-        df = spark.read.option("mode", "PERMISSIVE").json(lines)
+        reader = spark.read.option("mode", "PERMISSIVE")
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(lines)
     else:
-        df = spark.read.option("mode", "PERMISSIVE").json(path)
+        reader = spark.read.option("mode", "PERMISSIVE")
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(path)
     return _adapt(df, text_key, id_key, **kw)
 
 

@@ -99,7 +99,7 @@ def streaming_minhash_dedup(
     prebuilt index and a fresh corpus run.
 
     State story at scale: the band index is parquet (14 bands × 16 bytes
-    per kept doc ≈ 4.6 TB at 10^9 docs), pruned to (band_idx, band_hash)
+    per kept doc ≈ 224 GB at 10^9 docs), pruned to (band_idx, band_hash)
     distinct on read, and lives on storage rather than in the state store —
     the right trade for an index that every batch must FULLY consult
     (dropDuplicates state can only answer exact-key questions, and a
@@ -113,15 +113,27 @@ def streaming_minhash_dedup(
     data_dir = f"{out_dir}/data"
 
     def _batch(batch_df, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         batch_df = batch_df.persist()
         try:
             try:
                 idx = (
                     spark.read.parquet(index_dir)
+                    # CRITICAL replay guard: a crashed-then-replayed batch
+                    # must not see ITS OWN partially-written band partition —
+                    # matching its own bands would empty `clean` and
+                    # overwrite the batch's output with nothing (data loss).
+                    # Only strictly-earlier batches are the index.
+                    .where(FF.col("batch") < batch_id)
                     .select("band_idx", "band_hash")
                     .distinct()
                 )
-            except Exception:  # noqa: BLE001 — first batch: no index yet
+            except AnalysisException:
+                # ONLY path-not-found means "first batch, no index yet";
+                # transient storage errors raise other exception types and
+                # must propagate — silently skipping the index would let
+                # every near-dup of the corpus through for this batch
                 idx = None
             if idx is not None:
                 bands = minhash_band_table(

@@ -1297,3 +1297,41 @@ def test_read_jsonl_zst_and_orc(spark, tmp_path):
     src.write.orc(opath)
     assert read_orc(spark, opath, text_key="content", id_key="id").collect()[0].text == "orc doc"
     assert read_documents(spark, opath, fmt="orc", text_key="content", id_key="id").count() == 1
+
+
+def test_streaming_minhash_replay_does_not_lose_batch(spark, tmp_path):
+    """Review finding (critical): a replayed micro-batch must not match its
+    OWN band-index partition and empty its output.  Force a real replay by
+    deleting the checkpoint commit marker for batch 0 and restarting."""
+    import os
+
+    from datatrove_spark.streaming import streaming_minhash_dedup
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    schema = "doc_id long, text string"
+    docs = [
+        (1, "unique text about orbital mechanics and transfer windows for "
+            "interplanetary missions launched during favorable alignments"),
+        (2, "another unique text describing fermentation chemistry in bread "
+            "doughs with long cold proofing and natural yeast cultures"),
+    ]
+    spark.createDataFrame(docs, schema).write.parquet(str(inp / "b1"))
+    streaming_minhash_dedup(spark, f"{inp}/*", str(out), schema)
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
+    assert kept == [1, 2]
+
+    # simulate a crash after outputs were written but before the streaming
+    # commit: removing commits/0 makes the restarted query replay batch 0
+    commit0 = out / "_checkpoint" / "commits" / "0"
+    assert commit0.exists()
+    os.remove(commit0)
+    # the local checksum FS keeps a .crc sidecar; a real crash-before-commit
+    # leaves neither file, so drop both to model it faithfully
+    crc = out / "_checkpoint" / "commits" / ".0.crc"
+    if crc.exists():
+        os.remove(crc)
+    streaming_minhash_dedup(spark, f"{inp}/*", str(out), schema)
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
+    assert kept2 == [1, 2], f"replay lost documents: {kept2}"
