@@ -1039,3 +1039,35 @@ def test_probe_media_ogg_duration():
     assert probe_media(vorb)["duration_ms"] == 10000
     # garbage OggS never raises
     assert probe_media(b"OggS")["duration_ms"] is None
+
+
+def test_media_probe_second_review_regressions():
+    """Second-review fixes pinned: JPEG fill bytes decode, CRC-protected
+    MP3 frame sync matches, Ogg 'OggS' byte-collisions inside packet bodies
+    don't poison the duration."""
+    import struct
+
+    import numpy as np
+
+    from datatrove_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    from datatrove_spark.kernels.media import probe_media
+
+    # T.81 B.1.1.2 fill bytes before a marker
+    blob = encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8))
+    d = decode_jpeg(blob[:2] + b"\xff\xff" + blob[2:])
+    assert (d["width"], d["height"]) == (8, 8)
+
+    # CRC-protected MPEG1 Layer III header (0xFF 0xFA)
+    mp3 = (bytes([0xFF, 0xFA, 0x90, 0x00]) + bytes(413)) * 50
+    assert probe_media(mp3)["duration_ms"] == int(len(mp3) * 8 / 128000 * 1000)
+
+    # a fake trailing 'OggS' with invalid page flags must be skipped
+    def page(granule, body=b"", first=False):
+        return (
+            b"OggS" + bytes([0, 2 if first else 4]) + struct.pack("<q", granule)
+            + bytes(12) + bytes([1, len(body)]) + body
+        )
+
+    good = page(0, b"OpusHead" + bytes(11), first=True) + page(96000)
+    poisoned = good + b"junkOggS" + b"\xff" * 12
+    assert probe_media(poisoned)["duration_ms"] == 2000
