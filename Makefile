@@ -1,4 +1,4 @@
-.PHONY: test oracles bench scaling audit zip
+.PHONY: test oracles bench scaling audit zip artifacts cc-bench zh-bench headroom skew fixtures verify
 
 test:
 	python -m pytest tests/ -x -q
@@ -22,3 +22,18 @@ fixtures:
 	python tools/make_expected.py
 
 verify: test oracles bench
+
+artifacts:
+	python tools/verify_artifacts.py --self-test --spark
+
+cc-bench:
+	python tools/cc_bench.py
+
+zh-bench:
+	python tools/zh_seg_bench.py
+
+headroom:
+	SPARK_DRIVER_MEMORY=48g python tools/headroom_bench.py --files 0 --docs 10000000 --cores 32 --out BENCH/headroom_10m.json
+
+skew:
+	python tools/skew_bench.py
