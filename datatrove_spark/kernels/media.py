@@ -281,14 +281,28 @@ def probe_media(payload: bytes) -> dict:
                 rate = 48000
             if rate:
                 # 'OggS' can legally occur inside packet bodies — validate
-                # the candidate as a page header (version byte 0, header
-                # flags <= 7) and scan backwards until one checks out
+                # the candidate as a page header: version byte 0, header
+                # flags <= 7, AND the segment table + lacing-summed body
+                # must fit inside the remaining bytes (RFC 3533 §6: header
+                # is 27 + n_segments bytes, body is sum of lacing values).
+                # version/flags alone pass for ~1/2^13 of random offsets —
+                # the structural bound rejects those imposters.
+                def _ogg_page_ok(pos: int) -> bool:
+                    if not (payload[pos + 4] == 0 and payload[pos + 5] <= 0x07):
+                        return False
+                    if pos + 27 > len(payload):
+                        return False
+                    n_seg = payload[pos + 26]
+                    seg_end = pos + 27 + n_seg
+                    if seg_end > len(payload):
+                        return False
+                    body = sum(payload[pos + 27 : seg_end])
+                    return seg_end + body <= len(payload)
+
                 tail = payload.rfind(b"OggS")
-                while tail > 0 and not (
-                    payload[tail + 4] == 0 and payload[tail + 5] <= 0x07
-                ):
+                while tail > 0 and not _ogg_page_ok(tail):
                     tail = payload.rfind(b"OggS", 0, tail)
-                if tail >= 0 and payload[tail + 4] == 0 and payload[tail + 5] <= 0x07:
+                if tail >= 0 and _ogg_page_ok(tail):
                     (granule,) = struct.unpack("<q", payload[tail + 6 : tail + 14])
                     if granule > 0:
                         out["duration_ms"] = int(granule * 1000 / rate)

@@ -1267,18 +1267,30 @@ def ngram_decontaminate(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Drop training docs containing any n-gram present in the eval set
-    (decont/n_grams.py:215-229).  The eval index is tiny → broadcast semi-join."""
+    (decont/n_grams.py:215-229).  The eval index is tiny → broadcast semi-join.
+
+    Both sides of the semi-join carry ``xxhash64(gram)`` int64 keys, not the
+    raw ~60-byte gram strings — the reference indexes uint64 gram hashes too
+    (decont/n_grams.py:94-118), and at 100 TB the distinct+exchange on an
+    8-byte fixed-width key is ~8x less shuffle volume than on the strings
+    (a 2^-64-per-pair hash collision can only cause a spurious DROP of one
+    training doc, never contamination leakage — the safe direction)."""
     train_df = ensure_channel(train_df)
     eval_grams = (
         ngram_shingles(eval_df, n, text_col)
         .select(F.explode("_grams").alias("gram"))
+        .select(F.xxhash64("gram").alias("gram_h"))
         .distinct()
     )
-    train_grams = ngram_shingles(train_df, n, text_col).select(
-        F.col(id_col).alias("_cid"), F.explode("_grams").alias("gram")
+    train_grams = (
+        ngram_shingles(train_df, n, text_col)
+        .select(F.col(id_col).alias("_cid"), F.explode("_grams").alias("gram"))
+        .select("_cid", F.xxhash64("gram").alias("gram_h"))
     )
     contaminated = (
-        train_grams.join(F.broadcast(eval_grams), "gram", "left_semi").select("_cid").distinct()
+        train_grams.join(F.broadcast(eval_grams), "gram_h", "left_semi")
+        .select("_cid")
+        .distinct()
     )
     out = train_df.join(contaminated, train_df[id_col] == contaminated["_cid"], "left")
     out = apply_native_filter(out, F.col("_cid").isNull(), "decontamination")
@@ -1299,10 +1311,17 @@ def shingle_overlap_filter(
     is the partition-independent version: a doc is dropped when more than
     ``max_overlap`` of its distinct shingles also occur in at least one other
     document.  Exact, reproducible, one shuffle on the shingle key.
+
+    The shingle key shuffled is ``xxhash64(gram)`` (8 bytes fixed) rather
+    than the raw 13-word string (~80 bytes) — same trick as
+    :func:`ngram_decontaminate`; a 64-bit collision merely counts one
+    shingle as shared and nudges ``_overlap_frac`` by one slot.
     """
     df = ensure_channel(df)
-    grams = ngram_shingles(df.select(F.col(id_col), F.col(text_col)), n, text_col).select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct("_grams")).alias("gram")
+    grams = (
+        ngram_shingles(df.select(F.col(id_col), F.col(text_col)), n, text_col)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct("_grams")).alias("gram"))
+        .select("id", F.xxhash64("gram").alias("gram"))
     )
     gram_docs = grams.groupBy("gram").agg(F.countDistinct("id").alias("n_docs"))
     overlap = (

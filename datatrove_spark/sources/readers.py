@@ -94,11 +94,14 @@ def _zst_lines(content: bytes):
         yield tail.decode("utf-8", errors="replace")
 
 
-def _is_zst_source(path: str) -> bool:
-    """True when the path names .zst data: by suffix/pattern, or — for a
-    LOCAL directory — by inspecting the actual listing (a bare dir path
-    carries no extension, and routing it to spark.read.json would have
-    PERMISSIVE mode silently turn compressed bytes into null rows)."""
+def _is_zst_source(path: str, spark: SparkSession | None = None) -> bool:
+    """True when the path names .zst data: by suffix/pattern, by inspecting
+    a LOCAL directory listing, or — when ``spark`` is given and the path
+    carries a scheme (hdfs://, s3a://, ...) — by listing the REMOTE
+    directory through the JVM Hadoop FileSystem.  A bare dir path carries
+    no extension, and routing a dir of .zst files to spark.read.json would
+    have PERMISSIVE mode silently turn compressed bytes into null rows —
+    on remote stores exactly as on local disk."""
     import glob as _glob
     import os
 
@@ -109,6 +112,19 @@ def _is_zst_source(path: str) -> bool:
         return any(
             _glob.glob(os.path.join(path, pat)) for pat in ("*.zst", "*.zstd")
         )
+    if "://" in path and spark is not None:
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory():
+                for st in fs.listStatus(jpath):
+                    fname = st.getPath().getName()
+                    if fname.endswith((".zst", ".zstd")):
+                        return True
+        except Exception:  # noqa: BLE001 — listing failure falls through to
+            # spark.read.json, which raises its own (path-specific) error
+            pass
     return False
 
 
@@ -120,7 +136,7 @@ def read_jsonl(
     schema=None,
     **kw,
 ) -> DataFrame:
-    if _is_zst_source(path):
+    if _is_zst_source(path, spark):
         # distributed decode: each executor decompresses its own files via
         # pyarrow's bundled zstd, then a standard JSON parse.  Pass
         # ``schema`` for large corpora — inference costs a second full
@@ -128,6 +144,12 @@ def read_jsonl(
         # lost through the RDD hop, so id-less records get positional
         # doc_ids over the whole read — pass files with an id field (the
         # reference's jsonl contract) for stable ids.
+        # CEILING: binaryFile materializes each COMPRESSED file as one byte
+        # column, so a single shard must stay under Spark's ~2 GB
+        # byte-array limit (the decompressed side streams and has no such
+        # bound).  Shard corpora at the usual ≤1 GB-compressed-per-file
+        # convention; a multi-GB shard fails the scan with a JVM
+        # negative-array-size error, not silent truncation.
         load_path = path
         import os
 

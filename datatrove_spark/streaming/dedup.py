@@ -68,6 +68,34 @@ def streaming_exact_dedup(
     return query
 
 
+# band-index row layout (minhash_band_table output minus the doc id):
+# posexplode position + 64-bit band hash.  Passed EXPLICITLY to every index
+# read so a torn part-file (non-atomic commit on s3a-style stores) can
+# never fail schema inference before the partition filter applies.
+_BAND_INDEX_SCHEMA = "band_idx INT, band_hash BIGINT"
+
+
+def _numbered_dirs(spark: SparkSession, base: str, prefix: str) -> list[tuple[int, str]]:
+    """Sorted [(n, path)] of ``{base}/{prefix}={n}`` subdirectories, listed
+    through the JVM Hadoop FileSystem (works for local, hdfs://, s3a://).
+    A missing base dir is [] (first batch); other storage errors propagate —
+    silently skipping the index would let every near-dup through."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix + "="):
+            try:
+                out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def streaming_minhash_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -77,6 +105,7 @@ def streaming_minhash_dedup(
     id_col: str = "doc_id",
     cfg=None,
     max_files_per_trigger: int = 64,
+    compact_every: int = 8,
     await_termination: bool = True,
 ):
     """Cross-batch/cross-run NEAR-duplicate dedup: incremental
@@ -99,48 +128,70 @@ def streaming_minhash_dedup(
     prebuilt index and a fresh corpus run.
 
     State story at scale: the band index is parquet (14 bands × 16 bytes
-    per kept doc ≈ 224 GB at 10^9 docs), pruned to (band_idx, band_hash)
-    distinct on read, and lives on storage rather than in the state store —
-    the right trade for an index that every batch must FULLY consult
-    (dropDuplicates state can only answer exact-key questions, and a
-    doc's duplicate verdict needs an ANY-of-14-bands join)."""
+    per kept doc ≈ 224 GB at 10^9 docs) and lives on storage rather than in
+    the state store — the right trade for an index that every batch must
+    FULLY consult (dropDuplicates state can only answer exact-key
+    questions, and a doc's duplicate verdict needs an ANY-of-14-bands
+    join).  Two layers keep the per-trigger consult from re-paying the
+    cumulative corpus each batch:
+
+    * **Compaction** (every ``compact_every`` batches): the per-batch dirs
+      accumulated so far are rewritten as ONE pre-distincted table under
+      ``band_index_compacted/upto=N``, partitioned by ``band_hash`` and
+      sorted within partitions — so the steady-state consult reads one
+      compact table + a ≤``compact_every``-batch tail instead of every
+      batch dir ever written, and pays no distinct exchange (the compacted
+      rows are already unique).  Compacted dirs are versioned + overwrite-
+      written (replay-idempotent); per-batch dirs are retained as the
+      recovery source of truth — prune dirs older than the newest two
+      compactions with external retention if storage matters.
+    * **Join direction**: the batch's band table (thousands of rows) is
+      broadcast and the index STREAMS through a BroadcastHashJoin — zero
+      exchange on the index side, so consult cost is one sequential scan
+      of compacted+tail, not a 224 GB shuffle per trigger.
+
+    All index reads carry an explicit schema and an explicit list of
+    strictly-earlier partition directories (never a whole-dir scan), so a
+    torn part-file left by a non-atomic crash — including this batch's own
+    replayed partition — can neither fail schema inference nor leak into
+    the index (the round-4 replay-data-loss guard, now structural)."""
     import pyspark.sql.functions as FF
 
     from ..operators.dedup import DEFAULT_MINHASH, minhash_band_table, minhash_dedup
 
     cfg = cfg or DEFAULT_MINHASH
     index_dir = f"{out_dir}/band_index"
+    compacted_dir = f"{out_dir}/band_index_compacted"
     data_dir = f"{out_dir}/data"
 
-    def _batch(batch_df, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+    def _index_parts(batch_id: int) -> list[str]:
+        """Newest safe compacted table (upto < batch_id) + uncompacted tail
+        dirs (upto < batch < batch_id).  Strictly-earlier only: a replayed
+        batch never sees its own partial writes."""
+        comps = [(n, p) for n, p in _numbered_dirs(spark, compacted_dir, "upto") if n < batch_id]
+        tail_lo = comps[-1][0] if comps else -1
+        tails = [
+            p
+            for n, p in _numbered_dirs(spark, index_dir, "batch")
+            if tail_lo < n < batch_id
+        ]
+        return ([comps[-1][1]] if comps else []) + tails
 
+    def _batch(batch_df, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            try:
-                idx = (
-                    spark.read.parquet(index_dir)
-                    # CRITICAL replay guard: a crashed-then-replayed batch
-                    # must not see ITS OWN partially-written band partition —
-                    # matching its own bands would empty `clean` and
-                    # overwrite the batch's output with nothing (data loss).
-                    # Only strictly-earlier batches are the index.
-                    .where(FF.col("batch") < batch_id)
-                    .select("band_idx", "band_hash")
-                    .distinct()
-                )
-            except AnalysisException:
-                # ONLY path-not-found means "first batch, no index yet";
-                # transient storage errors raise other exception types and
-                # must propagate — silently skipping the index would let
-                # every near-dup of the corpus through for this batch
-                idx = None
-            if idx is not None:
+            parts = _index_parts(batch_id)
+            if parts:
+                idx = spark.read.schema(_BAND_INDEX_SCHEMA).parquet(*parts)
                 bands = minhash_band_table(
                     batch_df.select(id_col, text_col), cfg, id_col, text_col
                 )
+                # broadcast the SMALL batch side; the cumulative index
+                # streams through the join with no exchange.  Duplicate
+                # band rows across tail dirs only produce duplicate hits —
+                # collapsed by the distinct on doc ids (tiny).
                 hit = (
-                    bands.join(idx, ["band_idx", "band_hash"], "left_semi")
+                    idx.join(FF.broadcast(bands), ["band_idx", "band_hash"], "inner")
                     .select(FF.col("id").alias("_idx_dup"))
                     .distinct()
                 )
@@ -158,6 +209,17 @@ def streaming_minhash_dedup(
                 f"{index_dir}/batch={batch_id}"
             )
             kept.unpersist()
+            if compact_every and batch_id > 0 and (batch_id + 1) % compact_every == 0:
+                src = _index_parts(batch_id) + [f"{index_dir}/batch={batch_id}"]
+                (
+                    spark.read.schema(_BAND_INDEX_SCHEMA)
+                    .parquet(*src)
+                    .distinct()
+                    .repartition("band_hash")
+                    .sortWithinPartitions("band_idx", "band_hash")
+                    .write.mode("overwrite")
+                    .parquet(f"{compacted_dir}/upto={batch_id}")
+                )
         finally:
             batch_df.unpersist()
 

@@ -1335,3 +1335,76 @@ def test_streaming_minhash_replay_does_not_lose_batch(spark, tmp_path):
     streaming_minhash_dedup(spark, f"{inp}/*", str(out), schema)
     kept2 = sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
     assert kept2 == [1, 2], f"replay lost documents: {kept2}"
+
+
+def test_streaming_minhash_compaction_equivalence(spark, tmp_path):
+    """Round-6: the compacted band index must make EXACTLY the same keep/drop
+    decisions as the uncompacted per-batch layout — compaction is a physical
+    rewrite, not a semantic change.  Six single-file micro-batches with
+    cross-batch near-dups, run with compact_every=2 (three compactions) and
+    compact_every=0 (never), decisions compared; then a follow-up run proves
+    the consult still catches a near-dup THROUGH the compacted table."""
+    from datatrove_spark.streaming import streaming_minhash_dedup
+    from datatrove_spark.streaming.dedup import _numbered_dirs
+
+    schema = "doc_id long, text string"
+    topics = [
+        "the distributed engine shuffles partitioned data across executors "
+        "while the optimizer prunes columns and pushes filters into the scan "
+        "so large analytical queries finish quickly on the cluster",
+        "sourdough bread baking with long cold fermentation in the fridge "
+        "yielding an open crumb and a crackling caramelized crust after the "
+        "final proof and a very hot dutch oven bake",
+        "alpine glacier formation and moraine deposits over millennia plus "
+        "the slow carving of u shaped valleys by flowing ice and meltwater "
+        "streams braiding across the outwash plain",
+        "orbital mechanics and transfer windows for interplanetary missions "
+        "launched during favorable alignments of the planets along their "
+        "elliptical paths around the sun each synodic period",
+    ]
+    # batches: 0-3 introduce fresh topics, 4-5 are near-dup edits of 0 and 1
+    batches = [
+        [(10, topics[0])],
+        [(20, topics[1])],
+        [(30, topics[2])],
+        [(40, topics[3])],
+        [(50, topics[0] + " appended footer")],
+        [(60, topics[1] + " trailing note")],
+    ]
+
+    def run(out, compact_every):
+        inp = out.parent / (out.name + "_in")
+        inp.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(inp / f"b{i}")
+            )
+        streaming_minhash_dedup(
+            spark, f"{inp}/*", str(out), schema,
+            max_files_per_trigger=1, compact_every=compact_every,
+        )
+        return sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
+
+    kept_c = run(tmp_path / "compacted", 2)
+    kept_u = run(tmp_path / "uncompacted", 0)
+    assert kept_c == kept_u == [10, 20, 30, 40], (kept_c, kept_u)
+
+    # compaction really happened, and only in the compacted run
+    comp_dirs = _numbered_dirs(spark, str(tmp_path / "compacted" / "band_index_compacted"), "upto")
+    assert [n for n, _ in comp_dirs], "no compacted index written"
+    assert not _numbered_dirs(spark, str(tmp_path / "uncompacted" / "band_index_compacted"), "upto")
+
+    # follow-up batch: near-dup of topic 2 must be caught via the COMPACTED
+    # table (its source batch is behind the newest compaction point)
+    inp = tmp_path / "compacted_in"
+    spark.createDataFrame([(70, topics[2] + " extra clause")], schema).coalesce(
+        1
+    ).write.parquet(str(inp / "b6"))
+    streaming_minhash_dedup(
+        spark, f"{inp}/*", str(tmp_path / "compacted"), schema,
+        max_files_per_trigger=1, compact_every=2,
+    )
+    kept_after = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tmp_path}/compacted/data").collect()
+    )
+    assert kept_after == [10, 20, 30, 40], kept_after

@@ -398,7 +398,40 @@ def main(argv: list[str] | None = None) -> int:
         "(needs --fasttext + --arpa + --sp, or --self-test)",
     )
     ap.add_argument("--out", help="write a JSON result line to this path")
+    ap.add_argument(
+        "--models",
+        help="directory to auto-discover artifacts in by conventional name "
+        "(*.bin/*.ftz fastText, *.arpa, *.model SentencePiece, "
+        "vocab.json+merges.txt) — found files populate the per-artifact "
+        "flags; absent kinds SKIP. Lets `make verify` run the real-file "
+        "parity harness the moment files land, with zero extra flags.",
+    )
     args = ap.parse_args(argv)
+
+    if args.models:
+        import glob as _glob
+
+        def _first(*pats):
+            for pat in pats:
+                hits = sorted(_glob.glob(os.path.join(args.models, pat)))
+                if hits:
+                    return hits[0]
+            return None
+
+        args.fasttext = args.fasttext or _first("*.ftz", "*.bin")
+        args.arpa = args.arpa or _first("*.arpa", "*.arpa.txt")
+        args.sp = args.sp or _first("*.model", "*.sp.model")
+        vocab, merges = _first("vocab.json", "*vocab.json"), _first(
+            "merges.txt", "*merges.txt"
+        )
+        if vocab and merges:
+            args.bpe_vocab = args.bpe_vocab or vocab
+            args.bpe_merges = args.bpe_merges or merges
+        if args.spark and not (args.fasttext and args.arpa and args.sp):
+            args.spark = False  # partial drop-in: per-artifact checks only
+        if not any([args.fasttext, args.arpa, args.sp, args.bpe_vocab]):
+            print(json.dumps({"checks_run": [], "checks_skipped": ["models-dir-empty"], "failures": [], "ok": True}))
+            return 0
 
     rep = Report()
     if args.self_test:
