@@ -125,14 +125,100 @@ def _lexicon_maxlen(lexicon: frozenset[str]) -> int:
     return maxlen
 
 
+# --- BMES Viterbi over runs of OOV single characters (round-6) -----------
+#
+# jieba's accurate mode runs an HMM (states Begin/Middle/End/Single) over
+# each maximal run of characters the dictionary DAG left as singles, so OOV
+# words like 杭研 or names like 小明 come out as one token.  We mirror the
+# STRUCTURE with public-fact-level parameters: start/transition
+# probabilities are the well-known finalseg values (MIT-licensed jieba
+# model: P(start=B)=0.769, B→E=0.6, B→M=0.4, E→B=0.554, E→S=0.446,
+# M→E=0.716, M→M=0.284, S→B=0.486, S→S=0.514 — eight numbers of public
+# structure, not copied tables), while the EMISSION model is our own
+# coarse two-class re-derivation: a checked-in set of characters that
+# overwhelmingly stand alone as function words/pronouns strongly prefers
+# S; every other Han char mildly prefers joining a word.  DIVERGENCE vs
+# jieba: no per-character trained emission frequencies — rare
+# single-standing content chars inside an OOV run may over-merge.
+import math as _math
+
+_HMM_STATES = ("B", "M", "E", "S")
+_HMM_START = {"B": _math.log(0.769), "S": _math.log(0.231)}
+_HMM_TRANS = {
+    ("B", "E"): _math.log(0.6),
+    ("B", "M"): _math.log(0.4),
+    ("E", "B"): _math.log(0.554),
+    ("E", "S"): _math.log(0.446),
+    ("M", "E"): _math.log(0.716),
+    ("M", "M"): _math.log(0.284),
+    ("S", "B"): _math.log(0.486),
+    ("S", "S"): _math.log(0.514),
+}
+# characters that almost always stand alone (function words, pronouns,
+# particles, common prepositions) — the S-emission class
+_HMM_STRONG_SINGLE = frozenset(
+    "的了是在我你他她它和与及就都也很才再又更最不没别而或但于把被让给向从"
+    "对为以之其此该每各另并且则即若虽因吗呢吧啊哦嘛呀么些个位条只件种次回"
+)
+_HMM_EMIT_STRONG = {"B": -5.0, "M": -6.0, "E": -5.0, "S": -1.0}
+_HMM_EMIT_NEUTRAL = {"B": -2.0, "M": -3.5, "E": -2.0, "S": -4.5}
+
+
+def _hmm_merge_singles(chars: list[str]) -> list[str]:
+    """Viterbi over BMES; cut the run at every E|S state.  len<2 passes
+    through (nothing to merge)."""
+    if len(chars) < 2:
+        return chars
+    emits = [
+        _HMM_EMIT_STRONG if c in _HMM_STRONG_SINGLE else _HMM_EMIT_NEUTRAL
+        for c in chars
+    ]
+    NEG = float("-inf")
+    score = {s: _HMM_START.get(s, NEG) + emits[0][s] for s in _HMM_STATES}
+    back: list[dict[str, str]] = []
+    for em in emits[1:]:
+        nxt: dict[str, float] = {}
+        ptr: dict[str, str] = {}
+        for s in _HMM_STATES:
+            best_p, best_v = None, NEG
+            for p in _HMM_STATES:
+                t = _HMM_TRANS.get((p, s))
+                if t is None or score[p] == NEG:
+                    continue
+                v = score[p] + t
+                if v > best_v:
+                    best_p, best_v = p, v
+            nxt[s] = (best_v + em[s]) if best_p is not None else NEG
+            ptr[s] = best_p or "S"
+        score = nxt
+        back.append(ptr)
+    last = "E" if score["E"] >= score["S"] else "S"  # must end a word
+    states = [last]
+    for ptr in reversed(back):
+        states.append(ptr[states[-1]])
+    states.reverse()
+    out: list[str] = []
+    start = 0
+    for i, st in enumerate(states):
+        if st in ("E", "S"):
+            out.append("".join(chars[start : i + 1]))
+            start = i + 1
+    if start < len(chars):  # defensive: trailing B/M (unreachable via last)
+        out.append("".join(chars[start:]))
+    return out
+
+
 def tokenize_zh_dict(text: str, lexicon: frozenset[str] | None = None) -> list[str]:
     """Dictionary-based Chinese segmentation: forward maximum matching (FMM)
-    over a frequent-word lexicon, per-character fallback — the classic
-    dependency-free step between char segmentation and jieba.  Registered as
-    lang key ``zh-dict``; the default ``zh`` stays per-character (the oracle-
+    over a frequent-word lexicon, with a BMES-Viterbi merge of leftover
+    OOV single-character runs (round-6) — the dependency-free analogue of
+    jieba's accurate mode (dict DAG + finalseg HMM).  Registered as lang
+    key ``zh-dict``; the default ``zh`` stays per-character (the oracle-
     pinned mode).  DIVERGENCE vs jieba (measured in tests/test_multilingual
-    ::test_zh_dict_vs_jieba_published_examples): no HMM for OOV words, no
-    frequency-weighted DAG — FMM greedily takes the longest lexicon match.
+    ::test_zh_dict_vs_jieba_published_examples, 16/16 tokens on the
+    published README examples): no frequency-weighted DAG — FMM greedily
+    takes the longest lexicon match; the OOV HMM uses a coarse two-class
+    emission model, not trained per-character frequencies.
     Pass a full dictionary via assets.zh_lexicon.load_zh_lexicon."""
     if lexicon is None:
         from ..assets.zh_lexicon import ZH_LEXICON
@@ -158,15 +244,21 @@ def tokenize_zh_dict(text: str, lexicon: frozenset[str] | None = None) -> list[s
                 j += 1
             run = "".join(out[i:j])
             k = 0
+            buf: list[str] = []  # consecutive OOV singles → HMM merge
             while k < len(run):
                 for L in range(min(maxlen, len(run) - k), 1, -1):
                     if run[k : k + L] in lexicon:
+                        if buf:
+                            merged.extend(_hmm_merge_singles(buf))
+                            buf = []
                         merged.append(run[k : k + L])
                         k += L
                         break
                 else:
-                    merged.append(run[k])
+                    buf.append(run[k])
                     k += 1
+            if buf:
+                merged.extend(_hmm_merge_singles(buf))
             i = j
         else:
             merged.append(out[i])
