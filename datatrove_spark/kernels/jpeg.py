@@ -1,19 +1,25 @@
-"""Dependency-free baseline JPEG codec (ITU-T T.81 / JFIF).
+"""Dependency-free baseline + progressive JPEG codec (ITU-T T.81 / JFIF).
 
-Decodes baseline sequential DCT JPEGs (SOF0, Huffman, 8-bit, 1 or 3
-components, any sampling factors incl. 4:2:0/4:2:2, restart markers) to
-RGB with stdlib + numpy: marker parse → per-MCU Huffman decode →
+Decodes baseline sequential (SOF0/1) AND progressive (SOF2, round-6)
+Huffman DCT JPEGs — 8-bit, 1 or 3 components, any sampling factors incl.
+4:2:0/4:2:2, restart markers, spectral selection + successive
+approximation scan scripts — to RGB with stdlib + numpy: marker parse →
+per-scan Huffman decode into per-component coefficient planes →
 dequantize → 8x8 IDCT (vectorized over all blocks) → chroma upsample →
-YCbCr→RGB.  Progressive (SOF2) and arithmetic coding raise
+YCbCr→RGB.  Arithmetic coding, hierarchical, and 12-bit precision raise
 ``UnsupportedMediaError`` — loud, not wrong.
 
 ``encode_jpeg`` writes a real baseline JFIF (standard Annex K quantization
 tables scaled by quality, the T.81 Annex K typical Huffman tables, 4:4:4
-or 4:2:0) so tests drive the genuine decode path without binary fixtures;
-JPEG is lossy, so round-trips assert PSNR, not equality.
+or 4:2:0); ``progressive=True`` writes a real SOF2 scan script (DC-first +
+per-component AC spectral bands, optionally with successive-approximation
+refinement scans and cross-block EOB runs) so tests drive the genuine
+multi-scan decode path without binary fixtures; JPEG is lossy, so
+round-trips assert PSNR, not equality.
 
 Public sources: ITU-T T.81 (the JPEG spec — marker syntax §B, Huffman
-decode procedure §F.2.2, IDCT Annex A), JFIF 1.02, and the BT.601 YCbCr
+decode procedure §F.2.2, progressive control §G.1/§G.2 incl. the EOBRUN
+and refinement flowcharts, IDCT Annex A), JFIF 1.02, and the BT.601 YCbCr
 matrix.  No code is taken from any implementation.
 """
 
@@ -213,8 +219,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline JPEG → dict(width, height, pixels HxWx3 uint8 RGB,
-    n_components, sampling)."""
+    """Baseline or progressive JPEG → dict(width, height, pixels HxWx3
+    uint8 RGB, n_components, sampling)."""
     if payload[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG (no SOI)")
     pos = 2
@@ -222,8 +228,10 @@ def decode_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # comp id → (by, bx, 64) zigzag int32
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
@@ -233,6 +241,10 @@ def decode_jpeg(payload: bytes) -> dict:
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > n:
+            break
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -255,7 +267,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 values = list(body[b + 17 : b + 17 + nvals])
                 huff[(tc, th)] = _build_decode_table(bits, values)
                 b += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise UnsupportedMediaError(f"JPEG precision {precision} unsupported")
@@ -266,8 +278,22 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": sampling >> 4, "v": sampling & 0x0F, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise UnsupportedMediaError(f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                frame["hmax"], frame["vmax"] = hmax, vmax
+                frame["mcux"] = -(-w // (8 * hmax))
+                frame["mcuy"] = -(-h // (8 * vmax))
+                for c in comps:
+                    # MCU-padded storage; non-interleaved scans only touch
+                    # the ceil-dims sub-rectangle (T.81 A.2.4)
+                    coefs[c["id"]] = np.zeros(
+                        (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                        dtype=np.int32,
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(f"unsupported JPEG coding (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -280,11 +306,231 @@ def decode_jpeg(payload: bytes) -> dict:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tables >> 4, "ac": tables & 0x0F})
             data_pos = pos + 2 + seg_len
-            return _decode_scan(
-                payload, data_pos, frame, scan, qtables, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, data_pos, frame, scan, qtables, huff, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            pos = _decode_progressive_sos(
+                payload, data_pos, frame, scan,
+                ss, se, ah_al >> 4, ah_al & 0x0F,
+                huff, restart_interval, coefs,
             )
+            continue
         pos += 2 + seg_len
+    if progressive and frame is not None:
+        return _progressive_finish(frame, coefs, qtables)
     raise ValueError("JPEG has no SOS marker")
+
+
+def _next_marker_pos(payload: bytes, start: int) -> int:
+    """Position of the next true marker (not a stuffed 0x00, fill 0xFF, or
+    RSTn) at/after ``start``."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _comp_block_dims(frame: dict, c: dict) -> tuple[int, int]:
+    """Non-interleaved block grid for one component (T.81 A.2.4: ceil of
+    the scaled sample dims over 8)."""
+    cw = -(-frame["w"] * c["h"] // frame["hmax"])
+    ch = -(-frame["h"] * c["v"] // frame["vmax"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_sos(
+    payload, pos, frame, scan, ss, se, ah, al, huff, restart_interval, coefs
+) -> int:
+    """Decode one progressive scan into ``coefs``; returns the payload
+    position of the next marker.  Implements the four §G.2 scan kinds:
+    DC-first / DC-refine (interleaved or single-component) and
+    AC-first / AC-refine (always single-component, block-raster order),
+    with EOB-run tracking and restart-interval resync."""
+    reader = _BitReader(payload, pos)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    if is_dc:
+        pred = {c["id"]: 0 for c in scan}
+        state = {"eobrun": 0}
+        if len(scan) > 1:
+            units = [("mcu", my, mx) for my in range(frame["mcuy"]) for mx in range(frame["mcux"])]
+        else:
+            bv, bh = _comp_block_dims(frame, scan[0])
+            units = [("blk", by, bx) for by in range(bv) for bx in range(bh)]
+    else:
+        state = {"eobrun": 0}
+        bv, bh = _comp_block_dims(frame, scan[0])
+        units = [("blk", by, bx) for by in range(bv) for bx in range(bh)]
+
+    unit_count = 0
+    for kind, uy, ux in units:
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.sync_to_marker()
+            if is_dc:
+                pred = {c["id"]: 0 for c in scan}
+            state["eobrun"] = 0
+        unit_count += 1
+        if is_dc:
+            for c in scan:
+                spans = (
+                    [(by, bx) for by in range(c["v"]) for bx in range(c["h"])]
+                    if kind == "mcu"
+                    else [(0, 0)]
+                )
+                for by, bx in spans:
+                    if kind == "mcu":
+                        y, x = uy * c["v"] + by, ux * c["h"] + bx
+                    else:
+                        y, x = uy, ux
+                    blk = coefs[c["id"]][y, x]
+                    if ah == 0:  # first DC scan: diff-coded, point-transformed
+                        t = reader.decode_huff(huff[(0, c["dc"])])
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        blk[0] = pred[c["id"]] << al
+                    else:  # refinement: one raw bit per block
+                        if reader.read_bit():
+                            blk[0] |= 1 << al
+        else:
+            c = scan[0]
+            blk = coefs[c["id"]][uy, ux]
+            if ah == 0:
+                _ac_first_block(reader, blk, ss, se, al, huff[(1, c["ac"])], state)
+            else:
+                _ac_refine_block(reader, blk, ss, se, al, huff[(1, c["ac"])], state)
+    return _next_marker_pos(payload, reader.pos)
+
+
+def _ac_first_block(reader, blk, ss, se, al, ac_table, state) -> None:
+    """First AC scan for one block's band (T.81 §G.1.2.2): EOB runs span
+    blocks; coefficients arrive point-transformed (<< Al on decode)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, blk, ss, se, al, ac_table, state) -> None:
+    """AC refinement scan (T.81 §G.1.2.3): newly-significant coefficients
+    carry (run, size=1) symbols + a sign bit; every already-nonzero
+    coefficient passed — including the tail of an EOB run — receives one
+    correction bit that, when set, grows its magnitude by 1<<Al."""
+    p1, m1 = 1 << al, -1 << al
+
+    def _refine_existing(k: int) -> None:
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history skips, no new coefficient
+            elif s == 1:
+                newval = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("AC refinement size > 1")
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_existing(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    else:
+        state["eobrun"] -= 1
+    # EOB branch: correction bits for remaining nonzero coefficients
+    if state["eobrun"] >= 0 and k <= se:
+        # only when an EOB was just decoded or the block is inside a run —
+        # i.e. the symbol loop did not consume the whole band
+        for k2 in range(k, se + 1):
+            if blk[k2] != 0:
+                _refine_existing(k2)
+
+
+def _progressive_finish(frame, coefs, qtables) -> dict:
+    """Dequantize + vectorized IDCT + upsample + color-convert the
+    accumulated coefficient planes."""
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    comps_full = []
+    for c in frame["comps"]:
+        arr = coefs[c["id"]].astype(np.float64)  # (by, bx, 64) zigzag
+        deq = np.zeros_like(arr)
+        deq[..., ZIGZAG] = arr * qtables[c["tq"]]
+        by, bx = arr.shape[:2]
+        blocks = deq.reshape(by, bx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT)
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        comps_full.append(plane[:h, :w])
+    if len(comps_full) == 1:
+        yp = np.clip(comps_full[0], 0, 255)
+        rgb = np.stack([yp, yp, yp], axis=-1).astype(np.uint8)
+    elif len(comps_full) == 3:
+        yp, cb, cr = comps_full
+        cb = cb - 128.0
+        cr = cr - 128.0
+        r = yp + 1.402 * cr
+        g = yp - 0.344136 * cb - 0.714136 * cr
+        b = yp + 1.772 * cb
+        rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    else:
+        raise UnsupportedMediaError(f"{len(comps_full)}-component JPEG unsupported")
+    return {
+        "width": w,
+        "height": h,
+        "pixels": rgb,
+        "n_components": len(comps_full),
+        "sampling": f"{hmax}x{vmax}",
+        "progressive": True,
+    }
 
 
 def _decode_scan(payload, pos, frame, scan, qtables, huff, restart_interval):
@@ -448,11 +694,21 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
     """Baseline JFIF writer: 4:4:4 (default) or 4:2:0 (subsample=True),
     Annex K tables scaled by libjpeg's quality formula; optional DRI/RSTn
     restart markers every ``restart_interval`` MCUs (so tests can drive the
-    decoder's restart resynchronization)."""
+    decoder's restart resynchronization).
+
+    ``progressive=True`` (round-6) writes a real SOF2 file: an interleaved
+    DC scan + per-component AC spectral-band scans with cross-block EOB
+    runs; ``successive=True`` additionally splits every scan across two
+    approximation levels (Al=1 first, Ah=1→Al=0 refinement) so the §G.1.2.3
+    correction-bit decode path is exercised by genuine wire bytes."""
+    if progressive and restart_interval:
+        raise ValueError("progressive encoder does not emit restart markers")
     h, w, _ = pixels.shape
     # quality scaling (public libjpeg formula)
     q = max(1, min(100, quality))
@@ -491,6 +747,11 @@ def encode_jpeg(
     ac_l = _build_encode_table(*HUFF_AC_LUMA)
     dc_c = _build_encode_table(*HUFF_DC_CHROMA)
     ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+
+    if progressive:
+        return _encode_progressive(
+            ypad, cbs, crs, ql, qc, h, w, hs, (dc_l, ac_l, dc_c, ac_c), successive
+        )
 
     # zigzag mapping: natural-order index ZIGZAG[i] is the i-th zigzag coef,
     # so zigzag vector = flat[ZIGZAG]
@@ -560,6 +821,253 @@ def encode_jpeg(
     )
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (fixture-quality, real SOF2 wire format) -----------
+
+# The Annex K baseline AC tables carry no EOBn symbols (progressive-only,
+# (r<<4)|0 for r>0), so progressive scans use this dedicated table: every
+# symbol the encoder can emit — EOB0..EOB14, ZRL, (run,size) for size 1..10
+# — as a flat one-length canonical code (176 symbols at 8 bits; valid,
+# deliberately compression-naive, and fully declared in the DHT segment).
+_PROG_AC_SYMBOLS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+HUFF_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0],
+                _PROG_AC_SYMBOLS)
+
+
+def _zz_block_grid(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) quantized zigzag coefficients for an 8-aligned plane."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,abjk,kl->abil", _DCT, blocks, _DCT.T)
+    flat = coef.reshape(by, bx, 64)
+    return np.round(flat[:, :, ZIGZAG] / qt[ZIGZAG]).astype(np.int64)
+
+
+def _emit_dc_first(bw, comps, al: int) -> None:
+    """Interleaved DC scan: diff of the arithmetic-shifted DC per block in
+    MCU order (T.81 §G.1.2.1; python >> on ints IS the arithmetic shift)."""
+    pred = {c["name"]: 0 for c in comps}
+    mcuy = min(c["zz"].shape[0] // c["v"] for c in comps)
+    mcux = min(c["zz"].shape[1] // c["h"] for c in comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(c["zz"][my * c["v"] + by, mx * c["h"] + bx, 0]) >> al
+                        diff = v - pred[c["name"]]
+                        pred[c["name"]] = v
+                        t, code = _mag_bits(diff)
+                        hc, ln = c["dc_tab"][t]
+                        bw.write(hc, ln)
+                        if t:
+                            bw.write(code, t)
+
+
+def _emit_dc_refine(bw, comps, al: int) -> None:
+    mcuy = min(c["zz"].shape[0] // c["v"] for c in comps)
+    mcux = min(c["zz"].shape[1] // c["h"] for c in comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(c["zz"][my * c["v"] + by, mx * c["h"] + bx, 0])
+                        bw.write((v >> al) & 1, 1)
+
+
+def _ac_band(zz_blk, ss: int, se: int, al: int) -> list[int]:
+    """Point-transformed band values: sign(v) * (|v| >> Al) (§G.1.2.2 —
+    magnitude shift toward zero, NOT an arithmetic shift)."""
+    out = []
+    for k in range(ss, se + 1):
+        v = int(zz_blk[k])
+        a = abs(v) >> al
+        out.append(a if v >= 0 else -a)
+    return out
+
+
+def _emit_ac_first(bw, comp, ss, se, al, ac_tab, bv, bh) -> None:
+    """First AC scan over one component's real (ceil-dims) block raster,
+    accumulating cross-block EOB runs."""
+    eob_pending = 0
+
+    def flush_eob():
+        nonlocal eob_pending
+        while eob_pending:
+            r = min(14, eob_pending.bit_length() - 1)
+            m = min(eob_pending, (1 << (r + 1)) - 1)
+            hc, ln = ac_tab[r << 4]
+            bw.write(hc, ln)
+            if r:
+                bw.write(m - (1 << r), r)
+            eob_pending -= m
+
+    for by in range(bv):
+        for bx in range(bh):
+            band = _ac_band(comp["zz"][by, bx], ss, se, al)
+            last = -1
+            for i in range(len(band) - 1, -1, -1):
+                if band[i]:
+                    last = i
+                    break
+            if last < 0:
+                eob_pending += 1
+                continue
+            flush_eob()
+            run = 0
+            for i in range(last + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, ln = ac_tab[0xF0]
+                    bw.write(hc, ln)
+                    run -= 16
+                t, code = _mag_bits(v)
+                hc, ln = ac_tab[(run << 4) | t]
+                bw.write(hc, ln)
+                bw.write(code, t)
+                run = 0
+            if last < se - ss:
+                eob_pending += 1
+    flush_eob()
+
+
+def _emit_ac_refine(bw, comp, ss, se, al, ac_tab, bv, bh) -> None:
+    """AC refinement scan (§G.1.2.3 inverse): (run, 1)+sign for
+    newly-significant coefficients, correction bits interleaved after each
+    symbol for the already-nonzero coefficients passed, EOB + tail bits."""
+    for by in range(bv):
+        for bx in range(bh):
+            zz_blk = comp["zz"][by, bx]
+            vals = [int(zz_blk[k]) for k in range(ss, se + 1)]
+            a_vals = [abs(v) >> al for v in vals]
+            last_new = -1
+            for i in range(len(a_vals) - 1, -1, -1):
+                if a_vals[i] == 1:
+                    last_new = i
+                    break
+            pending: list[int] = []
+            run = 0
+            for i in range(last_new + 1):
+                a = a_vals[i]
+                if a == 0:
+                    run += 1
+                    if run == 16:
+                        hc, ln = ac_tab[0xF0]
+                        bw.write(hc, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run = 0
+                elif a == 1:
+                    hc, ln = ac_tab[(run << 4) | 1]
+                    bw.write(hc, ln)
+                    bw.write(1 if vals[i] > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                else:
+                    pending.append(a & 1)
+            if last_new < se - ss:
+                hc, ln = ac_tab[0x00]  # EOB, run=1 (this block only)
+                bw.write(hc, ln)
+                for i in range(last_new + 1, len(a_vals)):
+                    if a_vals[i] > 1:
+                        bw.write(a_vals[i] & 1, 1)
+
+
+def _encode_progressive(ypad, cbs, crs, ql, qc, h, w, hs, tabs, successive) -> bytes:
+    dc_l, _ac_l, dc_c, _ac_c = tabs
+    ac_prog = _build_encode_table(*HUFF_AC_PROG)
+    comps = [
+        {"name": "y", "cid": 1, "h": hs, "v": hs, "tq": 0,
+         "zz": _zz_block_grid(ypad, ql), "dc_tab": dc_l, "ac_tab": ac_prog,
+         "dc_id": 0, "ac_id": 0},
+        {"name": "cb", "cid": 2, "h": 1, "v": 1, "tq": 1,
+         "zz": _zz_block_grid(cbs, qc), "dc_tab": dc_c, "ac_tab": ac_prog,
+         "dc_id": 1, "ac_id": 0},
+        {"name": "cr", "cid": 3, "h": 1, "v": 1, "tq": 1,
+         "zz": _zz_block_grid(crs, qc), "dc_tab": dc_c, "ac_tab": ac_prog,
+         "dc_id": 1, "ac_id": 0},
+    ]
+    # non-interleaved AC scans cover only the real ceil-dims blocks
+    for c in comps:
+        cw = -(-w * c["h"] // hs)
+        chh = -(-h * c["v"] // hs)
+        c["bv"], c["bh"] = -(-chh // 8), -(-cw // 8)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, table):
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(table[z]) for z in ZIGZAG
+        )
+
+    out += dqt(0, ql) + dqt(1, qc)
+    out += (
+        b"\xff\xc2"  # SOF2: progressive DCT, Huffman
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + bytes([1, (hs << 4) | hs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1])
+    )
+
+    def dht(tc, th, spec):
+        bits, values = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(0, 1, HUFF_DC_CHROMA)
+    out += dht(1, 0, HUFF_AC_PROG)
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for c in scan_comps:
+            body += bytes([c["cid"], (c["dc_id"] << 4) | c["ac_id"]])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def run_scan(emit, *args):
+        bw = _BitWriter()
+        emit(bw, *args)
+        bw.flush()
+        return bytes(bw.out)
+
+    if successive:
+        # two approximation levels: everything at Al=1, then Ah=1→Al=0
+        out += sos(comps, 0, 0, 0, 1) + run_scan(_emit_dc_first, comps, 1)
+        bands = [(1, 5), (6, 63)]
+        for c in comps:
+            for ss, se in bands:
+                out += sos([c], ss, se, 0, 1)
+                out += run_scan(_emit_ac_first, c, ss, se, 1, c["ac_tab"], c["bv"], c["bh"])
+        out += sos(comps, 0, 0, 1, 0) + run_scan(_emit_dc_refine, comps, 0)
+        for c in comps:
+            for ss, se in bands:
+                out += sos([c], ss, se, 1, 0)
+                out += run_scan(_emit_ac_refine, c, ss, se, 0, c["ac_tab"], c["bv"], c["bh"])
+    else:
+        # spectral selection only: one DC scan + one AC band per component
+        out += sos(comps, 0, 0, 0, 0) + run_scan(_emit_dc_first, comps, 0)
+        for c in comps:
+            out += sos([c], 1, 63, 0, 0)
+            out += run_scan(_emit_ac_first, c, 1, 63, 0, c["ac_tab"], c["bv"], c["bh"])
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 

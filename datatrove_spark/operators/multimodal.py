@@ -46,10 +46,11 @@ FEATURE_DIM = 32
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Real decode for PNG/BMP/GIF/baseline-JPEG (kernels/media.py +
-    kernels/jpeg.py — GIF incl. full LZW + interlace; JPEG incl. Huffman,
-    IDCT, 4:2:0 upsampling, restart markers); webp/progressive-JPEG need an
-    image library (PIL/cv2) — swap this function on clusters that have one."""
+    """Real decode for PNG/BMP/GIF/JPEG (kernels/media.py + kernels/jpeg.py
+    — GIF incl. full LZW + interlace; JPEG incl. Huffman, IDCT, 4:2:0
+    upsampling, restart markers, and round-6 progressive SOF2 with spectral
+    selection + successive approximation); webp pixels need an image
+    library (PIL/cv2) — swap this function on clusters that have one."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         d = decode_png(payload)
     elif payload[:2] == b"BM":

@@ -992,6 +992,70 @@ class TestJpegCodec:
         feats = _decode_image(blob)
         assert len(feats) == 32 and feats[0] == 24.0
 
+    def test_progressive_bit_identical_to_baseline(self):
+        """Round-6: SOF2 progressive decode (T.81 §G) — the multi-scan
+        coefficient accumulation must reconstruct EXACTLY the same pixels
+        as the baseline twin of the same image (identical quantized
+        coefficients through two different entropy decode paths), across
+        4:4:4 / 4:2:0, odd dims, spectral-selection-only and
+        successive-approximation scan scripts."""
+        import numpy as np
+
+        from datatrove_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(42)
+        for h, w in [(16, 16), (40, 56), (37, 45)]:
+            img = np.clip(
+                self._smooth(h, w).astype(float) + rng.normal(0, 12, (h, w, 3)),
+                0, 255,
+            ).astype(np.uint8)
+            for sub in (False, True):
+                base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+                for successive in (False, True):
+                    prog = decode_jpeg(
+                        encode_jpeg(
+                            img, quality=85, subsample=sub,
+                            progressive=True, successive=successive,
+                        )
+                    )
+                    assert prog["progressive"] is True
+                    assert (prog["width"], prog["height"]) == (w, h)
+                    assert np.array_equal(prog["pixels"], base["pixels"]), (
+                        h, w, sub, successive,
+                    )
+
+    def test_progressive_probe_and_feature_dispatch(self):
+        """The header probe reads SOF2 dims, and the multimodal feature
+        UDF's decode path accepts progressive payloads."""
+        from datatrove_spark.kernels.jpeg import encode_jpeg
+        from datatrove_spark.kernels.media import probe_media
+        from datatrove_spark.operators.multimodal import _decode_image
+
+        blob = encode_jpeg(self._smooth(24, 32), progressive=True, successive=True)
+        p = probe_media(blob)
+        assert (p["width"], p["height"]) == (32, 24)
+        feats = _decode_image(blob)
+        assert len(feats) == 32 and feats[0] == 32.0
+
+    def test_arithmetic_coding_still_raises(self):
+        """UnsupportedMediaError is now reserved for genuinely unsupported
+        JPEG codings: arithmetic (SOF9/10) and hierarchical/lossless."""
+        import pytest
+
+        from datatrove_spark.kernels.jpeg import decode_jpeg
+        from datatrove_spark.kernels.media import UnsupportedMediaError
+
+        for sof in (0xC3, 0xC9, 0xCA, 0xCB):
+            blob = (
+                b"\xff\xd8"
+                + bytes([0xFF, sof])
+                + b"\x00\x11\x08\x00\x10\x00\x10\x03"
+                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+                + b"\xff\xd9"
+            )
+            with pytest.raises(UnsupportedMediaError):
+                decode_jpeg(blob)
+
 
 def test_probe_media_flac_and_mp3_duration():
     """Header-only audio duration probes: FLAC STREAMINFO (exact) and MP3
