@@ -45,3 +45,9 @@ headroom:
 
 skew:
 	python tools/skew_bench.py
+
+sf1-data:
+	python tools/gen_sf1.py
+
+bench-sf1: sf1-data
+	SPARK_GRAFT_SF_DIR=$(CURDIR)/.bench_data/sf1.0 python bench.py

@@ -1,0 +1,136 @@
+"""Deterministic sf1.0 testdata (10x sf0.1) for shuffle-scale benching.
+
+The driver ships sf{0.001,0.01,0.1}; at sf0.1 (5,000 docs) most suite
+queries finish in <1s of JVM-dominated time, so shuffle behavior never
+shows.  This tool synthesizes an sf1.0 under ``.bench_data/sf1.0/``
+(gitignored scratch) by replicating sf0.1 ten times with deterministic,
+copy-indexed perturbation — preserving the per-copy content distribution
+exactly while keeping the workload shape honest:
+
+* ``documents`` (50k): copy 0 is the original; copies 1-9 remap doc_id to
+  ``copy*5000 + id`` and interleave a copy-unique salt token every 8
+  words.  The salt rewrites every shingle/minhash band, so cross-copy
+  NEAR-duplicate collisions do not explode (a plain 10x replica would
+  make 90% of the corpus near-dups and trivialize dedup scaling).
+* ``embeddings`` (20k): vec_id remapped; a small copy-indexed deterministic
+  offset added per dimension then renormalized is NOT done — instead a
+  fixed per-copy rotation of the element order (cyclic shift by copy)
+  keeps norms/label structure identical while decorrelating neighbors.
+* ``events`` (1M): event_id/user_id offset per copy and ts shifted by
+  copy*30 days — session structure per user is preserved, session count
+  scales linearly, no cross-copy session merges.
+* ``lineitem`` (6M): l_orderkey offset per copy (partkey/suppkey kept —
+  the pricing query groups by returnflag/linestatus only).
+
+Everything is derived from the driver's own seed-42 tables — no new
+randomness, byte-deterministic output (single sort + stable transforms).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_COPIES = 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data", "sf1.0"),
+)
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("gen-sf1", master="local[16]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = spark.range(N_COPIES).withColumnRenamed("id", "copy")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    # salt every 8th word boundary with a copy-unique token (copy 0 = as-is)
+    salted = (
+        docs.crossJoin(F.broadcast(copies))
+        .withColumn("doc_id", F.col("copy") * n_docs + F.col("doc_id"))
+        .withColumn(
+            "text",
+            F.when(F.col("copy") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w, i: F.when(
+                            i % 8 == 7,
+                            F.concat(w, F.lit(" s"), F.col("copy"), F.lit("x"), (i / 8).cast("int")),
+                        ).otherwise(w),
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .drop("copy")
+    )
+    salted.repartition(16).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    rotated = (
+        emb.crossJoin(F.broadcast(copies))
+        .withColumn("vec_id", F.col("copy") * n_vec + F.col("vec_id"))
+        .withColumn(
+            "embedding",
+            F.when(F.col("copy") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.element_at(
+                        "embedding", ((i + F.col("copy")) % dim + 1).cast("int")
+                    ),
+                )
+            ),
+        )
+        .drop("copy")
+    )
+    rotated.repartition(8).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_ev = ev.count()
+    max_user = ev.agg(F.max("user_id")).first()[0] + 1
+    (
+        ev.crossJoin(F.broadcast(copies))
+        .withColumn("event_id", F.col("copy") * n_ev + F.col("event_id"))
+        .withColumn("user_id", F.col("copy") * max_user + F.col("user_id"))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") + F.col("copy") * F.lit(30 * 24 * 3600)
+            ),
+        )
+        .drop("copy")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{DST}/events.parquet")
+    )
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    (
+        li.crossJoin(F.broadcast(copies))
+        .withColumn("l_orderkey", F.col("copy") * max_ok + F.col("l_orderkey"))
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{DST}/lineitem.parquet")
+    )
+
+    for t in ("documents", "embeddings", "events", "lineitem"):
+        print(t, spark.read.parquet(f"{DST}/{t}.parquet").count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
