@@ -1,0 +1,149 @@
+"""Headroom: per-trigger band-index consult cost, uncompacted vs compacted.
+
+Round-5 verdict flagged that ``streaming_minhash_dedup`` re-read and
+re-distincted the FULL cumulative band index every micro-batch — correct,
+but O(cumulative corpus) per trigger.  Round 6 added (a) periodic
+compaction into one pre-distincted hash-partitioned table and (b) a
+broadcast of the (small) batch band table so the index side streams with
+zero exchange.  This bench measures exactly that consult step at ~1M
+indexed docs (14 bands/doc = 14M index rows), synthesized directly — the
+consult cost depends on the index layout, not on how signatures were
+computed:
+
+* layout A (round-5): 100 per-batch dirs, whole-dir scan + batch filter +
+  distinct + shuffle semi-join (bands left);
+* layout B (round-6): one compacted dir + an 8-batch tail, explicit-path
+  scan, no distinct, BroadcastHashJoin with the batch side broadcast.
+
+Writes BENCH/streaming_consult.json.  Run with the host otherwise idle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BATCHES = 100
+DOCS_PER_BATCH = 10_000
+BANDS = 14
+BATCH_DOCS = 5_000  # size of the incoming micro-batch being consulted
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("consult-bench", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="consult_bench_")
+    index_dir = f"{root}/band_index"
+    comp_dir = f"{root}/band_index_compacted"
+    try:
+        # synthetic index: batch b owns doc ids [b*D, (b+1)*D); band_hash is a
+        # deterministic 64-bit mix of (doc, band) — unique per (doc, band)
+        for b in range(N_BATCHES):
+            (
+                spark.range(b * DOCS_PER_BATCH, (b + 1) * DOCS_PER_BATCH)
+                .select(
+                    F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band_idx"),
+                    F.col("id"),
+                )
+                .select(
+                    F.col("band_idx").cast("int"),
+                    F.xxhash64(F.col("id") * BANDS + F.col("band_idx")).alias("band_hash"),
+                )
+                .coalesce(2)
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/batch={b}")
+            )
+        # compacted layout: batches 0..91 in one table, 92..99 as the tail
+        comp_upto = N_BATCHES - 9
+        (
+            spark.read.schema("band_idx INT, band_hash BIGINT")
+            .parquet(*[f"{index_dir}/batch={b}" for b in range(comp_upto + 1)])
+            .distinct()
+            .repartition("band_hash")
+            .sortWithinPartitions("band_idx", "band_hash")
+            .write.mode("overwrite")
+            .parquet(f"{comp_dir}/upto={comp_upto}")
+        )
+
+        # the incoming batch's band table: half hits (docs from old batches),
+        # half fresh
+        bands = (
+            spark.range(BATCH_DOCS)
+            .select(
+                F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band_idx"),
+                F.col("id"),
+            )
+            .select(
+                F.col("id"),
+                F.col("band_idx").cast("int"),
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.xxhash64((F.col("id") * 37 % (N_BATCHES * DOCS_PER_BATCH)) * BANDS + F.col("band_idx")),
+                )
+                .otherwise(F.xxhash64(F.col("id") + F.lit(10**12)))
+                .alias("band_hash"),
+            )
+            .persist()
+        )
+        bands.count()
+
+        def consult_old():
+            idx = (
+                spark.read.parquet(index_dir)
+                .where(F.col("batch") < N_BATCHES)
+                .select("band_idx", "band_hash")
+                .distinct()
+            )
+            return (
+                bands.join(idx, ["band_idx", "band_hash"], "left_semi")
+                .select(F.col("id").alias("_idx_dup"))
+                .distinct()
+                .count()
+            )
+
+        def consult_new():
+            parts = [f"{comp_dir}/upto={comp_upto}"] + [
+                f"{index_dir}/batch={b}" for b in range(comp_upto + 1, N_BATCHES)
+            ]
+            idx = spark.read.schema("band_idx INT, band_hash BIGINT").parquet(*parts)
+            return (
+                idx.join(F.broadcast(bands), ["band_idx", "band_hash"], "inner")
+                .select(F.col("id").alias("_idx_dup"))
+                .distinct()
+                .count()
+            )
+
+        result = {"index_rows": N_BATCHES * DOCS_PER_BATCH * BANDS, "batch_docs": BATCH_DOCS}
+        for name, fn in (("uncompacted_shuffle_semi", consult_old), ("compacted_broadcast", consult_new)):
+            walls, hits = [], None
+            for _ in range(4):
+                t0 = time.time()
+                hits = fn()
+                walls.append(round(time.time() - t0, 3))
+            result[name] = {"best_sec": min(walls[1:]), "walls": walls, "hits": hits}
+        a, b = result["uncompacted_shuffle_semi"], result["compacted_broadcast"]
+        assert a["hits"] == b["hits"], (a["hits"], b["hits"])
+        result["speedup"] = round(a["best_sec"] / b["best_sec"], 2)
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "streaming_consult.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
