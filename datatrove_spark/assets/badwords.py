@@ -31,10 +31,11 @@ BADWORDS_ALLOWLIST: dict[str, frozenset[str]] = {
     "zh": frozenset({"性"}),
 }
 
-# Snapshots of the public LDNOOBW lists, grown round-over-round (en ~170 of
-# the published ~400; other languages carry the high-frequency core of their
-# list).  Still a curated checked-in snapshot, not the full dump — swap in a
-# complete LDNOOBW checkout via ``load_badwords(path=...)`` for production.
+# Snapshots of the public LDNOOBW lists, grown round-over-round (round-6:
+# 1,200+ terms across 18 languages; en ~330 of the published ~400, the other
+# languages at 2-3x their round-5 core).  Still a curated checked-in
+# snapshot, not the byte-exact dump — swap in a complete LDNOOBW checkout
+# via ``load_badwords(path=...)`` for production.
 # Multi-word phrases are kept — the regex alternation matches them across
 # spaces exactly like the reference.
 BADWORDS: dict[str, frozenset[str]] = {
@@ -57,7 +58,30 @@ BADWORDS: dict[str, frozenset[str]] = {
         " threesome tit tits titties titty topless tosser towelhead tranny"
         " tribadism tube8 tushy twat vagina vibrator vorarephilia voyeur"
         " vulva wank wetback whore xhamster xnxx xvideos xxx yaoi yiffy"
-        " zoophilia".split()
+        " zoophilia"
+        " arse assmunch autoerotic babeland bampot bangbros bareback"
+        " barenaked bazongas beaner beastiality bellend beefcurtain"
+        " birdlock boobies booty bootycall buceta bugger bukake bullshit"
+        " buttcheeks butthole cameltoe camgirl camslut camwhore chinc"
+        " chink choad chode clitty clusterfuck cocain cocaine cocks"
+        " coprolagnia coprophilia cornhole cumming cunts darkie deepthroat"
+        " dendrophilia dingleberry dingleberries dommes dookie dumbass"
+        " dvda ejaculating ejaculates escort eunuch fecal felching"
+        " figging fingerbang fingering footjob frotting fudgepacker"
+        " fuckin fucks fucktard gangbanged genital goodpoop goregasm"
+        " grope gspot guro honkey hooters humped intercourse jerk jigaboo"
+        " jiggaboo jiggerboo kinbaku kinkster kinky knob lolita lovemaking"
+        " masturbating menageatrois mound muff muffdiving nawashi negro"
+        " nimphomania nipple nudes nutten omorashi orgasmic orgasms"
+        " paedo pedo pedobear peepshow pegging penetrate penetration"
+        " phonesex pisspig ponyboy poof poopchute pricks punany pthc"
+        " queaf queer quim raunch rimming sadism santorum scrotum sexcam"
+        " sexuality shaved shemales shitblimp shitty sluts smegma snowballing"
+        " sodomise spank spread strappado strip styledoggie suck sucks"
+        " swastika swinger taint testicle threeway throating thumbzilla"
+        " tied tight titt tities tongue tubgirl twink twinkie undressing"
+        " upskirt urethra urophilia vibrators viagra wanker worldsex"
+        " yellowshowers zoophile".split()
     )
     | frozenset(
         {
@@ -81,65 +105,126 @@ BADWORDS: dict[str, frozenset[str]] = {
         "cabron cabrón capullo chingar chocha cojones concha coño culo"
         " drogas follar gilipollas hijaputa hijoputa joder machete marica"
         " maricon maricón mierda pendejo pinche polla puta puto teta tetas"
-        " verga zorra".split()
+        " verga zorra"
+        " chingada chingadera chingado chupapollas chupada chupetón"
+        " comemierda culero follada follador gilipichis jodido lameculos"
+        " mamada nalgas pajero pederasta pendeja pervertido pezon pezones"
+        " polvo putita putón sobaco soplapollas tetona torta tortillera"
+        " trolo vulva".split()
     ),
     "fr": frozenset(
         "baiser bite bordel branler chatte connard connasse couilles cul"
         " emmerder encule enculer enculé foutre merde niquer nique putain"
-        " pute salope suceuse zizi".split()
+        " pute salope suceuse zizi"
+        " bander bigornette bitte bloblos bosser bourré bourrée brackmard"
+        " branlage branlette branleur branleuse chiasse chier chiottes"
+        " clito con conne cramouille déconne déconner emmerdeur enfoiré"
+        " étron fellation foutriquet grognasse gueule jouir merdeuse"
+        " merdeux meuf nègre nichons palucher pétasse pipi pisser pouffiasse"
+        " pousse-crotte queue salaud salopard sperme tapette teub tringler"
+        " trique troncher turlute zigounette".split()
     ),
     "de": frozenset(
         "arsch arschloch bumsen drecksau fick ficken fotze hure hurensohn"
         " kackbratze mistkerl muschi mösen neger onanieren schlampe"
         " schwanzlutscher schwuchtel titten vögeln wichse wichsen wichser"
-        " schwanz".split()
+        " schwanz"
+        " analritter arschficker arschlecker bimbo bratze bückstück dildo"
+        " ficker flittchen fotzen hackfresse hurenkind hurensöhne kackwurst"
+        " kanake kimme lümmel möpse morgenlatte nutte onanierer pimmel"
+        " pimpern poppen porno rosette schabracke scheisse scheiße"
+        " schwanzlutscherin spermarutsche stricher tittchen votze".split()
     ),
     "pt": frozenset(
         "boceta boquete buceta caralho chupada cu foder grelo porra puta"
         " putaria punheta sacanagem siririca transar viado xana xoxota"
-        " pinto".split()
+        " pinto"
+        " baitola bicha boiola bosta brioco bunda burro cacete chifruda"
+        " chifrudo chota cocaina cuzao cuzão foda fodida fodido merda"
+        " pau pica piroca prostituta puto rabão rabo rola sexo tesão"
+        " vadia veado xavasca xerereca xota".split()
     ),
     "it": frozenset(
         "bocchino cazzo culattone culo figa fica fottere fregna frocio"
         " minchia mignotta pompino porca puttana sborra scopare stronzo"
-        " succhiami troia vaffanculo zoccola".split()
+        " succhiami troia vaffanculo zoccola"
+        " allupato ammucchiata arrapato bagascia baldracca battona bofilo"
+        " cagare cagata cazzata cazzimma cesso ciucciami coglione coglioni"
+        " cornuto culattina ditalino fregnacce fottersi guardone incazzarsi"
+        " inculare lecchino merdata merdoso palle pirla pisciare pistolotto"
+        " pompa puttane puzzona recchione sborrata scopata sfondata"
+        " stronzata tette troiaio vacca zinne".split()
     ),
     "ru": frozenset(
         "анал блядь блять выебать гандон говно дрочить ебал ебать жопа"
         " залупа манда минет мудак мудила пидор пидорас пизда пиздец"
         " порно проститутка секс сиськи сука трахать хер хуй хуйня"
-        " шлюха".split()
+        " шлюха"
+        " бздёнок взъебка выблядок выебон дерьмо долбоёб ебало ебальник"
+        " ебанутый ебаный ебаться елда курва мандавошка мокрощелка"
+        " мудозвон опизденеть отъебись падла педик писька поблядушка"
+        " подъёбка потаскуха похер хуесос хуета целка шалава".split()
     ),
     "nl": frozenset(
         "aftrekken hoer kanker klootzak kut kutje lul naaien neuken"
-        " pijpen pik porno reet slet sperma stront tieten trut".split()
+        " pijpen pik porno reet slet sperma stront tieten trut"
+        " anaal bedpartner beffen drol duivenmelker flikker gesodemieter"
+        " hoerenloper klojo klote kontneuken kutwijf lulhannes mof"
+        " neger neuk neuker penis pislul poep poepen reetkever rotzak"
+        " schijt schijten slempen sodemieter standje teef teringlijer"
+        " vagina verkrachten zakkenwasser zuigen".split()
     ),
     "pl": frozenset(
         "burdel chuj cipa cycki dupa dupek dziwka fiut gówno huj jebać"
-        " jebany kurwa kutas pierdolić pizda spierdalaj skurwysyn sraka".split()
+        " jebany kurwa kutas pierdolić pizda spierdalaj skurwysyn sraka"
+        " chujnia ciota cipka cwel debil dupczyć dupie dziwki gnoj"
+        " jebac jebal jebanka jebanko jebany jebie kurewka kurwik kurwy"
+        " obciągać pierdol pierdolec pierdolnąć pierdolony pojeb pojebany"
+        " rozpierdalać skurwiel spierdolina sraczka srać wkurwiać"
+        " wypierdalać zajebisty zapierdalać zjeb zjebany".split()
     ),
     "ko": frozenset(
         "간통 강간 개새끼 걸레 병신 보지 빠구리 섹스 씨발 야동 애무 자위"
-        " 자지 지랄 창녀 포르노 좆 호모".split()
+        " 자지 지랄 창녀 포르노 좆 호모"
+        " 개년 개놈 개뿔 개지랄 고자 난교 노출 딸딸이 망가 몰카 미친년"
+        " 미친놈 불륜 사까시 성관계 성매매 성인망가 성인물 성기 스와핑"
+        " 쌍년 쌍놈 씹 씹창 씹할 야사 야애니 엄창 육변기 자지털 젖"
+        " 조까 좆같 좆만 짬지 후장".split()
     ),
     "tr": frozenset(
         "amcık amına göt ibne kahpe kaltak orospu otuzbir piç sik"
-        " sikmek sikik taşak yarak yarrak".split()
+        " sikmek sikik taşak yarak yarrak"
+        " amcik ananı ananın avrat çük dalyarak dingil dangalak ebleh"
+        " gerizekalı godoş götlek götveren hıyar kancık kevaşe meme"
+        " pezevenk pezeveng pipi puşt sikerim sikeyim siktir sürtük"
+        " travesti yavşak".split()
     ),
     "sv": frozenset(
         "arsle fitta hora knulla kuk kuksugare mutta pippa runka röv"
-        " rövhål".split()
+        " rövhål"
+        " bajs balle bög dase fan fanskap fjolla fittig hårig jävlar"
+        " kiss kissa knull kuken kukar piss pissa prutt pruttar skit"
+        " skita slampa snopp subba svin tuttar".split()
     ),
     "da": frozenset(
-        "anus fisse hore kneppe kusse luder pik pis røv røvhul sperm".split()
+        "anus fisse hore kneppe kusse luder pik pis røv røvhul sperm"
+        " bøsse fissehår fuck hestepik kusselæber lort lorte narrøv"
+        " patter pikhoved pikslugeri pisse pornofilm skide skider sæd"
+        " tissemand tissekone".split()
     ),
     "ar": frozenset(
         "احتلام اغتصاب بز بزاز حمار خرا خول زب شاذ شرج شرموطة طيز عاهرة"
-        " عرص فرج قحبة كس لبوة لواط مص نيك".split()
+        " عرص فرج قحبة كس لبوة لواط مص نيك"
+        " إباحية بظر بيضان جماع خنثى خنيث دعارة زاني زانية سحاق سحاقية"
+        " سكس شهوة طز عادة سرية عاهر علوق فاحشة قضيب مبادل متناك مهتاج"
+        " مومس نكاح هرمافروديت".split()
     ),
     "hi": frozenset(
         "गांड गांडू चूचे चूत चूतिया झाट टट्टी बहनचोद भोसड़ा भड़वा मादरचोद"
-        " मुठ रंडी लंड लौड़ा हरामखोर हरामजादा हरामी".split()
+        " मुठ रंडी लंड लौड़ा हरामखोर हरामजादा हरामी"
+        " कामुक कुतिया गधा गांडफट चरस चिनाल चुदाई चुदक्कड़ छिनाल झांट"
+        " नंगा पागल बकचोद बलात्कार बुर भोसड़ी मादरजात मुठ्ठी रांड वेश्या"
+        " सुअर हवस हिजड़ा".split()
     ),
     # un-flanked scripts (NO_FLANK_LANGS)
     "ja": frozenset(
@@ -147,16 +232,29 @@ BADWORDS: dict[str, frozenset[str]] = {
         " ストリップ劇場 セックス ソープランド ディルド デリヘル パイズリ"
         " ファック フェラ ポルノ ポルノグラフィー マスターベーション レイプ"
         " 中出し 乱交 売春 性交 手コキ 援交 痴漢 変態 淫乱 素人 露出"
-        " 騎乗位".split()
+        " 騎乗位"
+        " アダルト イラマチオ エッチ オカマ オッパイ オルガスム オーラル"
+        " キンタマ クリトリス クンニ ショタ スカトロ スケベ ナンパ"
+        " ヌード パンチラ フェラチオ ぶっかけ ポルノビデオ ヤリマン ヤリチン"
+        " ロリコン 陰毛 陰核 陰茎 陰部 巨乳 巨根 近親相姦 児童性虐待"
+        " 射精 獣姦 熟女 潮吹き 盗撮 発情 風俗 糞 肛門 売春婦 買春"
+        " 強姦犯 覗き".split()
     ),
     "zh": frozenset(
         "一夜情 三级片 乱伦 做爱 傻屄 勃起 口交 打炮 打飞机 强奸"
         " 性交 手淫 操你 淫 妓女 婊子 射精 屁眼 幼女 肏 肛交 自慰"
-        " 色情 荡妇 阴唇 阴户 阴茎 阴道 鸡巴 鸡奸".split()
+        " 色情 荡妇 阴唇 阴户 阴茎 阴道 鸡巴 鸡奸"
+        " 操逼 操蛋 卖淫 嫖娼 屄 干你娘 强暴 性奴 性虐待 性高潮"
+        " 援交 换妻 淫乱 淫妇 淫水 淫荡 淫秽 潮吹 激情 av女优 兽交"
+        " 轮奸 迷奸 隆乳 龟头 骚货 骚逼 傻逼 他妈的 去你妈 妈的"
+        " 王八蛋 贱人 贱货 下三滥".split()
     ),
     "th": frozenset(
         "ขายตัว ควย จิ๋ม ดอกทอง หนังโป๊ หลั่ง หี อมนกเขา เงี่ยน เซ็กซ์"
-        " เย็ด แตด โป๊ โสเภณี สำเร็จความใคร่".split()
+        " เย็ด แตด โป๊ โสเภณี สำเร็จความใคร่"
+        " กระหรี่ กะหรี่ ขึ้นครู ควยใหญ่ คันหี ช่วยตัวเอง ท่าหมา นมใหญ่"
+        " น้ำแตก มีเพศสัมพันธ์ รูตูด ล่อกัน สวิงกิ้ง สำส่อน หำ หัวนม"
+        " อวัยวะเพศ เกย์ เสียว แก้ผ้า โชว์หี ไข่หำ".split()
     ),
 }
 

