@@ -37,7 +37,13 @@ _SKIP_TAGS = frozenset(
 _SKIP_ATTR_RE = re.compile(
     r"comment|sidebar|related|recommend|share|social|promo|advert|sponsor|"
     r"banner|breadcrumb|crumb|widget|cookie|popup|newsletter|pager|pagination|"
-    r"badge|byline-sharing|menu\b|footer|masthead",
+    r"badge|byline-sharing|menu\b|footer|masthead|"
+    # round-6 adversarial classes: consent/GDPR overlays, infinite-scroll
+    # loaders, paywall/subscription prompts, e-commerce review/cross-sell
+    # modules (trafilatura's discard lists carry the same families)
+    r"consent|gdpr|overlay|paywall|subscribe|infinite-scroll|load-?more|"
+    r"spinner|loading|cross-?sell|upsell|also-?bought|recently-?viewed|"
+    r"reviews?-summary|rating|trending|teaser|modal|app-banner",
     re.IGNORECASE,
 )
 # void elements never receive end tags — keep them off the element stack

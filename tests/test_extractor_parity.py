@@ -1,16 +1,20 @@
 """Extractor parity gap, measured: the native fallback extractor against
-hand-curated gold annotations of 12 checked-in HTML pages (the block policy
+hand-curated gold annotations of 16 checked-in HTML pages (the block policy
 a trafilatura-class extractor applies: main text + headings + code + table
 content, no nav/ads/sidebar/comments/footer — reference default
 pipeline/extractors/trafilatura.py with favor_precision).  Round-5 page
 classes: table-heavy (row-level table extraction), code-heavy (pre blocks),
 RTL Arabic, CJK Japanese + Chinese, and a wiki infobox layout, on top of
-the original article/blog/news/docs/boilerplate/forum set.
+the original article/blog/news/docs/boilerplate/forum set.  Round-6 adds
+four ADVERSARIAL boilerplate classes: a cookie/GDPR consent wall, an
+infinite-scroll feed with loader stubs and app banners, a paywall +
+newsletter-modal teaser page, and an e-commerce product page with review
+summaries and cross-sell modules.
 
 The numbers are explicit: content recall and boilerplate leak are computed
 over every annotated block and asserted against thresholds, so a regression
 in either direction fails loudly.  Current measured values on these pages:
-recall 63/63 = 1.00, boilerplate leak 0/40 = 0.00."""
+recall 79/79 = 1.00, boilerplate leak 0/56 = 0.00."""
 
 from __future__ import annotations
 
