@@ -46,11 +46,13 @@ FEATURE_DIM = 32
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Real decode for PNG/BMP/GIF/JPEG (kernels/media.py + kernels/jpeg.py
-    — GIF incl. full LZW + interlace; JPEG incl. Huffman, IDCT, 4:2:0
-    upsampling, restart markers, and round-6 progressive SOF2 with spectral
-    selection + successive approximation); webp pixels need an image
-    library (PIL/cv2) — swap this function on clusters that have one."""
+    """Real decode for PNG/BMP/GIF/JPEG/WebP-lossless (kernels/media.py +
+    kernels/jpeg.py + kernels/webp_vp8l.py — GIF incl. full LZW +
+    interlace; JPEG incl. Huffman, IDCT, 4:2:0 upsampling, restart
+    markers, and round-6 progressive SOF2; WebP VP8L incl. all four
+    transforms, LZ77, color cache and meta-prefix groups); LOSSY WebP
+    (VP8) pixels need an image library (PIL/cv2) — swap this function on
+    clusters that have one."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         d = decode_png(payload)
     elif payload[:2] == b"BM":
@@ -61,8 +63,13 @@ def _decode_image(payload: bytes) -> list[float]:
         from ..kernels.jpeg import decode_jpeg
 
         d = decode_jpeg(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ..kernels.webp_vp8l import decode_webp
+
+        d = decode_webp(payload)
+        d = {**d, "pixels": d["pixels"][:, :, :3]}  # features are RGB-based
     else:
-        raise UnsupportedMediaError("webp needs an image library")
+        raise UnsupportedMediaError("unrecognized image container")
     return image_features(d["pixels"], FEATURE_DIM)
 
 

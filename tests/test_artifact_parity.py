@@ -375,3 +375,49 @@ def test_verify_artifacts_selftest(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     res = json.loads(out.read_text())
     assert res["ok"] and res["checks_run"] >= 8, res
+
+
+def test_verify_artifacts_models_dir_discovery(tmp_path):
+    """Round-6 `--models DIR` drop-in path: conventional filenames in a
+    directory are auto-discovered and verified (here: the repo's own
+    fixture artifacts staged under the names a real drop would use);
+    an empty dir reports ok with a skip, never a crash."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from verify_artifacts import build_fixture_artifacts
+
+    models = tmp_path / "models"
+    models.mkdir()
+    paths = build_fixture_artifacts(str(tmp_path / "stage"))
+    import shutil
+
+    shutil.copy(paths["fasttext"], models / "lid.176.bin")
+    shutil.copy(paths["arpa"], models / "en.arpa")
+    shutil.copy(paths["sp"], models / "xx.sp.model")
+    shutil.copy(paths["bpe_vocab"], models / "vocab.json")
+    shutil.copy(paths["bpe_merges"], models / "merges.txt")
+    out = tmp_path / "res.json"
+    proc = subprocess.run(
+        [sys.executable, "tools/verify_artifacts.py", "--models", str(models), "--out", str(out)],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads(out.read_text())
+    assert res["ok"] and res["checks_run"] >= 4, res
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    proc = subprocess.run(
+        [sys.executable, "tools/verify_artifacts.py", "--models", str(empty)],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["ok"]

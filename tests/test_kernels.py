@@ -1037,6 +1037,97 @@ class TestJpegCodec:
         feats = _decode_image(blob)
         assert len(feats) == 32 and feats[0] == 32.0
 
+    def test_vp8l_lossless_roundtrip_paths(self):
+        """Round-6: dependency-free WebP-lossless (VP8L) — literal, LZ77
+        row-copy backref, and color-cache coding paths round-trip
+        byte-exactly through the repo's own RIFF/VP8L writer."""
+        import numpy as np
+
+        from datatrove_spark.kernels.webp_vp8l import decode_webp, encode_vp8l
+
+        h, w = 32, 48
+        img = np.zeros((h, w, 4), dtype=np.uint8)
+        img[:, :, 0] = np.tile((np.arange(w) * 7 % 256), (h, 1))
+        img[:, :, 1] = 200
+        img[:, :, 2] = np.tile((np.arange(w) % 4) * 60, (h, 1))
+        img[:, :, 3] = 255
+        sizes = {}
+        for name, kwargs in [
+            ("literal", dict(use_backrefs=False)),
+            ("backref", dict(use_backrefs=True)),
+            ("cache", dict(use_backrefs=True, cache_bits=5)),
+        ]:
+            blob = encode_vp8l(img, **kwargs)
+            d = decode_webp(blob)
+            assert (d["width"], d["height"]) == (w, h)
+            assert np.array_equal(d["pixels"], img), name
+            sizes[name] = len(blob)
+        # the backref path genuinely engaged (identical rows compress ~10x)
+        assert sizes["backref"] < sizes["literal"] / 3
+
+    def test_vp8l_all_transforms_and_meta(self):
+        """Every inverse-transform decode path (subtract-green, predictor,
+        color transform, palette at all bundling widths) plus the
+        meta-prefix two-group path, each from genuine wire bytes."""
+        import numpy as np
+
+        from datatrove_spark.kernels.webp_vp8l import (
+            decode_webp,
+            encode_vp8l_meta_split,
+            encode_vp8l_transformed,
+        )
+
+        rng = np.random.default_rng(11)
+        h, w = 23, 35
+        img = np.zeros((h, w, 4), dtype=np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img[:, :, 0] = (xx * 11 + yy * 3) % 256
+        img[:, :, 1] = (xx * 5) % 256
+        img[:, :, 2] = (yy * 17) % 256
+        img[:, :, 3] = np.where(xx % 7 == 0, 200, 255)
+        for tf in ("subtract_green", "predictor_t", "color_fixed"):
+            d = decode_webp(encode_vp8l_transformed(img, tf))
+            assert np.array_equal(d["pixels"], img), tf
+        for n_colors, shape in [(2, (9, 17)), (4, (11, 10)), (13, (12, 23)), (120, (16, 16))]:
+            pal = np.unique(
+                rng.integers(0, 256, (n_colors, 4), dtype=np.uint8), axis=0
+            )
+            pal[:, 3] = 255
+            img2 = pal[rng.integers(0, len(pal), shape)]
+            d = decode_webp(encode_vp8l_transformed(img2, "palette"))
+            assert np.array_equal(d["pixels"], img2), n_colors
+        img3 = np.zeros((19, 30, 4), dtype=np.uint8)
+        img3[:, :15] = [200, 30, 30, 255]
+        img3[:, 15:] = [20, 40, 220, 255]
+        img3[:, :, 1] = rng.integers(0, 256, (19, 30))
+        d = decode_webp(encode_vp8l_meta_split(img3))
+        assert np.array_equal(d["pixels"], img3)
+
+    def test_vp8l_probe_dispatch_and_lossy_raises(self):
+        """probe_media reads VP8L dims; the multimodal feature UDF decodes
+        lossless WebP; lossy VP8 still raises loudly."""
+        import numpy as np
+        import pytest
+
+        from datatrove_spark.kernels.media import UnsupportedMediaError, probe_media
+        from datatrove_spark.kernels.webp_vp8l import decode_webp, encode_vp8l
+        from datatrove_spark.operators.multimodal import _decode_image
+
+        img = np.full((12, 20, 4), 77, dtype=np.uint8)
+        img[:, :, 3] = 255
+        blob = encode_vp8l(img)
+        p = probe_media(blob)
+        assert (p["width"], p["height"]) == (20, 12)
+        feats = _decode_image(blob)
+        assert len(feats) == 32 and feats[0] == 20.0
+        # minimal lossy container: VP8 chunk → declared unsupported
+        import struct
+
+        vp8 = b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        lossy = b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
+        with pytest.raises(UnsupportedMediaError):
+            decode_webp(lossy)
+
     def test_arithmetic_coding_still_raises(self):
         """UnsupportedMediaError is now reserved for genuinely unsupported
         JPEG codings: arithmetic (SOF9/10) and hierarchical/lossless."""
