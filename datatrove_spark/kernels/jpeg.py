@@ -387,35 +387,49 @@ def _decode_progressive_sos(
                 pred = {c["id"]: 0 for c in scan}
             state["eobrun"] = 0
         unit_count += 1
-        if is_dc:
-            for c in scan:
-                spans = (
-                    [(by, bx) for by in range(c["v"]) for bx in range(c["h"])]
-                    if kind == "mcu"
-                    else [(0, 0)]
-                )
-                for by, bx in spans:
-                    if kind == "mcu":
-                        y, x = uy * c["v"] + by, ux * c["h"] + bx
-                    else:
-                        y, x = uy, ux
-                    blk = coefs[c["id"]][y, x]
-                    if ah == 0:  # first DC scan: diff-coded, point-transformed
-                        t = reader.decode_huff(huff[(0, c["dc"])])
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]] << al
-                    else:  # refinement: one raw bit per block
-                        if reader.read_bit():
-                            blk[0] |= 1 << al
-        else:
-            c = scan[0]
-            blk = coefs[c["id"]][uy, ux]
-            if ah == 0:
-                _ac_first_block(reader, blk, ss, se, al, huff[(1, c["ac"])], state)
-            else:
-                _ac_refine_block(reader, blk, ss, se, al, huff[(1, c["ac"])], state)
+        try:
+            _decode_progressive_unit(
+                reader, frame, scan, is_dc, kind, uy, ux, ah, al, ss, se,
+                huff, coefs, pred if is_dc else None, state,
+            )
+        except _RestartMarker:
+            # same contract as the baseline path: a restart marker at an
+            # unexpected position is a ValueError, never the internal type
+            raise ValueError("unexpected JPEG restart marker") from None
     return _next_marker_pos(payload, reader.pos)
+
+
+def _decode_progressive_unit(
+    reader, frame, scan, is_dc, kind, uy, ux, ah, al, ss, se, huff, coefs, pred, state
+) -> None:
+    if is_dc:
+        for c in scan:
+            spans = (
+                [(by, bx) for by in range(c["v"]) for bx in range(c["h"])]
+                if kind == "mcu"
+                else [(0, 0)]
+            )
+            for by, bx in spans:
+                if kind == "mcu":
+                    y, x = uy * c["v"] + by, ux * c["h"] + bx
+                else:
+                    y, x = uy, ux
+                blk = coefs[c["id"]][y, x]
+                if ah == 0:  # first DC scan: diff-coded, point-transformed
+                    t = reader.decode_huff(huff[(0, c["dc"])])
+                    diff = _extend(reader.read_bits(t), t) if t else 0
+                    pred[c["id"]] += diff
+                    blk[0] = pred[c["id"]] << al
+                else:  # refinement: one raw bit per block
+                    if reader.read_bit():
+                        blk[0] |= 1 << al
+    else:
+        c = scan[0]
+        blk = coefs[c["id"]][uy, ux]
+        if ah == 0:
+            _ac_first_block(reader, blk, ss, se, al, huff[(1, c["ac"])], state)
+        else:
+            _ac_refine_block(reader, blk, ss, se, al, huff[(1, c["ac"])], state)
 
 
 def _ac_first_block(reader, blk, ss, se, al, ac_table, state) -> None:

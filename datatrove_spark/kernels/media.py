@@ -288,9 +288,11 @@ def probe_media(payload: bytes) -> dict:
                 # version/flags alone pass for ~1/2^13 of random offsets —
                 # the structural bound rejects those imposters.
                 def _ogg_page_ok(pos: int) -> bool:
-                    if not (payload[pos + 4] == 0 and payload[pos + 5] <= 0x07):
-                        return False
+                    # bounds FIRST: a truncated trailing 'OggS' fragment
+                    # must test False, not IndexError the whole probe
                     if pos + 27 > len(payload):
+                        return False
+                    if not (payload[pos + 4] == 0 and payload[pos + 5] <= 0x07):
                         return False
                     n_seg = payload[pos + 26]
                     seg_end = pos + 27 + n_seg

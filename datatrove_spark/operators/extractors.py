@@ -40,12 +40,19 @@ _SKIP_ATTR_RE = re.compile(
     r"badge|byline-sharing|menu\b|footer|masthead|"
     # round-6 adversarial classes: consent/GDPR overlays, infinite-scroll
     # loaders, paywall/subscription prompts, e-commerce review/cross-sell
-    # modules (trafilatura's discard lists carry the same families)
-    r"consent|gdpr|overlay|paywall|subscribe|infinite-scroll|load-?more|"
-    r"spinner|loading|cross-?sell|upsell|also-?bought|recently-?viewed|"
-    r"reviews?-summary|rating|trending|teaser|modal|app-banner",
+    # modules (trafilatura's discard lists carry the same families).
+    # Short/ambiguous tokens are BOUNDARY-ANCHORED so they match class
+    # tokens, not arbitrary substrings ('preloading', 'migrating'):
+    r"consent|gdpr|paywall|subscribe|infinite-scroll|load-?more|"
+    r"spinner|cross-?sell|upsell|also-?bought|recently-?viewed|"
+    r"reviews?-summary|app-banner|"
+    r"(?<![a-z0-9])(?:overlay|loading|rating|trending|teaser|modal)(?![a-z0-9])",
     re.IGNORECASE,
 )
+# class/id hints NEVER discard document-structural containers: a page
+# snapshotted mid-popup carries e.g. <body class="modal-open">, and killing
+# the whole body would blank the document (review finding, round 6)
+_NO_ATTR_SKIP_TAGS = frozenset({"html", "body", "main", "article"})
 # void elements never receive end tags — keep them off the element stack
 _VOID_TAGS = frozenset(
     "br img input meta link hr area base col embed source track wbr".split()
@@ -97,7 +104,11 @@ class _BlockParser(HTMLParser):
             return
         if tag not in _VOID_TAGS:
             hint = " ".join(v for k, v in attrs if k in ("class", "id") and v)
-            attr_skip = bool(hint and _SKIP_ATTR_RE.search(hint))
+            attr_skip = bool(
+                tag not in _NO_ATTR_SKIP_TAGS
+                and hint
+                and _SKIP_ATTR_RE.search(hint)
+            )
             self._stack.append((tag, attr_skip, False))
             if attr_skip:
                 self._flush()

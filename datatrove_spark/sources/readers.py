@@ -115,16 +115,24 @@ def _is_zst_source(path: str, spark: SparkSession | None = None) -> bool:
     if "://" in path and spark is not None:
         try:
             jvm = spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            if fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory():
-                for st in fs.listStatus(jpath):
-                    fname = st.getPath().getName()
-                    if fname.endswith((".zst", ".zstd")):
-                        return True
-        except Exception:  # noqa: BLE001 — listing failure falls through to
-            # spark.read.json, which raises its own (path-specific) error
-            pass
+            jsc = spark._jsc
+        except AttributeError:
+            # no JVM gateway (e.g. Spark Connect): can't list remotely —
+            # fall through to the suffix-only decision
+            return False
+        # deliberately NO blanket except: a transient storage error here
+        # (S3 throttle, credential blip) must propagate — swallowing it
+        # would route a .zst directory to spark.read.json, where PERMISSIVE
+        # mode silently turns compressed bytes into null rows (the exact
+        # failure this listing exists to prevent).  Missing paths don't
+        # raise: fs.exists() returns False.
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory():
+            for st in fs.listStatus(jpath):
+                fname = st.getPath().getName()
+                if fname.endswith((".zst", ".zstd")):
+                    return True
     return False
 
 

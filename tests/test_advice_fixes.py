@@ -240,3 +240,205 @@ def test_charsmap_corrupt_blob_raises_cleanly():
         cm.longest_match(b"A", 0)
     with pytest.raises(ValueError, match="empty trie"):
         PrecompiledCharsMap(struct.pack("<I", 0))
+
+
+# --- round-6 self-review fixes ---------------------------------------------
+
+
+def test_vp8l_short_distance_codes_work_and_guard():
+    """Short-distance LZ77 codes inside the verified prefix decode to the
+    right offsets (hand-built stream: row copied via (dx=0,dy=1) = code 1);
+    codes beyond the verified prefix raise UnsupportedMediaError instead of
+    silently copying from a possibly-wrong offset; set_distance_map lifts
+    the restriction."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from datatrove_spark.kernels import webp_vp8l as V
+    from datatrove_spark.kernels.media import UnsupportedMediaError
+
+    w, h = 4, 2
+
+    def build(dist_sym: int) -> bytes:
+        # green alphabet: literals 1,2,3,4 + length symbol 256+3 (length 4)
+        fg = [0] * 280
+        for s in (1, 2, 3, 4):
+            fg[s] = 1
+        fg[256 + 3] = 1
+        fr = [0] * 256
+        fr[9] = 1
+        fb = [0] * 256
+        fb[7] = 1
+        fa = [0] * 256
+        fa[255] = 1
+        fd = [0] * 40
+        fd[dist_sym] = 1
+        bw = V._LsbBitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta
+        cg = V._write_prefix_code(bw, V._huffman_lengths(fg, 15))
+        cr = V._write_prefix_code(bw, V._huffman_lengths(fr, 15))
+        cb = V._write_prefix_code(bw, V._huffman_lengths(fb, 15))
+        ca = V._write_prefix_code(bw, V._huffman_lengths(fa, 15))
+        cd = V._write_prefix_code(bw, V._huffman_lengths(fd, 15))
+        for g in (1, 2, 3, 4):  # first row literals
+            c, ln = cg[g]
+            bw.write_code(c, ln)
+            for tab, sym in ((cr, 9), (cb, 7), (ca, 255)):
+                c, ln = tab[sym]
+                bw.write_code(c, ln)
+        c, ln = cg[256 + 3]  # length 4 (code 3 = value 4, no extra bits)
+        bw.write_code(c, ln)
+        c, ln = cd[dist_sym]  # distance symbol (single-sym tree: 0 bits)
+        bw.write_code(c, ln)
+        # pad: a >3 distance symbol reads extra bits past the written data
+        payload = bw.flush() + b"\x00\x00"
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    # dist symbol 0 → plane code 1 → map entry (0,1) → dist = w (row copy)
+    d = V.decode_webp(build(0))
+    assert np.array_equal(d["pixels"][0], d["pixels"][1])
+    assert list(d["pixels"][0, 2]) == [9, 3, 7, 255]
+
+    # plane code beyond the verified prefix → loud, not wrong
+    code_40 = 12  # _prefix_value(12) = 65..96, all past the verified 32
+    with pytest.raises(UnsupportedMediaError, match="short-distance"):
+        V.decode_webp(build(code_40))
+
+    # a full externally-supplied table lifts the guard (the decode then
+    # proceeds to the normal range validation — on this 4x2 image the
+    # supplied offset points before the start, a ValueError, NOT the
+    # UnsupportedMediaError prefix guard)
+    old_map, old_n = V._DIST_MAP, V._VERIFIED_DIST_CODES
+    try:
+        V.set_distance_map(list(old_map))
+        with pytest.raises(ValueError, match="backward reference"):
+            V.decode_webp(build(code_40))
+    finally:
+        V._DIST_MAP, V._VERIFIED_DIST_CODES = old_map, old_n
+    with pytest.raises(ValueError):
+        V.set_distance_map([(0, 1)] * 119)
+
+
+def test_extractor_structural_wrappers_not_discarded():
+    """Review finding: class hints must never blank a structural container
+    (body snapshotted mid-popup with class='modal-open'), and ambiguous
+    short tokens must not substring-match ('preloading', 'migrating')."""
+    from datatrove_spark.operators.extractors import basic_html_to_text
+
+    body_modal = """
+    <html><body class="modal-open"><article><h1>Title</h1>
+    <p>Real article content that is long enough to be kept as the main
+    body text by the classifier in every configuration here.</p>
+    </article></body></html>"""
+    assert "Real article content" in basic_html_to_text(body_modal)
+
+    preloading = """
+    <html><body class="preloading"><p>Content inside a body whose class
+    merely contains the loading substring must survive extraction.</p>
+    </body></html>"""
+    assert "must survive extraction" in basic_html_to_text(preloading)
+
+    migrating = """
+    <html><body><div class="migrating-guide"><p>Database migration notes
+    long enough to be treated as genuine content by the extractor.</p>
+    </div></body></html>"""
+    assert "Database migration notes" in basic_html_to_text(migrating)
+
+    # the genuine boilerplate classes still drop
+    modal_div = """
+    <html><body><p>Real body text that is long enough to be kept by the
+    block classifier without any doubt at all in this test.</p>
+    <div class="newsletter-modal"><p>Sign up for this newsletter today and
+    never miss another update from our editorial team again.</p></div>
+    </body></html>"""
+    out = basic_html_to_text(modal_div)
+    assert "Real body text" in out and "never miss another update" not in out
+
+
+def test_ogg_probe_truncated_trailing_fragment():
+    """Review finding: a truncated trailing 'OggS' fragment must not abort
+    the probe — the backward scan steps over it to the last valid page."""
+    import struct
+
+    from datatrove_spark.kernels.media import probe_media
+
+    def page(granule, body=b"", n_seg=None, segs=None):
+        if segs is None:
+            segs = [len(body)] if body else []
+        head = b"OggS" + bytes([0, 4 if granule else 2])
+        head += struct.pack("<q", granule) + b"\x00" * 12
+        head += bytes([len(segs)]) + bytes(segs)
+        return head + body
+
+    ident = b"\x01vorbis" + b"\x00" * 4 + b"\x01" + struct.pack("<I", 48000) + b"\x00" * 16
+    first = b"OggS" + bytes([0, 2]) + struct.pack("<q", 0) + b"\x00" * 12
+    first += bytes([1, len(ident)]) + ident
+    last = page(96000, b"\x11" * 10)
+    blob = first + last + b"garbageOggS"  # truncated trailing fragment
+    got = probe_media(blob)
+    assert got["duration_ms"] == 2000, got
+
+
+def test_progressive_jpeg_corrupt_restart_is_valueerror():
+    """Review finding: the internal _RestartMarker exception must never
+    escape decode_jpeg on the progressive path."""
+    import numpy as np
+    import pytest
+
+    from datatrove_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    from datatrove_spark.kernels.media import UnsupportedMediaError
+
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img, progressive=True))
+    # inject a bare RST0 marker into the middle of the entropy data
+    sos = blob.rfind(b"\xff\xda")
+    inject_at = sos + 30
+    corrupted = bytes(blob[:inject_at]) + b"\xff\xd0" + bytes(blob[inject_at:])
+    try:
+        decode_jpeg(corrupted)  # may survive (bits resync) — that's fine
+    except (ValueError, UnsupportedMediaError):
+        pass  # the documented exception contract
+    # the internal type escaping would fail this test loudly
+
+
+def test_verify_artifacts_models_kenlm_bin_not_misassigned(tmp_path):
+    """Review finding: a kenlm.bin next to en.arpa must not be fed to the
+    fastText parser by --models auto-discovery."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "kenlm.bin").write_bytes(b"\x00mmap lm binary")
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from verify_artifacts import build_fixture_artifacts
+
+    paths = build_fixture_artifacts(str(tmp_path / "stage"))
+    import shutil
+
+    shutil.copy(paths["arpa"], models / "en.arpa")
+    proc = subprocess.run(
+        [sys.executable, "tools/verify_artifacts.py", "--models", str(models)],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["ok"], res  # kenlm.bin was NOT treated as a fastText model

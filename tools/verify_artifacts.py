@@ -418,9 +418,26 @@ def main(argv: list[str] | None = None) -> int:
                     return hits[0]
             return None
 
-        args.fasttext = args.fasttext or _first("*.ftz", "*.bin")
+        # conventional names FIRST; a bare generic extension is trusted only
+        # when it cannot be another artifact kind (review finding: a
+        # kenlm.bin next to en.arpa must not be fed to the fastText parser)
+        args.fasttext = args.fasttext or _first(
+            "lid*.ftz", "lid*.bin", "*fasttext*.bin", "*.ftz"
+        )
+        if not args.fasttext:
+            generic_bins = sorted(_glob.glob(os.path.join(args.models, "*.bin")))
+            non_ft = [b for b in generic_bins if any(
+                k in os.path.basename(b).lower() for k in ("kenlm", "arpa", "lm", "ngram")
+            )]
+            candidates = [b for b in generic_bins if b not in non_ft]
+            if len(candidates) == 1:
+                args.fasttext = candidates[0]
         args.arpa = args.arpa or _first("*.arpa", "*.arpa.txt")
-        args.sp = args.sp or _first("*.model", "*.sp.model")
+        args.sp = args.sp or _first("*.sp.model", "*sentencepiece*.model", "*.spm")
+        if not args.sp:
+            generic_models = sorted(_glob.glob(os.path.join(args.models, "*.model")))
+            if len(generic_models) == 1:
+                args.sp = generic_models[0]
         vocab, merges = _first("vocab.json", "*vocab.json"), _first(
             "merges.txt", "*merges.txt"
         )
