@@ -80,11 +80,27 @@ _SEED_TEXT = {
 
 def _char_ngrams(text: str, n_lo: int = 1, n_hi: int = 3) -> Counter:
     text = " " + text.lower().replace("\n", " ") + " "
+    L = len(text)
     # Counter.update(iterable) counts at C speed — much faster than a Python
     # per-item loop (this feeds the pipeline's hottest kernel)
     counts: Counter = Counter(text if n_lo == 1 else ())
-    for n in range(max(n_lo, 2), n_hi + 1):
-        counts.update([text[i : i + n] for i in range(len(text) - n + 1)])
+    if n_lo <= 2 and n_hi == 3 and L >= 3:
+        # fast path for the default (1,3) window: count 3-grams once, then
+        # derive the 2-gram counts EXACTLY from their prefixes (positions
+        # 0..L-3 are 3-gram prefixes; position L-2 is the one leftover) —
+        # one slicing pass per DISTINCT 3-gram instead of per position
+        c3 = Counter([text[i : i + 3] for i in range(L - 2)])
+        c2: dict[str, int] = {}
+        for g, c in c3.items():
+            k = g[:2]
+            c2[k] = c2.get(k, 0) + c
+        last2 = text[L - 2 :]
+        c2[last2] = c2.get(last2, 0) + 1
+        counts.update(c2)
+        counts.update(c3)
+    else:
+        for n in range(max(n_lo, 2), n_hi + 1):
+            counts.update([text[i : i + n] for i in range(len(text) - n + 1)])
     return counts
 
 

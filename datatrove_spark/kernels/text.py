@@ -20,6 +20,7 @@ Parity notes
 
 from __future__ import annotations
 
+import functools as _functools
 import re
 import unicodedata
 from dataclasses import dataclass
@@ -87,8 +88,12 @@ def tokenize_words(text: str) -> list[str]:
     return out
 
 
+@_functools.lru_cache(maxsize=1 << 16)
 def is_symbol_token(tok: str) -> bool:
-    """True when every char of the token is punctuation (non-word token)."""
+    """True when every char of the token is punctuation (non-word token).
+    LRU-cached: word tokens are Zipf-distributed, so the per-char scan runs
+    once per distinct token instead of ~750k times per 4k-doc batch
+    (profiled hot in the fused pipeline's gopher stage)."""
     return all(ch in PUNCTUATION_SET for ch in tok)
 
 
