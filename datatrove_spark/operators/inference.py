@@ -1,0 +1,237 @@
+"""LLM-inference runner over document DataFrames — the Spark-first analogue
+of the reference's InferenceRunner (pipeline/inference/run_inference.py:125:
+pull documents, hand each to a rollout function, issue generation requests
+against an OpenAI-style server, collect results + usage metrics, checkpoint
+completed chunks).
+
+Architecture mapping (reference → Spark):
+
+* the asyncio request loop per rank     → a bounded thread pool PER
+  PARTITION inside one ``mapInPandas`` pass (requests are IO-bound, so
+  threads give the same overlap without an event loop in the UDF);
+* server lifecycle management (spawning vLLM/SGLang locally) is NOT
+  reproduced — on a cluster the model servers are a separately-managed
+  pool and Spark only sees an endpoint URL (``server_type="endpoint"``).
+  ``server_type="dummy"`` is the reference's DummyServer made local and
+  deterministic (same fixed completion text, same usage accounting:
+  prompt_tokens = len(payload)//4, completion_tokens = 100) so the full
+  operator runs in tests with zero network;
+* CheckpointManager chunk resume        → compose with
+  ``lineage.run_checkpointed``: each bucket-batch commits its inference
+  results exactly once, and a resumed run skips committed buckets;
+* MetricsKeeper                         → per-doc usage columns (token
+  counts, latency, attempts) aggregate with plain ``groupBy`` afterwards.
+
+Failure semantics: per-document retries with exponential backoff; a
+document that still fails carries ``error`` in its result rows and the
+job CONTINUES (``strict=True`` re-raises instead) — at 10^9 docs a 0.001%
+server-error rate must not kill a 6-hour stage.
+
+100-TB notes: the bottleneck is the GPU serving pool, not Spark — size
+``max_concurrent_generations`` (per partition) × partitions to the pool's
+aggregate batch capacity, and feed with ``repartition(n)`` so every
+executor holds an open request window.  Rollouts fan out inside the
+partition (``rollouts_per_document``), never as a join.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .base import ensure_channel
+
+# one result row per rollout
+RESULT_SCHEMA = (
+    "array<struct<text:string,finish_reason:string,prompt_tokens:int,"
+    "completion_tokens:int,latency_ms:int,attempts:int,error:string>>"
+)
+
+_DUMMY_TEXT = (
+    "This is dummy text content for debugging purposes. "
+    "Page contains sample text to simulate OCR output."
+)
+
+
+@dataclass
+class InferenceConfig:
+    """Reference InferenceConfig's surface, reduced to what a Spark stage
+    controls (run_inference.py:44-120; server spawn/readiness knobs belong
+    to the serving pool, not the query engine)."""
+
+    server_type: str = "dummy"  # dummy | endpoint | callable
+    endpoint_url: str | None = None
+    api_key: str | None = None
+    model_name_or_path: str = "dummy-model"
+    use_chat: bool = True
+    default_generation_params: dict = field(default_factory=dict)
+    rollouts_per_document: int = 1
+    max_concurrent_generations: int = 8  # per partition
+    request_timeout: float | None = 30.0
+    max_retries: int = 2
+    retry_backoff_sec: float = 0.2
+    strict: bool = False
+    # callable backend: (prompt, params) -> dict with keys text/finish_reason/
+    # prompt_tokens/completion_tokens — for in-process custom models
+    infer_fn: Callable[[str, dict], dict] | None = None
+
+    def __post_init__(self) -> None:
+        if self.server_type not in ("dummy", "endpoint", "callable"):
+            raise ValueError(f"unknown server_type {self.server_type!r}")
+        if self.server_type == "endpoint" and not self.endpoint_url:
+            raise ValueError("endpoint server_type needs endpoint_url")
+        if self.server_type == "callable" and self.infer_fn is None:
+            raise ValueError("callable server_type needs infer_fn")
+        if self.rollouts_per_document < 1:
+            raise ValueError("rollouts_per_document must be >= 1")
+
+
+def _dummy_infer(prompt: str, params: dict) -> dict:
+    """The reference DummyServer's response, computed locally
+    (servers/dummy_server.py:17-47): fixed completion text, usage derived
+    from the payload size."""
+    payload = {"messages": [{"role": "user", "content": prompt}], **params}
+    return {
+        "text": _DUMMY_TEXT,
+        "finish_reason": "stop",
+        "prompt_tokens": len(str(payload)) // 4,
+        "completion_tokens": 100,
+    }
+
+
+def _endpoint_infer(prompt: str, params: dict, cfg: InferenceConfig) -> dict:
+    """One OpenAI-style request (chat or completion endpoint per
+    ``use_chat`` — run_inference.py use_chat flag) via stdlib urllib."""
+    import urllib.request
+
+    if cfg.use_chat:
+        path = "/v1/chat/completions"
+        body: dict = {
+            "model": cfg.model_name_or_path,
+            "messages": [{"role": "user", "content": prompt}],
+            **params,
+        }
+    else:
+        path = "/v1/completions"
+        body = {"model": cfg.model_name_or_path, "prompt": prompt, **params}
+    url = cfg.endpoint_url.rstrip("/")
+    if not url.endswith(("/v1/chat/completions", "/v1/completions")):
+        url += path
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={
+            "Content-Type": "application/json",
+            **({"Authorization": f"Bearer {cfg.api_key}"} if cfg.api_key else {}),
+        },
+    )
+    with urllib.request.urlopen(req, timeout=cfg.request_timeout) as resp:
+        data = json.loads(resp.read().decode())
+    choice = data["choices"][0]
+    text = (
+        choice["message"]["content"] if "message" in choice else choice.get("text", "")
+    )
+    usage = data.get("usage", {})
+    return {
+        "text": text,
+        "finish_reason": choice.get("finish_reason"),
+        "prompt_tokens": usage.get("prompt_tokens"),
+        "completion_tokens": usage.get("completion_tokens"),
+    }
+
+
+def _one_rollout(prompt: str, cfg: InferenceConfig) -> dict:
+    params = dict(cfg.default_generation_params)
+    t0 = time.time()
+    last_err = None
+    for attempt in range(cfg.max_retries + 1):
+        try:
+            if cfg.server_type == "dummy":
+                out = _dummy_infer(prompt, params)
+            elif cfg.server_type == "callable":
+                out = cfg.infer_fn(prompt, params)
+            else:
+                out = _endpoint_infer(prompt, params, cfg)
+            return {
+                "text": out.get("text"),
+                "finish_reason": out.get("finish_reason"),
+                "prompt_tokens": out.get("prompt_tokens"),
+                "completion_tokens": out.get("completion_tokens"),
+                "latency_ms": int((time.time() - t0) * 1000),
+                "attempts": attempt + 1,
+                "error": None,
+            }
+        except Exception as e:  # noqa: BLE001 — per-doc failure is data, not crash
+            last_err = f"{type(e).__name__}: {e}"
+            if attempt < cfg.max_retries:
+                time.sleep(cfg.retry_backoff_sec * (2**attempt))
+    if cfg.strict:
+        raise RuntimeError(f"inference failed after {cfg.max_retries + 1} attempts: {last_err}")
+    return {
+        "text": None,
+        "finish_reason": None,
+        "prompt_tokens": None,
+        "completion_tokens": None,
+        "latency_ms": int((time.time() - t0) * 1000),
+        "attempts": cfg.max_retries + 1,
+        "error": last_err,
+    }
+
+
+def run_inference(
+    df: DataFrame,
+    cfg: InferenceConfig | None = None,
+    build_prompt: Callable[[str], str] | None = None,
+    text_col: str = "text",
+    out_col: str = "inference_results",
+) -> DataFrame:
+    """Append ``out_col``: one result struct per rollout for every KEPT
+    document (dropped rows pass through with null results — the same
+    channel discipline as every other operator).
+
+    ``build_prompt`` is the reference's rollout function reduced to its
+    query-building half (the post-processing half is ordinary DataFrame
+    code over the result column)."""
+    cfg = cfg or InferenceConfig()
+    df = ensure_channel(df)
+    prompt_of = build_prompt or (lambda t: t)
+    in_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"`{n}` {t}" for n, t in in_fields] + [f"`{out_col}` {RESULT_SCHEMA}"]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.max_concurrent_generations) as pool:
+            for pdf in batches:
+                texts = pdf[text_col].fillna("")
+                alive = pdf["keep"].fillna(False).astype(bool)
+
+                def doc_rollouts(args):
+                    text, is_alive = args
+                    if not is_alive:
+                        return None
+                    prompt = prompt_of(text)
+                    return [
+                        _one_rollout(prompt, cfg)
+                        for _ in range(cfg.rollouts_per_document)
+                    ]
+
+                # documents fan out across the pool; rollouts run inline per
+                # doc (reference: max_concurrent_documents derived the same
+                # way, run_inference.py:118-120)
+                results = list(pool.map(doc_rollouts, zip(texts, alive)))
+                pdf = pdf.copy()
+                pdf[out_col] = results
+                yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+__all__ = ["InferenceConfig", "run_inference", "RESULT_SCHEMA"]

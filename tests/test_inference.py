@@ -1,0 +1,163 @@
+"""InferenceRunner analogue (operators/inference.py) — reference surface:
+pipeline/inference/run_inference.py (InferenceRunner + InferenceConfig) and
+servers/dummy_server.py (fixed completion + payload-derived usage)."""
+
+import pytest
+from pyspark.sql import Row
+
+from datatrove_spark.operators.inference import (
+    InferenceConfig,
+    _DUMMY_TEXT,
+    run_inference,
+)
+
+
+def _docs(spark, n=6):
+    rows = [
+        Row(
+            id=f"d{i}",
+            text=f"document number {i} with some content",
+            keep=(i % 3 != 0),
+            drop_reason=None if i % 3 != 0 else "gopher_quality",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows).repartition(2)
+
+
+def test_dummy_backend_matches_reference_accounting(spark):
+    """DummyServer parity (servers/dummy_server.py:17-47): fixed completion
+    text, prompt_tokens = len(str(payload)) // 4, completion_tokens = 100."""
+    out = run_inference(_docs(spark), InferenceConfig(server_type="dummy"))
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 6
+    kept = rows["d1"]
+    assert len(kept.inference_results) == 1
+    res = kept.inference_results[0]
+    assert res.text == _DUMMY_TEXT
+    assert res.finish_reason == "stop"
+    assert res.completion_tokens == 100
+    expected_payload = str({"messages": [{"role": "user", "content": kept.text}]})
+    assert res.prompt_tokens == len(expected_payload) // 4
+    assert res.error is None and res.attempts == 1
+    # dropped docs pass through with null results (channel discipline)
+    assert rows["d0"].inference_results is None
+    assert rows["d0"].drop_reason == "gopher_quality"
+
+
+def test_rollouts_and_prompt_builder(spark):
+    """rollouts_per_document fans out per doc; build_prompt is the
+    query-building half of the reference's rollout fn."""
+    cfg = InferenceConfig(
+        server_type="callable",
+        rollouts_per_document=3,
+        infer_fn=lambda prompt, params: {
+            "text": prompt.upper(),
+            "finish_reason": "stop",
+            "prompt_tokens": len(prompt),
+            "completion_tokens": 1,
+        },
+    )
+    out = run_inference(
+        _docs(spark), cfg, build_prompt=lambda t: f"summarize: {t[:10]}"
+    )
+    kept = {r.id: r for r in out.collect()}["d2"]
+    assert len(kept.inference_results) == 3
+    assert kept.inference_results[0].text == "SUMMARIZE: DOCUMENT N"
+    assert all(r.text == kept.inference_results[0].text for r in kept.inference_results)
+
+
+def test_failures_are_data_not_crashes(spark):
+    """A doc that keeps failing carries error + attempts and the job
+    continues (run_inference.py metric accounting, not stage failure)."""
+
+    def boom(prompt, params):
+        raise ValueError("server melted")
+
+    cfg = InferenceConfig(
+        server_type="callable", infer_fn=boom, max_retries=2, retry_backoff_sec=0.0
+    )
+    out = run_inference(_docs(spark), cfg).collect()
+    failed = [r for r in out if r.keep]
+    assert failed
+    for r in failed:
+        res = r.inference_results[0]
+        assert res.text is None
+        assert res.attempts == 3
+        assert "ValueError: server melted" in res.error
+
+
+def test_strict_mode_raises(spark):
+    def boom(prompt, params):
+        raise ValueError("down")
+
+    cfg = InferenceConfig(
+        server_type="callable",
+        infer_fn=boom,
+        max_retries=0,
+        retry_backoff_sec=0.0,
+        strict=True,
+    )
+    with pytest.raises(Exception, match="inference failed"):
+        run_inference(_docs(spark), cfg).collect()
+
+
+def test_retry_then_success(spark):
+    """Transient failure is retried with backoff; attempts records it."""
+
+    class Flaky:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, prompt, params):
+            self.calls += 1
+            if self.calls % 2 == 1:
+                raise ConnectionError("transient")
+            return {
+                "text": "ok",
+                "finish_reason": "stop",
+                "prompt_tokens": 1,
+                "completion_tokens": 1,
+            }
+
+    cfg = InferenceConfig(
+        server_type="callable", infer_fn=Flaky(), max_retries=3, retry_backoff_sec=0.0
+    )
+    out = run_inference(_docs(spark).coalesce(1), cfg).collect()
+    for r in out:
+        if r.keep:
+            res = r.inference_results[0]
+            assert res.text == "ok" and res.error is None
+            assert res.attempts >= 1
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="unknown server_type"):
+        InferenceConfig(server_type="vllm")
+    with pytest.raises(ValueError, match="needs endpoint_url"):
+        InferenceConfig(server_type="endpoint")
+    with pytest.raises(ValueError, match="needs infer_fn"):
+        InferenceConfig(server_type="callable")
+    with pytest.raises(ValueError, match="rollouts_per_document"):
+        InferenceConfig(rollouts_per_document=0)
+
+
+def test_usage_metrics_aggregate_as_dataframe_ops(spark):
+    """MetricsKeeper analogue: usage aggregates with plain groupBy over the
+    exploded result column."""
+    from pyspark.sql import functions as F
+
+    out = run_inference(_docs(spark), InferenceConfig())
+    agg = (
+        out.where("keep")
+        .select(F.explode("inference_results").alias("r"))
+        .agg(
+            F.sum("r.prompt_tokens").alias("prompt_tokens"),
+            F.sum("r.completion_tokens").alias("completion_tokens"),
+            F.count("*").alias("requests"),
+        )
+        .collect()[0]
+    )
+    assert agg.requests == 4
+    assert agg.completion_tokens == 400
+    assert agg.prompt_tokens > 0
