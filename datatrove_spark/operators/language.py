@@ -114,10 +114,30 @@ def language_filter(
     return apply_native_filter(df, cond, "language_id")
 
 
-def annotate_stopword_language(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """SQL-reproducible stopword-ratio LID (kernels.lid.stopword_lid) done
-    natively in Catalyst: per-language stopword hit ratio over whitespace
-    tokens, argmax with alphabetical tie-break.  Zero Python."""
+def annotate_stopword_language(
+    df: DataFrame, text_col: str = "text", backend: str = "arrow"
+) -> DataFrame:
+    """Stopword-ratio LID (kernels.lid.stopword_lid): per-language stopword
+    hit ratio over whitespace tokens, argmax with alphabetical tie-break.
+
+    Two result-identical backends (equality pinned by
+    test_stopword_backends_agree):
+
+    * ``arrow`` (default) — one vectorized pandas UDF doing a single
+      dict-lookup pass per token (word → language bitmask, duplicate
+      occurrences counted via Counter).  O(tokens) per row.
+    * ``native`` — pure Catalyst expressions, zero Python, for contexts
+      that need a UDF-free plan.  O(tokens × stopwords × languages)
+      interpreted (higher-order functions don't codegen), ~10x slower on
+      prose-sized rows; kept because the plan is fully pushdown/
+      pruning-transparent.
+
+    Both are narrow (no exchange): the scale-out story is pure map-side.
+    """
+    if backend == "arrow":
+        return _stopword_language_arrow(df, text_col)
+    if backend != "native":
+        raise ValueError(f"unknown backend {backend!r} (arrow|native)")
     # split materialized ONCE in its own projection: the per-language filter
     # expressions below are interpreted (no codegen for higher-order funcs),
     # and an inline split expression would be re-evaluated per language
@@ -146,6 +166,74 @@ def annotate_stopword_language(df: DataFrame, text_col: str = "text") -> DataFra
         df.withColumn("sw_language", best["lang"])
         .withColumn("sw_language_score", F.round(best["score"], 6))
         .drop("_sw_words")
+    )
+
+
+# language order + word→language-bitmask table for the arrow backend,
+# built once at import (the closure ships ~2 KB to executors)
+_SW_LANGS: list[str] = sorted(STOPWORD_SETS)
+_SW_MASK: dict[str, int] = {}
+for _i, _lang in enumerate(_SW_LANGS):
+    for _w in STOPWORD_SETS[_lang]:
+        _SW_MASK[_w] = _SW_MASK.get(_w, 0) | (1 << _i)
+
+_SW_RESULT = StructType(
+    [
+        StructField("lang", StringType(), True),
+        StructField("score", DoubleType(), True),
+    ]
+)
+
+
+def _stopword_language_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow backend: tokenization matches ``split(lower(text), ' ')``
+    exactly (single-space regex, empty tokens kept, so the denominator is
+    identical to the native path's ``greatest(size(words), 1)``)."""
+    langs, mask = _SW_LANGS, _SW_MASK
+    n_langs = len(langs)
+
+    @F.pandas_udf(_SW_RESULT)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        out_lang, out_score = [], []
+        for t in texts:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                # native-path parity: split(lower(NULL)) propagates NULL
+                # scores, and the all-NULL struct max falls back to rank —
+                # alphabetically-first language, NULL score
+                out_lang.append(langs[0])
+                out_score.append(None)
+                continue
+            words = t.lower().split(" ")
+            n = max(len(words), 1)
+            counts = [0] * n_langs
+            for w, c in Counter(words).items():
+                bm = mask.get(w)
+                if bm:
+                    i = 0
+                    while bm:
+                        if bm & 1:
+                            counts[i] += c
+                        bm >>= 1
+                        i += 1
+            # strictly-greater over alphabetical order == the native path's
+            # rank tie-break (alphabetically-first wins ties, incl. all-zero)
+            best_i, best_s = 0, counts[0] / n
+            for i in range(1, n_langs):
+                s = counts[i] / n
+                if s > best_s:
+                    best_i, best_s = i, s
+            out_lang.append(langs[best_i])
+            out_score.append(best_s)
+        return pd.DataFrame({"lang": out_lang, "score": out_score})
+
+    # rounding stays Spark-side so both backends share F.round semantics
+    return (
+        df.withColumn("_sw", _udf(F.col(text_col)))
+        .withColumn("sw_language", F.col("_sw.lang"))
+        .withColumn("sw_language_score", F.round(F.col("_sw.score"), 6))
+        .drop("_sw")
     )
 
 

@@ -973,3 +973,31 @@ def test_embed_text_end_to_end_similarity(spark):
     assert top[0] == 1  # the near-duplicate is the nearest neighbor
     lsh = lsh_cosine_topk(corpus, queries, dim=64, k=2, n_planes=4, n_tables=8)
     assert 1 in [r.neighbor_id for r in lsh.collect()]
+
+
+def test_stopword_backends_agree(spark, sf_dir):
+    """arrow (default) and native (pure-Catalyst) stopword LID must be
+    result-identical — incl. empty/multi-space texts and score rounding."""
+    import datatrove_spark.operators as ops
+    from pyspark.sql import Row
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    extra = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text=""),
+            Row(doc_id=900002, text="   "),
+            Row(doc_id=900003, text="the THE the  der die das"),
+            Row(doc_id=900004, text=None),
+            Row(doc_id=900005, text="el la de le la les der die das"),
+        ]
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    a = {
+        r.doc_id: (r.sw_language, r.sw_language_score)
+        for r in ops.annotate_stopword_language(docs, backend="arrow").collect()
+    }
+    b = {
+        r.doc_id: (r.sw_language, r.sw_language_score)
+        for r in ops.annotate_stopword_language(docs, backend="native").collect()
+    }
+    assert a == b
