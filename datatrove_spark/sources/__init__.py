@@ -14,6 +14,11 @@ remains is the ADAPTER — mapping source columns onto the canonical frame:
 ``limit``/``skip`` mirror readers/base.py:193-222.
 """
 
+from .fetch import (  # noqa: F401
+    FetchConfig,
+    fetch_media,
+    fetch_outcome_stats,
+)
 from .huggingface import read_hf_dataset, write_hf_dataset  # noqa: F401
 from .iceberg import (  # noqa: F401
     iceberg_available,

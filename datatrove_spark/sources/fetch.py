@@ -1,0 +1,262 @@
+"""HTTP media fetcher over URL columns — the Spark-first analogue of the
+reference's HTTPFetchReader (pipeline/media/readers/http_fetch.py:18:
+per-document thread pool pulling media URLs, retry ladder over transient
+status codes, robots.txt gate, size-capped streaming download, outcome
+counters).
+
+Architecture mapping (reference → Spark):
+
+* the per-rank ThreadPoolExecutor            → a bounded thread pool PER
+  PARTITION inside one ``mapInPandas`` pass (fetches are network-bound,
+  so threads overlap request latency exactly as the reference's pool
+  does — run_inference-style, see operators/inference.py);
+* Media.media_bytes + metadata mutation      → appended ``payload``
+  (binary, NULL on failure) + ``fetch`` struct columns — failures are
+  DATA, never stage crashes;
+* stat_update success/failed/truncated/timeout/robots counters
+  (http_fetch.py:207-233)                    → ``fetch_outcome_stats``,
+  a plain groupBy over the reason column;
+* requests.Session with the permissive SSL adapter is NOT reproduced —
+  stdlib urllib with default TLS; crawls that need legacy-renegotiation
+  ciphers plug a custom ``fetcher`` callable instead.
+
+Reference-parity semantics kept exactly:
+
+* retry ladder: first attempt retries on ANY non-200 status; later
+  attempts only on ``retry_codes`` (http_fetch.py:170-172);
+* backoff ``retry_delay * 2**attempt`` (jitter dropped — deterministic
+  jobs re-run identically);
+* ``max_size`` truncation keeps the prefix and records reason
+  ``"length"`` (http_fetch.py:163-167);
+* download wall-clock deadline → reason ``"download_timeout"``;
+  connect/read timeout → ``"request_timeout"``, no retry (reference:
+  "No point in retrying");
+* robots.txt disallow → reason ``"robots_txt_disallowed"``, no request
+  issued (http_fetch.py:131-133);
+* https → http downgrade once on SSL errors (http_fetch.py:173-179).
+
+100-TB notes: throughput is bound by the remote hosts, not Spark — size
+``workers`` (per partition) × partitions to the politeness budget.
+``repartition(n, F.xxhash64("url"))`` spreads hosts uniformly; to
+maximize connection/robots-cache reuse instead, repartition by fqdn and
+salt the mega-hosts (the robots cache below is per-partition, so
+host-clustered partitions hit it ~once per host).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FETCH_META_SCHEMA = (
+    "struct<status_code:int,reason:string,url:string,attempts:int,"
+    "truncated:boolean,n_bytes:bigint,elapsed_ms:int>"
+)
+
+
+@dataclass
+class FetchConfig:
+    """HTTPFetchReader.__init__'s surface (http_fetch.py:22-35) minus the
+    connection-pool/DNS knobs that belong to a session object we don't
+    carry."""
+
+    retry_codes: tuple = (403, 408, 429, 500, 502, 503, 504)
+    max_retries: int = 3
+    retry_delay: float = 2.0
+    timeout: float = 60.0  # connect/read timeout per request
+    download_timeout: float = 10.0  # wall-clock cap on the body stream
+    max_size: int = 1024 * 1024 * 1024
+    workers: int = 10  # per partition
+    custom_agent: str = "datatrove-spark/1.0"
+    respect_robots: bool = True
+    # (url) -> (bytes | None, dict) — replaces the HTTP backend entirely;
+    # use for tests, recorded fixtures, or custom session stacks
+    fetcher: Callable[[str], tuple[bytes | None, dict]] | None = None
+
+
+def _robots_allows(url: str, agent: str, cache: dict) -> bool:
+    """robots.txt gate with a per-partition per-host parser cache
+    (http_fetch.py:107-123; errors fail OPEN like the reference)."""
+    from urllib.parse import urlparse
+    from urllib.robotparser import RobotFileParser
+
+    try:
+        parsed = urlparse(url)
+        key = f"{parsed.scheme}://{parsed.netloc}"
+        rp = cache.get(key)
+        if rp is None:
+            rp = RobotFileParser()
+            rp.set_url(f"{key}/robots.txt")
+            rp.read()
+            cache[key] = rp
+        return rp.can_fetch(agent, url)
+    except Exception:  # noqa: BLE001 — unreachable robots.txt must not block
+        return True
+
+
+def _read_capped(resp, cfg: FetchConfig) -> tuple[bytes, bool]:
+    """Stream the body in 1 MiB chunks under the download deadline;
+    truncate at max_size keeping the prefix (http_fetch.py:151-167)."""
+    content = b""
+    start = time.time()
+    truncated = False
+    while True:
+        if time.time() - start > cfg.download_timeout:
+            raise TimeoutError("download deadline exceeded")
+        chunk = resp.read(1024 * 1024)
+        if not chunk:
+            break
+        content += chunk
+        if len(content) >= cfg.max_size:
+            content = content[: cfg.max_size]
+            truncated = True
+            break
+    return content, truncated
+
+
+def _http_fetch(url: str, cfg: FetchConfig, robots_cache: dict) -> tuple[bytes | None, dict]:
+    import socket
+    import ssl
+    import urllib.error
+    import urllib.request
+
+    t0 = time.time()
+
+    def meta(status, reason, attempts, truncated=False, n=0):
+        return {
+            "status_code": status,
+            "reason": reason,
+            "url": url,
+            "attempts": attempts,
+            "truncated": truncated,
+            "n_bytes": n,
+            "elapsed_ms": int((time.time() - t0) * 1000),
+        }
+
+    if cfg.respect_robots and not _robots_allows(url, cfg.custom_agent, robots_cache):
+        return None, meta(None, "robots_txt_disallowed", 0)
+
+    last_status, last_reason = None, None
+    attempt = -1
+    for attempt in range(cfg.max_retries):
+        try:
+            req = urllib.request.Request(url, headers={"User-Agent": cfg.custom_agent})
+            with urllib.request.urlopen(req, timeout=cfg.timeout) as resp:
+                last_status = resp.status
+                content, truncated = _read_capped(resp, cfg)
+                return content, meta(
+                    resp.status,
+                    "length" if truncated else None,
+                    attempt + 1,
+                    truncated,
+                    len(content),
+                )
+        except urllib.error.HTTPError as e:
+            last_status, last_reason = e.code, str(e.reason)
+            # first attempt retries on ANY status; later ones only on the
+            # transient ladder (http_fetch.py:170-172)
+            if attempt >= 1 and e.code not in cfg.retry_codes:
+                break
+        except ssl.SSLError:
+            last_reason = "ssl_error"
+            if url.startswith("https://"):
+                url = url.replace("https://", "http://", 1)
+            else:
+                break
+            continue  # downgrade retries immediately, no backoff
+        except (socket.timeout, TimeoutError) as e:
+            last_reason = (
+                "download_timeout" if "deadline" in str(e) else "request_timeout"
+            )
+            break  # reference: "No point in retrying"
+        except urllib.error.URLError:
+            last_reason = "connection_error"
+            break
+        except Exception as e:  # noqa: BLE001 — per-url failure is data
+            last_reason = f"{type(e).__name__}: {e}"
+            break
+        if attempt < cfg.max_retries - 1:
+            time.sleep(cfg.retry_delay * (2**attempt))
+    return None, meta(last_status, last_reason, min(attempt + 1, cfg.max_retries))
+
+
+def fetch_media(
+    df: DataFrame,
+    cfg: FetchConfig | None = None,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    meta_col: str = "fetch",
+) -> DataFrame:
+    """Append ``payload_col`` (binary, NULL on failure) + ``meta_col``
+    (status/reason/attempts/truncated) by fetching ``url_col`` with a
+    bounded thread pool per partition.  NULL urls pass through untouched."""
+    cfg = cfg or FetchConfig()
+    fetch_one = cfg.fetcher
+    in_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"`{n}` {t}" for n, t in in_fields]
+        + [f"`{payload_col}` binary", f"`{meta_col}` {FETCH_META_SCHEMA}"]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        robots_cache: dict = {}
+
+        def one(url):
+            if url is None or (isinstance(url, float) and pd.isna(url)):
+                return None, None
+            if fetch_one is not None:
+                payload, m = fetch_one(url)
+                m = {
+                    "status_code": m.get("status_code"),
+                    "reason": m.get("reason"),
+                    "url": m.get("url", url),
+                    "attempts": m.get("attempts", 1),
+                    "truncated": bool(m.get("truncated", False)),
+                    "n_bytes": len(payload) if payload is not None else 0,
+                    "elapsed_ms": int(m.get("elapsed_ms", 0)),
+                }
+                return payload, m
+            return _http_fetch(url, cfg, robots_cache)
+
+        with ThreadPoolExecutor(max_workers=cfg.workers) as pool:
+            for pdf in batches:
+                results = list(pool.map(one, pdf[url_col]))
+                pdf = pdf.copy()
+                pdf[payload_col] = [r[0] for r in results]
+                pdf[meta_col] = [r[1] for r in results]
+                yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def fetch_outcome_stats(df: DataFrame, meta_col: str = "fetch") -> DataFrame:
+    """The reference's MetricsKeeper counters (http_fetch.py:207-233) as one
+    groupBy: outcome ∈ success / truncated / download_timeout /
+    robots_txt_disallowed / failed."""
+    m = F.col(meta_col)
+    outcome = (
+        F.when(m["reason"] == "robots_txt_disallowed", F.lit("robots_disallowed"))
+        .when(m["reason"] == "download_timeout", F.lit("timeout"))
+        .when(m["reason"] == "length", F.lit("truncated"))
+        .when(m["status_code"] == 200, F.lit("success"))
+        .otherwise(F.lit("failed"))
+    )
+    return (
+        df.where(m.isNotNull())
+        .groupBy(outcome.alias("outcome"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(m["n_bytes"]).alias("bytes"),
+            F.avg(m["elapsed_ms"]).alias("avg_elapsed_ms"),
+        )
+    )
+
+
+__all__ = ["FetchConfig", "fetch_media", "fetch_outcome_stats", "FETCH_META_SCHEMA"]

@@ -1,0 +1,171 @@
+"""HTTP media fetcher (sources/fetch.py) — reference surface:
+pipeline/media/readers/http_fetch.py (HTTPFetchReader): retry ladder,
+max_size truncation, robots.txt gate, outcome counters.
+
+Exercised against a REAL localhost HTTP server (stdlib ThreadingHTTPServer)
+so the urllib backend, robots parsing, and per-partition thread pool run
+end-to-end through Spark python workers — no network beyond 127.0.0.1.
+"""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import Row
+
+from datatrove_spark.sources.fetch import (
+    FetchConfig,
+    fetch_media,
+    fetch_outcome_stats,
+)
+
+_HITS = {}  # path -> count, shared with the in-process server
+_HITS_LOCK = threading.Lock()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        with _HITS_LOCK:
+            _HITS[self.path] = _HITS.get(self.path, 0) + 1
+            hits = _HITS[self.path]
+        if self.path == "/robots.txt":
+            body = b"User-agent: *\nDisallow: /secret\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path.startswith("/ok"):
+            body = b"payload:" + self.path.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/big":
+            body = b"x" * 4096
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/flaky":
+            # 503 on the first hit, 200 after — exercises the retry ladder
+            if hits < 2:
+                self.send_error(503)
+            else:
+                body = b"recovered"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+        elif self.path == "/secret":
+            body = b"should never be fetched"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_error(404)
+
+
+@pytest.fixture(scope="module")
+def http_base():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _fetch(spark, urls, cfg):
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", url=u) for i, u in enumerate(urls)]
+    ).repartition(2)
+    return {r.doc_id: r for r in fetch_media(df, cfg).collect()}
+
+
+def test_success_truncation_and_retry_ladder(spark, http_base):
+    cfg = FetchConfig(
+        retry_delay=0.01, max_size=1000, respect_robots=False, timeout=10
+    )
+    rows = _fetch(
+        spark,
+        [f"{http_base}/ok/a", f"{http_base}/big", f"{http_base}/flaky",
+         f"{http_base}/missing", None],
+        cfg,
+    )
+    ok = rows["d0"]
+    assert ok.payload == b"payload:/ok/a"
+    assert ok.fetch.status_code == 200 and ok.fetch.reason is None
+    assert ok.fetch.n_bytes == len(ok.payload) and ok.fetch.attempts == 1
+
+    # max_size keeps the prefix, reason "length" (http_fetch.py:163-167)
+    big = rows["d1"]
+    assert big.payload == b"x" * 1000
+    assert big.fetch.truncated and big.fetch.reason == "length"
+
+    # 503 then 200: first attempt retries on any status
+    flaky = rows["d2"]
+    assert flaky.payload == b"recovered"
+    assert flaky.fetch.status_code == 200 and flaky.fetch.attempts == 2
+
+    # 404 is not in retry_codes → retried once (first-attempt rule), then fails
+    miss = rows["d3"]
+    assert miss.payload is None and miss.fetch.status_code == 404
+    assert miss.fetch.attempts == 2
+
+    # NULL url passes through with NULL payload + meta
+    assert rows["d4"].payload is None and rows["d4"].fetch is None
+
+
+def test_robots_txt_gate(spark, http_base):
+    cfg = FetchConfig(retry_delay=0.01, respect_robots=True, timeout=10)
+    with _HITS_LOCK:
+        _HITS.pop("/secret", None)
+    rows = _fetch(spark, [f"{http_base}/secret", f"{http_base}/ok/b"], cfg)
+    sec = rows["d0"]
+    assert sec.payload is None
+    assert sec.fetch.reason == "robots_txt_disallowed"
+    assert sec.fetch.attempts == 0
+    with _HITS_LOCK:
+        assert _HITS.get("/secret", 0) == 0  # no request was issued
+    assert rows["d1"].payload == b"payload:/ok/b"  # allowed path unaffected
+
+
+def test_connection_error_is_data(spark):
+    # closed port → connection_error row, stage does not crash
+    cfg = FetchConfig(retry_delay=0.01, respect_robots=False, timeout=2)
+    rows = _fetch(spark, ["http://127.0.0.1:9/none"], cfg)
+    r = rows["d0"]
+    assert r.payload is None and r.fetch.reason == "connection_error"
+
+
+def test_custom_fetcher_and_outcome_stats(spark):
+    """The pluggable fetcher bypasses HTTP entirely; fetch_outcome_stats
+    reproduces the reference's success/truncated/robots/failed counters."""
+
+    def fake(url):
+        if url.endswith("deny"):
+            return None, {"status_code": None, "reason": "robots_txt_disallowed"}
+        if url.endswith("trunc"):
+            return b"ab", {"status_code": 200, "reason": "length", "truncated": True}
+        if url.endswith("bad"):
+            return None, {"status_code": 500, "reason": "Internal Server Error"}
+        return b"abcd", {"status_code": 200, "reason": None}
+
+    cfg = FetchConfig(fetcher=fake)
+    df = fetch_media(
+        _spark_urls(spark, ["u/ok1", "u/ok2", "u/deny", "u/trunc", "u/bad"]), cfg
+    )
+    stats = {r.outcome: r for r in fetch_outcome_stats(df).collect()}
+    assert stats["success"].n == 2 and stats["success"].bytes == 8
+    assert stats["truncated"].n == 1
+    assert stats["robots_disallowed"].n == 1
+    assert stats["failed"].n == 1
+
+
+def _spark_urls(spark, urls):
+    return spark.createDataFrame(
+        [Row(doc_id=f"d{i}", url=u) for i, u in enumerate(urls)]
+    ).repartition(2)
