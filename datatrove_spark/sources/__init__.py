@@ -20,6 +20,10 @@ from .fetch import (  # noqa: F401
     fetch_outcome_stats,
 )
 from .huggingface import read_hf_dataset, write_hf_dataset  # noqa: F401
+from .media_store import (  # noqa: F401
+    read_media_store,
+    write_media_store,
+)
 from .iceberg import (  # noqa: F401
     iceberg_available,
     is_table_identifier,

@@ -1,0 +1,225 @@
+"""Record-seekable zstd media payload store — the Spark-first analogue of
+the reference's binary media store (pipeline/media/media_writers/zstd.py:10
+ZstdWriter: one zstd frame per media record appended to rotating
+``.bin.zst`` shards, returning ``(filename, offset, compressed_size)``;
+pipeline/media/media_readers/zstd.py:54 ZstdReader: seek to the manifest
+offset and stream-decompress exactly one frame).
+
+Architecture mapping (reference → Spark):
+
+* per-rank output-file manager with ``max_file_size`` rotation
+  (media_writers/base.py:30-40)            → one shard SEQUENCE per Spark
+  partition, rotated at ``max_file_size``, attempt-unique temp names +
+  atomic rename (same commit protocol as ``write_tokenized_binary``);
+* ``(filename, offset, compressed_size)`` stashed in document metadata →
+  a MANIFEST DataFrame (doc_id, media_filename, media_offset,
+  media_length, n_bytes) — a real table Catalyst can join/prune instead
+  of an untyped dict;
+* the reader's thread pool + per-thread decompressor → ``mapInPandas``
+  over the manifest REPARTITIONED BY SHARD, so each task opens its file
+  once and reads records in offset order (sequential I/O, the same
+  locality the reference gets from thread-local file pointers).
+
+Format divergence (declared): records are STANDARD zstd frames (4-byte
+magic included) written by pyarrow, not the reference's
+``FORMAT_ZSTD1_MAGICLESS`` frames — readers never sniff magic (offsets +
+lengths come from the manifest), so the only cost is 4 bytes/record; in
+exchange any stock zstd tool can decode a shard.
+
+100-TB notes: payload bytes never transit the driver and never shuffle —
+the writer consumes partitions in place and the reader shuffles only the
+tiny manifest (≈60 B/record: 6 TB of 1 MB-mean media is a 360 MB
+manifest).  Size partitions so one task's shard sequence lands near
+``max_file_size`` (5 GB default, reference media_writers/zstd.py:17) —
+object stores want few large objects, and the manifest keeps them
+seekable regardless.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_SCHEMA = (
+    "doc_id string, media_filename string, media_offset bigint, "
+    "media_length bigint, n_bytes bigint"
+)
+
+
+def _open_output(path: str):
+    """Local paths use plain open (atomic os.replace on commit); scheme'd
+    paths go through pyarrow.fs (object stores have no rename-atomicity to
+    lose — the manifest row is the commit marker there)."""
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        return fs.open_output_stream(rel)
+    return open(path, "wb")
+
+
+def write_media_store(
+    df: DataFrame,
+    out_dir: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_file_size: int = 5 * 2**30,
+    compression_level: int = 3,
+    prefix: str = "media",
+) -> DataFrame:
+    """Append every non-NULL ``payload_col`` as one independently-seekable
+    zstd frame in rotating ``{prefix}_{rank:05d}_{seq:03d}.bin.zst`` shards
+    and return the manifest frame (``MANIFEST_SCHEMA``).  NULL payloads get
+    no manifest row (reference raises — media_writers/zstd.py:41; here a
+    missing payload is DATA: filter the manifest anti-join to find them).
+
+    The returned DataFrame is lazy — persist it (e.g.
+    ``manifest.write.parquet(f"{out_dir}/manifest")``) to materialize the
+    write exactly once.
+    """
+    import pyarrow as pa
+
+    from pyspark import TaskContext
+
+    if "://" not in out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        rank = ctx.partitionId()
+        tmp_suffix = f".tmp-attempt{ctx.taskAttemptId()}"
+        codec = pa.Codec("zstd", compression_level=compression_level)
+        local = "://" not in out_dir
+
+        seq = 0
+        fh = None
+        written = 0
+        final_name = None
+        out_rows: list[tuple] = []
+
+        def _roll():
+            nonlocal fh, seq, written, final_name
+            if fh is not None:
+                fh.close()
+                if local:
+                    os.replace(
+                        os.path.join(out_dir, final_name + tmp_suffix),
+                        os.path.join(out_dir, final_name),
+                    )
+            final_name = f"{prefix}_{rank:05d}_{seq:03d}.bin.zst"
+            target = (
+                os.path.join(out_dir, final_name + tmp_suffix)
+                if local
+                else f"{out_dir.rstrip('/')}/{final_name}"
+            )
+            fh = _open_output(target)
+            seq += 1
+            written = 0
+
+        _roll()
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                frame = bytes(codec.compress(bytes(payload)))
+                if written > 0 and written + len(frame) > max_file_size:
+                    _roll()
+                fh.write(frame)
+                out_rows.append(
+                    (doc_id, final_name, written, len(frame), len(payload))
+                )
+                written += len(frame)
+        fh.close()
+        if local:
+            os.replace(
+                os.path.join(out_dir, final_name + tmp_suffix),
+                os.path.join(out_dir, final_name),
+            )
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "doc_id",
+                "media_filename",
+                "media_offset",
+                "media_length",
+                "n_bytes",
+            ],
+        )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        write_partition, MANIFEST_SCHEMA
+    )
+
+
+def read_media_store(
+    spark: SparkSession,
+    store_dir: str,
+    manifest: DataFrame | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Seek-read payloads back: ``(doc_id, payload, n_bytes)``.  ``manifest``
+    defaults to ``{store_dir}/manifest`` parquet.  Reads cluster by shard
+    (repartition on ``media_filename``) and run in offset order, so each
+    task opens its file once and I/O is sequential — the reference's
+    thread-local-fp locality (media_readers/zstd.py:70-76), per task
+    instead of per thread."""
+    import pyarrow as pa
+
+    if manifest is None:
+        manifest = spark.read.parquet(f"{store_dir.rstrip('/')}/manifest")
+    if n_partitions:
+        manifest = manifest.repartition(n_partitions, "media_filename")
+    else:
+        manifest = manifest.repartition("media_filename")
+
+    def read_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        remote = "://" in store_dir
+        if remote:
+            import pyarrow.fs as pafs
+
+            fs, rel_dir = pafs.FileSystem.from_uri(store_dir)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for fname, grp in pdf.groupby("media_filename", sort=False):
+                grp = grp.sort_values("media_offset")
+                if remote:
+                    fp = fs.open_input_file(f"{rel_dir.rstrip('/')}/{fname}")
+                else:
+                    fp = open(os.path.join(store_dir, fname), "rb")
+                try:
+                    payloads, sizes, ids = [], [], []
+                    for row in grp.itertuples(index=False):
+                        fp.seek(row.media_offset)
+                        frame = fp.read(row.media_length)
+                        if len(frame) != row.media_length:
+                            raise ValueError(
+                                f"{fname}@{row.media_offset}: short read "
+                                f"({len(frame)}/{row.media_length}) — torn shard"
+                            )
+                        data = pa.input_stream(
+                            pa.BufferReader(frame), compression="zstd"
+                        ).read()
+                        if len(data) != row.n_bytes:
+                            raise ValueError(
+                                f"{fname}@{row.media_offset}: decompressed "
+                                f"{len(data)} != manifest n_bytes {row.n_bytes}"
+                            )
+                        ids.append(row.doc_id)
+                        payloads.append(data)
+                        sizes.append(len(data))
+                finally:
+                    fp.close()
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": payloads, "n_bytes": sizes}
+                )
+
+    return manifest.mapInPandas(
+        read_partition, "doc_id string, payload binary, n_bytes bigint"
+    )
+
+
+__all__ = ["write_media_store", "read_media_store", "MANIFEST_SCHEMA"]

@@ -1,0 +1,88 @@
+"""Zstd media payload store (sources/media_store.py) — reference surface:
+pipeline/media/media_writers/zstd.py (ZstdWriter: per-record frames in
+rotating shards + offset/size manifest) and media_readers/zstd.py
+(ZstdReader: seek + single-frame stream decompress)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from datatrove_spark.sources.media_store import (
+    read_media_store,
+    write_media_store,
+)
+
+
+def _payloads(n=40):
+    import hashlib
+
+    out = []
+    for i in range(n):
+        if i % 7 == 3:
+            out.append(None)  # missing media is data, not an error
+        else:
+            # incompressible (hash chain) so max_file_size rotation triggers
+            blocks, h = [], f"seed{i}".encode()
+            for _ in range(3 + i % 5):
+                h = hashlib.sha256(h).digest()
+                blocks.append(h)
+            out.append(b"".join(blocks) + f"|{i}".encode())
+    return out
+
+
+def _write(spark, tmp_path, max_file_size):
+    store = str(tmp_path / "store")
+    pays = _payloads()
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i:03d}", payload=p) for i, p in enumerate(pays)]
+    ).repartition(3)
+    manifest = write_media_store(
+        df, store, max_file_size=max_file_size, compression_level=3
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(store, "manifest"))
+    return store, pays
+
+
+def test_round_trip_with_rotation(spark, tmp_path):
+    # tiny max_file_size forces every partition to rotate shards
+    store, pays = _write(spark, tmp_path, max_file_size=600)
+    shards = glob.glob(os.path.join(store, "media_*.bin.zst"))
+    assert len(shards) > 3, "rotation should have produced >1 shard/partition"
+    assert not glob.glob(os.path.join(store, "*.tmp-attempt*")), "tmp droppings"
+
+    rows = {r.doc_id: r for r in read_media_store(spark, store).collect()}
+    expected = {f"d{i:03d}": p for i, p in enumerate(pays) if p is not None}
+    assert set(rows) == set(expected)
+    for k, payload in expected.items():
+        assert rows[k].payload == payload
+        assert rows[k].n_bytes == len(payload)
+
+
+def test_manifest_shape_and_offsets(spark, tmp_path):
+    store, pays = _write(spark, tmp_path, max_file_size=5 * 2**30)
+    mf = spark.read.parquet(os.path.join(store, "manifest")).collect()
+    n_expected = sum(1 for p in pays if p is not None)
+    assert len(mf) == n_expected
+    # per shard: frames are contiguous — offsets + lengths tile the file
+    by_file = {}
+    for r in mf:
+        by_file.setdefault(r.media_filename, []).append(r)
+    for fname, rows in by_file.items():
+        rows.sort(key=lambda r: r.media_offset)
+        pos = 0
+        for r in rows:
+            assert r.media_offset == pos
+            pos += r.media_length
+        assert pos == os.path.getsize(os.path.join(store, fname))
+
+
+def test_torn_shard_is_loud(spark, tmp_path):
+    store, _ = _write(spark, tmp_path, max_file_size=5 * 2**30)
+    # truncate one shard: the short read must raise, not yield garbage
+    shard = sorted(glob.glob(os.path.join(store, "media_*.bin.zst")))[0]
+    with open(shard, "r+b") as f:
+        f.truncate(os.path.getsize(shard) - 10)
+    with pytest.raises(Exception, match="torn shard|short read|Invalid|zstd"):
+        read_media_store(spark, store).collect()
