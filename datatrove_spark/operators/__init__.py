@@ -55,7 +55,11 @@ from .filters import (  # noqa: F401
     unigram_logprob_filter,
 )
 from .classifier import classifier_filter, url_filter_op, with_fingerprint  # noqa: F401
-from .inference import InferenceConfig, run_inference  # noqa: F401
+from .inference import (  # noqa: F401
+    InferenceConfig,
+    run_inference,
+    run_inference_cached,
+)
 from .fasttext_train import train_fasttext_supervised  # noqa: F401
 from .formatters import fix_text_encoding, pii_scrub, symbol_lines_remover  # noqa: F401
 from .fused import fused_quality_filter  # noqa: F401

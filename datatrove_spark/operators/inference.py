@@ -234,4 +234,158 @@ def run_inference(
     return df.mapInPandas(gen, out_schema)
 
 
-__all__ = ["InferenceConfig", "run_inference", "RESULT_SCHEMA"]
+def _payload_hash_udf(prompt_of: Callable[[str], str], cfg: InferenceConfig):
+    """Deterministic request fingerprint — sha256 of (model, generation
+    params, rollout count, prompt), the Spark twin of the reference's
+    ``payload_hash`` cache key (inference/checkpointing.py:66-74: xxhash of
+    the serialized request; here sha256 so no extra dependency).  Any change
+    to model/params/prompt invalidates the cached response."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    tag = json.dumps(
+        {
+            "model": cfg.model_name_or_path,
+            "params": cfg.default_generation_params,
+            "rollouts": cfg.rollouts_per_document,
+            "chat": cfg.use_chat,
+        },
+        sort_keys=True,
+    )
+
+    @pandas_udf("string")
+    def h(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(
+            lambda t: hashlib.sha256(
+                (tag + "\x00" + prompt_of(t)).encode("utf-8", "surrogatepass")
+            ).hexdigest()[:24]
+        )
+
+    return h
+
+
+def _read_response_cache(spark, cache_dir: str, id_col: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        cache = spark.read.schema(
+            f"`{id_col}` string, _payload_hash string, _cached {RESULT_SCHEMA}"
+        ).parquet(cache_dir)
+    except AnalysisException:
+        return None  # first run: no cache yet
+    # a replayed run may have appended the same key twice — results are
+    # interchangeable (same request), keep one
+    return cache.dropDuplicates([id_col, "_payload_hash"])
+
+
+def run_inference_cached(
+    spark,
+    df: DataFrame,
+    cfg: InferenceConfig | None = None,
+    cache_dir: str | None = None,
+    build_prompt: Callable[[str], str] | None = None,
+    text_col: str = "text",
+    out_col: str = "inference_results",
+    id_col: str = "doc_id",
+    flag_col: str = "inference_cached",
+) -> DataFrame:
+    """``run_inference`` with a persistent RESPONSE CACHE — the Spark-first
+    redesign of the reference's request replay cache
+    (inference/checkpointing.py:37 RequestCache: per-rank sqlite keyed by
+    (doc_id, rollout_idx, payload_hash), replayed row-by-row on resume).
+
+    Here the cache is a parquet table keyed by ``(doc_id, payload_hash)``
+    and the replay is set-oriented: one anti-join decides which documents
+    still need the backend, everything else joins its response back without
+    a single model call.  Granularity is per DOCUMENT (all rollouts cached
+    together) — in the reference requests stream individually so partial
+    rollouts exist; in a batch engine a doc's rollouts complete in one task
+    or not at all, so the doc is the natural replay atom.
+
+    Crash/resume semantics:
+
+    * only documents whose EVERY rollout succeeded are cached — error rows
+      surface in this run's output but are retried on the next run
+      (reference: error_message rows replay as errors; we choose retry,
+      the useful behavior for transient backend failures);
+    * fresh results are materialized (``localCheckpoint``) BEFORE the cache
+      append, so the returned frame never re-invokes the backend however
+      many times it is collected;
+    * the append uses Spark's job-commit protocol — a run killed mid-append
+      leaves no visible partial files, and a replayed append at worst
+      duplicates keys, which the reader dedups.
+
+    100-TB notes: the cache grows by ~(prompt_hash + response) per doc —
+    compact it periodically with a dedup-rewrite if runs are replayed
+    often.  The join is a plain hash-join on (id, hash); at 10^9 cached
+    docs bucket the cache table by ``doc_id`` to make the consult
+    exchange-free on the cache side (same layout note as the streaming
+    minhash index, streaming/dedup.py).
+    """
+    from pyspark.sql import functions as F
+
+    cfg = cfg or InferenceConfig()
+    if cache_dir is None:
+        raise ValueError("run_inference_cached needs cache_dir")
+    df = ensure_channel(df)
+    prompt_of = build_prompt or (lambda t: t)
+    out_cols = df.columns + [out_col, flag_col]
+
+    hashed = df.withColumn(
+        "_payload_hash", _payload_hash_udf(prompt_of, cfg)(F.col(text_col))
+    )
+    dropped = hashed.where(~F.coalesce(F.col("keep"), F.lit(False))).select(
+        *df.columns,
+        F.lit(None).cast(RESULT_SCHEMA).alias(out_col),
+        F.lit(False).alias(flag_col),
+    )
+    kept = hashed.where(F.coalesce(F.col("keep"), F.lit(False)))
+
+    cache = _read_response_cache(spark, cache_dir, id_col)
+    if cache is not None:
+        hits = kept.join(cache, on=[id_col, "_payload_hash"], how="inner").select(
+            *df.columns,
+            F.col("_cached").alias(out_col),
+            F.lit(True).alias(flag_col),
+        )
+        misses = kept.join(
+            cache.select(id_col, "_payload_hash"),
+            on=[id_col, "_payload_hash"],
+            how="left_anti",
+        )
+    else:
+        hits, misses = None, kept
+
+    fresh = run_inference(
+        misses, cfg, build_prompt=build_prompt, text_col=text_col, out_col=out_col
+    ).localCheckpoint(eager=True)
+
+    # cache append: docs with a fully-successful rollout set only
+    ok = F.forall(F.col(out_col), lambda r: r["error"].isNull())
+    (
+        fresh.where(F.col(out_col).isNotNull() & ok)
+        .select(
+            F.col(id_col),
+            F.col("_payload_hash"),
+            F.col(out_col).alias("_cached"),
+        )
+        .write.mode("append")
+        .parquet(cache_dir)
+    )
+
+    fresh_out = fresh.select(
+        *df.columns, F.col(out_col), F.lit(False).alias(flag_col)
+    )
+    result = dropped.select(*out_cols).unionByName(fresh_out.select(*out_cols))
+    if hits is not None:
+        result = result.unionByName(hits.select(*out_cols))
+    return result
+
+
+__all__ = [
+    "InferenceConfig",
+    "run_inference",
+    "run_inference_cached",
+    "RESULT_SCHEMA",
+]

@@ -161,3 +161,79 @@ def test_usage_metrics_aggregate_as_dataframe_ops(spark):
     assert agg.requests == 4
     assert agg.completion_tokens == 400
     assert agg.prompt_tokens > 0
+
+
+# ---- response cache (run_inference_cached) — reference surface:
+# inference/checkpointing.py RequestCache (payload-hash replay cache) ----
+
+from datatrove_spark.operators.inference import run_inference_cached  # noqa: E402
+
+
+def _echo_cfg(marker="v1", fail_for=()):
+    def infer(prompt, params):
+        for bad in fail_for:
+            if bad in prompt:
+                raise RuntimeError(f"transient failure on {bad}")
+        return {
+            "text": f"{marker}:{prompt}",
+            "finish_reason": "stop",
+            "prompt_tokens": len(prompt),
+            "completion_tokens": 1,
+        }
+
+    return InferenceConfig(
+        server_type="callable", infer_fn=infer, max_retries=0, retry_backoff_sec=0
+    )
+
+
+def test_cache_replays_without_backend_calls(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    first = {r.id: r for r in
+             run_inference_cached(spark, _docs(spark), _echo_cfg("v1"),
+                                  cache_dir=cache, id_col="id").collect()}
+    assert first["d1"].inference_results[0].text == "v1:" + first["d1"].text
+    assert not first["d1"].inference_cached
+
+    # run 2: backend answers differently — cached docs must NOT see it
+    second = {r.id: r for r in
+              run_inference_cached(spark, _docs(spark), _echo_cfg("POISON"),
+                                   cache_dir=cache, id_col="id").collect()}
+    for k in ("d1", "d2", "d4", "d5"):  # the kept docs
+        assert second[k].inference_results[0].text == first[k].inference_results[0].text
+        assert second[k].inference_cached
+    # dropped docs keep the channel discipline both runs
+    assert second["d0"].inference_results is None
+    assert second["d0"].drop_reason == "gopher_quality"
+
+
+def test_errors_are_not_cached_and_retry_next_run(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    # doc d2's text contains "number 2" — make it fail in run 1
+    r1 = {r.id: r for r in
+          run_inference_cached(spark, _docs(spark), _echo_cfg("v1", fail_for=("number 2",)),
+                               cache_dir=cache, id_col="id").collect()}
+    assert r1["d2"].inference_results[0].error is not None
+    assert r1["d1"].inference_results[0].error is None
+
+    # run 2: backend healthy again — d2 recomputes, d1 replays from cache
+    r2 = {r.id: r for r in
+          run_inference_cached(spark, _docs(spark), _echo_cfg("v2"),
+                               cache_dir=cache, id_col="id").collect()}
+    assert r2["d2"].inference_results[0].text == "v2:" + r2["d2"].text
+    assert not r2["d2"].inference_cached
+    assert r2["d1"].inference_results[0].text == "v1:" + r2["d1"].text
+    assert r2["d1"].inference_cached
+
+
+def test_param_change_invalidates_cache(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    run_inference_cached(spark, _docs(spark), _echo_cfg("v1"),
+                         cache_dir=cache, id_col="id").collect()
+    cfg2 = _echo_cfg("v2")
+    cfg2.default_generation_params = {"temperature": 0.7}
+    r2 = {r.id: r for r in
+          run_inference_cached(spark, _docs(spark), cfg2,
+                               cache_dir=cache, id_col="id").collect()}
+    # different params -> different payload hash -> fresh call
+    assert r2["d1"].inference_results[0].text.startswith("v2:")
+    assert not r2["d1"].inference_cached
