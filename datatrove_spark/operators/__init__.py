@@ -60,6 +60,12 @@ from .inference import (  # noqa: F401
     run_inference,
     run_inference_cached,
 )
+from .dataset_card import (  # noqa: F401
+    DatasetCardParams,
+    inference_job_stats,
+    render_dataset_card,
+    write_dataset_card,
+)
 from .fasttext_train import train_fasttext_supervised  # noqa: F401
 from .formatters import fix_text_encoding, pii_scrub, symbol_lines_remover  # noqa: F401
 from .fused import fused_quality_filter  # noqa: F401

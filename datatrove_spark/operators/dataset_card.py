@@ -1,0 +1,217 @@
+"""Dataset card generation for inference outputs — the Spark-first analogue
+of the reference's InferenceDatasetCardGenerator
+(pipeline/inference/dataset_card_generator.py:44 + dataset_card_template.md).
+
+Architecture mapping (reference → Spark):
+
+* ``load_job_stats`` parsing a rank-0 stats JSON sidecar
+  (dataset_card_generator.py:85-138)        → ``inference_job_stats``, ONE
+  DataFrame aggregation over the result column — the engine computes its
+  own stats instead of trusting a sidecar file;
+* ``_size_category`` / ``format_number`` / job-stats table — same buckets,
+  same thousands+suffix formatting, same table rows
+  (dataset_card_generator.py:155-185);
+* the ``[[placeholder]]`` template scheme — kept, template inlined (the
+  reference ships it as a sibling .md; ours is a module constant so the
+  package stays a single zip for --py-files);
+* hub upload (``upload_dataset_readme``) — import-gated on
+  ``huggingface_hub`` like sources/huggingface.py; card generation itself
+  is pure string work and always available.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TEMPLATE = """---
+language:
+[[language_block]]
+license: [[license_id]]
+tags:
+[[tags_block]]
+annotations_creators:
+- machine-generated
+language_creators:
+- found
+pretty_name: [[repo_id]]
+size_categories:
+- [[size_category]]
+task_categories:
+- text-generation
+task_ids:
+- language-modeling
+---
+
+# Dataset Card for [[repo_id]]
+
+## Dataset Summary
+
+Synthetic data generated with a PySpark inference pipeline:
+ * Model: `[[model_name]]` (`[[model_revision]]`)
+ * Source dataset: `[[source_dataset]]` ([[source_split]])
+ * Generation config: `[[generation_kwargs]]`
+ * System prompt: `[[system_prompt]]`
+
+## Dataset Stats
+
+[[job_stats_table]]
+
+## Licensing Information
+
+License: [[license_id]]
+"""
+
+
+@dataclass
+class DatasetCardParams:
+    """InferenceDatasetCardParams reduced to the fields the card renders
+    (dataset_card_generator.py:25-40; hub repo/config plumbing dropped)."""
+
+    repo_id: str
+    model_name: str
+    model_revision: str = "main"
+    source_dataset: str = ""
+    source_split: str = "train"
+    system_prompt: str | None = None
+    generation_kwargs: dict[str, Any] = field(default_factory=dict)
+    license_id: str = "odc-by"
+    languages: list[str] = field(default_factory=lambda: ["en"])
+    tags: list[str] = field(default_factory=lambda: ["synthetic"])
+
+
+def inference_job_stats(
+    df: DataFrame, text_col: str = "text", results_col: str = "inference_results"
+) -> dict:
+    """JobStats (dataset_card_generator.py:76-83) from the inference output
+    frame in one aggregation: document count, mean source chars, prompt /
+    completion token totals and means over every rollout."""
+    r = F.explode_outer(results_col).alias("r")
+    agg = (
+        df.select(F.length(text_col).alias("_len"), r)
+        .agg(
+            F.count("*").alias("requests"),
+            F.avg("_len").alias("mean_doc_len"),
+            F.sum("r.prompt_tokens").alias("prompt_tokens_total"),
+            F.sum("r.completion_tokens").alias("completion_tokens_total"),
+            F.avg("r.prompt_tokens").alias("prompt_tokens_mean"),
+            F.avg("r.completion_tokens").alias("completion_tokens_mean"),
+        )
+        .collect()[0]
+    )
+    n_docs = df.count()
+    return {
+        "document_count": n_docs,
+        "mean_doc_len": agg.mean_doc_len,
+        "prompt_tokens_total": agg.prompt_tokens_total,
+        "completion_tokens_total": agg.completion_tokens_total,
+        "prompt_tokens_mean": agg.prompt_tokens_mean,
+        "completion_tokens_mean": agg.completion_tokens_mean,
+    }
+
+
+def size_category(n: int | None) -> str:
+    """HF size buckets, exactly the reference's ladder
+    (dataset_card_generator.py:155-166)."""
+    if n is None:
+        return "unknown"
+    if n < 1_000:
+        return "n<1K"
+    if n < 10_000:
+        return "1K<n<10K"
+    if n < 100_000:
+        return "10K<n<100K"
+    if n < 1_000_000:
+        return "100K<n<1M"
+    return "n>1M"
+
+
+def format_number(n: int | None) -> str:
+    """Thousands separators + ≈suffix for large counts
+    (dataset_card_generator.py:189-204; ≈ not ~, markdown strikethrough)."""
+    if n is None:
+        n = 0
+    for bound, suffix in ((10**12, "T"), (10**9, "B"), (10**6, "M")):
+        if n >= bound:
+            return f"{n:,} (≈{n / bound:.1f}{suffix})"
+    return f"{n:,}"
+
+
+def _job_stats_table(stats: dict | None) -> str:
+    if not stats:
+        return "Job statistics could not be collected."
+    pt, ct = stats.get("prompt_tokens_total"), stats.get("completion_tokens_total")
+    rows = [
+        "| Metric | Value |",
+        "| --- | --- |",
+        f"| Documents processed | {format_number(stats['document_count'])} |",
+        f"| Avg. source chars | {stats['mean_doc_len']:.2f} |"
+        if stats.get("mean_doc_len")
+        else "",
+        f"| Total prompt tokens | {format_number(pt) if pt else 'n/a'} |",
+        f"| Total completion tokens | {format_number(ct) if ct else 'n/a'} |",
+        f"| Mean prompt tokens | {stats['prompt_tokens_mean']:.2f} |"
+        if stats.get("prompt_tokens_mean")
+        else "",
+        f"| Mean completion tokens | {stats['completion_tokens_mean']:.2f} |"
+        if stats.get("completion_tokens_mean")
+        else "",
+    ]
+    return "\n".join(filter(None, rows))
+
+
+def _block(values: list[str], fallback: str) -> str:
+    cleaned = [v for v in values if v]
+    return "\n".join(f"- {v}" for v in cleaned) if cleaned else fallback
+
+
+def render_dataset_card(params: DatasetCardParams, stats: dict | None) -> str:
+    """Fill the ``[[placeholder]]`` template (the reference's
+    ``_render_template`` scheme, dataset_card_generator.py:215-221)."""
+    import json
+
+    context = {
+        "repo_id": params.repo_id,
+        "model_name": params.model_name,
+        "model_revision": params.model_revision,
+        "source_dataset": params.source_dataset or "n/a",
+        "source_split": params.source_split,
+        "system_prompt": params.system_prompt or "none",
+        "generation_kwargs": json.dumps(params.generation_kwargs, sort_keys=True),
+        "license_id": params.license_id,
+        "language_block": _block(params.languages, "- en"),
+        "tags_block": _block(params.tags, "- synthetic"),
+        "size_category": size_category(stats["document_count"] if stats else None),
+        "job_stats_table": _job_stats_table(stats),
+    }
+    out = _TEMPLATE
+    for key, value in context.items():
+        out = out.replace(f"[[{key}]]", str(value))
+    return out
+
+
+def write_dataset_card(
+    path: str, params: DatasetCardParams, df: DataFrame | None = None, stats=None
+) -> str:
+    """Render and write the card; computes stats from ``df`` when given.
+    Returns the rendered markdown.  Uploading to a hub is the caller's
+    concern (import-gated huggingface_hub, sources/huggingface.py)."""
+    if stats is None and df is not None:
+        stats = inference_job_stats(df)
+    card = render_dataset_card(params, stats)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(card)
+    return card
+
+
+__all__ = [
+    "DatasetCardParams",
+    "inference_job_stats",
+    "render_dataset_card",
+    "write_dataset_card",
+    "size_category",
+    "format_number",
+]

@@ -237,3 +237,56 @@ def test_param_change_invalidates_cache(spark, tmp_path):
     # different params -> different payload hash -> fresh call
     assert r2["d1"].inference_results[0].text.startswith("v2:")
     assert not r2["d1"].inference_cached
+
+
+# ---- dataset card (operators/dataset_card.py) — reference surface:
+# inference/dataset_card_generator.py + dataset_card_template.md ----
+
+from datatrove_spark.operators.dataset_card import (  # noqa: E402
+    DatasetCardParams,
+    format_number,
+    inference_job_stats,
+    size_category,
+    write_dataset_card,
+)
+
+
+def test_size_category_and_format_number_parity():
+    """Exact ladder + formatting from dataset_card_generator.py:155-204."""
+    assert size_category(None) == "unknown"
+    assert size_category(999) == "n<1K"
+    assert size_category(5_000) == "1K<n<10K"
+    assert size_category(50_000) == "10K<n<100K"
+    assert size_category(500_000) == "100K<n<1M"
+    assert size_category(2_000_000) == "n>1M"
+    assert format_number(999) == "999"
+    assert format_number(1_500_000) == "1,500,000 (≈1.5M)"
+    assert format_number(2_000_000_000) == "2,000,000,000 (≈2.0B)"
+    assert format_number(None) == "0"
+
+
+def test_dataset_card_from_inference_frame(spark, tmp_path):
+    out = run_inference(_docs(spark), InferenceConfig())
+    stats = inference_job_stats(out)
+    assert stats["document_count"] == 6
+    assert stats["completion_tokens_total"] == 400  # 4 kept docs x 100
+    assert stats["prompt_tokens_mean"] > 0
+
+    card = write_dataset_card(
+        str(tmp_path / "README.md"),
+        DatasetCardParams(
+            repo_id="me/synth",
+            model_name="dummy-model",
+            source_dataset="docs-v1",
+            generation_kwargs={"temperature": 0.7},
+            languages=["en", "fr"],
+        ),
+        df=out,
+    )
+    assert "[[" not in card, "unfilled template placeholder"
+    assert "pretty_name: me/synth" in card
+    assert "- n<1K" in card
+    assert "| Documents processed | 6 |" in card
+    assert "| Total completion tokens | 400 |" in card
+    assert "- fr" in card
+    assert (tmp_path / "README.md").read_text() == card
