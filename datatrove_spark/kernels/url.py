@@ -219,7 +219,7 @@ _JP_PREFS = (
 )
 _KR_REGIONS = (
     "busan chungbuk chungnam daegu daejeon gangwon gwangju gyeongbuk "
-    "gyeonggi gyeongnam incheon jeju jeonbuk jeonnam ulsan "
+    "gyeonggi gyeongnam incheon jeju jeonbuk jeonnam seoul ulsan "
     "es hs kg ms sc".split()
 )
 _CN_PROVINCES = (
@@ -227,10 +227,13 @@ _CN_PROVINCES = (
     "sh sn sx tj xj xz yn zj hk mo tw".split()
 )
 _UA_CITIES = (
-    "cherkasy chernihiv chernivtsi ck cn cr crimea cv dn dnipropetrovsk "
-    "donetsk dp if kh kharkov kherson khmelnitskiy kirovograd km kr ks lg "
-    "lugansk lutsk lviv mk nikolaev od odessa pl poltava rovno rv sebastopol "
-    "sumy te ternopil uzhgorod vinnica vn zaporizhzhe zhitomir zp zt".split()
+    "cherkassy cherkasy chernigov chernihiv chernivtsi chernovtsy ck cn cr "
+    "crimea cv dn dnepropetrovsk dnipropetrovsk donetsk dp if kh kharkiv "
+    "kharkov kherson khmelnitskiy khmelnytskyi kiev kirovograd km kr krym ks "
+    "kv kyiv lg lt lugansk lutsk lv lviv mk mykolaiv nikolaev od odesa "
+    "odessa pl poltava rivne rovno rv sb sebastopol sevastopol sm sumy te "
+    "ternopil uz uzhgorod uzhhorod vinnica vinnytsia vn volyn yalta "
+    "zaporizhzhe zaporizhzhia zhitomir zhytomyr zp zt".split()
 )
 _IT_PROVINCES = (
     "ag al an ao ap aq ar at av ba bg bi bl bn bo br bs bt bz ca cb ce ch "

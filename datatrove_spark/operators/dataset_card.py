@@ -89,12 +89,16 @@ def inference_job_stats(
     """JobStats (dataset_card_generator.py:76-83) from the inference output
     frame in one aggregation: document count, mean source chars, prompt /
     completion token totals and means over every rollout."""
-    r = F.explode_outer(results_col).alias("r")
+    # doc-level stats over the UN-exploded frame (exploding first would
+    # weight each doc by its rollout count); token stats over the rollouts
+    doc = df.agg(
+        F.count("*").alias("n_docs"), F.avg(F.length(text_col)).alias("mean_doc_len")
+    ).collect()[0]
+    r = F.explode(results_col).alias("r")
     agg = (
-        df.select(F.length(text_col).alias("_len"), r)
+        df.select(r)
         .agg(
             F.count("*").alias("requests"),
-            F.avg("_len").alias("mean_doc_len"),
             F.sum("r.prompt_tokens").alias("prompt_tokens_total"),
             F.sum("r.completion_tokens").alias("completion_tokens_total"),
             F.avg("r.prompt_tokens").alias("prompt_tokens_mean"),
@@ -102,10 +106,9 @@ def inference_job_stats(
         )
         .collect()[0]
     )
-    n_docs = df.count()
     return {
-        "document_count": n_docs,
-        "mean_doc_len": agg.mean_doc_len,
+        "document_count": doc.n_docs,
+        "mean_doc_len": doc.mean_doc_len,
         "prompt_tokens_total": agg.prompt_tokens_total,
         "completion_tokens_total": agg.completion_tokens_total,
         "prompt_tokens_mean": agg.prompt_tokens_mean,
@@ -143,22 +146,21 @@ def format_number(n: int | None) -> str:
 def _job_stats_table(stats: dict | None) -> str:
     if not stats:
         return "Job statistics could not be collected."
+    # `is not None`, not truthiness: a legitimate 0 must print as 0, and a
+    # 0.0 mean must keep its row — only MISSING stats degrade to n/a/omitted
     pt, ct = stats.get("prompt_tokens_total"), stats.get("completion_tokens_total")
+    mdl = stats.get("mean_doc_len")
+    pm = stats.get("prompt_tokens_mean")
+    cm = stats.get("completion_tokens_mean")
     rows = [
         "| Metric | Value |",
         "| --- | --- |",
         f"| Documents processed | {format_number(stats['document_count'])} |",
-        f"| Avg. source chars | {stats['mean_doc_len']:.2f} |"
-        if stats.get("mean_doc_len")
-        else "",
-        f"| Total prompt tokens | {format_number(pt) if pt else 'n/a'} |",
-        f"| Total completion tokens | {format_number(ct) if ct else 'n/a'} |",
-        f"| Mean prompt tokens | {stats['prompt_tokens_mean']:.2f} |"
-        if stats.get("prompt_tokens_mean")
-        else "",
-        f"| Mean completion tokens | {stats['completion_tokens_mean']:.2f} |"
-        if stats.get("completion_tokens_mean")
-        else "",
+        f"| Avg. source chars | {mdl:.2f} |" if mdl is not None else "",
+        f"| Total prompt tokens | {format_number(pt) if pt is not None else 'n/a'} |",
+        f"| Total completion tokens | {format_number(ct) if ct is not None else 'n/a'} |",
+        f"| Mean prompt tokens | {pm:.2f} |" if pm is not None else "",
+        f"| Mean completion tokens | {cm:.2f} |" if cm is not None else "",
     ]
     return "\n".join(filter(None, rows))
 

@@ -79,9 +79,17 @@ class FetchConfig:
     fetcher: Callable[[str], tuple[bytes | None, dict]] | None = None
 
 
-def _robots_allows(url: str, agent: str, cache: dict) -> bool:
+def _robots_allows(url: str, agent: str, cache: dict, timeout: float) -> bool:
     """robots.txt gate with a per-partition per-host parser cache
-    (http_fetch.py:107-123; errors fail OPEN like the reference)."""
+    (http_fetch.py:107-123; errors fail OPEN like the reference).
+
+    The robots.txt body is fetched with an explicit ``timeout`` —
+    ``RobotFileParser.read()`` would urlopen with NO timeout, and one
+    blackholed host must not hang a worker thread (and with it the whole
+    partition) forever.  HTTP semantics follow the stdlib parser's:
+    401/403 → disallow everything, other errors → allow everything."""
+    import urllib.error
+    import urllib.request
     from urllib.parse import urlparse
     from urllib.robotparser import RobotFileParser
 
@@ -92,7 +100,18 @@ def _robots_allows(url: str, agent: str, cache: dict) -> bool:
         if rp is None:
             rp = RobotFileParser()
             rp.set_url(f"{key}/robots.txt")
-            rp.read()
+            try:
+                with urllib.request.urlopen(
+                    f"{key}/robots.txt", timeout=timeout
+                ) as resp:
+                    rp.parse(
+                        resp.read().decode("utf-8", errors="replace").splitlines()
+                    )
+            except urllib.error.HTTPError as e:
+                if e.code in (401, 403):
+                    rp.disallow_all = True
+                else:
+                    rp.allow_all = True
             cache[key] = rp
         return rp.can_fetch(agent, url)
     except Exception:  # noqa: BLE001 — unreachable robots.txt must not block
@@ -102,7 +121,9 @@ def _robots_allows(url: str, agent: str, cache: dict) -> bool:
 def _read_capped(resp, cfg: FetchConfig) -> tuple[bytes, bool]:
     """Stream the body in 1 MiB chunks under the download deadline;
     truncate at max_size keeping the prefix (http_fetch.py:151-167)."""
-    content = b""
+    # bytearray append is amortized O(1); bytes += would copy the whole
+    # accumulated body every chunk (O(n^2) over a 1 GiB default max_size)
+    content = bytearray()
     start = time.time()
     truncated = False
     while True:
@@ -113,10 +134,10 @@ def _read_capped(resp, cfg: FetchConfig) -> tuple[bytes, bool]:
             break
         content += chunk
         if len(content) >= cfg.max_size:
-            content = content[: cfg.max_size]
+            del content[cfg.max_size :]
             truncated = True
             break
-    return content, truncated
+    return bytes(content), truncated
 
 
 def _http_fetch(url: str, cfg: FetchConfig, robots_cache: dict) -> tuple[bytes | None, dict]:
@@ -138,7 +159,9 @@ def _http_fetch(url: str, cfg: FetchConfig, robots_cache: dict) -> tuple[bytes |
             "elapsed_ms": int((time.time() - t0) * 1000),
         }
 
-    if cfg.respect_robots and not _robots_allows(url, cfg.custom_agent, robots_cache):
+    if cfg.respect_robots and not _robots_allows(
+        url, cfg.custom_agent, robots_cache, cfg.timeout
+    ):
         return None, meta(None, "robots_txt_disallowed", 0)
 
     last_status, last_reason = None, None
@@ -162,19 +185,23 @@ def _http_fetch(url: str, cfg: FetchConfig, robots_cache: dict) -> tuple[bytes |
             # transient ladder (http_fetch.py:170-172)
             if attempt >= 1 and e.code not in cfg.retry_codes:
                 break
-        except ssl.SSLError:
-            last_reason = "ssl_error"
-            if url.startswith("https://"):
-                url = url.replace("https://", "http://", 1)
-            else:
+        except (ssl.SSLError, socket.timeout, TimeoutError, urllib.error.URLError) as e:
+            # urllib wraps CONNECT-phase errors in URLError(reason=...); the
+            # raw types only surface during the body read — classify on the
+            # UNDERLYING error or the downgrade/timeout branches are dead
+            # code for handshake failures (http_fetch.py:173-179)
+            cause = e.reason if isinstance(e, urllib.error.URLError) else e
+            if isinstance(cause, ssl.SSLError):
+                last_reason = "ssl_error"
+                if url.startswith("https://"):
+                    url = url.replace("https://", "http://", 1)
+                    continue  # downgrade retries immediately, no backoff
                 break
-            continue  # downgrade retries immediately, no backoff
-        except (socket.timeout, TimeoutError) as e:
-            last_reason = (
-                "download_timeout" if "deadline" in str(e) else "request_timeout"
-            )
-            break  # reference: "No point in retrying"
-        except urllib.error.URLError:
+            if isinstance(cause, (socket.timeout, TimeoutError)):
+                last_reason = (
+                    "download_timeout" if "deadline" in str(cause) else "request_timeout"
+                )
+                break  # reference: "No point in retrying"
             last_reason = "connection_error"
             break
         except Exception as e:  # noqa: BLE001 — per-url failure is data
@@ -245,7 +272,11 @@ def fetch_outcome_stats(df: DataFrame, meta_col: str = "fetch") -> DataFrame:
         F.when(m["reason"] == "robots_txt_disallowed", F.lit("robots_disallowed"))
         .when(m["reason"] == "download_timeout", F.lit("timeout"))
         .when(m["reason"] == "length", F.lit("truncated"))
-        .when(m["status_code"] == 200, F.lit("success"))
+        # any 2xx with a stored payload is a success (203/206 from quirky
+        # servers would otherwise count 'failed' with payload non-NULL)
+        .when(
+            (m["status_code"] >= 200) & (m["status_code"] < 300), F.lit("success")
+        )
         .otherwise(F.lit("failed"))
     )
     return (

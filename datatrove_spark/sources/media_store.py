@@ -119,25 +119,30 @@ def write_media_store(
             seq += 1
             written = 0
 
-        _roll()
+        # shard opens LAZILY on the first frame: a partition of only-NULL
+        # payloads (common downstream of fetch_media with failures) must not
+        # litter the store with empty zero-record objects
         for pdf in batches:
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
                 frame = bytes(codec.compress(bytes(payload)))
-                if written > 0 and written + len(frame) > max_file_size:
+                if fh is None or (
+                    written > 0 and written + len(frame) > max_file_size
+                ):
                     _roll()
                 fh.write(frame)
                 out_rows.append(
                     (doc_id, final_name, written, len(frame), len(payload))
                 )
                 written += len(frame)
-        fh.close()
-        if local:
-            os.replace(
-                os.path.join(out_dir, final_name + tmp_suffix),
-                os.path.join(out_dir, final_name),
-            )
+        if fh is not None:
+            fh.close()
+            if local:
+                os.replace(
+                    os.path.join(out_dir, final_name + tmp_suffix),
+                    os.path.join(out_dir, final_name),
+                )
         yield pd.DataFrame(
             out_rows,
             columns=[

@@ -169,3 +169,104 @@ def _spark_urls(spark, urls):
     return spark.createDataFrame(
         [Row(doc_id=f"d{i}", url=u) for i, u in enumerate(urls)]
     ).repartition(2)
+
+
+def test_robots_403_disallows_all_with_timeout_bound(spark):
+    """A 401/403 robots.txt means 'deny everything' (stdlib parser
+    semantics); the robots fetch itself carries cfg.timeout — it must not
+    be the one unbounded network call in the module."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Forbidden)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        cfg = FetchConfig(retry_delay=0.01, respect_robots=True, timeout=5)
+        rows = _fetch(spark, [f"{base}/anything"], cfg)
+        assert rows["d0"].payload is None
+        assert rows["d0"].fetch.reason == "robots_txt_disallowed"
+    finally:
+        srv.shutdown()
+
+
+class _Forbidden(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        if self.path == "/robots.txt":
+            self.send_error(403)
+        else:
+            body = b"fetched despite robots"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+
+def test_ssl_error_classification_and_downgrade():
+    """urllib wraps connect-phase SSL failures in URLError(reason=SSLError):
+    the classifier must unwrap it, downgrade https->http once, and retry
+    (reference http_fetch.py:173-179) — driver-level unit test over
+    _http_fetch with a patched opener."""
+    import ssl as _ssl
+    import urllib.error
+    import urllib.request
+
+    from datatrove_spark.sources.fetch import _http_fetch
+
+    calls = []
+
+    class _FakeResp:
+        status = 200
+
+        def __init__(self):
+            self._done = False
+
+        def read(self, n=-1):
+            if self._done:
+                return b""
+            self._done = True
+            return b"downgraded-ok"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        url = req.full_url if hasattr(req, "full_url") else req
+        calls.append(url)
+        if url.startswith("https://"):
+            raise urllib.error.URLError(_ssl.SSLError("handshake failure"))
+        return _FakeResp()
+
+    orig = urllib.request.urlopen
+    urllib.request.urlopen = fake_urlopen
+    try:
+        cfg = FetchConfig(retry_delay=0.0, respect_robots=False)
+        payload, m = _http_fetch("https://legacy.example/x", cfg, {})
+    finally:
+        urllib.request.urlopen = orig
+    assert payload == b"downgraded-ok"
+    assert [u[:5] for u in calls] == ["https", "http:"]
+
+    # connect-phase timeout wrapped in URLError -> request_timeout, no retry
+    def fake_timeout(req, timeout=None):
+        raise urllib.error.URLError(TimeoutError("timed out"))
+
+    urllib.request.urlopen = fake_timeout
+    try:
+        payload, m = _http_fetch("http://slow.example/x", FetchConfig(respect_robots=False), {})
+    finally:
+        urllib.request.urlopen = orig
+    assert payload is None and m["reason"] == "request_timeout"
+
+
+def test_outcome_stats_count_any_2xx_as_success(spark):
+    def fake(url):
+        return b"partial", {"status_code": 206, "reason": None}
+
+    df = fetch_media(_spark_urls(spark, ["u/a", "u/b"]), FetchConfig(fetcher=fake))
+    stats = {r.outcome: r for r in fetch_outcome_stats(df).collect()}
+    assert stats["success"].n == 2 and "failed" not in stats

@@ -290,3 +290,42 @@ def test_dataset_card_from_inference_frame(spark, tmp_path):
     assert "| Total completion tokens | 400 |" in card
     assert "- fr" in card
     assert (tmp_path / "README.md").read_text() == card
+
+
+def test_job_stats_doc_mean_not_rollout_weighted(spark):
+    """mean_doc_len is the per-DOCUMENT mean: exploding rollouts first
+    would weight kept docs by rollouts_per_document."""
+    from pyspark.sql import Row as _Row
+
+    df = spark.createDataFrame(
+        [
+            _Row(id="a", text="x" * 100, keep=True, drop_reason=None),
+            _Row(id="b", text="y" * 400, keep=False, drop_reason="q"),
+        ]
+    )
+    out = run_inference(df, InferenceConfig(rollouts_per_document=3))
+    stats = inference_job_stats(out)
+    assert stats["document_count"] == 2
+    assert stats["mean_doc_len"] == 250.0  # (100+400)/2, not (3*100+400)/4
+
+
+def test_card_renders_zero_stats_as_zero():
+    """0 is a value, not 'missing': zero token totals print 0, zero means
+    keep their rows; only None degrades to n/a/omitted."""
+    from datatrove_spark.operators.dataset_card import _job_stats_table
+
+    table = _job_stats_table(
+        {
+            "document_count": 5,
+            "mean_doc_len": 0.0,
+            "prompt_tokens_total": 0,
+            "completion_tokens_total": None,
+            "prompt_tokens_mean": 0.0,
+            "completion_tokens_mean": None,
+        }
+    )
+    assert "| Total prompt tokens | 0 |" in table
+    assert "| Total completion tokens | n/a |" in table
+    assert "| Avg. source chars | 0.00 |" in table
+    assert "| Mean prompt tokens | 0.00 |" in table
+    assert "Mean completion tokens" not in table

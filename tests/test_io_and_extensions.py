@@ -1215,8 +1215,17 @@ def test_psl_formulaic_families_round6():
         ("shop.hokkaido.jp", "hokkaido.jp"),
         ("co.okinawa.jp", "okinawa.jp"),
         ("office.busan.kr", "busan.kr"),
+        # seoul.kr and the kiev/kyiv/kharkiv family are in the published
+        # formulaic sections — omitting them collapses every host under
+        # e.g. kiev.ua into ONE registered domain in dedup groupings
+        ("blog.example.seoul.kr", "seoul.kr"),
         ("firm.gd.cn", "gd.cn"),
         ("blog.lviv.ua", "lviv.ua"),
+        ("x.shop.kiev.ua", "kiev.ua"),
+        ("a.b.kyiv.ua", "kyiv.ua"),
+        ("site.kharkiv.ua", "kharkiv.ua"),
+        ("site.vinnytsia.ua", "vinnytsia.ua"),
+        ("port.sevastopol.ua", "sevastopol.ua"),
         ("hotel.na.it", "na.it"),
         ("sito.toscana.it", "toscana.it"),
         ("x.y.se", "y.se"),

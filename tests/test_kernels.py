@@ -1103,6 +1103,51 @@ class TestJpegCodec:
         d = decode_webp(encode_vp8l_meta_split(img3))
         assert np.array_equal(d["pixels"], img3)
 
+    def test_vp8l_select_predictor_tie_breaks_to_top(self):
+        """Predictor mode 11 (Select) with engineered ties: the spec rule is
+        ``(pL < pT) ? L : T`` — equal Manhattan distances reconstruct from
+        T.  A tie-to-L decoder corrupts the pixel AND every later prediction
+        in the tile."""
+        import numpy as np
+
+        from datatrove_spark.kernels.webp_vp8l import (
+            decode_webp,
+            encode_vp8l_transformed,
+        )
+
+        rng = np.random.default_rng(23)
+        h, w = 12, 16
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        img[:, :, 3] = 255
+        # engineered tie at (2,2): TL=100, L=99, T=101 on green, other
+        # channels equal -> |pred-L| == |pred-T| == 1 with L != T
+        img[1, 1] = [50, 100, 50, 255]  # TL
+        img[2, 1] = [50, 99, 50, 255]  # L
+        img[1, 2] = [50, 101, 50, 255]  # T
+        d = decode_webp(encode_vp8l_transformed(img, "predictor_sel"))
+        assert np.array_equal(d["pixels"], img)
+
+    def test_vp8l_four_transform_stream_consumes_terminator(self):
+        """All four transforms in one stream: after the 4th the decoder must
+        still read the mandatory %b0 list terminator — skipping it shifts
+        every later bit (color-cache flag and onward) by one."""
+        import numpy as np
+
+        from datatrove_spark.kernels.webp_vp8l import (
+            decode_webp,
+            encode_vp8l_transformed,
+        )
+
+        h, w = 10, 24
+        img = np.zeros((h, w, 4), dtype=np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img[:, :, 0] = (xx * 7) % 64
+        img[:, :, 1] = (yy * 9) % 64
+        img[:, :, 2] = ((xx + yy) * 3) % 64
+        img[:, :, 3] = 255
+        d = decode_webp(encode_vp8l_transformed(img, "all_four"))
+        assert np.array_equal(d["pixels"], img)
+
     def test_vp8l_probe_dispatch_and_lossy_raises(self):
         """probe_media reads VP8L dims; the multimodal feature UDF decodes
         lossless WebP; lossy VP8 still raises loudly."""

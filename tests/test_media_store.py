@@ -86,3 +86,20 @@ def test_torn_shard_is_loud(spark, tmp_path):
         f.truncate(os.path.getsize(shard) - 10)
     with pytest.raises(Exception, match="torn shard|short read|Invalid|zstd"):
         read_media_store(spark, store).collect()
+
+
+def test_all_null_partitions_create_no_empty_shards(spark, tmp_path):
+    """Shards open lazily on the first written frame: partitions holding
+    only NULL payloads (common downstream of fetch failures) must not
+    litter the store with zero-record objects."""
+    from pyspark.sql import Row as _Row
+
+    store = str(tmp_path / "store")
+    rows = [_Row(doc_id=f"d{i}", payload=(b"data%d" % i if i < 2 else None))
+            for i in range(40)]
+    df = spark.createDataFrame(rows).repartition(8)
+    manifest = write_media_store(df, store).collect()
+    shards = glob.glob(os.path.join(store, "media_*.bin.zst"))
+    assert len(manifest) == 2
+    assert len(shards) <= 2, f"empty shards written: {shards}"
+    assert all(os.path.getsize(s) > 0 for s in shards)
