@@ -58,14 +58,28 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise UnsupportedMediaError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        # bytes of the SubFormat GUID (fmt extension at offset 24)
+        (audio_format,) = struct.unpack("<H", fmt[24:26])
     if audio_format == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif audio_format == 1 and bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >> 23) << 24  # sign-extend
+        samples = v.astype(np.float64) / 8388608.0
     elif audio_format == 1 and bits == 32:
         samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
     elif audio_format == 3 and bits == 32:
         samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif audio_format == 6:  # ITU-T G.711 A-law
+        samples = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 7:  # ITU-T G.711 mu-law
+        samples = _ulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
     else:
         raise UnsupportedMediaError(f"WAV format {audio_format}/{bits}bit not supported")
     if n_channels > 1:
@@ -82,8 +96,80 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Minimal 16-bit PCM mono writer for test fixtures."""
+def _ulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion, vectorized from the published CCITT
+    reference formula (bias 0x84, 3-bit segment, 4-bit mantissa):
+    t = (((~u & 0x0F) << 3) + 0x84) << segment; sign bit selects
+    0x84 - t vs t - 0x84.  Pure formula — no lookup table to mistype."""
+    v = (~u.astype(np.int64)) & 0xFF
+    t = (((v & 0x0F) << 3) + 0x84) << ((v >> 4) & 0x07)
+    lin = np.where(v & 0x80, 0x84 - t, t - 0x84)
+    return lin.astype(np.float64) / 32768.0
+
+
+def _linear_to_ulaw(samples: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_ulaw_to_linear` for fixture writing (CCITT
+    linear2ulaw: bias, find segment by magnitude, pack sign/seg/mantissa)."""
+    pcm = np.clip(samples * 32768.0, -32635, 32635).astype(np.int64)
+    sign = pcm < 0
+    mag = np.abs(pcm) + 0x84
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+    mant = (mag >> (seg + 3)) & 0x0F
+    u = (np.where(sign, 0x80, 0) | (seg << 4) | mant).astype(np.uint8)
+    return (~u) & np.uint8(0xFF)
+
+
+def _alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law expansion (CCITT reference formula: XOR 0x55, segment 0
+    adds 8, others add 0x108 then shift; sign bit SET means positive)."""
+    v = a.astype(np.int64) ^ 0x55
+    mant = (v & 0x0F) << 4
+    seg = (v >> 4) & 0x07
+    t = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    lin = np.where(v & 0x80, t, -t)
+    return lin.astype(np.float64) / 32768.0
+
+
+def _linear_to_alaw(samples: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_alaw_to_linear` for fixture writing."""
+    pcm = np.clip(samples * 32768.0, -32256, 32256).astype(np.int64)
+    pos = pcm >= 0
+    mag = np.abs(pcm)
+    seg = np.clip(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0, 7)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    a = (np.where(pos, 0x80, 0) | (seg << 4) | (mant & 0x0F)).astype(np.uint8)
+    return a ^ np.uint8(0x55)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000, fmt: str = "pcm16") -> bytes:
+    """Minimal mono writer for test fixtures.  ``fmt``: pcm16 (default),
+    pcm24, f32, ulaw, alaw — covering every decode branch above."""
+    if fmt != "pcm16":
+        s = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        if fmt == "pcm24":
+            v = (s * 8388607).astype(np.int64) & 0xFFFFFF
+            body = np.stack(
+                [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF], axis=1
+            ).astype(np.uint8).tobytes()
+            tag, bits = 1, 24
+        elif fmt == "f32":
+            body = s.astype("<f4").tobytes()
+            tag, bits = 3, 32
+        elif fmt == "ulaw":
+            body = _linear_to_ulaw(s).tobytes()
+            tag, bits = 7, 8
+        elif fmt == "alaw":
+            body = _linear_to_alaw(s).tobytes()
+            tag, bits = 6, 8
+        else:
+            raise ValueError(f"unknown wav fixture fmt {fmt}")
+        ba = bits // 8
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(body), b"WAVE", b"fmt ", 16, tag, 1,
+            sample_rate, sample_rate * ba, ba, bits, b"data", len(body),
+        )
+        return hdr + body
     pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype("<i2").tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",

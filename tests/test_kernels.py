@@ -874,6 +874,57 @@ class TestGifCodec:
         assert len(feats) == 32 and feats[0] == 8.0  # width feature
 
 
+def test_wav_extended_formats_roundtrip():
+    """pcm24/f32/G.711 mu-law/A-law WAV decode branches, exercised via the
+    fixture writer.  Tolerances follow each coding's quantization step:
+    pcm24 ~2^-23, f32 exact, G.711 top-segment half-step (mu: 512/32768,
+    A: 1024/32768 at |x|→1).  Sign conventions pinned by the canonical
+    CCITT endpoint values (mu-law 0x00 → -32124, A-law full-scale ±32256)."""
+    import numpy as np
+
+    from datatrove_spark.kernels.media import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+        decode_wav,
+        encode_wav,
+    )
+
+    sr = 8000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    for fmt, tol in [("pcm24", 1e-6), ("f32", 1e-7), ("ulaw", 0.016), ("alaw", 0.032)]:
+        d = decode_wav(encode_wav(sig, sr, fmt=fmt))
+        assert d["sample_rate"] == sr and d["n_samples"] == sr, fmt
+        assert np.abs(d["samples"] - sig).max() < tol, fmt
+
+    # canonical CCITT endpoints: mu-law code 0x00 decodes to -32124,
+    # 0x80 to +32124; A-law 0x2A (0x7F^0x55) is max negative -32256,
+    # 0xAA max positive +32256
+    assert int(_ulaw_to_linear(np.array([0x00], dtype=np.uint8))[0] * 32768) == -32124
+    assert int(_ulaw_to_linear(np.array([0x80], dtype=np.uint8))[0] * 32768) == 32124
+    assert int(_alaw_to_linear(np.array([0x2A], dtype=np.uint8))[0] * 32768) == -32256
+    assert int(_alaw_to_linear(np.array([0xAA], dtype=np.uint8))[0] * 32768) == 32256
+
+    # WAVE_FORMAT_EXTENSIBLE wrapper: same PCM data, fmt chunk carries
+    # 0xFFFE + SubFormat GUID whose first two bytes are the real code
+    import struct
+
+    base = encode_wav(sig, sr)  # plain pcm16
+    # rebuild with an extensible fmt chunk (cbSize=22, SubFormat=PCM GUID)
+    data = base[44:]
+    guid = struct.pack("<H", 1) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt_ext = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 2, 2, 16) + struct.pack(
+        "<HHI", 22, 16, 0x4
+    ) + guid
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_ext) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d = decode_wav(payload)
+    assert d["n_samples"] == sr
+    assert np.abs(d["samples"] - sig).max() < 1e-3
+
+
 def test_probe_media_webp_dimensions():
     """Header-only WebP probes for all three container flavors (public
     RIFF/VP8 bitstream layout), built as synthetic headers."""
