@@ -1,0 +1,683 @@
+"""Dependency-free FLAC decoder + fixture encoder (RFC 9639 / xiph spec).
+
+Implements the full native-FLAC frame layer from the PUBLIC specification
+alone — no code from libFLAC or any other implementation:
+
+- metadata walk (STREAMINFO required-first, others skipped),
+- frame headers (both blocking strategies, UTF-8-style coded numbers,
+  uncommon block-size/sample-rate tails, CRC-8 poly 0x07),
+- all four subframe types: CONSTANT, VERBATIM, FIXED orders 0-4, LPC
+  orders 1-32 with quantized-coefficient integer prediction,
+- wasted-bits unary prefix,
+- partitioned Rice residuals, both 4-bit and 5-bit parameter widths,
+  escape partitions (raw n-bit residuals),
+- stereo decorrelation: left/side, right/side, mid/side,
+- frame CRC-16 (poly 0x8005) and STREAMINFO MD5 verification (when the
+  sample size is byte-aligned, the layout MD5 actually hashes).
+
+The reference's media subsystem shells out to audio libraries for
+compressed codecs (reference `pipeline/media/utils.py`); here FLAC — the
+dominant *lossless* crawl audio format — decodes natively so the feature
+UDFs in operators/multimodal.py get real samples, not just a duration
+probe.  Lossy codecs (MP3/Vorbis/Opus) still raise UnsupportedMediaError
+loudly: a from-spec psychoacoustic decoder is out of scope, and silently
+fake samples would be worse than an error.
+
+Scale note: decode runs per-payload inside Arrow-batched UDFs; the hot
+loops (Rice, LPC) are bounded by the frame size (<=65535 samples) and use
+bulk int reads over the byte buffer, not per-bit Python.  Fixed-predictor
+reconstruction is vectorized as repeated integer cumsum.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from .media import UnsupportedMediaError
+
+__all__ = ["decode_flac", "encode_flac"]
+
+
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    """MSB-first CRC table for the given polynomial (spec: CRC-8 poly
+    x^8+x^2+x+1 = 0x07, CRC-16 poly x^16+x^15+x^2+1 = 0x8005, init 0)."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        reg = byte << (width - 8)
+        for _ in range(8):
+            reg = ((reg << 1) ^ poly) if reg & top else (reg << 1)
+        table.append(reg & mask)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    reg = 0
+    for b in data:
+        reg = _CRC8_TABLE[reg ^ b]
+    return reg
+
+
+def _crc16(data: bytes) -> int:
+    reg = 0
+    for b in data:
+        reg = ((reg << 8) & 0xFFFF) ^ _CRC16_TABLE[(reg >> 8) ^ b]
+    return reg
+
+
+class _BitReader:
+    """MSB-first bit reader over a bytes buffer.
+
+    `read` pulls whole fields via one int.from_bytes per call; `unary`
+    scans for the next set bit 64 bits at a time with int.bit_length —
+    no per-bit Python, no materialized bit array.
+    """
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.nbits = len(data) * 8
+        self.pos = pos_bits
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        end = self.pos + k
+        if end > self.nbits:
+            raise UnsupportedMediaError("truncated FLAC stream")
+        b0, b1 = self.pos >> 3, (end + 7) >> 3
+        v = int.from_bytes(self.data[b0:b1], "big") >> ((b1 << 3) - end)
+        self.pos = end
+        return v & ((1 << k) - 1)
+
+    def read_signed(self, k: int) -> int:
+        v = self.read(k)
+        return v - (1 << k) if v >> (k - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while True:
+            k = min(64, self.nbits - self.pos)
+            if k <= 0:
+                raise UnsupportedMediaError("truncated FLAC unary code")
+            end = self.pos + k
+            b0, b1 = self.pos >> 3, (end + 7) >> 3
+            v = int.from_bytes(self.data[b0:b1], "big") >> ((b1 << 3) - end)
+            v &= (1 << k) - 1
+            if v == 0:
+                self.pos = end
+                q += k
+                continue
+            lead = k - v.bit_length()
+            self.pos += lead + 1
+            return q + lead
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+_BLOCKSIZE_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_SAMPLE_RATE_FIXED = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+                      6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+                      11: 96000}
+_SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+# fixed-predictor coefficients, order 0..4 (spec §on fixed predictors:
+# successive polynomial extrapolation == repeated first differences)
+_FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _read_coded_number(br: _BitReader) -> int:
+    """The frame header's UTF-8-style variable-length number (extended to
+    36 bits / up to 7 bytes for sample numbers)."""
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n_extra = 0
+    mask = 0x40
+    while first & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra < 1 or n_extra > 6:
+        raise UnsupportedMediaError("invalid FLAC coded number")
+    val = first & (mask - 1)
+    for _ in range(n_extra):
+        cont = br.read(8)
+        if cont >> 6 != 0b10:
+            raise UnsupportedMediaError("invalid FLAC coded number continuation")
+        val = (val << 6) | (cont & 0x3F)
+    return val
+
+
+def _decode_residual(br: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise UnsupportedMediaError(f"reserved FLAC residual method {method}")
+    plen = 4 + method
+    escape = (1 << plen) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise UnsupportedMediaError("FLAC partition order does not divide block size")
+    part_n = blocksize >> porder
+    out: list[int] = []
+    for p in range(nparts):
+        n = part_n - (order if p == 0 else 0)
+        if n < 0:
+            raise UnsupportedMediaError("FLAC predictor order exceeds first partition")
+        param = br.read(plen)
+        if param == escape:
+            nbits = br.read(5)
+            if nbits == 0:
+                out.extend([0] * n)
+            else:
+                out.extend(br.read_signed(nbits) for _ in range(n))
+        else:
+            read, unary = br.read, br.unary
+            for _ in range(n):
+                u = (unary() << param) | read(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _restore_fixed(warm: list[int], resid: list[int], order: int) -> np.ndarray:
+    """Invert the order-k fixed predictor: residuals are the k-th forward
+    differences, so reconstruction is k successive integer cumsums seeded
+    by the warmup's difference pyramid.  Pinned equal to the scalar
+    recurrence by tests."""
+    if order == 0:
+        return np.asarray(resid, dtype=np.int64)
+    w = np.asarray(warm, dtype=np.int64)
+    # diff pyramid: diffs[j] = j-th forward differences of the warmup
+    diffs = [w]
+    for _ in range(order):
+        diffs.append(np.diff(diffs[-1]))
+    cur = np.asarray(resid, dtype=np.int64)
+    for j in range(order, 0, -1):
+        seed = diffs[j - 1][-1]  # (j-1)-th difference at warmup tail
+        cur = seed + np.cumsum(cur)
+    return np.concatenate([w, cur])
+
+
+def _restore_lpc(warm: list[int], resid: list[int], coefs: list[int], shift: int) -> np.ndarray:
+    """Integer LPC recurrence (spec: prediction = sum(c_i * s[n-1-i]) >>
+    shift, arithmetic shift — Python's >> on ints is exactly that).
+    Sequential by nature; plain-int loop, exact."""
+    data = list(warm)
+    order = len(coefs)
+    for r in resid:
+        acc = 0
+        for i, c in enumerate(coefs):
+            acc += c * data[-1 - i]
+        data.append(r + (acc >> shift))
+    return np.asarray(data, dtype=np.int64)
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise UnsupportedMediaError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+        if bps <= 0:
+            raise UnsupportedMediaError("FLAC wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        out = np.full(blocksize, br.read_signed(bps), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.fromiter(
+            (br.read_signed(bps) for _ in range(blocksize)), dtype=np.int64, count=blocksize
+        )
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        resid = _decode_residual(br, blocksize, order)
+        out = _restore_fixed(warm, resid, order)
+    elif stype >= 32:  # LPC order 1-32
+        order = (stype & 31) + 1
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise UnsupportedMediaError("invalid FLAC LPC precision code")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise UnsupportedMediaError("negative FLAC LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(br, blocksize, order)
+        out = _restore_lpc(warm, resid, coefs, shift)
+    else:
+        raise UnsupportedMediaError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def _decode_frame(br: _BitReader, info: dict) -> tuple[np.ndarray, int]:
+    """Decode one frame; returns (samples[int64, shape (blocksize, nch)],
+    sample_rate)."""
+    start_byte = br.pos >> 3
+    if br.read(14) != 0x3FFE:
+        raise UnsupportedMediaError("lost FLAC frame sync")
+    if br.read(1):
+        raise UnsupportedMediaError("FLAC frame reserved bit set")
+    br.read(1)  # blocking strategy (number semantics only)
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    ch_code = br.read(4)
+    ss_code = br.read(3)
+    if br.read(1):
+        raise UnsupportedMediaError("FLAC frame reserved bit set")
+    _read_coded_number(br)
+    if bs_code == 0:
+        raise UnsupportedMediaError("reserved FLAC block size code")
+    elif bs_code == 6:
+        blocksize = br.read(8) + 1
+    elif bs_code == 7:
+        blocksize = br.read(16) + 1
+    else:
+        blocksize = _BLOCKSIZE_FIXED[bs_code]
+    if sr_code == 0:
+        sample_rate = info["sample_rate"]
+    elif sr_code == 12:
+        sample_rate = br.read(8) * 1000
+    elif sr_code == 13:
+        sample_rate = br.read(16)
+    elif sr_code == 14:
+        sample_rate = br.read(16) * 10
+    elif sr_code == 15:
+        raise UnsupportedMediaError("invalid FLAC sample rate code")
+    else:
+        sample_rate = _SAMPLE_RATE_FIXED[sr_code]
+    if ss_code == 0:
+        bps = info["bits_per_sample"]
+    elif ss_code == 3:
+        raise UnsupportedMediaError("reserved FLAC sample size code")
+    else:
+        bps = _SAMPLE_SIZE[ss_code]
+    # header CRC-8 covers sync through the uncommon-size tails; reader is
+    # byte-aligned here by construction
+    hdr_end = br.pos >> 3
+    if _crc8(br.data[start_byte:hdr_end]) != br.read(8):
+        raise UnsupportedMediaError("FLAC frame header CRC-8 mismatch")
+
+    if ch_code <= 7:
+        nch = ch_code + 1
+        chans = [_decode_subframe(br, blocksize, bps) for _ in range(nch)]
+    elif ch_code in (8, 9, 10):
+        nch = 2
+        # the side channel carries one extra bit (spec: difference range)
+        extra0 = 1 if ch_code == 9 else 0
+        extra1 = 1 if ch_code in (8, 10) else 0
+        c0 = _decode_subframe(br, blocksize, bps + extra0)
+        c1 = _decode_subframe(br, blocksize, bps + extra1)
+        if ch_code == 8:  # left/side: right = left - side
+            chans = [c0, c0 - c1]
+        elif ch_code == 9:  # side/right: left = side + right
+            chans = [c0 + c1, c1]
+        else:  # mid/side
+            mid2 = (c0 << 1) | (c1 & 1)
+            chans = [(mid2 + c1) >> 1, (mid2 - c1) >> 1]
+    else:
+        raise UnsupportedMediaError(f"reserved FLAC channel assignment {ch_code}")
+
+    br.align()
+    frame_end = br.pos >> 3
+    if _crc16(br.data[start_byte:frame_end]) != br.read(16):
+        raise UnsupportedMediaError("FLAC frame CRC-16 mismatch")
+    return np.stack(chans, axis=1), sample_rate
+
+
+def decode_flac(payload: bytes, verify_md5: bool = True) -> dict:
+    """Decode a native-FLAC stream to samples.
+
+    Returns the same shape as :func:`media.decode_wav` — mono-mixed
+    float64 ``samples`` in [-1, 1) plus rate/size metadata — and
+    additionally ``channels``: the exact int32 PCM matrix
+    (n_samples, n_channels), which tests use to pin losslessness.
+    """
+    if payload[:4] != b"fLaC":
+        raise UnsupportedMediaError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(payload):
+            raise UnsupportedMediaError("truncated FLAC metadata")
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, hdr >> 7
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if btype == 0:
+            if blen != 34:
+                raise UnsupportedMediaError("bad FLAC STREAMINFO length")
+            bits = int.from_bytes(body[10:18], "big")
+            info = {
+                "min_blocksize": struct.unpack(">H", body[0:2])[0],
+                "max_blocksize": struct.unpack(">H", body[2:4])[0],
+                "sample_rate": (bits >> 44) & 0xFFFFF,
+                "n_channels": ((bits >> 41) & 0x7) + 1,
+                "bits_per_sample": ((bits >> 36) & 0x1F) + 1,
+                "total_samples": bits & 0xFFFFFFFFF,
+                "md5": body[18:34],
+            }
+        elif btype == 127:
+            raise UnsupportedMediaError("invalid FLAC metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise UnsupportedMediaError("FLAC stream missing STREAMINFO")
+
+    br = _BitReader(payload, pos * 8)
+    total = info["total_samples"]
+    parts: list[np.ndarray] = []
+    got = 0
+    sample_rate = info["sample_rate"]
+    while (total and got < total) or (not total and br.nbits - br.pos >= 48):
+        frame, sample_rate = _decode_frame(br, info)
+        parts.append(frame)
+        got += frame.shape[0]
+    pcm = np.concatenate(parts, axis=0) if parts else np.zeros((0, info["n_channels"]), np.int64)
+    if total:
+        pcm = pcm[:total]
+
+    bps = info["bits_per_sample"]
+    if verify_md5 and info["md5"] != b"\x00" * 16 and bps % 8 == 0:
+        # STREAMINFO MD5 hashes the interleaved little-endian PCM
+        nbytes = bps // 8
+        flat = pcm.reshape(-1)
+        raw = bytearray(len(flat) * nbytes)
+        for i in range(nbytes):
+            raw[i::nbytes] = ((flat >> (8 * i)) & 0xFF).astype(np.uint8).tobytes()
+        if hashlib.md5(bytes(raw)).digest() != info["md5"]:
+            raise UnsupportedMediaError("FLAC stream MD5 mismatch (corrupt audio)")
+
+    scale = float(1 << (bps - 1))
+    mono = pcm.mean(axis=1) / scale if pcm.size else np.zeros(0)
+    n_samples = pcm.shape[0]
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": pcm.shape[1],
+        "bits": bps,
+        "n_samples": n_samples,
+        "duration_ms": int(n_samples * 1000 / max(sample_rate, 1)),
+        "samples": mono,
+        "channels": pcm.astype(np.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, k: int) -> None:
+        if k == 0:
+            return
+        self._acc = (self._acc << k) | (value & ((1 << k) - 1))
+        self._n += k
+        while self._n >= 8:
+            self._n -= 8
+            self.buf.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def write_unary(self, q: int) -> None:
+        if q >= 64:
+            raise ValueError("fixture encoder caps unary at 64")
+        self.write(0, q)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+    def bytes(self) -> bytes:
+        assert self._n == 0, "unaligned"
+        return bytes(self.buf)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
+
+
+def _write_rice_partitioned(
+    bw: _BitWriter, resid: np.ndarray, order: int, blocksize: int,
+    partition_order: int, escape_parts: set[int] | None = None,
+) -> None:
+    bw.write(0, 2)  # method: 4-bit rice
+    bw.write(partition_order, 4)
+    nparts = 1 << partition_order
+    part_n = blocksize >> partition_order
+    idx = 0
+    for p in range(nparts):
+        n = part_n - (order if p == 0 else 0)
+        vals = resid[idx:idx + n]
+        idx += n
+        if escape_parts and p in escape_parts:
+            bw.write(0xF, 4)
+            nbits = max((int(np.abs(vals).max()) if len(vals) else 0).bit_length() + 1, 1)
+            bw.write(nbits, 5)
+            for v in vals:
+                bw.write(int(v) & ((1 << nbits) - 1), nbits)
+            continue
+        # pick the rice parameter: mean-driven, then raised until the
+        # worst-case quotient fits the writer's 64-zero unary cap
+        us = [_zigzag(int(v)) for v in vals]
+        mean_u = float(np.mean(us)) if us else 0.0
+        param = 0
+        while (mean_u / (1 << param)) > 16 and param < 14:
+            param += 1
+        max_u = max(us, default=0)
+        while (max_u >> param) >= 64 and param < 14:
+            param += 1
+        bw.write(param, 4)
+        for v in vals:
+            u = _zigzag(int(v))
+            q, r = u >> param, u & ((1 << param) - 1)
+            if q >= 64:
+                raise ValueError("fixture rice quotient too large; raise param")
+            for _ in range(q):
+                bw.write(0, 1)
+            bw.write(1, 1)
+            bw.write(r, param)
+
+
+def _write_subframe(
+    bw: _BitWriter, chan: np.ndarray, bps: int, mode: str,
+    partition_order: int, escape_parts: set[int] | None, wasted: int,
+) -> None:
+    vals = chan.astype(np.int64)
+    if wasted:
+        assert not np.any(vals & ((1 << wasted) - 1)), "wasted bits must be zero in input"
+        vals = vals >> wasted
+        eff_bps = bps - wasted
+    else:
+        eff_bps = bps
+    bw.write(0, 1)  # padding
+    if mode == "constant":
+        assert np.all(vals == vals[0])
+        bw.write(0, 6)
+        bw.write(1 if wasted else 0, 1)
+        if wasted:
+            bw.write_unary(wasted - 1)
+        bw.write(int(vals[0]) & ((1 << eff_bps) - 1), eff_bps)
+        return
+    if mode == "verbatim":
+        bw.write(1, 6)
+        bw.write(1 if wasted else 0, 1)
+        if wasted:
+            bw.write_unary(wasted - 1)
+        for v in vals:
+            bw.write(int(v) & ((1 << eff_bps) - 1), eff_bps)
+        return
+    if mode.startswith("fixed"):
+        order = int(mode[5:])
+        bw.write(8 + order, 6)
+        bw.write(1 if wasted else 0, 1)
+        if wasted:
+            bw.write_unary(wasted - 1)
+        for v in vals[:order]:
+            bw.write(int(v) & ((1 << eff_bps) - 1), eff_bps)
+        resid = vals.copy()
+        for _ in range(order):
+            resid = np.diff(resid)
+        _write_rice_partitioned(bw, resid, order, len(vals), partition_order, escape_parts)
+        return
+    if mode == "lpc":
+        # order-2 quantized predictor ~[1.875, -0.9375] at precision 6,
+        # shift 4: coefficients [30, -15] — a near-slope model whose
+        # residuals stay small on smooth signals (fits 6-bit signed)
+        order, prec, shift = 2, 6, 4
+        coefs = [30, -15]
+        bw.write(32 + (order - 1), 6)
+        bw.write(1 if wasted else 0, 1)
+        if wasted:
+            bw.write_unary(wasted - 1)
+        for v in vals[:order]:
+            bw.write(int(v) & ((1 << eff_bps) - 1), eff_bps)
+        bw.write(prec - 1, 4)
+        bw.write(shift & 0x1F, 5)
+        for c in coefs:
+            bw.write(c & ((1 << prec) - 1), prec)
+        resid = []
+        for i in range(order, len(vals)):
+            pred = (coefs[0] * int(vals[i - 1]) + coefs[1] * int(vals[i - 2])) >> shift
+            resid.append(int(vals[i]) - pred)
+        _write_rice_partitioned(
+            bw, np.asarray(resid, np.int64), order, len(vals), partition_order, escape_parts
+        )
+        return
+    raise ValueError(f"unknown subframe mode {mode}")
+
+
+_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 16000,
+    bps: int = 16,
+    blocksize: int = 1024,
+    mode: str = "fixed2",
+    stereo: str = "independent",
+    partition_order: int = 0,
+    escape_parts: set[int] | None = None,
+    wasted: int = 0,
+) -> bytes:
+    """Fixture FLAC writer covering every decoder branch.
+
+    ``samples``: float in [-1,1), shape (n,) mono or (n,2) stereo (ignored
+    channel layout for >2 not supported).  ``mode``: constant | verbatim |
+    fixed0..fixed4 | lpc.  ``stereo``: independent | left_side |
+    right_side | mid_side.  Lossless by construction: quantizes to
+    ``bps``-bit ints and the decoder must return them bit-exactly.
+    """
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    scale = 1 << (bps - 1)
+    pcm = np.clip(np.round(s * scale), -scale, scale - 1).astype(np.int64)
+    if wasted:
+        pcm = (pcm >> wasted) << wasted
+    n, nch = pcm.shape
+    total = n
+
+    header = _BitWriter()
+    # STREAMINFO
+    md5 = b"\x00" * 16
+    if bps % 8 == 0:
+        nbytes = bps // 8
+        flat = pcm.reshape(-1)
+        raw = bytearray(len(flat) * nbytes)
+        for i in range(nbytes):
+            raw[i::nbytes] = ((flat >> (8 * i)) & 0xFF).astype(np.uint8).tobytes()
+        md5 = hashlib.md5(bytes(raw)).digest()
+    info = _BitWriter()
+    info.write(min(blocksize, n) if n else blocksize, 16)
+    info.write(blocksize, 16)
+    info.write(0, 24)  # min frame size unknown
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(nch - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(total, 36)
+    body = info.bytes() + md5
+    header.write(0x80, 8)  # last-block flag + type 0
+    header.write(len(body), 24)
+    out = bytearray(b"fLaC" + header.bytes() + body)
+
+    frame_idx = 0
+    for start in range(0, n, blocksize):
+        blk = pcm[start:start + blocksize]
+        bs = blk.shape[0]
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed blocking
+        bw.write(7, 4)  # 16-bit blocksize-1 tail
+        bw.write(0, 4)  # sample rate from STREAMINFO
+        if nch == 2 and stereo != "independent":
+            ch_code = {"left_side": 8, "right_side": 9, "mid_side": 10}[stereo]
+        else:
+            ch_code = nch - 1
+        bw.write(ch_code, 4)
+        bw.write(_SS_CODE[bps], 3)
+        bw.write(0, 1)
+        # coded frame number (fixture frames stay < 2^31)
+        fi = frame_idx
+        if fi < 0x80:
+            bw.write(fi, 8)
+        else:
+            # generic UTF-8-style encode
+            tmp = []
+            nbits = fi.bit_length()
+            nbytes_c = 2
+            while nbits > 6 * (nbytes_c - 1) + (7 - nbytes_c):
+                nbytes_c += 1
+            for i in range(nbytes_c - 1):
+                tmp.append(0x80 | ((fi >> (6 * i)) & 0x3F))
+            lead = (0xFF << (8 - nbytes_c)) & 0xFF
+            tmp.append(lead | (fi >> (6 * (nbytes_c - 1))))
+            for b in reversed(tmp):
+                bw.write(b, 8)
+        bw.write(bs - 1, 16)
+        hdr_bytes = bw.bytes()  # aligned by construction
+        bw.write(_crc8(hdr_bytes), 8)
+
+        if ch_code <= 7:
+            for c in range(nch):
+                _write_subframe(bw, blk[:, c], bps, mode, partition_order, escape_parts, wasted)
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if ch_code == 8:
+                c0, b0 = left, bps
+                c1, b1 = side, bps + 1
+            elif ch_code == 9:
+                c0, b0 = side, bps + 1
+                c1, b1 = right, bps
+            else:
+                c0, b0 = (left + right) >> 1, bps
+                c1, b1 = side, bps + 1
+            _write_subframe(bw, c0, b0, mode, partition_order, escape_parts, wasted)
+            _write_subframe(bw, c1, b1, mode, partition_order, escape_parts, wasted)
+        bw.align()
+        frame_bytes = bw.bytes()
+        bw.write(_crc16(frame_bytes), 16)
+        out += bw.bytes()
+        frame_idx += 1
+    return bytes(out)

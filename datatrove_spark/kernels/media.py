@@ -13,9 +13,12 @@ decodable from their public specs with stdlib + numpy:
 * baseline JPEG — see ``kernels/jpeg.py`` (ITU T.81 Huffman + IDCT +
   chroma upsampling + restart markers, with a real JFIF encoder).
 
-Remaining compressed formats (progressive JPEG/WEBP/MP3/FLAC/OGG) stay
-stubbed — callers get a loud ``UnsupportedMediaError``.  ``probe_media`` extracts width/height/duration
-from HEADERS ONLY (cheap, no pixel/sample decode) for many more formats.
+Progressive JPEG decodes via ``kernels/jpeg.py`` (T.81 §G), lossless WebP
+via ``kernels/webp_vp8l.py``, and FLAC samples via ``kernels/flac.py``
+(RFC 9639).  Remaining lossy codecs (VP8 pixels, MP3/OGG samples) stay
+stubbed — callers get a loud ``UnsupportedMediaError``.  ``probe_media``
+extracts width/height/duration from HEADERS ONLY (cheap, no pixel/sample
+decode) for many more formats.
 
 ``encode_wav``/``encode_bmp``/``encode_png`` write minimal valid files so
 tests exercise the real decoders without binary fixtures.

@@ -74,12 +74,18 @@ def _decode_image(payload: bytes) -> list[float]:
 
 
 def _decode_audio(payload: bytes) -> list[float]:
-    """Real decode for WAV PCM (kernels/media.py); compressed codecs need an
-    audio library (soundfile/torchaudio)."""
+    """Real decode for WAV PCM (kernels/media.py) and FLAC (kernels/flac.py,
+    from-spec lossless decode); lossy codecs (mp3/ogg) need an audio
+    library (soundfile/torchaudio) and raise loudly."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         d = decode_wav(payload)
         return audio_features(d["samples"], d["sample_rate"], FEATURE_DIM)
-    raise UnsupportedMediaError("compressed audio codecs (mp3/flac/ogg) need an audio library")
+    if payload[:4] == b"fLaC":
+        from ..kernels.flac import decode_flac
+
+        d = decode_flac(payload)
+        return audio_features(d["samples"], d["sample_rate"], FEATURE_DIM)
+    raise UnsupportedMediaError("lossy audio codecs (mp3/ogg) need an audio library")
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

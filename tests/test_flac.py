@@ -1,0 +1,135 @@
+"""FLAC codec tests (kernels/flac.py, RFC 9639 from-spec implementation).
+
+Losslessness is the invariant: every (subframe type x stereo mode x
+residual layout) combination must round-trip the quantized PCM
+BIT-EXACTLY through the fixture encoder and the decoder — verified both
+by direct array equality and by the decoder's own STREAMINFO MD5 check
+(which hashes the reconstructed PCM independently of the frame layer).
+"""
+
+import numpy as np
+import pytest
+
+from datatrove_spark.kernels.flac import (
+    _restore_fixed,
+    decode_flac,
+    encode_flac,
+)
+from datatrove_spark.kernels.media import UnsupportedMediaError
+
+
+def _sig(n=2500, sr=8000):
+    t = np.arange(n) / sr
+    return 0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 37 * t)
+
+
+def _pcm(sig, bps=16):
+    scale = 1 << (bps - 1)
+    return np.clip(np.round(sig * scale), -scale, scale - 1).astype(np.int64)
+
+
+@pytest.mark.parametrize(
+    "mode", ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc"]
+)
+def test_flac_mono_roundtrip_all_subframe_types(mode):
+    sr, sig = 8000, _sig()
+    d = decode_flac(encode_flac(sig, sr, mode=mode))
+    assert d["sample_rate"] == sr and d["n_samples"] == len(sig)
+    assert d["duration_ms"] == int(len(sig) * 1000 / sr)
+    assert (d["channels"][:, 0] == _pcm(sig)).all()
+    # float view is the mono mix at 16-bit scale
+    assert np.abs(d["samples"] - _pcm(sig) / 32768.0).max() == 0.0
+
+
+def test_flac_constant_subframe():
+    d = decode_flac(encode_flac(np.full(1000, 0.25), 8000, mode="constant"))
+    assert (d["channels"][:, 0] == 8192).all() and d["n_samples"] == 1000
+
+
+@pytest.mark.parametrize("stereo", ["independent", "left_side", "right_side", "mid_side"])
+def test_flac_stereo_decorrelation_roundtrip(stereo):
+    sig = _sig()
+    st = np.stack([sig, np.roll(sig, 3) * 0.8], axis=1)
+    d = decode_flac(encode_flac(st, 8000, mode="fixed2", stereo=stereo))
+    assert d["n_channels"] == 2
+    assert (d["channels"] == _pcm(st)).all()
+
+
+def test_flac_residual_layouts_and_sample_sizes():
+    sr, sig = 8000, _sig()
+    pcm = _pcm(sig)
+    # multi-partition rice across several frames
+    d = decode_flac(encode_flac(sig, sr, mode="fixed3", partition_order=2, blocksize=512))
+    assert (d["channels"][:, 0] == pcm).all()
+    # escape (raw n-bit) partition
+    d = decode_flac(encode_flac(sig, sr, mode="fixed2", partition_order=1, escape_parts={1}))
+    assert (d["channels"][:, 0] == pcm).all()
+    # wasted bits (3 zero LSBs)
+    w = (pcm >> 3) << 3
+    d = decode_flac(encode_flac(w / 32768.0, sr, mode="fixed1", wasted=3))
+    assert (d["channels"][:, 0] == w).all()
+    # 24-bit samples through the LPC path
+    d = decode_flac(encode_flac(sig, sr, mode="lpc", bps=24))
+    assert d["bits"] == 24 and (d["channels"][:, 0] == _pcm(sig, 24)).all()
+
+
+def test_flac_multiframe_utf8_numbers_and_tail_frame():
+    # 147 frames: exercises multi-byte UTF-8-style frame numbers (>127)
+    # and a short final frame
+    sig = np.tile(_sig(), 60)
+    d = decode_flac(encode_flac(sig, 8000, mode="fixed2", blocksize=1024))
+    assert d["n_samples"] == len(sig)
+    assert (d["channels"][:, 0] == _pcm(sig)).all()
+
+
+def test_flac_corruption_detected():
+    payload = bytearray(encode_flac(_sig(), 8000, mode="fixed2"))
+    payload[60] ^= 0x40  # flip a bit inside the first frame
+    with pytest.raises(UnsupportedMediaError):
+        decode_flac(bytes(payload))
+    with pytest.raises(UnsupportedMediaError):
+        decode_flac(b"NOTFLAC!")
+
+
+def test_flac_restore_fixed_matches_scalar_recurrence():
+    """The vectorized cumsum inversion equals the spec's scalar predictor
+    recurrence for every fixed order."""
+    rng = np.random.RandomState(7)
+    sig = rng.randint(-1000, 1000, 64).astype(np.int64)
+    coef = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+    for order in range(5):
+        resid = sig.copy()
+        for _ in range(order):
+            resid = np.diff(resid)
+        out = _restore_fixed(list(sig[:order]), list(resid if order else sig), order)
+        ref = list(sig[:order])
+        for r in (resid if order else sig):
+            pred = sum(c * ref[-1 - i] for i, c in enumerate(coef[order]))
+            ref.append(int(r) + pred)
+        assert (out == np.asarray(ref)).all(), order
+
+
+def test_flac_feeds_audio_feature_udf():
+    from datatrove_spark.operators.multimodal import _decode_audio, sniff_mime
+
+    payload = encode_flac(_sig(), 8000, mode="fixed2")
+    assert sniff_mime(payload) == "audio/flac"
+    feats = _decode_audio(payload)
+    assert len(feats) == len(_decode_audio(__import__(
+        "datatrove_spark.kernels.media", fromlist=["encode_wav"]
+    ).encode_wav(_sig(), 8000)))
+    # FLAC is lossless but the two fixture writers quantize differently
+    # (encode_wav scales by 32767, encode_flac by 32768) — features agree
+    # to the 1-LSB quantization bound, not bit-exactly
+    from datatrove_spark.kernels.media import encode_wav
+
+    wav_feats = _decode_audio(encode_wav(_sig(), 8000))
+    assert np.abs(np.asarray(feats) - np.asarray(wav_feats)).max() < 1e-3
+
+
+def test_flac_probe_still_header_only():
+    from datatrove_spark.kernels.media import probe_media
+
+    payload = encode_flac(_sig(4000), 16000, mode="fixed2")
+    meta = probe_media(payload)
+    assert meta["duration_ms"] == 250
