@@ -960,6 +960,42 @@ def q_code_pii_scrub(spark, sf_dir):
     )
 
 
+def q_code_secret_scrub(spark, sf_dir):
+    """Credential-scrub invariant over the WHOLE code corpus (secrets are
+    scanned in every file, kept or dropped): fixture secrets planted
+    deterministically (sha256-of-path selector, native expression), then
+    removed by the pure-Catalyst regexp_replace chain
+    (operators/formatters.py:scrub_secrets_native — AWS/GitHub/GitLab/npm/
+    Slack/Stripe/Google/SendGrid keys, JWTs, PEM blocks, URL basic-auth).
+    Oracle = the sequential Python kernel over the identically planted
+    corpus (kernels/secrets.py, tools/make_expected.py)."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.formatters import (
+        plant_secrets_native,
+        scrub_secrets_native,
+    )
+
+    df = synth_corpus(spark, CODE_CORPUS_ROWS, partitions=8)
+    planted = plant_secrets_native(df, "content", out_col="planted")
+    out = scrub_secrets_native(planted, "planted", out_col="scrubbed")
+    return out.select(
+        "repo",
+        "path",
+        F.sha2("scrubbed", 256).alias("scrubbed_sha256"),
+        F.col("n_secrets").cast("long").alias("n_secrets"),
+    )
+
+
+def q_code_scrub_suite(spark, sf_dir):
+    """pii (survivors-only, emails/IPs/phones) + secrets (whole corpus,
+    credential patterns) in one driver row."""
+    pii = q_code_pii_scrub(spark, sf_dir).withColumn(
+        "n_secrets", F.lit(None).cast("long")
+    )
+    sec = q_code_secret_scrub(spark, sf_dir)
+    return _mode(pii, "pii").unionByName(_mode(sec, "secrets"))
+
+
 # --------------------------------------------------------------------------
 # merged suite queries — round-5 oracle consolidation
 #
@@ -1099,7 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- north rule --
         "code_quality": q_code_quality,
-        "code_pii_scrub": q_code_pii_scrub,
+        "code_pii_scrub": q_code_scrub_suite,
         # -- quality filters --
         "gopher_quality": q_gopher_quality,
         "gopher_rep_topgrams": q_gopher_rep_topgrams,

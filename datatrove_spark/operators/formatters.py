@@ -141,3 +141,56 @@ def fix_text_encoding(df: DataFrame, text_col: str = "text", out_col: str | None
 
         out = df.withColumn(out_col or text_col, _fallback(F.col(text_col)))
         return out.withColumn("ftfy_backend", F.lit("native-fallback-nonparity"))
+
+
+def scrub_secrets_native(
+    df: DataFrame,
+    text_col: str = "content",
+    out_col: str | None = None,
+    count_col: str | None = "n_secrets",
+) -> DataFrame:
+    """Credential scrubbing as a pure-Catalyst ``regexp_replace`` chain.
+
+    Uses the exact pattern strings from :mod:`kernels.secrets` (written in
+    the common Python-re/Java-regex dialect); sequential semantics — each
+    pattern counts and rewrites the text as already scrubbed by the
+    patterns before it, matching ``kernels.secrets.scrub_secrets`` exactly
+    (parity pinned by tests).  No UDF: the whole chain stays inside
+    whole-stage codegen, so at 100 TB this costs one map stage with zero
+    Python transfer.  ``count_col=None`` skips match counting (halves the
+    regex evaluations per row).
+    """
+    from ..kernels.secrets import SECRET_PATTERNS
+
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    count = F.lit(0)
+    for _name, pattern, repl in SECRET_PATTERNS:
+        if count_col is not None:
+            count = count + F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0)))
+        cur = F.regexp_replace(cur, pattern, repl)
+    out = df.withColumn(out_col or text_col, cur)
+    if count_col is not None:
+        out = out.withColumn(count_col, count)
+    return out
+
+
+def plant_secrets_native(df: DataFrame, text_col: str = "content", out_col: str = "planted") -> DataFrame:
+    """Deterministic fixture-secret planting, fully native (oracle corpora).
+
+    Mirrors :func:`kernels.secrets.planted_content` exactly: selector =
+    first 8 hex digits of sha256(path) via ``conv(substring(sha2(...)))``
+    — both sides compute the same integer with no UDF, so the planted
+    corpus is reproducible row-by-row in plain Python for the oracle.
+    """
+    from ..kernels.secrets import SECRET_FIXTURES
+
+    sel = F.conv(F.substring(F.sha2(F.col("path"), 256), 1, 8), 16, 10).cast("long")
+    arr = F.array(*[F.lit(s) for s in SECRET_FIXTURES])
+    planted = F.when(
+        sel % 3 == 0,
+        F.concat(
+            F.col(text_col), F.lit("\n"),
+            F.element_at(arr, (sel % len(SECRET_FIXTURES)).cast("int") + 1),
+        ),
+    ).otherwise(F.col(text_col))
+    return df.withColumn(out_col, planted)

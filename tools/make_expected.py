@@ -625,12 +625,39 @@ def gen_code_quality() -> pa.Table:
 
 
 def gen_code_pii_scrub() -> pa.Table:
-    rows = [r for r in _code_rows() if r["keep"]]
+    """Merged scrub suite: mode=pii (survivors, email/IP/phone scrub) +
+    mode=secrets (whole corpus, credential scrub over deterministically
+    planted fixture secrets — kernels/secrets.py is the sequential
+    reference for the native regexp_replace chain)."""
+    import hashlib as _hashlib
+
+    from datatrove_spark.corpus import row_for_index
+    from datatrove_spark.kernels.secrets import planted_content, scrub_secrets
+
+    mode, repo, path, sha, nsec = [], [], [], [], []
+    for r in _code_rows():
+        if r["keep"]:
+            mode.append("pii")
+            repo.append(r["repo"])
+            path.append(r["path"])
+            sha.append(r["scrubbed_sha256"])
+            nsec.append(None)
+    n_repos = max(CODE_CORPUS_ROWS // 50, 10)
+    for i in range(CODE_CORPUS_ROWS):
+        row = row_for_index(i, n_repos)
+        scrubbed, n = scrub_secrets(planted_content(row["path"], row["content"]))
+        mode.append("secrets")
+        repo.append(row["repo"])
+        path.append(row["path"])
+        sha.append(_hashlib.sha256(scrubbed.encode()).hexdigest())
+        nsec.append(n)
     return pa.table(
         {
-            "repo": pa.array([r["repo"] for r in rows], pa.string()),
-            "path": pa.array([r["path"] for r in rows], pa.string()),
-            "scrubbed_sha256": pa.array([r["scrubbed_sha256"] for r in rows], pa.string()),
+            "mode": pa.array(mode, pa.string()),
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "scrubbed_sha256": pa.array(sha, pa.string()),
+            "n_secrets": pa.array(nsec, pa.int64()),
         }
     )
 
