@@ -148,6 +148,7 @@ def scrub_secrets_native(
     text_col: str = "content",
     out_col: str | None = None,
     count_col: str | None = "n_secrets",
+    mask_col: str | None = None,
 ) -> DataFrame:
     """Credential scrubbing as a pure-Catalyst ``regexp_replace`` chain.
 
@@ -168,10 +169,18 @@ def scrub_secrets_native(
         if count_col is not None:
             count = count + F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0)))
         cur = F.regexp_replace(cur, pattern, repl)
-    out = df.withColumn(out_col or text_col, cur)
+    if mask_col is not None:
+        # rows where the mask is false pass through unscrubbed (same
+        # survivors-only semantics as pii_scrub's mask_col)
+        cur = F.when(F.col(mask_col), cur).otherwise(F.col(text_col))
+        count = F.when(F.col(mask_col), count).otherwise(F.lit(None))
+    # count FIRST: when out_col == text_col (in-place scrub) the text
+    # overwrite would otherwise rebind the count's column reference to the
+    # already-scrubbed output and every count would read 0
+    out = df
     if count_col is not None:
-        out = out.withColumn(count_col, count)
-    return out
+        out = out.withColumn(count_col, count.cast("long"))
+    return out.withColumn(out_col or text_col, cur)
 
 
 def plant_secrets_native(df: DataFrame, text_col: str = "content", out_col: str = "planted") -> DataFrame:

@@ -58,6 +58,10 @@ class QualityPipelineConfig:
     lm_dict: dict | None = None
     max_perplexity: float | None = None
     scrub_pii: bool = True
+    # credential scrub (code-payload extension, operators/formatters.py:
+    # scrub_secrets_native — native regexp_replace chain, survivors only);
+    # off by default so the pinned pii-only oracles stay byte-stable
+    scrub_secrets: bool = False
     # file-based production models (the same artifacts the staged operators
     # load): a real fastText .bin/.ftz for LID, a KenLM-semantics .arpa for
     # perplexity, optionally with the SentencePiece .model/.vocab step
@@ -128,6 +132,7 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
             arpa_path=cfg.arpa_path,
             sp_path=cfg.sp_path,
         )
+        df = _maybe_scrub_secrets(df, cfg)
         return df.withColumn("content_sha256", F.sha2(F.col(t), 256))
 
     df = length_filter(df, cfg.min_chars, cfg.max_chars, text_col=t)
@@ -153,8 +158,24 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
         # scrub only survivors (dropped rows keep original text for audit);
         # single UDF pass via keep-mask — no plan fork, no recompute.
         df = pii_scrub(df, text_col=t, out_col="scrubbed_content", mask_col="keep")
+    df = _maybe_scrub_secrets(df, cfg)
     df = df.withColumn("content_sha256", F.sha2(F.col(t), 256))
     return df
+
+
+def _maybe_scrub_secrets(df: DataFrame, cfg: QualityPipelineConfig) -> DataFrame:
+    """Optional credential-scrub stage: a pure-Catalyst projection on top of
+    the PII output column (or the raw text when pii scrub is off), survivors
+    only.  Zero shuffle, zero Python — it fuses into the same stage as the
+    upstream map."""
+    if not cfg.scrub_secrets:
+        return df
+    from .operators.formatters import scrub_secrets_native
+
+    src_col = "scrubbed_content" if cfg.scrub_pii else cfg.text_col
+    return scrub_secrets_native(
+        df, src_col, out_col="scrubbed_content", count_col="n_secrets", mask_col="keep"
+    )
 
 
 def pipeline_outputs(df: DataFrame) -> tuple[DataFrame, DataFrame]:

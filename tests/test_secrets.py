@@ -114,3 +114,36 @@ def test_planting_expression_matches_python_mirror(spark):
     ).collect()
     for r in rows:
         assert r["planted"] == planted_content(r["path"], r["content"]), r["path"]
+
+
+def test_pipeline_scrub_secrets_stage(spark):
+    """QualityPipelineConfig(scrub_secrets=True): survivors' scrubbed_content
+    carries no credential patterns (on top of the PII scrub), dropped rows
+    pass through, and the stage adds no shuffle to the plan."""
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.kernels.secrets import scrub_secrets
+    from datatrove_spark.operators.formatters import plant_secrets_native
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    df = plant_secrets_native(
+        synth_corpus(spark, 300, partitions=4), "content", out_col="content2"
+    ).drop("content").withColumnRenamed("content2", "content")
+    out = quality_pipeline(df, QualityPipelineConfig(scrub_secrets=True))
+    rows = out.select("content", "scrubbed_content", "keep", "n_secrets").collect()
+    kept = [r for r in rows if r["keep"]]
+    assert kept and any(r["n_secrets"] > 0 for r in kept)
+    for r in kept:
+        # fully scrubbed: re-running the kernel finds nothing left
+        assert scrub_secrets(r["scrubbed_content"])[1] == 0
+    for r in rows:
+        if not r["keep"]:
+            assert r["n_secrets"] is None
+    # both fused and staged paths agree on the scrub output
+    staged = quality_pipeline(df, QualityPipelineConfig(scrub_secrets=True, fused=False))
+    a = {(r["repo"], r["path"]): (r["keep"], r["scrubbed_content"], r["n_secrets"])
+         for r in out.collect()}
+    b = {(r["repo"], r["path"]): (r["keep"], r["scrubbed_content"], r["n_secrets"])
+         for r in staged.collect()}
+    assert a == b
