@@ -946,6 +946,37 @@ def q_code_quality(spark, sf_dir):
     )
 
 
+def q_code_starcoder_quality(spark, sf_dir):
+    """Code-payload quality rules (published CodeParrot/SantaCoder/StarCoder
+    heuristics: line-length caps, alnum fraction, encoded-data blobs,
+    autogenerated banners, XML preamble) as pure-Catalyst expressions
+    (operators/code_filters.py).  Oracle = the independent plain-Python
+    mirror in kernels/code_quality.py via tools/make_expected.py — a true
+    double implementation (regex/split semantics re-derived, not shared)."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.code_filters import code_quality_filter
+
+    df = synth_corpus(spark, CODE_CORPUS_ROWS, partitions=8)
+    out = code_quality_filter(df)
+    return out.select(
+        "repo",
+        "path",
+        "keep",
+        "drop_reason",
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("double").alias("language_score"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+def q_code_quality_suite(spark, sf_dir):
+    """pipeline (full fused quality chain) + starcoder (code-specific
+    rules) in one driver row."""
+    return _mode(q_code_quality(spark, sf_dir), "pipeline").unionByName(
+        _mode(q_code_starcoder_quality(spark, sf_dir), "starcoder")
+    )
+
+
 def q_code_pii_scrub(spark, sf_dir):
     """Scrubbed-output invariant on survivors: sha256 of the PII-scrubbed
     content per kept file (emails/IPs/phones replaced)."""
@@ -1134,7 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per variant, every variant hash-verified in the same driver row.
     return {
         # -- north rule --
-        "code_quality": q_code_quality,
+        "code_quality": q_code_quality_suite,
         "code_pii_scrub": q_code_scrub_suite,
         # -- quality filters --
         "gopher_quality": q_gopher_quality,

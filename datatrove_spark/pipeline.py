@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .kernels import CODE_C4_QUALITY, DEFAULT_GOPHER_QUALITY, C4QualityConfig, GopherQualityConfig
+from .kernels.code_quality import CodeQualityConfig
 from .kernels.fineweb import DEFAULT_FINEWEB_QUALITY, FineWebQualityConfig
 from .operators import (
     c4_quality_filter,
@@ -62,6 +63,11 @@ class QualityPipelineConfig:
     # scrub_secrets_native — native regexp_replace chain, survivors only);
     # off by default so the pinned pii-only oracles stay byte-stable
     scrub_secrets: bool = False
+    # code-specific quality rules (operators/code_filters.py — published
+    # CodeParrot/SantaCoder heuristics, pure Catalyst) applied as a cheap
+    # native pre-filter AHEAD of the expensive fused UDF; None = off (the
+    # pinned oracle profile)
+    code_rules: "CodeQualityConfig | None" = None
     # file-based production models (the same artifacts the staged operators
     # load): a real fastText .bin/.ftz for LID, a KenLM-semantics .arpa for
     # perplexity, optionally with the SentencePiece .model/.vocab step
@@ -110,6 +116,12 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
     df = ensure_channel(add_doc_id(df, cfg))
     if cfg.repartition_to:
         df = partition_by_repo(df, cfg.repartition_to, cfg.salt_buckets)
+    if cfg.code_rules is not None:
+        from .operators.code_filters import code_quality_filter
+
+        # native pre-filter: rows it drops skip the fused Python pass
+        # entirely (mapInPandas passes non-kept rows through untouched)
+        df = code_quality_filter(df, cfg.code_rules, text_col=t)
 
     if cfg.fused:
         from .operators.fused import fused_quality_filter

@@ -610,16 +610,42 @@ def _code_rows():
 
 
 def gen_code_quality() -> pa.Table:
-    rows = _code_rows()
+    """Merged suite: mode=pipeline (full fused chain, sequential reference)
+    + mode=starcoder (code-specific rules via the independent plain-Python
+    mirror kernels/code_quality.py)."""
+    import hashlib as _hashlib
+
+    from datatrove_spark.corpus import row_for_index
+    from datatrove_spark.kernels.code_quality import code_quality_decision
+
+    cols = {k: [] for k in (
+        "mode", "repo", "path", "keep", "drop_reason",
+        "language", "language_score", "content_sha256",
+    )}
+
+    def add(mode, repo, path, keep, reason, language, score, sha):
+        for k, v in zip(cols, (mode, repo, path, keep, reason, language, score, sha)):
+            cols[k].append(v)
+
+    for r in _code_rows():
+        add("pipeline", r["repo"], r["path"], r["keep"], r["drop_reason"],
+            r["language"], r["language_score"], r["content_sha256"])
+    n_repos = max(CODE_CORPUS_ROWS // 50, 10)
+    for i in range(CODE_CORPUS_ROWS):
+        row = row_for_index(i, n_repos)
+        keep, reason = code_quality_decision(row["content"])
+        add("starcoder", row["repo"], row["path"], keep, reason, None, None,
+            _hashlib.sha256(row["content"].encode()).hexdigest())
     return pa.table(
         {
-            "repo": pa.array([r["repo"] for r in rows], pa.string()),
-            "path": pa.array([r["path"] for r in rows], pa.string()),
-            "keep": pa.array([r["keep"] for r in rows], pa.bool_()),
-            "drop_reason": pa.array([r["drop_reason"] for r in rows], pa.string()),
-            "language": pa.array([r["language"] for r in rows], pa.string()),
-            "language_score": pa.array([r["language_score"] for r in rows], pa.float64()),
-            "content_sha256": pa.array([r["content_sha256"] for r in rows], pa.string()),
+            "mode": pa.array(cols["mode"], pa.string()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "keep": pa.array(cols["keep"], pa.bool_()),
+            "drop_reason": pa.array(cols["drop_reason"], pa.string()),
+            "language": pa.array(cols["language"], pa.string()),
+            "language_score": pa.array(cols["language_score"], pa.float64()),
+            "content_sha256": pa.array(cols["content_sha256"], pa.string()),
         }
     )
 
