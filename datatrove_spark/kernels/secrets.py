@@ -170,3 +170,69 @@ def plant_secret(path: str) -> str | None:
 def planted_content(path: str, content: str) -> str:
     s = plant_secret(path)
     return content if s is None else content + "\n" + s
+
+
+# ---------------------------------------------------------------------------
+# entropy-gated generic detection (strict mode)
+#
+# The pattern list above only catches KNOWN token grammars.  The classic
+# complement (public technique, e.g. the truffleHog approach: Shannon
+# entropy over base64/hex words) catches vendor-less credentials: a
+# high-entropy literal assigned to a key-ish identifier.  Regex alone
+# can't express the entropy gate, so this runs in the Arrow-UDF strict
+# mode (operators/formatters.py:scrub_secrets_strict), never in the
+# default native chain.
+
+import math
+
+GENERIC_ASSIGNMENT_RE = re.compile(
+    r"(?:key|token|secret|passwd|password|credential|auth|apikey|api_key)"
+    r"[A-Za-z0-9_]{0,32}\s*[:=]\s*['\"]([A-Za-z0-9+/=_\-]{20,})['\"]",
+    re.IGNORECASE,
+)
+_HEX_RE = re.compile(r"[0-9a-fA-F]+\Z")
+ENTROPY_BASE64_BITS = 4.5  # bits/char over the base64 alphabet
+ENTROPY_HEX_BITS = 3.0
+
+
+def shannon_entropy(s: str) -> float:
+    """Shannon entropy in bits/char of the string's empirical char
+    distribution (the standard -sum(p log2 p))."""
+    if not s:
+        return 0.0
+    counts: dict[str, int] = {}
+    for ch in s:
+        counts[ch] = counts.get(ch, 0) + 1
+    n = len(s)
+    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+def is_high_entropy_secret(value: str) -> bool:
+    """Entropy gate: hex-only literals use the hex threshold (3.0 bits max
+    possible 4), everything else the base64 threshold (4.5 bits, max 6)."""
+    threshold = ENTROPY_HEX_BITS if _HEX_RE.match(value) else ENTROPY_BASE64_BITS
+    return shannon_entropy(value) >= threshold
+
+
+def scrub_generic_secrets(text: str) -> tuple[str, int]:
+    """Replace high-entropy assigned literals with a placeholder; literals
+    below the entropy gate (words, low-variety strings) pass through."""
+    n = 0
+
+    def sub(m: re.Match) -> str:
+        nonlocal n
+        value = m.group(1)
+        if not is_high_entropy_secret(value):
+            return m.group(0)
+        n += 1
+        return m.group(0).replace(value, "<<SECRET_HIGH_ENTROPY>>")
+
+    return GENERIC_ASSIGNMENT_RE.sub(sub, text), n
+
+
+def scrub_secrets_strict(text: str) -> tuple[str, int]:
+    """Pattern scrub + entropy-gated generic scrub (sequential: patterns
+    first, then the generic pass over the rewritten text)."""
+    out, n1 = scrub_secrets(text)
+    out, n2 = scrub_generic_secrets(out)
+    return out, n1 + n2

@@ -203,3 +203,44 @@ def plant_secrets_native(df: DataFrame, text_col: str = "content", out_col: str 
         ),
     ).otherwise(F.col(text_col))
     return df.withColumn(out_col, planted)
+
+
+def scrub_secrets_strict(
+    df: DataFrame,
+    text_col: str = "content",
+    out_col: str | None = None,
+    count_col: str | None = "n_secrets",
+    mask_col: str | None = None,
+) -> DataFrame:
+    """Strict credential scrub: the pattern chain PLUS the entropy-gated
+    generic detector (kernels/secrets.py:scrub_secrets_strict — truffleHog-
+    style Shannon-entropy gate on literals assigned to key-ish names).
+
+    The entropy gate is not regex-expressible, so this variant runs as one
+    Arrow-batched pandas UDF (slow path, opt-in); the default
+    :func:`scrub_secrets_native` stays pure Catalyst.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..kernels.secrets import scrub_secrets_strict as _strict
+
+    out_name = out_col or text_col
+    pair_type = StructType(
+        [StructField("text", StringType()), StructField("n", LongType())]
+    )
+
+    @F.pandas_udf(pair_type)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        pairs = [_strict(t) for t in texts.fillna("")]
+        return pd.DataFrame({"text": [p[0] for p in pairs], "n": [p[1] for p in pairs]})
+
+    # materialize the struct once so the UDF runs once per row, then split
+    tmp = "__scrub_pair"
+    out = df.withColumn(tmp, _udf(F.col(text_col)))
+    scrubbed, count = F.col(tmp)["text"], F.col(tmp)["n"]
+    if mask_col is not None:
+        scrubbed = F.when(F.col(mask_col), scrubbed).otherwise(F.col(text_col))
+        count = F.when(F.col(mask_col), count).otherwise(F.lit(None))
+    if count_col is not None:
+        out = out.withColumn(count_col, count.cast("long"))
+    return out.withColumn(out_name, scrubbed).drop(tmp)
