@@ -653,6 +653,28 @@ def q_sampler(spark, sf_dir):
     return out.select("doc_id", "keep", "drop_reason")
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+
+
+def q_mix_sources(spark, sf_dir):
+    """Weighted source mixing (training-mixture sampling): per-source
+    Bernoulli rates via the engine-portable md5 hash-of-id rule
+    (operators/filters.py:mix_sources) — unknown sources at the default
+    rate.  Oracle = the same md5 rule in DuckDB SQL."""
+    from datatrove_spark.operators.filters import mix_sources
+
+    out = mix_sources(_docs(spark, sf_dir), MIX_WEIGHTS, seed=11, default_rate=0.05)
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_sampler_suite(spark, sf_dir):
+    """bernoulli (single-rate md5 sampler) + mix (per-source weighted
+    mixture) in one driver row."""
+    return _mode(q_sampler(spark, sf_dir), "bernoulli").unionByName(
+        _mode(q_mix_sources(spark, sf_dir), "mix")
+    )
+
+
 def q_mime_filter(spark, sf_dir):
     from datatrove_spark.operators.multimodal import mime_type_filter
 
@@ -1179,7 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "regex_filter": q_regex_filter,
         "lambda_filter": q_lambda_filter,
-        "sampler": q_sampler,
+        "sampler": q_sampler_suite,
         "mime_filter": q_mime_filter,
         "quality_multilingual": q_quality_multilingual,
         "pipeline_summary": q_pipeline_summary,
@@ -1802,12 +1824,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'regex_match' END AS drop_reason
             FROM documents
         """,
-        "sampler": f"""
-            SELECT doc_id,
-                   substring(md5(doc_id::VARCHAR || ':7'), 1, 8) < '{format(int(0.35 * 0xFFFFFFFF), "08x")}' AS keep,
-                   CASE WHEN NOT substring(md5(doc_id::VARCHAR || ':7'), 1, 8) < '{format(int(0.35 * 0xFFFFFFFF), "08x")}'
-                        THEN 'sampler' END AS drop_reason
-            FROM documents
+        "sampler": """
+            WITH bern AS (
+              SELECT 'bernoulli' AS mode, doc_id,
+                     substring(md5(doc_id::VARCHAR || ':7'), 1, 8) < '59999999' AS keep
+              FROM documents
+            ), mix AS (
+              SELECT 'mix' AS mode, doc_id,
+                     substring(md5(doc_id::VARCHAR || ':11'), 1, 8) <
+                       CASE
+                     WHEN source = 'src0' THEN 'ffffffff'
+                     WHEN source = 'src1' THEN 'bfffffff'
+                     WHEN source = 'src2' THEN '7fffffff'
+                     WHEN source = 'src3' THEN '3fffffff'
+                     WHEN source = 'src4' THEN '19999999'
+                     ELSE '0ccccccc' END AS keep
+              FROM documents
+            ), u AS (
+              SELECT * FROM bern UNION ALL SELECT * FROM mix
+            )
+            SELECT mode, doc_id, keep,
+                   CASE WHEN NOT keep THEN
+                     CASE WHEN mode = 'bernoulli' THEN 'sampler' ELSE 'mix_sources' END
+                   END AS drop_reason
+            FROM u
         """,
         "mime_filter": """
             WITH m AS (

@@ -292,3 +292,36 @@ def mean_word_logprob_column(
         return pd.Series(vals)
 
     return df.withColumn(out_col, _udf(F.col(text_col)))
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    seed: int = 42,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic weighted source mixing (training-mixture sampling).
+
+    Each source is Bernoulli-sampled at its own rate using the md5
+    hash-of-id rule from :func:`sampler_filter` (engine-portable: the
+    decision reproduces in any SQL engine with md5) — so a mixture spec
+    like ``{"web": 0.5, "code": 1.0, "forums": 0.1}`` yields the exact
+    same document set on every run, every engine, any partitioning.
+    Unknown sources sample at ``default_rate``.  Pure Catalyst: a map
+    lookup + one md5 per row, no shuffle.
+    """
+
+    def hex_threshold(rate: float) -> str:
+        return format(int(min(max(rate, 0.0), 1.0) * 0xFFFFFFFF), "08x")
+
+    pairs = []
+    for src, rate in weights.items():
+        pairs.extend([F.lit(src), F.lit(hex_threshold(rate))])
+    thresholds = F.create_map(*pairs)
+    threshold = F.coalesce(
+        thresholds.getItem(F.col(source_col)), F.lit(hex_threshold(default_rate))
+    )
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    return apply_native_filter(df, F.substring(key, 1, 8) < threshold, "mix_sources")
