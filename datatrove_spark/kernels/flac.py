@@ -458,6 +458,12 @@ def _write_rice_partitioned(
     bw: _BitWriter, resid: np.ndarray, order: int, blocksize: int,
     partition_order: int, escape_parts: set[int] | None = None,
 ) -> None:
+    # clamp for short tail frames: the partition count must divide the
+    # block size and leave the first partition room for the warmup
+    while partition_order > 0 and (
+        blocksize % (1 << partition_order) or (blocksize >> partition_order) <= order
+    ):
+        partition_order -= 1
     bw.write(0, 2)  # method: 4-bit rice
     bw.write(partition_order, 4)
     nparts = 1 << partition_order
