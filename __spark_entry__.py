@@ -964,6 +964,7 @@ def q_code_quality(spark, sf_dir):
         "drop_reason",
         "language",
         F.round("language_score", 4).alias("language_score"),
+        F.lit(None).cast("string").alias("license"),
         "content_sha256",
     )
 
@@ -987,15 +988,85 @@ def q_code_starcoder_quality(spark, sf_dir):
         "drop_reason",
         F.lit(None).cast("string").alias("language"),
         F.lit(None).cast("double").alias("language_score"),
+        F.lit(None).cast("string").alias("license"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+def q_code_license(spark, sf_dir):
+    """Permissive-license filter (The Stack / StarCoder arXiv:2305.06161 §3
+    practice): SPDX tag + wrapped-header phrase detection as pure-Catalyst
+    expressions over a bounded file head (operators/code_filters.py), keep =
+    license in the permissive allow-list.  License headers are planted
+    deterministically (sha256-of-path selector, native expression — 17
+    fixture classes incl. wrapped MPL/WTFPL notices and an unknown SPDX id).
+    Oracle = the independent Python mirror in kernels/code_license.py."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.code_filters import (
+        license_filter,
+        plant_licenses_native,
+    )
+
+    df = synth_corpus(spark, CODE_CORPUS_ROWS, partitions=8)
+    planted = plant_licenses_native(df, "content", out_col="licensed")
+    out = license_filter(planted, text_col="licensed")
+    return out.select(
+        "repo",
+        "path",
+        "keep",
+        "drop_reason",
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("double").alias("language_score"),
+        "license",
+        F.sha2("licensed", 256).alias("content_sha256"),
+    )
+
+
+def q_code_optout(spark, sf_dir):
+    """Repository opt-out (public-code governance practice: owners request
+    exclusion, every run drops ALL files of opted-out repos).  The opt-out
+    set is derived natively (sha256-of-repo selector, ~1/5 of repos) and
+    passed as a DataFrame to exercise the broadcast-marker-join scale path
+    (operators/code_filters.py:repo_optout_filter)."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.code_filters import repo_optout_filter
+
+    df = synth_corpus(spark, CODE_CORPUS_ROWS, partitions=8)
+    optout = (
+        df.select("repo")
+        .distinct()
+        .filter(
+            F.conv(
+                F.substring(F.sha2(F.concat(F.lit("optout:"), F.col("repo")), 256), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        )
+    )
+    out = repo_optout_filter(df, optout)
+    return out.select(
+        "repo",
+        "path",
+        "keep",
+        "drop_reason",
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("double").alias("language_score"),
+        F.lit(None).cast("string").alias("license"),
         F.sha2("content", 256).alias("content_sha256"),
     )
 
 
 def q_code_quality_suite(spark, sf_dir):
     """pipeline (full fused quality chain) + starcoder (code-specific
-    rules) in one driver row."""
-    return _mode(q_code_quality(spark, sf_dir), "pipeline").unionByName(
-        _mode(q_code_starcoder_quality(spark, sf_dir), "starcoder")
+    rules) + license (permissive-license filter) + optout (repository
+    opt-out broadcast anti-marker) in one driver row."""
+    return (
+        _mode(q_code_quality(spark, sf_dir), "pipeline")
+        .unionByName(_mode(q_code_starcoder_quality(spark, sf_dir), "starcoder"))
+        .unionByName(_mode(q_code_license(spark, sf_dir), "license"))
+        .unionByName(_mode(q_code_optout(spark, sf_dir), "optout"))
     )
 
 

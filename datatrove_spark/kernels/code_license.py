@@ -1,0 +1,216 @@
+"""License detection + permissive-license filtering for code corpora.
+
+Published practice for training-data pipelines over public code (The
+Stack dataset card / StarCoder paper arXiv:2305.06161 §3, BigCode
+governance docs; SPDX tag spec at spdx.dev): keep only files whose
+license is on a permissive allow-list, and honor repository opt-out
+lists.  This module implements the FILE-level license signal:
+
+1. an ``SPDX-License-Identifier: <id>`` tag anywhere in the file head
+   (the machine-readable convention — always wins when present), else
+2. a recognizable license-header phrase (MIT grant clause, Apache
+   notice, GNU GPL/LGPL/AGPL notices, BSD redistribution clause, ISC,
+   MPL, EPL, Unlicense, CC0, WTFPL) matched in priority order.
+
+Only the first ``HEAD_CHARS`` characters are scanned: license headers
+are leading comment blocks, and bounding the scan keeps the regex cost
+per file O(1) at 100 TB regardless of file size.
+
+This module is the SEQUENTIAL reference (plain Python, no Spark);
+``operators/code_filters.py`` re-expresses detection as native Catalyst
+expressions (lower(substring(...)) + regexp_extract + rlike chain) —
+a genuine double implementation, compared byte-for-byte by the driver
+oracle (`code_quality` suite, `license` mode).  Pattern strings are
+written in the common Python-re / Java-regex dialect (same discipline
+as kernels/secrets.py) so ONE set drives both sides.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "HEAD_CHARS",
+    "SPDX_TAG_PATTERN",
+    "SPDX_CANONICAL",
+    "HEAD_NORMALIZE_PATTERN",
+    "PHRASE_PATTERNS",
+    "DEFAULT_PERMISSIVE",
+    "LICENSE_HEADER_FIXTURES",
+    "detect_license",
+    "license_decision",
+    "plant_license",
+    "licensed_content",
+]
+
+HEAD_CHARS = 2048
+
+# applied to the LOWERCASED head on both engines; group 1 = the tag id
+SPDX_TAG_PATTERN = r"spdx-license-identifier:[ \t]*([a-z0-9.+-]+)"
+
+# lowercase tag -> canonical SPDX id.  Unknown tags pass through as the
+# raw lowercase capture (still usable for allow-list matching).
+SPDX_CANONICAL: dict[str, str] = {
+    "mit": "MIT",
+    "apache-2.0": "Apache-2.0",
+    "bsd-2-clause": "BSD-2-Clause",
+    "bsd-3-clause": "BSD-3-Clause",
+    "0bsd": "0BSD",
+    "isc": "ISC",
+    "unlicense": "Unlicense",
+    "cc0-1.0": "CC0-1.0",
+    "wtfpl": "WTFPL",
+    "mpl-2.0": "MPL-2.0",
+    "epl-2.0": "EPL-2.0",
+    "gpl-2.0-only": "GPL-2.0-only",
+    "gpl-2.0-or-later": "GPL-2.0-or-later",
+    "gpl-3.0-only": "GPL-3.0-only",
+    "gpl-3.0-or-later": "GPL-3.0-or-later",
+    "lgpl-2.1-only": "LGPL-2.1-only",
+    "lgpl-3.0-only": "LGPL-3.0-only",
+    "agpl-3.0-only": "AGPL-3.0-only",
+    "agpl-3.0-or-later": "AGPL-3.0-or-later",
+}
+
+# Real license headers WRAP: the canonical MPL notice breaks "Mozilla
+# Public / License" across lines, each line carrying the language's
+# comment prefix.  Phrase matching therefore runs on a NORMALIZED head —
+# every run of whitespace / comment markers (# * /) collapses to one
+# space — so the patterns below are written against single-spaced text.
+# '/' normalization also flattens URLs: the CC0 pattern expects that.
+HEAD_NORMALIZE_PATTERN = r"[\s#*/]+"
+
+# (pattern over the lowercased NORMALIZED head, canonical id) — FIRST
+# match wins, so order is significant: AGPL/LGPL before GPL (their
+# notices contain the GPL phrase), BSD-3's "neither the name" probe
+# before the generic BSD redistribution clause.
+PHRASE_PATTERNS: list[tuple[str, str]] = [
+    (r"permission is hereby granted, free of charge", "MIT"),
+    (r"apache license,? version 2\.0", "Apache-2.0"),
+    (r"gnu affero general public license", "AGPL-3.0-only"),
+    (r"gnu lesser general public license", "LGPL-3.0-only"),
+    (r"gnu general public license", "GPL-3.0-only"),
+    (
+        r"redistribution and use in source and binary forms.*neither the name",
+        "BSD-3-Clause",
+    ),
+    (r"redistribution and use in source and binary forms", "BSD-2-Clause"),
+    (
+        r"permission to use, copy, modify, and(?: ?or)? distribute this software",
+        "ISC",
+    ),
+    (r"mozilla public license,? v(?:ersion)?\.? ?2\.0", "MPL-2.0"),
+    (r"eclipse public license", "EPL-2.0"),
+    (
+        r"this is free and unencumbered software released into the public domain",
+        "Unlicense",
+    ),
+    (r"creativecommons\.org publicdomain zero", "CC0-1.0"),
+    (r"do what the fuck you want to public license", "WTFPL"),
+]
+
+# The Stack's permissive allow-list shape: permissive + public-domain
+# only; weak copyleft (MPL/EPL) and GPL-family are excluded by default.
+DEFAULT_PERMISSIVE: tuple[str, ...] = (
+    "MIT",
+    "Apache-2.0",
+    "BSD-2-Clause",
+    "BSD-3-Clause",
+    "0BSD",
+    "ISC",
+    "Unlicense",
+    "CC0-1.0",
+    "WTFPL",
+)
+
+_SPDX_RE = re.compile(SPDX_TAG_PATTERN)
+_NORM_RE = re.compile(HEAD_NORMALIZE_PATTERN)
+_PHRASES = [(re.compile(p), lic) for p, lic in PHRASE_PATTERNS]
+
+
+def detect_license(text: str | None) -> str | None:
+    """Detected canonical license id, or None when no signal in the head.
+
+    SPDX tags are matched on the raw lowered head (they sit on one line);
+    phrases on the normalized head (wrapped notices rejoined)."""
+    head = (text or "")[:HEAD_CHARS].lower()
+    m = _SPDX_RE.search(head)
+    if m:
+        return SPDX_CANONICAL.get(m.group(1), m.group(1))
+    norm = _NORM_RE.sub(" ", head)
+    for rx, lic in _PHRASES:
+        if rx.search(norm):
+            return lic
+    return None
+
+
+def license_decision(
+    text: str | None,
+    allow: tuple[str, ...] = DEFAULT_PERMISSIVE,
+    allow_unlicensed: bool = False,
+) -> tuple[str | None, bool, str | None]:
+    """(detected_license, keep, drop_reason) — sequential reference for the
+    native ``license_filter``; reasons mirror its two failure channels."""
+    lic = detect_license(text)
+    if lic is None:
+        if allow_unlicensed:
+            return None, True, None
+        return None, False, "code_no_license"
+    if lic in allow:
+        return lic, True, None
+    return lic, False, "code_license"
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture planting (oracle corpus) — same scheme as
+# kernels/secrets.py: selector = first 8 hex digits of sha256('lic:'+path),
+# computable natively on the Spark side via conv(substring(sha2(...))).
+
+LICENSE_HEADER_FIXTURES: list[str] = [
+    "# SPDX-License-Identifier: MIT",
+    "// SPDX-License-Identifier: gpl-3.0-only",
+    "/* SPDX-License-Identifier: MyCorp-1.0 */",  # unknown id: raw passthrough
+    "# Permission is hereby granted, free of charge, to any person obtaining\n"
+    "# a copy of this software and associated documentation files.",
+    "# Licensed under the Apache License, Version 2.0 (the \"License\");\n"
+    "# you may not use this file except in compliance with the License.",
+    "#                  Apache License\n#            Version 2.0, January 2004",
+    "# This program is free software: you can redistribute it and/or modify\n"
+    "# it under the terms of the GNU General Public License as published by\n"
+    "# the Free Software Foundation.",
+    "# This library is distributed under the GNU Lesser General Public\n"
+    "# License version 3.0.",
+    "# Licensed under the GNU Affero General Public License v3.",
+    "# Redistribution and use in source and binary forms, with or without\n"
+    "# modification, are permitted provided that the following conditions are\n"
+    "# met. Neither the name of the copyright holder nor the names of its\n"
+    "# contributors may be used to endorse or promote products.",
+    "# Redistribution and use in source and binary forms, with or without\n"
+    "# modification, are permitted provided that the conditions are met.",
+    "# Permission to use, copy, modify, and/or distribute this software for\n"
+    "# any purpose with or without fee is hereby granted.",
+    "# This Source Code Form is subject to the terms of the Mozilla Public\n"
+    "# License, v. 2.0. If a copy of the MPL was not distributed with this file.",
+    "# This program and the accompanying materials are made available under\n"
+    "# the terms of the Eclipse Public License 2.0.",
+    "# This is free and unencumbered software released into the public domain.",
+    "# To the extent possible under law, the author has dedicated all\n"
+    "# copyright: see https://creativecommons.org/publicdomain/zero/1.0/",
+    "# This work is licensed under the terms of the Do What The Fuck You Want\n"
+    "# To Public License, Version 2.",
+]
+
+
+def plant_license(path: str) -> str | None:
+    """Deterministic fixture header for a path, or None (~1/4 unlicensed)."""
+    import hashlib
+
+    sel = int(hashlib.sha256(f"lic:{path}".encode()).hexdigest()[:8], 16)
+    if sel % 4 == 0:
+        return None
+    return LICENSE_HEADER_FIXTURES[sel % len(LICENSE_HEADER_FIXTURES)]
+
+
+def licensed_content(path: str, content: str) -> str:
+    h = plant_license(path)
+    return content if h is None else h + "\n" + content

@@ -68,6 +68,14 @@ class QualityPipelineConfig:
     # native pre-filter AHEAD of the expensive fused UDF; None = off (the
     # pinned oracle profile)
     code_rules: "CodeQualityConfig | None" = None
+    # permissive-license gate (operators/code_filters.py:license_filter,
+    # The Stack / StarCoder practice): tuple of allowed SPDX ids, or None =
+    # off (the pinned oracle profile)
+    license_allow: tuple | None = None
+    allow_unlicensed: bool = False
+    # repository opt-out list (list of repo names or a 1-column DataFrame →
+    # broadcast marker join); None = off
+    optout_repos: object | None = None
     # file-based production models (the same artifacts the staged operators
     # load): a real fastText .bin/.ftz for LID, a KenLM-semantics .arpa for
     # perplexity, optionally with the SentencePiece .model/.vocab step
@@ -116,6 +124,17 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
     df = ensure_channel(add_doc_id(df, cfg))
     if cfg.repartition_to:
         df = partition_by_repo(df, cfg.repartition_to, cfg.salt_buckets)
+    if cfg.optout_repos is not None:
+        from .operators.code_filters import repo_optout_filter
+
+        # cheapest gate first: opted-out repos never reach any scorer
+        df = repo_optout_filter(df, cfg.optout_repos)
+    if cfg.license_allow is not None:
+        from .operators.code_filters import license_filter
+
+        df = license_filter(
+            df, allow=cfg.license_allow, allow_unlicensed=cfg.allow_unlicensed, text_col=t
+        )
     if cfg.code_rules is not None:
         from .operators.code_filters import code_quality_filter
 

@@ -612,29 +612,51 @@ def _code_rows():
 def gen_code_quality() -> pa.Table:
     """Merged suite: mode=pipeline (full fused chain, sequential reference)
     + mode=starcoder (code-specific rules via the independent plain-Python
-    mirror kernels/code_quality.py)."""
+    mirror kernels/code_quality.py) + mode=license (permissive-license
+    filter over deterministically planted headers, mirror
+    kernels/code_license.py) + mode=optout (repository opt-out, sha256-of-
+    repo selector)."""
     import hashlib as _hashlib
 
     from datatrove_spark.corpus import row_for_index
+    from datatrove_spark.kernels.code_license import license_decision, licensed_content
     from datatrove_spark.kernels.code_quality import code_quality_decision
 
     cols = {k: [] for k in (
         "mode", "repo", "path", "keep", "drop_reason",
-        "language", "language_score", "content_sha256",
+        "language", "language_score", "license", "content_sha256",
     )}
 
-    def add(mode, repo, path, keep, reason, language, score, sha):
-        for k, v in zip(cols, (mode, repo, path, keep, reason, language, score, sha)):
+    def add(mode, repo, path, keep, reason, language, score, license_id, sha):
+        for k, v in zip(
+            cols, (mode, repo, path, keep, reason, language, score, license_id, sha)
+        ):
             cols[k].append(v)
 
     for r in _code_rows():
         add("pipeline", r["repo"], r["path"], r["keep"], r["drop_reason"],
-            r["language"], r["language_score"], r["content_sha256"])
+            r["language"], r["language_score"], None, r["content_sha256"])
     n_repos = max(CODE_CORPUS_ROWS // 50, 10)
     for i in range(CODE_CORPUS_ROWS):
         row = row_for_index(i, n_repos)
         keep, reason = code_quality_decision(row["content"])
-        add("starcoder", row["repo"], row["path"], keep, reason, None, None,
+        add("starcoder", row["repo"], row["path"], keep, reason, None, None, None,
+            _hashlib.sha256(row["content"].encode()).hexdigest())
+    for i in range(CODE_CORPUS_ROWS):
+        row = row_for_index(i, n_repos)
+        licensed = licensed_content(row["path"], row["content"])
+        lic, keep, reason = license_decision(licensed)
+        add("license", row["repo"], row["path"], keep, reason, None, None, lic,
+            _hashlib.sha256(licensed.encode()).hexdigest())
+    for i in range(CODE_CORPUS_ROWS):
+        row = row_for_index(i, n_repos)
+        opted_out = (
+            int(_hashlib.sha256(f"optout:{row['repo']}".encode()).hexdigest()[:8], 16)
+            % 5
+            == 0
+        )
+        add("optout", row["repo"], row["path"], not opted_out,
+            "repo_optout" if opted_out else None, None, None, None,
             _hashlib.sha256(row["content"].encode()).hexdigest())
     return pa.table(
         {
@@ -645,6 +667,7 @@ def gen_code_quality() -> pa.Table:
             "drop_reason": pa.array(cols["drop_reason"], pa.string()),
             "language": pa.array(cols["language"], pa.string()),
             "language_score": pa.array(cols["language_score"], pa.float64()),
+            "license": pa.array(cols["license"], pa.string()),
             "content_sha256": pa.array(cols["content_sha256"], pa.string()),
         }
     )
