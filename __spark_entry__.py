@@ -1110,14 +1110,45 @@ def q_code_secret_scrub(spark, sf_dir):
     )
 
 
+def q_code_copyright_scrub(spark, sf_dir):
+    """Copyright/license-banner removal (standard code-corpus preprocessing:
+    the leading comment block is stripped when it carries a copyright/license
+    signal, shebang lines survive — operators/code_filters.py:
+    strip_copyright_native, pure Catalyst).  License headers planted
+    deterministically (the same 17 fixture classes as the license mode);
+    n_secrets carries the per-file removal flag (0/1).  Oracle = the
+    sequential mirror kernels/code_license.py:strip_copyright_header."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.code_filters import (
+        plant_licenses_native,
+        strip_copyright_native,
+    )
+
+    df = synth_corpus(spark, CODE_CORPUS_ROWS, partitions=8)
+    planted = plant_licenses_native(df, "content", out_col="licensed")
+    out = strip_copyright_native(planted, "licensed", out_col="stripped")
+    return out.select(
+        "repo",
+        "path",
+        F.sha2("stripped", 256).alias("scrubbed_sha256"),
+        F.col("copyright_removed").cast("long").alias("n_secrets"),
+    )
+
+
 def q_code_scrub_suite(spark, sf_dir):
     """pii (survivors-only, emails/IPs/phones) + secrets (whole corpus,
-    credential patterns) in one driver row."""
+    credential patterns) + copyright (license-banner removal; n_secrets =
+    removal flag) in one driver row."""
     pii = q_code_pii_scrub(spark, sf_dir).withColumn(
         "n_secrets", F.lit(None).cast("long")
     )
     sec = q_code_secret_scrub(spark, sf_dir)
-    return _mode(pii, "pii").unionByName(_mode(sec, "secrets"))
+    cpy = q_code_copyright_scrub(spark, sf_dir)
+    return (
+        _mode(pii, "pii")
+        .unionByName(_mode(sec, "secrets"))
+        .unionByName(_mode(cpy, "copyright"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -41,6 +41,9 @@ __all__ = [
     "license_decision",
     "plant_license",
     "licensed_content",
+    "BANNER_PATTERN",
+    "COPYRIGHT_SIGNAL_PATTERN",
+    "strip_copyright_header",
 ]
 
 HEAD_CHARS = 2048
@@ -214,3 +217,52 @@ def plant_license(path: str) -> str | None:
 def licensed_content(path: str, content: str) -> str:
     h = plant_license(path)
     return content if h is None else h + "\n" + content
+
+
+# ---------------------------------------------------------------------------
+# copyright/license banner removal (formatter)
+#
+# Standard preprocessing for code training corpora: strip the LEADING
+# license/copyright comment banner so boilerplate repeated across millions
+# of files doesn't dominate n-gram statistics (and so near-dup shingles
+# reflect code, not headers).  Removal is conditional: the leading comment
+# block goes only when it actually carries a copyright/license signal.
+#
+# The banner is the maximal run at file start of (a) a C-style /*...*/
+# block, (b) line comments (# // * -- ; %), or (c) blank lines.  A leading
+# shebang line is split off FIRST and always preserved (`#!/usr/bin/env
+# python` is not boilerplate), then banner matching anchors right after it.
+# Patterns are in the common Python-re / Java-regex dialect; the native
+# twin is operators/code_filters.py:strip_copyright_native.
+
+SHEBANG_PATTERN = r"\A#![^\n]*\n?"
+BANNER_PATTERN = (
+    r"\A(?:[ \t]*/\*[\s\S]*?\*/[ \t]*\n?"
+    r"|[ \t]*(?:#(?!!)|//|\*|--|;|%)[^\n]*\n"
+    r"|[ \t]*\n)+"
+)
+
+# checked against the lowered, whitespace-normalized banner text
+COPYRIGHT_SIGNAL_PATTERN = r"copyright|spdx-license-identifier|licen[cs]e"
+
+_SHEBANG_RE = re.compile(SHEBANG_PATTERN)
+_BANNER_RE = re.compile(BANNER_PATTERN)
+_SIGNAL_RE = re.compile(COPYRIGHT_SIGNAL_PATTERN)
+
+
+def strip_copyright_header(text: str | None) -> tuple[str, bool]:
+    """(text_without_banner, removed?) — sequential reference for the
+    native formatter.  The banner is removed only when it carries a
+    copyright/license signal; otherwise the text is returned unchanged.
+    A leading shebang line always survives."""
+    t = text or ""
+    she = _SHEBANG_RE.match(t)
+    pre = she.group(0) if she else ""
+    rest = t[len(pre):]
+    m = _BANNER_RE.match(rest)
+    if not m:
+        return t, False
+    banner = _NORM_RE.sub(" ", m.group(0).lower())
+    if not _SIGNAL_RE.search(banner):
+        return t, False
+    return pre + rest[m.end():], True

@@ -700,6 +700,21 @@ def gen_code_pii_scrub() -> pa.Table:
         path.append(row["path"])
         sha.append(_hashlib.sha256(scrubbed.encode()).hexdigest())
         nsec.append(n)
+    from datatrove_spark.kernels.code_license import (
+        licensed_content,
+        strip_copyright_header,
+    )
+
+    for i in range(CODE_CORPUS_ROWS):
+        row = row_for_index(i, n_repos)
+        stripped, removed = strip_copyright_header(
+            licensed_content(row["path"], row["content"])
+        )
+        mode.append("copyright")
+        repo.append(row["repo"])
+        path.append(row["path"])
+        sha.append(_hashlib.sha256(stripped.encode()).hexdigest())
+        nsec.append(int(removed))
     return pa.table(
         {
             "mode": pa.array(mode, pa.string()),
