@@ -33,7 +33,8 @@ __all__ = [
     "HEAD_CHARS",
     "SPDX_TAG_PATTERN",
     "SPDX_CANONICAL",
-    "HEAD_NORMALIZE_PATTERN",
+    "HEAD_NORMALIZE_CHARS",
+    "normalize_head",
     "PHRASE_PATTERNS",
     "DEFAULT_PERMISSIVE",
     "LICENSE_HEADER_FIXTURES",
@@ -77,39 +78,50 @@ SPDX_CANONICAL: dict[str, str] = {
 
 # Real license headers WRAP: the canonical MPL notice breaks "Mozilla
 # Public / License" across lines, each line carrying the language's
-# comment prefix.  Phrase matching therefore runs on a NORMALIZED head —
-# every run of whitespace / comment markers (# * /) collapses to one
-# space — so the patterns below are written against single-spaced text.
-# '/' normalization also flattens URLs: the CC0 pattern expects that.
-HEAD_NORMALIZE_PATTERN = r"[\s#*/]+"
+# comment prefix.  Phrase matching therefore runs on a NORMALIZED head:
+# every whitespace char (the Java-regex \s set) and comment marker
+# (# * /) maps to a space via translate().  translate is a 1:1 char map
+# — it does NOT collapse runs, so the patterns below join words with
+# ` +`.  Chosen over a run-collapsing regexp_replace deliberately: JVM
+# regexp_replace cost is dominated by per-match replacement (~200
+# matches/head), measured 65x slower than translate — and filter
+# pushdown can inline the normalization into every CaseWhen branch of
+# the detection chain (no subexpression elimination inside CaseWhen),
+# multiplying that cost 13x.  An explicit char list also makes the two
+# engines exactly equal (Python's \s matches Unicode spaces, Java's
+# doesn't).  '/'->' ' flattens URLs: the CC0 pattern expects that.
+HEAD_NORMALIZE_CHARS = " \t\n\x0b\x0c\r#*/"
 
 # (pattern over the lowercased NORMALIZED head, canonical id) — FIRST
 # match wins, so order is significant: AGPL/LGPL before GPL (their
 # notices contain the GPL phrase), BSD-3's "neither the name" probe
 # before the generic BSD redistribution clause.
 PHRASE_PATTERNS: list[tuple[str, str]] = [
-    (r"permission is hereby granted, free of charge", "MIT"),
-    (r"apache license,? version 2\.0", "Apache-2.0"),
-    (r"gnu affero general public license", "AGPL-3.0-only"),
-    (r"gnu lesser general public license", "LGPL-3.0-only"),
-    (r"gnu general public license", "GPL-3.0-only"),
+    (r"permission +is +hereby +granted, +free +of +charge", "MIT"),
+    (r"apache +license,? +version +2\.0", "Apache-2.0"),
+    (r"gnu +affero +general +public +license", "AGPL-3.0-only"),
+    (r"gnu +lesser +general +public +license", "LGPL-3.0-only"),
+    (r"gnu +general +public +license", "GPL-3.0-only"),
     (
-        r"redistribution and use in source and binary forms.*neither the name",
+        r"redistribution +and +use +in +source +and +binary +forms"
+        r".*neither +the +name",
         "BSD-3-Clause",
     ),
-    (r"redistribution and use in source and binary forms", "BSD-2-Clause"),
+    (r"redistribution +and +use +in +source +and +binary +forms", "BSD-2-Clause"),
     (
-        r"permission to use, copy, modify, and(?: ?or)? distribute this software",
+        r"permission +to +use, +copy, +modify, +and(?: +or)? +distribute +this"
+        r" +software",
         "ISC",
     ),
-    (r"mozilla public license,? v(?:ersion)?\.? ?2\.0", "MPL-2.0"),
-    (r"eclipse public license", "EPL-2.0"),
+    (r"mozilla +public +license,? +v(?:ersion)?\.? *2\.0", "MPL-2.0"),
+    (r"eclipse +public +license", "EPL-2.0"),
     (
-        r"this is free and unencumbered software released into the public domain",
+        r"this +is +free +and +unencumbered +software +released +into +the"
+        r" +public +domain",
         "Unlicense",
     ),
-    (r"creativecommons\.org publicdomain zero", "CC0-1.0"),
-    (r"do what the fuck you want to public license", "WTFPL"),
+    (r"creativecommons\.org +publicdomain +zero", "CC0-1.0"),
+    (r"do +what +the +fuck +you +want +to +public +license", "WTFPL"),
 ]
 
 # The Stack's permissive allow-list shape: permissive + public-domain
@@ -127,8 +139,14 @@ DEFAULT_PERMISSIVE: tuple[str, ...] = (
 )
 
 _SPDX_RE = re.compile(SPDX_TAG_PATTERN)
-_NORM_RE = re.compile(HEAD_NORMALIZE_PATTERN)
+_NORM_TABLE = {ord(c): " " for c in HEAD_NORMALIZE_CHARS}
 _PHRASES = [(re.compile(p), lic) for p, lic in PHRASE_PATTERNS]
+
+
+def normalize_head(head: str) -> str:
+    """Whitespace/comment-marker chars -> space, 1:1 (no run collapse) —
+    the exact semantics of the Spark side's ``translate``."""
+    return head.translate(_NORM_TABLE)
 
 
 def detect_license(text: str | None) -> str | None:
@@ -140,7 +158,7 @@ def detect_license(text: str | None) -> str | None:
     m = _SPDX_RE.search(head)
     if m:
         return SPDX_CANONICAL.get(m.group(1), m.group(1))
-    norm = _NORM_RE.sub(" ", head)
+    norm = normalize_head(head)
     for rx, lic in _PHRASES:
         if rx.search(norm):
             return lic
@@ -262,7 +280,7 @@ def strip_copyright_header(text: str | None) -> tuple[str, bool]:
     m = _BANNER_RE.match(rest)
     if not m:
         return t, False
-    banner = _NORM_RE.sub(" ", m.group(0).lower())
+    banner = normalize_head(m.group(0).lower())
     if not _SIGNAL_RE.search(banner):
         return t, False
     return pre + rest[m.end():], True
