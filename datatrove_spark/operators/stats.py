@@ -19,6 +19,16 @@ from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 from ..kernels.quality import count_tokens_bpe_ish, word_stats
 
 
+# char-class deletion via translate, not regexp_replace: JVM regex cost is
+# per-MATCH (appendReplacement per char for single-char classes), measured
+# 65x slower than translate's branch-free pass (docs/SCALE.md round-6 note).
+# Each list is exactly the regex class it replaces: \s == Java's ASCII set.
+_WS_CHARS = " \t\n\x0b\x0c\r"
+_DIGIT_CHARS = "0123456789"
+_UPPER_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ALNUM_CHARS = "abcdefghijklmnopqrstuvwxyz" + _UPPER_CHARS + _DIGIT_CHARS
+
+
 def with_doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Native per-doc metrics (reference stats/doc_stats.py:14-50)."""
     t = F.col(text_col)
@@ -28,17 +38,17 @@ def with_doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("length", n)
         .withColumn(
             "white_space_ratio",
-            (n - F.length(F.regexp_replace(t, r"\s", ""))) / safe_n,
+            (n - F.length(F.translate(t, _WS_CHARS, ""))) / safe_n,
         )
         .withColumn(
-            "digit_ratio", (n - F.length(F.regexp_replace(t, r"[0-9]", ""))) / safe_n
+            "digit_ratio", (n - F.length(F.translate(t, _DIGIT_CHARS, ""))) / safe_n
         )
         .withColumn(
-            "uppercase_ratio", (n - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / safe_n
+            "uppercase_ratio", (n - F.length(F.translate(t, _UPPER_CHARS, ""))) / safe_n
         )
         .withColumn(
             "non_alpha_digit_ratio",
-            F.length(F.regexp_replace(t, r"[A-Za-z0-9]", "")) / safe_n,
+            F.length(F.translate(t, _ALNUM_CHARS, "")) / safe_n,
         )
     )
 
