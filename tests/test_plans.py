@@ -187,3 +187,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_corpus_b")
         spark.sql("DROP TABLE IF EXISTS t_annots_b")
+
+
+def test_char_class_metrics_use_translate_not_regex(spark):
+    """Per-match regexp_replace is the measured 65x hot path (docs/SCALE.md
+    round-6 note): the char-class ratios in doc stats and the code alnum
+    metric must compile to translate(), never regexp_replace."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.code_filters import code_quality_filter
+    from datatrove_spark.operators.stats import with_doc_stats
+
+    df = synth_corpus(spark, 50, partitions=2)
+    plan = with_doc_stats(df, "content")._jdf.queryExecution().optimizedPlan().toString()
+    assert "translate" in plan
+    assert "regexp_replace" not in plan, "doc stats reintroduced a regex rewrite"
+    # code rules keep exactly one regexp_replace: the rare-match
+    # encoded-run scan (scan-dominated, measured cheap)
+    plan2 = code_quality_filter(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "translate" in plan2
+    assert plan2.count("regexp_replace") == 1, plan2
+
+
+def test_license_detect_materializes_derived_columns(spark):
+    """The license when-chain must reference materialized head/norm columns;
+    with them inlined, CaseWhen recomputes the normalization per branch and
+    a pushed-down filter multiplies it again (measured 9x at 150k files).
+    The optimized plan of an UNFILTERED detect therefore carries exactly one
+    translate and one substring for the head."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.code_filters import detect_license_native
+
+    df = synth_corpus(spark, 50, partitions=2)
+    q = detect_license_native(df, "content")
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("translate") == 1, plan
+    assert plan.count("substring(") == 1, plan
+    assert "regexp_replace" not in plan
