@@ -1935,7 +1935,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'mix' AS mode, doc_id,
                      substring(md5(doc_id::VARCHAR || ':11'), 1, 8) <
                        CASE
-                     WHEN source = 'src0' THEN 'ffffffff'
+                     -- 'g' sorts above every hex prefix: weight 1.0 keeps ALL
+                     WHEN source = 'src0' THEN 'g'
                      WHEN source = 'src1' THEN 'bfffffff'
                      WHEN source = 'src2' THEN '7fffffff'
                      WHEN source = 'src3' THEN '3fffffff'

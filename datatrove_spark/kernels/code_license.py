@@ -90,7 +90,10 @@ SPDX_CANONICAL: dict[str, str] = {
 # multiplying that cost 13x.  An explicit char list also makes the two
 # engines exactly equal (Python's \s matches Unicode spaces, Java's
 # doesn't).  '/'->' ' flattens URLs: the CC0 pattern expects that.
-HEAD_NORMALIZE_CHARS = " \t\n\x0b\x0c\r#*/"
+# '-' ';' '%' are comment markers BANNER_PATTERN already recognizes
+# (Lua/SQL/Lisp/MATLAB) — wrapped notices in those languages must
+# rejoin the same way ('-- Mozilla Public / -- License, v. 2.0').
+HEAD_NORMALIZE_CHARS = " \t\n\x0b\x0c\r#*/-;%"
 
 # (pattern over the lowercased NORMALIZED head, canonical id) — FIRST
 # match wins, so order is significant: AGPL/LGPL before GPL (their

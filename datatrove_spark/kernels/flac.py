@@ -598,7 +598,13 @@ def encode_flac(
     scale = 1 << (bps - 1)
     pcm = np.clip(np.round(s * scale), -scale, scale - 1).astype(np.int64)
     if wasted:
-        pcm = (pcm >> wasted) << wasted
+        # mid_side derives mid = (l+r)>>1, which keeps `wasted` zero low
+        # bits only when l+r is a multiple of 2^(wasted+1) — so force one
+        # extra zero bit on stereo sources headed for decorrelation
+        # (otherwise l=2,r=4 at wasted=1 yields odd mid=3 and the
+        # subframe writer's zero-low-bits invariant trips)
+        w = wasted + 1 if (stereo == "mid_side" and s.shape[1] == 2) else wasted
+        pcm = (pcm >> w) << w
     n, nch = pcm.shape
     total = n
 

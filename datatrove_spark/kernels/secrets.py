@@ -43,8 +43,15 @@ __all__ = [
 
 # (name, pattern, replacement) — order matters: more specific first.
 # Patterns avoid constructs whose semantics differ between Python re and
-# Java regex (no inline flags, no \p classes, fixed-width lookbehind only,
-# [\s\S] instead of DOTALL).
+# Java regex: no inline flags, no \p classes, fixed-width lookbehind only,
+# [\s\S] instead of DOTALL (the class UNION is every char in both engines),
+# and — measured divergence, test-pinned — NO \b or bare \s: Java's \b is
+# Unicode-aware ('é' is a word char, no boundary) while Python-with-
+# re.ASCII's is not, and \s sets differ without flags.  Boundaries are the
+# explicit ASCII lookarounds (?<![A-Za-z0-9_]) / (?![A-Za-z0-9_]) and
+# whitespace is the explicit Java-\s class [ \t\r\n\x0b\x0c].
+_NW = r"(?<![A-Za-z0-9_])"   # not preceded by an ASCII word char
+_NWA = r"(?![A-Za-z0-9_])"   # not followed by an ASCII word char
 SECRET_PATTERNS: list[tuple[str, str, str]] = [
     (
         "pem_private_key",
@@ -53,58 +60,68 @@ SECRET_PATTERNS: list[tuple[str, str, str]] = [
     ),
     (
         "aws_access_key_id",
-        r"\b(?:AKIA|ASIA|ABIA|ACCA|AGPA|AIDA|AROA|ANPA)[0-9A-Z]{16}\b",
+        _NW + r"(?:AKIA|ASIA|ABIA|ACCA|AGPA|AIDA|AROA|ANPA)[0-9A-Z]{16}" + _NWA,
         "<<SECRET_AWS_ACCESS_KEY_ID>>",
     ),
     (
         # assignment-gated: a bare 40-char base64 matches too much code;
         # require an aws/secret-ish identifier within 32 chars upstream
         "aws_secret_access_key",
-        r"(?:aws|AWS|secret|SECRET|Secret)[A-Za-z0-9_]{0,32}['\"]?\s*[:=]\s*['\"]"
-        r"[A-Za-z0-9/+=]{40}['\"]",
+        r"(?:aws|AWS|secret|SECRET|Secret)[A-Za-z0-9_]{0,32}['\"]?[ \t\r\n\x0b\x0c]*"
+        r"[:=][ \t\r\n\x0b\x0c]*['\"][A-Za-z0-9/+=]{40}['\"]",
         "<<SECRET_AWS_SECRET_ACCESS_KEY>>",
     ),
     (
         "github_token",
-        r"\b(?:ghp|gho|ghu|ghs|ghr)_[A-Za-z0-9]{36}\b",
+        _NW + r"(?:ghp|gho|ghu|ghs|ghr)_[A-Za-z0-9]{36}" + _NWA,
         "<<SECRET_GITHUB_TOKEN>>",
     ),
     (
         "github_fine_grained_pat",
-        r"\bgithub_pat_[A-Za-z0-9]{22}_[A-Za-z0-9]{59}\b",
+        _NW + r"github_pat_[A-Za-z0-9]{22}_[A-Za-z0-9]{59}" + _NWA,
         "<<SECRET_GITHUB_PAT>>",
     ),
-    ("gitlab_pat", r"\bglpat-[A-Za-z0-9_\-]{20}\b", "<<SECRET_GITLAB_PAT>>"),
-    ("npm_token", r"\bnpm_[A-Za-z0-9]{36}\b", "<<SECRET_NPM_TOKEN>>"),
+    ("gitlab_pat", _NW + r"glpat-[A-Za-z0-9_\-]{20}" + _NWA, "<<SECRET_GITLAB_PAT>>"),
+    ("npm_token", _NW + r"npm_[A-Za-z0-9]{36}" + _NWA, "<<SECRET_NPM_TOKEN>>"),
     (
         "slack_token",
-        r"\bxox[abprs]-[0-9]{10,13}-[0-9]{10,13}-[A-Za-z0-9]{20,34}\b",
+        _NW + r"xox[abprs]-[0-9]{10,13}-[0-9]{10,13}-[A-Za-z0-9]{20,34}" + _NWA,
         "<<SECRET_SLACK_TOKEN>>",
     ),
     (
         "stripe_live_key",
-        r"\b[sr]k_live_[A-Za-z0-9]{24,99}\b",
+        _NW + r"[sr]k_live_[A-Za-z0-9]{24,99}" + _NWA,
         "<<SECRET_STRIPE_KEY>>",
     ),
-    ("google_api_key", r"\bAIza[0-9A-Za-z_\-]{35}\b", "<<SECRET_GOOGLE_API_KEY>>"),
+    (
+        "google_api_key",
+        _NW + r"AIza[0-9A-Za-z_\-]{35}" + _NWA,
+        "<<SECRET_GOOGLE_API_KEY>>",
+    ),
     (
         "sendgrid_key",
-        r"\bSG\.[A-Za-z0-9_\-]{22}\.[A-Za-z0-9_\-]{43}\b",
+        _NW + r"SG\.[A-Za-z0-9_\-]{22}\.[A-Za-z0-9_\-]{43}" + _NWA,
         "<<SECRET_SENDGRID_KEY>>",
     ),
     (
         "jwt",
-        r"\beyJ[A-Za-z0-9_\-]{8,}\.[A-Za-z0-9_\-]{8,}\.[A-Za-z0-9_\-]{8,}\b",
+        _NW + r"eyJ[A-Za-z0-9_\-]{8,}\.[A-Za-z0-9_\-]{8,}\.[A-Za-z0-9_\-]{8,}" + _NWA,
         "<<SECRET_JWT>>",
     ),
     (
         "url_basic_auth",
-        r"(?<=://)[^/\s:@'\"]{1,64}:[^/\s:@'\"]{1,64}@",
+        r"(?<=://)[^/ \t\r\n\x0b\x0c:@'\"]{1,64}:[^/ \t\r\n\x0b\x0c:@'\"]{1,64}@",
         "<<SECRET_URL_AUTH>>@",
     ),
 ]
 
-_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SECRET_PATTERNS]
+# re.ASCII pins \b/\s/\w to the ASCII sets — EXACTLY Java regex's default
+# semantics, which is what the Catalyst regexp_replace chain evaluates.
+# Without it Python's Unicode \b treats e.g. 'é' as a word char and skips
+# a token the native chain scrubs (divergence with non-ASCII neighbors).
+_COMPILED = [
+    (name, re.compile(pat, re.ASCII), repl) for name, pat, repl in SECRET_PATTERNS
+]
 
 
 def scrub_secrets(text: str) -> tuple[str, int]:

@@ -218,6 +218,16 @@ def length_filter(
     return apply_native_filter(df, n <= max_chars, "too_long")
 
 
+def _md5_threshold(rate: float) -> str:
+    """Hex threshold for the md5 sampling rule.  rate >= 1.0 returns 'g' —
+    lexicographically above every hex prefix — so a full-weight source keeps
+    ALL documents: a strict '<' against 'ffffffff' would drop any doc whose
+    md5 prefix is exactly ffffffff (~1 per 4.3B docs at corpus scale)."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(max(rate, 0.0) * 0xFFFFFFFF), "08x")
+
+
 def sampler_filter(
     df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id", method: str = "xxhash"
 ) -> DataFrame:
@@ -231,8 +241,9 @@ def sampler_filter(
     """
     if method == "md5":
         key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
-        threshold = format(int(rate * 0xFFFFFFFF), "08x")
-        return apply_native_filter(df, F.substring(key, 1, 8) < threshold, "sampler")
+        return apply_native_filter(
+            df, F.substring(key, 1, 8) < _md5_threshold(rate), "sampler"
+        )
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
     return apply_native_filter(df, bucket < int(rate * 1_000_000), "sampler")
 
@@ -313,15 +324,12 @@ def mix_sources(
     lookup + one md5 per row, no shuffle.
     """
 
-    def hex_threshold(rate: float) -> str:
-        return format(int(min(max(rate, 0.0), 1.0) * 0xFFFFFFFF), "08x")
-
     pairs = []
     for src, rate in weights.items():
-        pairs.extend([F.lit(src), F.lit(hex_threshold(rate))])
+        pairs.extend([F.lit(src), F.lit(_md5_threshold(rate))])
     thresholds = F.create_map(*pairs)
     threshold = F.coalesce(
-        thresholds.getItem(F.col(source_col)), F.lit(hex_threshold(default_rate))
+        thresholds.getItem(F.col(source_col)), F.lit(_md5_threshold(default_rate))
     )
     key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
     return apply_native_filter(df, F.substring(key, 1, 8) < threshold, "mix_sources")

@@ -23,10 +23,11 @@ from ..kernels.quality import count_tokens_bpe_ish, word_stats
 # per-MATCH (appendReplacement per char for single-char classes), measured
 # 65x slower than translate's branch-free pass (docs/SCALE.md round-6 note).
 # Each list is exactly the regex class it replaces: \s == Java's ASCII set.
+from ..kernels.code_quality import ALNUM_CHARS as _ALNUM_CHARS  # shared 62-char list
+
 _WS_CHARS = " \t\n\x0b\x0c\r"
 _DIGIT_CHARS = "0123456789"
 _UPPER_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_ALNUM_CHARS = "abcdefghijklmnopqrstuvwxyz" + _UPPER_CHARS + _DIGIT_CHARS
 
 
 def with_doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

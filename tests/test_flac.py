@@ -133,3 +133,19 @@ def test_flac_probe_still_header_only():
     payload = encode_flac(_sig(4000), 16000, mode="fixed2")
     meta = probe_media(payload)
     assert meta["duration_ms"] == 250
+
+
+@pytest.mark.parametrize("stereo", ["independent", "left_side", "right_side", "mid_side"])
+def test_flac_wasted_bits_with_stereo_decorrelation(stereo):
+    """mid = (l+r)>>1 only preserves `wasted` zero low bits when l+r is a
+    multiple of 2^(wasted+1); the encoder forces the extra bit on mid_side
+    sources (was an AssertionError before the fix)."""
+    sig = _sig()
+    st = np.stack([sig, np.roll(sig, 3) * 0.8], axis=1)
+    enc = encode_flac(st, 8000, mode="fixed2", stereo=stereo, wasted=2)
+    d = decode_flac(enc)
+    assert d["n_channels"] == 2
+    # lossless w.r.t. the encoder's own (wasted-masked) quantization
+    w = 3 if stereo == "mid_side" else 2
+    expect = (_pcm(st) >> w) << w
+    assert (d["channels"] == expect).all()
