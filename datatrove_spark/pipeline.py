@@ -76,6 +76,11 @@ class QualityPipelineConfig:
     # repository opt-out list (list of repo names or a 1-column DataFrame →
     # broadcast marker join); None = off
     optout_repos: object | None = None
+    # strip the leading copyright/license banner from text_col IN PLACE
+    # (operators/code_filters.py:strip_copyright_native) — runs after the
+    # license gate (which needs the original head) and before any scoring,
+    # so boilerplate does not skew line/word statistics; off by default
+    strip_copyright: bool = False
     # file-based production models (the same artifacts the staged operators
     # load): a real fastText .bin/.ftz for LID, a KenLM-semantics .arpa for
     # perplexity, optionally with the SentencePiece .model/.vocab step
@@ -135,6 +140,10 @@ def quality_pipeline(df: DataFrame, cfg: QualityPipelineConfig | None = None) ->
         df = license_filter(
             df, allow=cfg.license_allow, allow_unlicensed=cfg.allow_unlicensed, text_col=t
         )
+    if cfg.strip_copyright:
+        from .operators.code_filters import strip_copyright_native
+
+        df = strip_copyright_native(df, text_col=t, out_col=t)
     if cfg.code_rules is not None:
         from .operators.code_filters import code_quality_filter
 
