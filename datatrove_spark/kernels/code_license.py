@@ -127,6 +127,12 @@ PHRASE_PATTERNS: list[tuple[str, str]] = [
     (r"do +what +the +fuck +you +want +to +public +license", "WTFPL"),
 ]
 
+# Coarse gate evaluated BEFORE the 13-pattern phrase chain: every phrase
+# pattern contains one of these words as a literal substring (pinned by
+# test), so a head failing this single scan cannot match any phrase —
+# the common no-license file pays one rlike instead of thirteen.
+PHRASE_GATE_PATTERN = r"licen[cs]e|redistribution|permission|unencumbered|creativecommons"
+
 # The Stack's permissive allow-list shape: permissive + public-domain
 # only; weak copyleft (MPL/EPL) and GPL-family are excluded by default.
 DEFAULT_PERMISSIVE: tuple[str, ...] = (
@@ -142,6 +148,7 @@ DEFAULT_PERMISSIVE: tuple[str, ...] = (
 )
 
 _SPDX_RE = re.compile(SPDX_TAG_PATTERN)
+_GATE_RE = re.compile(PHRASE_GATE_PATTERN)
 _NORM_TABLE = {ord(c): " " for c in HEAD_NORMALIZE_CHARS}
 _PHRASES = [(re.compile(p), lic) for p, lic in PHRASE_PATTERNS]
 
@@ -162,6 +169,8 @@ def detect_license(text: str | None) -> str | None:
     if m:
         return SPDX_CANONICAL.get(m.group(1), m.group(1))
     norm = normalize_head(head)
+    if not _GATE_RE.search(norm):
+        return None
     for rx, lic in _PHRASES:
         if rx.search(norm):
             return lic
