@@ -97,14 +97,63 @@ HEAD_NORMALIZE_CHARS = " \t\n\x0b\x0c\r#*/-;%"
 
 # (pattern over the lowercased NORMALIZED head, canonical id) — FIRST
 # match wins, so order is significant: AGPL/LGPL before GPL (their
-# notices contain the GPL phrase), BSD-3's "neither the name" probe
-# before the generic BSD redistribution clause.
+# notices contain the GPL phrase), version-probed entries before their
+# family fallback, BSD-3's "neither the name" probe before the generic
+# BSD redistribution clause.
+#
+# GNU/EPL version handling: a lookahead probes up to 400 normalized chars
+# after the family phrase for "version N" / "vN" / "v. N" ("either
+# version 2 of the License" sits ~80 chars in).  When NO version is
+# stated the detector emits the FAMILY id ("GPL", "LGPL", "AGPL", "EPL")
+# rather than guessing a version — exact SPDX ids are reserved for
+# notices that actually name one (and for SPDX tags).  Family ids are
+# still excluded by DEFAULT_PERMISSIVE, so the default keep/drop
+# decision is unchanged; users allowing e.g. GPL-2.0-only now match only
+# verifiably-v2 notices.  The version word is REQUIRED (bare digits are
+# not probed: GPL-2 notices contain "Suite 330"-style addresses) except
+# EPL, whose public notice text writes the dotted number alone
+# ("Eclipse Public License 2.0") — a dotted literal is probed there.
 PHRASE_PATTERNS: list[tuple[str, str]] = [
     (r"permission +is +hereby +granted, +free +of +charge", "MIT"),
     (r"apache +license,? +version +2\.0", "Apache-2.0"),
-    (r"gnu +affero +general +public +license", "AGPL-3.0-only"),
-    (r"gnu +lesser +general +public +license", "LGPL-3.0-only"),
-    (r"gnu +general +public +license", "GPL-3.0-only"),
+    (
+        r"gnu +affero +general +public +license"
+        r"(?=.{0,400}?(?:version|v\.?)[ .]*3(?![0-9]))",
+        "AGPL-3.0-only",
+    ),
+    (
+        r"gnu +affero +general +public +license"
+        r"(?=.{0,400}?(?:version|v\.?)[ .]*1(?![0-9]))",
+        "AGPL-1.0-only",
+    ),
+    (r"gnu +affero +general +public +license", "AGPL"),
+    (
+        r"gnu +lesser +general +public +license"
+        r"(?=.{0,400}?(?:version|v\.?)[ .]*3(?![0-9]))",
+        "LGPL-3.0-only",
+    ),
+    (
+        r"gnu +lesser +general +public +license"
+        r"(?=.{0,400}?(?:version|v\.?)[ .]*2\.1)",
+        "LGPL-2.1-only",
+    ),
+    (
+        r"gnu +lesser +general +public +license"
+        r"(?=.{0,400}?(?:version|v\.?)[ .]*2(?![0-9]))",
+        "LGPL-2.0-only",
+    ),
+    (r"gnu +lesser +general +public +license", "LGPL"),
+    (
+        r"gnu +general +public +license"
+        r"(?=.{0,400}?(?:version|v\.?)[ .]*3(?![0-9]))",
+        "GPL-3.0-only",
+    ),
+    (
+        r"gnu +general +public +license"
+        r"(?=.{0,400}?(?:version|v\.?)[ .]*2(?![0-9]))",
+        "GPL-2.0-only",
+    ),
+    (r"gnu +general +public +license", "GPL"),
     (
         r"redistribution +and +use +in +source +and +binary +forms"
         r".*neither +the +name",
@@ -117,7 +166,15 @@ PHRASE_PATTERNS: list[tuple[str, str]] = [
         "ISC",
     ),
     (r"mozilla +public +license,? +v(?:ersion)?\.? *2\.0", "MPL-2.0"),
-    (r"eclipse +public +license", "EPL-2.0"),
+    (
+        r"eclipse +public +license(?=.{0,150}?(?:v(?:ersion)?\.? *)?2\.0)",
+        "EPL-2.0",
+    ),
+    (
+        r"eclipse +public +license(?=.{0,150}?(?:v(?:ersion)?\.? *)?1\.0)",
+        "EPL-1.0",
+    ),
+    (r"eclipse +public +license", "EPL"),
     (
         r"this +is +free +and +unencumbered +software +released +into +the"
         r" +public +domain",
@@ -231,6 +288,19 @@ LICENSE_HEADER_FIXTURES: list[str] = [
     "# copyright: see https://creativecommons.org/publicdomain/zero/1.0/",
     "# This work is licensed under the terms of the Do What The Fuck You Want\n"
     "# To Public License, Version 2.",
+    # version-probe branches (r7): stated version -> exact SPDX id
+    "# This program is free software; you can redistribute it and/or modify\n"
+    "# it under the terms of the GNU General Public License as published by\n"
+    "# the Free Software Foundation; either version 2 of the License.",
+    "# This library is free software; you can redistribute it and/or modify\n"
+    "# it under the terms of the GNU Lesser General Public License as\n"
+    "# published by the Free Software Foundation; version 2.1 of the License.",
+    "# This program and the accompanying materials are made available under\n"
+    "# the terms of the Eclipse Public License v1.0 which accompanies this\n"
+    "# distribution.",
+    # no version stated anywhere -> family-level id ("AGPL")
+    "# This program is licensed under the GNU Affero General Public License\n"
+    "# as published by the Free Software Foundation.",
 ]
 
 

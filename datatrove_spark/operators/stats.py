@@ -22,7 +22,11 @@ from ..kernels.quality import count_tokens_bpe_ish, word_stats
 # char-class deletion via translate, not regexp_replace: JVM regex cost is
 # per-MATCH (appendReplacement per char for single-char classes), measured
 # 65x slower than translate's branch-free pass (docs/SCALE.md round-6 note).
-# Each list is exactly the regex class it replaces: \s == Java's ASCII set.
+# Each list is exactly the regex class it replaces (parity with the prior
+# Spark expression, Java's ASCII \s).  Known, intentional deviation from the
+# reference: stats/doc_stats.py:44 counts str.isspace(), which includes
+# Unicode whitespace (NBSP, \x85, U+2000-U+200A) — those are rare in real
+# corpora and excluding them keeps the whole metric in translate/codegen.
 from ..kernels.code_quality import ALNUM_CHARS as _ALNUM_CHARS  # shared 62-char list
 
 _WS_CHARS = " \t\n\x0b\x0c\r"
