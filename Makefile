@@ -1,4 +1,4 @@
-.PHONY: test oracles bench scaling audit zip artifacts cc-bench zh-bench headroom skew fixtures verify
+.PHONY: test oracles bench scaling audit zip artifacts artifacts-gen cc-bench zh-bench headroom skew fixtures verify
 
 test:
 	python -m pytest tests/ -x -q
@@ -23,16 +23,22 @@ fixtures:
 
 # when genuine model artifacts land in /root/models (lid.176.bin/.ftz,
 # KenLM .arpa, SentencePiece .model, gpt2 vocab/merges), verify runs the
-# real-file bit-diff harness automatically — zero extra work on drop-in
+# real-file bit-diff harness on them; otherwise it generates REALISTIC
+# artifacts in-container (tools/gen_artifacts.py: 176-label quantized+
+# pruned fastText, pruned 5-gram ARPA, 8k-piece SP with precompiled
+# charsmap, 4k-merge BPE) and runs the full harness — non-SKIP either way
 verify: test oracles bench
 	@if [ -d /root/models ]; then \
 		python tools/verify_artifacts.py --models /root/models --spark; \
 	else \
-		echo "verify: /root/models absent — artifact parity self-test only"; \
+		python tools/verify_artifacts.py --gen .bench_data/artifacts --spark; \
 	fi
 
 artifacts:
 	python tools/verify_artifacts.py --self-test --spark
+
+artifacts-gen:
+	python tools/verify_artifacts.py --gen .bench_data/artifacts --spark
 
 cc-bench:
 	python tools/cc_bench.py

@@ -122,6 +122,73 @@ class ArpaLM:
             backoffs[(a,)] = math.log10(discount * n_types / ctx_counts[a])
         return cls(probs, backoffs, 2)
 
+    @classmethod
+    def train_arpa_ngram(
+        cls,
+        texts,
+        order: int = 5,
+        discount: float = 0.5,
+        prune: tuple[int, ...] | None = None,
+        tokenize=None,
+    ) -> "ArpaLM":
+        """Absolute-discount backoff model of arbitrary ``order`` with
+        KenLM-style count pruning (``--prune t1 t2 ...``: an n-gram whose
+        count is <= its order's threshold is dropped; unigram threshold is
+        ignored, KenLM forbids unigram pruning).  Pruned mass folds into the
+        context's backoff weight — backoff(ctx) = log10(1 - kept discounted
+        mass / ctx total) — so scoring through a pruned table exercises the
+        full backoff chain, exactly the production shape of a
+        ``lmplz --prune``'d KenLM artifact.
+
+        KenLM's suffix/prefix table invariants are enforced after pruning:
+        every kept n-gram re-adds its suffix AND its context at order n-1,
+        so the backoff chain always terminates on a real entry."""
+        if tokenize is None:
+            tokenize = lambda t: ccnet_normalize(t).split()  # noqa: E731
+        if order < 2:
+            raise ValueError("order must be >= 2")
+        prune_t = tuple(prune) if prune is not None else (0,) * order
+        if len(prune_t) != order:
+            raise ValueError(f"prune needs {order} thresholds, got {len(prune_t)}")
+        counts: list[Counter] = [Counter() for _ in range(order + 1)]
+        for t in texts:
+            toks = [BOS] + tokenize(t) + [EOS]
+            for n in range(1, order + 1):
+                for i in range(len(toks) - n + 1):
+                    counts[n][tuple(toks[i : i + n])] += 1
+        kept: list[set] = [set() for _ in range(order + 1)]
+        kept[1] = set(counts[1])
+        for n in range(2, order + 1):
+            th = prune_t[n - 1]
+            kept[n] = {g for g, c in counts[n].items() if c > th}
+        for n in range(order, 2, -1):  # suffix + context closure downward
+            for g in kept[n]:
+                kept[n - 1].add(g[1:])
+                kept[n - 1].add(g[:-1])
+        probs: dict[tuple[str, ...], float] = {}
+        backoffs: dict[tuple[str, ...], float] = {}
+        total = sum(c for g, c in counts[1].items() if g != (BOS,))
+        vocab = len(counts[1]) + 1  # + <unk>
+        for g in kept[1]:
+            # <s> is context-only: the standard ARPA placeholder prob
+            probs[g] = -99.0 if g == (BOS,) else math.log10(counts[1][g] / (total + vocab))
+        probs[(UNK,)] = math.log10(1 / (total + vocab))
+        for n in range(2, order + 1):
+            ctx_tot: Counter = Counter()
+            for g, c in counts[n].items():
+                ctx_tot[g[:-1]] += c
+            kept_mass: dict[tuple[str, ...], float] = {}
+            for g in kept[n]:
+                c = counts[n][g]
+                probs[g] = math.log10(max(c - discount, 1e-12) / ctx_tot[g[:-1]])
+                kept_mass[g[:-1]] = kept_mass.get(g[:-1], 0.0) + max(c - discount, 0.0)
+            for ctx in kept[n - 1]:
+                tot = ctx_tot.get(ctx)
+                if tot:
+                    left = 1.0 - kept_mass.get(ctx, 0.0) / tot
+                    backoffs[ctx] = math.log10(max(left, 1e-7))
+        return cls(probs, backoffs, order)
+
     # --- scoring ---------------------------------------------------------------
 
     def logprob_word(self, context: tuple[str, ...], word: str) -> float:

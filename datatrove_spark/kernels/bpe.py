@@ -169,44 +169,92 @@ class BPETokenizer:
 
 
 def train_bpe(corpus: list[str], vocab_size: int = 512) -> BPETokenizer:
-    """Classic BPE training (most-frequent adjacent pair merges) — fixture
-    quality, enough to produce a REAL vocab/merges file pair for tests."""
-    from collections import Counter
+    """Classic BPE training (most-frequent adjacent pair merges), producing
+    a REAL vocab/merges file pair.
+
+    Incremental variant of the textbook algorithm: pair counts and a
+    pair→words inverted index update only where a merge lands, and the
+    next-best pair comes from count-bucketed sets (BPE's best count is
+    non-increasing, and a pair created by a merge can occur at most as many
+    times as the merge itself — so a single downward-moving cursor finds
+    every maximum).  Identical merges/vocab to the full-recount version
+    (same (count, pair-string) tie-break), but thousands of merges over a
+    corpus complete in seconds instead of minutes."""
+    from collections import Counter, defaultdict
 
     # base vocab: all 256 byte proxies, in codepoint order
     tokens = sorted(_BYTE_ENCODER.values(), key=ord)
     vocab = {t: i for i, t in enumerate(tokens)}
-    words: Counter = Counter()
+    word_counter: Counter = Counter()
     for text in corpus:
         for chunk in GPT2_PRETOKEN_RE.findall(text):
-            words[tuple(_to_byte_chars(chunk))] += 1
+            word_counter[tuple(_to_byte_chars(chunk))] += 1
+    word_toks: list[list[str]] = []
+    word_cnt: list[int] = []
+    for word, cnt in word_counter.items():
+        word_toks.append(list(word))
+        word_cnt.append(cnt)
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, toks in enumerate(word_toks):
+        c = word_cnt[wi]
+        for i in range(len(toks) - 1):
+            pair = (toks[i], toks[i + 1])
+            pair_counts[pair] += c
+            pair_words[pair].add(wi)
+    by_count: defaultdict = defaultdict(set)
+    for pair, c in pair_counts.items():
+        by_count[c].add(pair)
+
+    def _move(pair: tuple[str, str], delta: int) -> None:
+        old = pair_counts[pair]
+        new = old + delta
+        by_count[old].discard(pair)
+        if new > 0:
+            pair_counts[pair] = new
+            by_count[new].add(pair)
+        else:
+            del pair_counts[pair]
+
+    cur_max = max(by_count) if by_count else 0
     merges: list[tuple[str, str]] = []
-    while len(vocab) < vocab_size:
-        pairs: Counter = Counter()
-        for word, cnt in words.items():
-            for i in range(len(word) - 1):
-                pairs[(word[i], word[i + 1])] += cnt
-        if not pairs:
+    while len(vocab) < vocab_size and cur_max >= 2:
+        while cur_max >= 2 and not by_count[cur_max]:
+            del by_count[cur_max]
+            cur_max -= 1
+        if cur_max < 2:
             break
-        # deterministic: highest count, ties by pair string order
-        (a, b), cnt = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
-        if cnt < 2:
-            break
+        a, b = max(by_count[cur_max])  # ties by pair string order
         merges.append((a, b))
         merged = a + b
         vocab[merged] = len(vocab)
-        new_words: Counter = Counter()
-        for word, c in words.items():
+        # per affected word: left-to-right greedy merge (same scan as the
+        # textbook version), then apply the before/after pair-count diff —
+        # index entries for words that no longer hold the pair are stale
+        # no-ops (old == new), never wrong
+        for wi in sorted(pair_words[(a, b)]):
+            toks = word_toks[wi]
+            c = word_cnt[wi]
             out, i = [], 0
-            while i < len(word):
-                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
                     out.append(merged)
                     i += 2
                 else:
-                    out.append(word[i])
+                    out.append(toks[i])
                     i += 1
-            new_words[tuple(out)] += c
-        words = new_words
+            if len(out) == len(toks):
+                continue
+            old_pairs = Counter(zip(toks, toks[1:]))
+            new_pairs = Counter(zip(out, out[1:]))
+            for pair, k in (new_pairs - old_pairs).items():
+                _move(pair, k * c)
+                pair_words[pair].add(wi)
+            for pair, k in (old_pairs - new_pairs).items():
+                _move(pair, -k * c)
+            word_toks[wi] = out
+        pair_words.pop((a, b), None)
     return BPETokenizer(vocab, merges)
 
 

@@ -476,6 +476,80 @@ def _pq_encode_exact(rows: np.ndarray, dsub: int = 2, qnorm: bool = True) -> Qua
     return QuantMatrix(m, dim, True, codes, pq, norm_codes, npq)
 
 
+def _kmeans_1d_or_nd(data: np.ndarray, k: int, niter: int, rng: np.random.Generator) -> np.ndarray:
+    """Plain Lloyd's k-means (the productquantizer.cc training loop shape):
+    random-sample init, chunked assignment so the distance matrix never
+    materializes at n x k x d.  Returns (k, d) centroids; when n <= k the
+    rows are their own centroids (zero-padded), which reproduces the exact
+    encoder's behavior for small matrices."""
+    n, d = data.shape
+    cents = np.zeros((k, d), dtype=np.float64)
+    if n <= k:
+        cents[:n] = data
+        return cents
+    cents[:] = data[rng.choice(n, size=k, replace=False)]
+    chunk = 1 << 15
+    assign = np.empty(n, dtype=np.int64)
+    for _ in range(niter):
+        for lo in range(0, n, chunk):
+            block = data[lo : lo + chunk]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin drops ||x||^2
+            dists = -2.0 * block @ cents.T + (cents * cents).sum(axis=1)
+            assign[lo : lo + len(block)] = np.argmin(dists, axis=1)
+        for j in range(k):
+            members = data[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+            else:  # empty cluster: reseed on a random row (fastText does too)
+                cents[j] = data[rng.integers(n)]
+    return cents
+
+
+def _pq_encode_kmeans(
+    rows: np.ndarray,
+    dsub: int = 2,
+    qnorm: bool = True,
+    niter: int = 10,
+    seed: int = 11,
+) -> QuantMatrix:
+    """PQ-encode ANY number of rows with real per-subquantizer k-means
+    (ksub=256) — the production .ftz shape (quantize -qnorm).  Lossy, like
+    genuine fastText quantization; tests measure top-1 agreement against the
+    dense twin rather than exact reconstruction."""
+    m, dim = rows.shape
+    rng = np.random.default_rng(seed)
+    nsubq = (dim + dsub - 1) // dsub
+    lastdsub = dim - (nsubq - 1) * dsub
+    norms = np.linalg.norm(rows, axis=1)
+    if qnorm:
+        safe = np.where(norms == 0, 1.0, norms)
+        units = rows / safe[:, None]
+    else:
+        units = np.asarray(rows, dtype=np.float64)
+    cents = np.zeros(dim * KSUB)
+    codes = np.zeros((m, nsubq), dtype=np.uint8)
+    for sq in range(nsubq):
+        d = lastdsub if sq == nsubq - 1 else dsub
+        block = units[:, sq * dsub : sq * dsub + d]
+        c = _kmeans_1d_or_nd(np.asarray(block, dtype=np.float64), KSUB, niter, rng)
+        dists = -2.0 * block @ c.T + (c * c).sum(axis=1)
+        codes[:, sq] = np.argmin(dists, axis=1).astype(np.uint8)
+        for t in range(KSUB):
+            if sq == nsubq - 1:
+                off = sq * KSUB * dsub + t * lastdsub
+            else:
+                off = (sq * KSUB + t) * dsub
+            cents[off : off + d] = c[t]
+    pq = ProductQuantizer(dim, nsubq, dsub, lastdsub, cents)
+    if not qnorm:
+        return QuantMatrix(m, dim, False, codes, pq)
+    ncents = _kmeans_1d_or_nd(norms[:, None], KSUB, niter, rng)[:, 0]
+    ndists = np.abs(norms[:, None] - ncents[None, :])
+    norm_codes = np.argmin(ndists, axis=1).astype(np.uint8)
+    npq = ProductQuantizer(1, 1, 1, 1, np.ascontiguousarray(ncents, dtype=np.float64))
+    return QuantMatrix(m, dim, True, codes, pq, norm_codes, npq)
+
+
 def write_quantized_ftz(
     path: str,
     word_vectors: dict[str, np.ndarray],
@@ -492,6 +566,7 @@ def write_quantized_ftz(
     qnorm: bool = True,
     qout: bool = False,
     dsub: int = 2,
+    pq_mode: str = "auto",
 ) -> None:
     """Write a wire-valid product-quantized ``.ftz`` (fixture-quality exact
     PQ) so tests exercise the QuantMatrix/ProductQuantizer/pruneidx reading
@@ -499,7 +574,11 @@ def write_quantized_ftz(
 
     ``pruneidx`` maps surviving ngram-bucket hash ids → compact rows; input
     matrix rows are words then the len(pruneidx) surviving ngram rows (the
-    quantize -cutoff layout).  ``None`` writes an unpruned dictionary."""
+    quantize -cutoff layout).  ``None`` writes an unpruned dictionary.
+
+    ``pq_mode``: 'exact' (each row its own centroid — lossless fixtures,
+    <=256 rows), 'kmeans' (real lossy PQ, any size), or 'auto' (exact when
+    it fits, else kmeans)."""
     words = list(word_vectors)
     labels = list(label_vectors)
     inp_rows = [word_vectors[w] for w in words]
@@ -512,14 +591,22 @@ def write_quantized_ftz(
         inp_rows.extend(bv)
     inp = np.asarray(inp_rows, dtype=np.float64)
     out = np.asarray([label_vectors[lb] for lb in labels], dtype=np.float64)
+
+    def _encode(rows: np.ndarray) -> QuantMatrix:
+        if pq_mode == "exact" or (pq_mode == "auto" and len(rows) <= KSUB):
+            return _pq_encode_exact(rows, dsub=dsub, qnorm=qnorm)
+        if pq_mode not in ("auto", "kmeans"):
+            raise ValueError(f"unknown pq_mode {pq_mode!r}")
+        return _pq_encode_kmeans(rows, dsub=dsub, qnorm=qnorm)
+
     with open(path, "wb") as f:
         _write_header_and_dict(f, words, labels, dim, loss, bucket, minn, maxn,
                                word_ngrams, label_counts, pruneidx)
         f.write(struct.pack("<b", 1))  # quant_input = true
-        _pq_encode_exact(inp, dsub=dsub, qnorm=qnorm).write(f)
+        _encode(inp).write(f)
         f.write(struct.pack("<b", 1 if qout else 0))
         if qout:
-            _pq_encode_exact(out, dsub=dsub, qnorm=qnorm).write(f)
+            _encode(out).write(f)
         else:
             out32 = out.astype("<f4")
             f.write(struct.pack("<2q", out32.shape[0], out32.shape[1]))

@@ -577,6 +577,42 @@ def save_model_proto(
 # --- fixture trainer ----------------------------------------------------------
 
 
+def nmt_nfkc_charsmap_mapping(max_cp: int = 0x10000) -> dict[str, str]:
+    """A realistic nmt_nfkc replacement table for ``build_charsmap_blob`` —
+    the same construction builder.cc uses (BuildNFKCMap + NMT overrides),
+    restricted to what a longest-match map can express without the full
+    canonical-sequence enumeration:
+
+    * every BMP codepoint whose NFKC form differs (compatibility ligatures,
+      full/half-width forms, superscripts, roman numerals, ...);
+    * Latin letter + combining mark (U+0300-U+036F) pairs that NFC composes
+      (so decomposed ``e`` + COMBINING ACUTE normalizes like real SP);
+    * the NMT overrides (separators -> space, controls removed), applied
+      LAST so they win over NFKC where both define a mapping.
+
+    Residual vs a genuine charsmap: multi-codepoint canonical sequences
+    beyond the Latin+mark pairs (e.g. decomposed Hangul) pass through.
+    """
+    m: dict[str, str] = {}
+    for cp in range(0x20, max_cp):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        c = chr(cp)
+        k = unicodedata.normalize("NFKC", c)
+        if k != c and "\x00" not in k:
+            m[c] = k
+    latin = [chr(c) for c in range(0x41, 0x5B)] + [chr(c) for c in range(0x61, 0x7B)]
+    for b in latin:
+        for mk in range(0x300, 0x370):
+            s = b + chr(mk)
+            k = unicodedata.normalize("NFC", s)
+            if len(k) == 1:
+                m[s] = k
+    for cp, repl in _NMT_CHARS_MAP.items():
+        m[chr(cp)] = repl if repl is not None else ""
+    return m
+
+
 def train_unigram(
     corpus: list[str], vocab_size: int = 400, max_piece_len: int = 6
 ) -> SentencePieceUnigram:

@@ -60,6 +60,9 @@ def train_fasttext_supervised(
     max_vocab: int = 100_000,
     seed: int = 17,
     out_path: str | None = None,
+    word_ngrams: int = 1,
+    bucket: int = 0,
+    return_model: bool = False,
 ):
     """Returns ``(word_vectors, label_vectors, labels)`` and, with
     ``out_path``, writes a loadable fastText ``.bin`` whose labels carry
@@ -67,7 +70,18 @@ def train_fasttext_supervised(
 
     ``rounds`` outer parameter-averaging rounds × ``epochs`` local epochs
     per partition; lr decays linearly over the whole schedule exactly like
-    fastText's ``progress``-based decay."""
+    fastText's ``progress``-based decay.
+
+    ``word_ngrams`` > 1 with ``bucket`` > 0 trains hashed word-ngram rows
+    exactly like fastText -wordNgrams: per token the FNV hash, then the
+    rolling ``h*116049371 + h_next`` combine modulo ``bucket``
+    (dictionary.cc addWordNgrams) — byte-identical to what
+    ``FastTextModel._line_input_ids`` computes at inference, so the written
+    ``.bin``/``.ftz`` scores the training corpus with the trained rows.
+
+    ``return_model`` additionally returns a dict carrying the raw matrices
+    (``w_in`` incl. bucket rows, ``w_out``, ``vocab``, ``args``) for
+    quantization/pruning by artifact generators."""
     spark = df.sparkSession
 
     # --- vocab + label table (one distributed pass each) ------------------
@@ -93,10 +107,13 @@ def train_fasttext_supervised(
         )
     word_id = {w: i for i, w in enumerate(vocab)}
     nw, nl = len(vocab), len(labels)
+    if word_ngrams > 1 and bucket <= 0:
+        raise ValueError("word_ngrams > 1 needs bucket > 0")
 
-    # fastText init: input uniform(-1/dim, 1/dim), output zeros
+    # fastText init: input uniform(-1/dim, 1/dim) INCLUDING bucket rows,
+    # output zeros
     rng = np.random.default_rng(seed)
-    w_in = ((rng.random((nw, dim)) - 0.5) / dim).astype(np.float64)
+    w_in = ((rng.random((nw + bucket, dim)) - 0.5) / dim).astype(np.float64)
     w_out = np.zeros((nl, dim), dtype=np.float64)
 
     sc = spark.sparkContext
@@ -113,13 +130,27 @@ def train_fasttext_supervised(
         b_out = sc.broadcast(w_out)
 
         def _part(pid, rows, _rnd=rnd):
+            from datatrove_spark.kernels.fasttext_bin import ft_hash
+
             wi = b_in.value.copy()
             wo = b_out.value.copy()
             wid = b_word_id.value
             lid = b_label_id.value
             docs = []
             for row in rows:
-                ids = [wid[w] for w in _TOKEN_RE.findall(row["t"] or "") if w in wid]
+                toks = _TOKEN_RE.findall(row["t"] or "")
+                ids = [wid[w] for w in toks if w in wid]
+                if word_ngrams > 1 and bucket > 0:
+                    # dictionary.cc addWordNgrams: hashes over ALL tokens
+                    # (vocab membership does not gate the ngram ids), rolling
+                    # combine, bucket rows offset by nwords — the exact id
+                    # stream FastTextModel._line_input_ids replays
+                    hs = [ft_hash(w) for w in toks]
+                    for i in range(len(hs)):
+                        h = hs[i]
+                        for j in range(i + 1, min(i + word_ngrams, len(hs))):
+                            h = (h * 116049371 + hs[j]) & 0xFFFFFFFFFFFFFFFF
+                            ids.append(nw + (h % bucket))
                 lab = lid.get(row["l"])
                 if ids and lab is not None:
                     docs.append((np.asarray(ids), lab))
@@ -170,8 +201,20 @@ def train_fasttext_supervised(
             {w: v.astype("<f4") for w, v in word_vectors.items()},
             {n: v.astype("<f4") for n, v in label_vectors.items()},
             dim,
+            bucket=bucket,
+            word_ngrams=word_ngrams,
+            bucket_vectors=w_in[nw:].astype("<f4") if bucket > 0 else None,
             label_counts={n: 1 for n in label_names},
         )
+    if return_model:
+        model = {
+            "w_in": w_in,
+            "w_out": w_out,
+            "vocab": vocab,
+            "labels": label_names,
+            "args": {"dim": dim, "bucket": bucket, "word_ngrams": word_ngrams},
+        }
+        return word_vectors, label_vectors, labels, model
     return word_vectors, label_vectors, labels
 
 

@@ -1,0 +1,359 @@
+"""Generate REALISTIC model artifacts in-container with the engine's own
+trainers/writers, so `verify_artifacts.py` exercises every production
+reader branch — k-means product-quantization decode, pruned-dictionary
+(`pruneidx`) consult, ARPA backoff over a count-pruned 5-gram table,
+precompiled-charsmap darts lookup, multi-thousand-merge byte-level BPE —
+at value level, with zero network and zero optional packages.
+
+This is the round-7 closure of the "genuine-artifact parity" gap: the
+fixture self-test uses dim-8 / 4-label / exact-PQ toys; these artifacts
+have the SHAPE of the real files (lid.176: 176 labels, dim 16, hashed
+word-ngrams, quantized+pruned .ftz; a KenLM-style `lmplz --prune`d
+5-gram; an 8k-piece unigram SP model whose normalizer runs through a
+precompiled charsmap; a GPT-2-format vocab/merges pair with thousands of
+merges).  Reference semantics being stood in for: datatrove utils/lid.py
+(fastText predict), utils/perplexity.py:96-138 (SP + KenLM), and
+pipeline/tokens/tokenizer.py:281-476 (HF tokenizer ids).
+
+Outputs (default --out .bench_data/artifacts):
+
+  lid176.bin          176-label supervised fastText, dim 16, word-bigram
+                      buckets (trained distributed via fasttext_train)
+  lid176.ftz          the same model quantized: k-means PQ (ksub=256,
+                      dsub=2, qnorm) + bucket dictionary pruned to the
+                      top ``--cutoff`` ngram rows (pruneidx)
+  lm5.arpa            5-gram ARPA, absolute-discount backoff, pruned
+                      (0 0 1 1 1) over SP pieces — the CC-Net LM shape
+  sp8k.model          unigram SentencePiece model (~8k pieces) carrying a
+                      precompiled charsmap (NFKC + NMT rules compiled to
+                      a darts trie)
+  vocab.json,
+  merges.txt          GPT-2-format byte-level BPE files
+  MANIFEST.json       generation params + POST-RELOAD evaluation numbers
+                      (held-out accuracy, bin/ftz agreement, scores, ids)
+                      that verify_artifacts re-derives and must reproduce
+
+Deterministic: same seed → byte-identical artifacts (training is
+parameter-averaging SGD over a fixed partitioning).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_LANGS = 176
+WORDS_PER_LANG = 300
+TRAIN_PER_LANG = 100
+HELDOUT_PER_LANG = 12
+SEED = 20240818
+
+# script pools give languages distinct (but overlapping) character
+# inventories, like real orthographies
+_SCRIPT_POOLS = [
+    "abcdefghijklmnopqrstuvwxyz",
+    "abcdefghijklmnopqrstuvwxyzàâäéèêëïîôöùûüç",
+    "abcdefghijklmnopqrstuvwxyzáéíóúñü",
+    "abcdefghijklmnopqrstuvwxyzäöüß",
+    "абвгдежзийклмнопрстуфхцчшщыьэюя",
+    "αβγδεζηθικλμνξοπρστυφχψω",
+    "abcdefghijklmnopqrstuvwxyzåäöøæ",
+    "abcdefghijklmnopqrstuvwxyząćęłńóśźż",
+]
+
+
+def _lang_vocab(li: int) -> list[str]:
+    rng = np.random.default_rng(SEED + 1000 + li)
+    pool = _SCRIPT_POOLS[li % len(_SCRIPT_POOLS)]
+    words = set()
+    while len(words) < WORDS_PER_LANG:
+        n = int(rng.integers(3, 10))
+        words.add("".join(pool[i] for i in rng.integers(0, len(pool), size=n)))
+    return sorted(words)
+
+
+def _sentences(li: int, vocab: list[str], n: int, salt: int) -> list[str]:
+    """Zipf-weighted sentences over the language's vocabulary."""
+    rng = np.random.default_rng(SEED + 5000 + li * 7 + salt)
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(6, 22))
+        out.append(" ".join(rng.choice(vocab, size=k, p=p)))
+    return out
+
+
+def build_corpus() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """(train, heldout) lists of (label, text) across N_LANGS languages."""
+    train, held = [], []
+    for li in range(N_LANGS):
+        vocab = _lang_vocab(li)
+        lab = f"lang{li:03d}"
+        train += [(lab, s) for s in _sentences(li, vocab, TRAIN_PER_LANG, 0)]
+        held += [(lab, s) for s in _sentences(li, vocab, HELDOUT_PER_LANG, 1)]
+    return train, held
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for blk in iter(lambda: f.read(1 << 20), b""):
+            h.update(blk)
+    return h.hexdigest()
+
+
+def gen_fasttext(out_dir: str, train, held, manifest: dict, cutoff: int = 40_000) -> None:
+    from datatrove_spark.kernels.fasttext_bin import (
+        FastTextModel,
+        ft_hash,
+        write_quantized_ftz,
+    )
+    from datatrove_spark.operators.fasttext_train import train_fasttext_supervised
+    from datatrove_spark.session import get_spark
+
+    dim, bucket, word_ngrams = 16, 100_000, 2
+    pbin = os.path.join(out_dir, "lid176.bin")
+    pftz = os.path.join(out_dir, "lid176.ftz")
+
+    spark = get_spark("gen-artifacts", master="local[16]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.createDataFrame(
+            [(t, lb) for lb, t in train], ["text", "label"]
+        ).repartition(16)
+        # rounds/epochs/lr probed for convergence: 6x8 @ 0.8 reaches 1.00
+        # held-out accuracy on the 176-language corpus (2x3 @ 0.4: 0.34)
+        _, _, labels, model = train_fasttext_supervised(
+            df,
+            dim=dim,
+            lr=0.8,
+            epochs=8,
+            rounds=6,
+            max_vocab=80_000,
+            seed=SEED,
+            out_path=pbin,
+            word_ngrams=word_ngrams,
+            bucket=bucket,
+            return_model=True,
+        )
+    finally:
+        spark.stop()
+
+    # prune: usage-ranked ngram buckets over the training corpus (the
+    # `quantize -cutoff` shape); pruneidx maps hash id -> compact row
+    nw = len(model["vocab"])
+    usage: dict[int, int] = {}
+    for _lb, t in train:
+        hs = [ft_hash(w) for w in t.lower().split()]
+        for i in range(len(hs)):
+            h = hs[i]
+            for j in range(i + 1, min(i + word_ngrams, len(hs))):
+                h = (h * 116049371 + hs[j]) & 0xFFFFFFFFFFFFFFFF
+                bid = h % bucket
+                usage[bid] = usage.get(bid, 0) + 1
+    survivors = sorted(usage, key=lambda b: (-usage[b], b))[:cutoff]
+    survivors.sort()
+    pruneidx = {bid: pos for pos, bid in enumerate(survivors)}
+    bucket_rows = model["w_in"][nw:][survivors]
+
+    word_vectors = {w: model["w_in"][i] for i, w in enumerate(model["vocab"])}
+    label_vectors = {name: model["w_out"][i] for i, name in enumerate(model["labels"])}
+    write_quantized_ftz(
+        pftz,
+        word_vectors,
+        label_vectors,
+        dim,
+        bucket=bucket,
+        word_ngrams=word_ngrams,
+        bucket_vectors=bucket_rows,
+        label_counts={n: 1 for n in model["labels"]},
+        pruneidx=pruneidx,
+        qnorm=True,
+        qout=False,
+        pq_mode="kmeans",
+    )
+
+    # post-reload evaluation — the manifest numbers the harness re-derives
+    mb = FastTextModel.load(pbin)
+    mf = FastTextModel.load(pftz)
+    correct_b = correct_f = agree = 0
+    for lb, t in held:
+        pb = mb.predict(t)[0][0].replace("__label__", "")
+        pf = mf.predict(t)[0][0].replace("__label__", "")
+        correct_b += pb == lb
+        correct_f += pf == lb
+        agree += pb == pf
+    n = len(held)
+    manifest["fasttext"] = {
+        "bin": os.path.basename(pbin),
+        "ftz": os.path.basename(pftz),
+        "sha256_bin": _sha256(pbin),
+        "sha256_ftz": _sha256(pftz),
+        "dim": dim,
+        "n_labels": len(labels),
+        "bucket": bucket,
+        "word_ngrams": word_ngrams,
+        "pruned_rows": len(pruneidx),
+        "heldout_n": n,
+        "heldout_acc_bin": correct_b / n,
+        "heldout_acc_ftz": correct_f / n,
+        "bin_ftz_top1_agreement": agree / n,
+    }
+    print(
+        f"  fasttext: acc(bin)={correct_b / n:.4f} acc(ftz)={correct_f / n:.4f} "
+        f"agree={agree / n:.4f} pruned_rows={len(pruneidx)}"
+    )
+
+
+def gen_sp_and_arpa(out_dir: str, train, manifest: dict) -> None:
+    from datatrove_spark.kernels.arpa import ArpaLM
+    from datatrove_spark.kernels.perplexity import ccnet_normalize
+    from datatrove_spark.kernels.sentencepiece import (
+        SentencePieceUnigram,
+        build_charsmap_blob,
+        nmt_nfkc_charsmap_mapping,
+        save_model_proto,
+        train_unigram,
+    )
+
+    texts = [t for _lb, t in train[: 30 * N_LANGS]]  # ~5k docs, all languages
+    sp = train_unigram(texts, vocab_size=8192, max_piece_len=8)
+    blob = build_charsmap_blob(nmt_nfkc_charsmap_mapping())
+    sp_path = os.path.join(out_dir, "sp8k.model")
+    save_model_proto(
+        [("<unk>", 0.0, 2)] + [(p, s, 1) for p, s in sorted(sp.pieces.items())],
+        sp_path,
+        charsmap_blob=blob,
+    )
+    sp_loaded = SentencePieceUnigram.load(sp_path)
+    manifest["sp"] = {
+        "model": os.path.basename(sp_path),
+        "sha256": _sha256(sp_path),
+        "pieces": len(sp_loaded.pieces),
+        "charsmap_bytes": len(blob),
+    }
+    print(f"  sp: {len(sp_loaded.pieces)} pieces, charsmap {len(blob)} bytes")
+
+    lm = ArpaLM.train_arpa_ngram(
+        texts,
+        order=5,
+        prune=(0, 0, 1, 1, 1),
+        tokenize=lambda t: sp_loaded.encode_as_pieces(ccnet_normalize(t)),
+    )
+    arpa_path = os.path.join(out_dir, "lm5.arpa")
+    lm.dump(arpa_path)
+    lm2 = ArpaLM.load(arpa_path)
+    by_order: dict[int, int] = {}
+    for g in lm2.probs:
+        by_order[len(g)] = by_order.get(len(g), 0) + 1
+    # POST-reload probe: score the SP-piece streams (the LM's training
+    # units) so the 5-gram backoff chain over the pruned table is what the
+    # harness reproduces — not an all-<unk> word-token degenerate
+    probe_scores = {}
+    for t in texts[:8]:
+        pieces = sp_loaded.encode_as_pieces(ccnet_normalize(t))
+        s, n = lm2.score_tokens(pieces)
+        missing5 = sum(
+            tuple(pieces[i : i + 5]) not in lm2.probs
+            for i in range(max(len(pieces) - 4, 0))
+        )
+        probe_scores[t] = [s, n, missing5]
+    manifest["arpa"] = {
+        "arpa": os.path.basename(arpa_path),
+        "sha256": _sha256(arpa_path),
+        "order": lm2.order,
+        "ngrams_by_order": {str(k): v for k, v in sorted(by_order.items())},
+        "probe_scores": probe_scores,
+    }
+    print(f"  arpa: order={lm2.order} ngrams={sorted(by_order.items())}")
+
+
+def gen_bpe(out_dir: str, train, manifest: dict) -> None:
+    from datatrove_spark.kernels.bpe import BPETokenizer, train_bpe
+
+    texts = [t for _lb, t in train[: 20 * N_LANGS]]
+    tok = train_bpe(texts, vocab_size=4096)
+    vocab_path = os.path.join(out_dir, "vocab.json")
+    merges_path = os.path.join(out_dir, "merges.txt")
+    tok.dump(vocab_path, merges_path)
+    tok2 = BPETokenizer.load(vocab_path, merges_path)
+    probe_ids = {t: tok2.encode(t) for t in texts[:8]}
+    manifest["bpe"] = {
+        "vocab": os.path.basename(vocab_path),
+        "merges": os.path.basename(merges_path),
+        "sha256_vocab": _sha256(vocab_path),
+        "sha256_merges": _sha256(merges_path),
+        "vocab_size": len(tok2.vocab),
+        "n_merges": len(tok2.ranks),
+        "probe_ids": probe_ids,
+    }
+    print(f"  bpe: vocab={len(tok2.vocab)} merges={len(tok2.ranks)}")
+
+
+def generate(out_dir: str, force: bool = False) -> str:
+    """Build all artifacts (idempotent: a valid MANIFEST.json whose files
+    hash-match skips regeneration).  Returns the manifest path."""
+    manifest_path = os.path.join(out_dir, "MANIFEST.json")
+    if not force and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+            ok = all(
+                _sha256(os.path.join(out_dir, m[k][f_key])) == m[k][s_key]
+                for k, f_key, s_key in (
+                    ("fasttext", "bin", "sha256_bin"),
+                    ("fasttext", "ftz", "sha256_ftz"),
+                    ("arpa", "arpa", "sha256"),
+                    ("sp", "model", "sha256"),
+                    ("bpe", "vocab", "sha256_vocab"),
+                    ("bpe", "merges", "sha256_merges"),
+                )
+            )
+            if ok:
+                print(f"gen_artifacts: cache hit at {out_dir} (hashes match)")
+                return manifest_path
+        except Exception:
+            pass
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    print("gen_artifacts: building corpus ...")
+    train, held = build_corpus()
+    manifest: dict = {
+        "seed": SEED,
+        "n_langs": N_LANGS,
+        "train_docs": len(train),
+        "heldout_docs": len(held),
+    }
+    print("gen_artifacts: training fastText (176 labels, word-bigram buckets) ...")
+    gen_fasttext(out_dir, train, held, manifest)
+    print("gen_artifacts: training SP (8k pieces) + pruned 5-gram ARPA ...")
+    gen_sp_and_arpa(out_dir, train, manifest)
+    print("gen_artifacts: training byte-level BPE ...")
+    gen_bpe(out_dir, train, manifest)
+    manifest["wall_sec"] = round(time.time() - t0, 1)
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"gen_artifacts: done in {manifest['wall_sec']}s -> {out_dir}")
+    return manifest_path
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=".bench_data/artifacts")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args(argv)
+    generate(args.out, force=args.force)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

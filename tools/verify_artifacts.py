@@ -293,6 +293,167 @@ def build_fixture_artifacts(out_dir: str) -> dict[str, str]:
     }
 
 
+# --------------------------------------------------------------------------
+# --gen: realistic generated artifacts (tools/gen_artifacts.py) through the
+# FULL harness plus production-branch parity checks that need no package
+# --------------------------------------------------------------------------
+
+# rule path == darts path on these; the documented residual (multi-codepoint
+# canonical sequences beyond Latin+mark pairs, e.g. decomposed Hangul) is
+# excluded by construction of nmt_nfkc_charsmap_mapping
+CHARSMAP_STRESS = [
+    "ﬁﬂ ｆｕｌｌｗｉｄｔｈ ① Ⅻ ½ ℕ ⊆ ℝ",
+    "naïve café résumé",
+    "élève",  # decomposed Latin: combining acute/grave
+    "tab\there\nand nbsp thin",
+    " ogham​zwsp﻿bom",
+    "Ǆungla ǅungla ǆungla",
+    "x²+y³ ¼¾ Ⅷ ㎞ ㎡",
+]
+
+
+def verify_generated(models_dir: str, rep: Report, eps: float, spark: bool) -> None:
+    """Run every per-artifact check on the generated realistic artifacts AND
+    re-derive the MANIFEST's evaluation numbers from the files — held-out
+    accuracy, bin/ftz agreement, ARPA probe scores, BPE probe ids — so the
+    reader's production branches (k-means PQ decode, pruneidx consult,
+    pruned-table backoff, charsmap darts) are value-verified in-container."""
+    from gen_artifacts import build_corpus
+
+    with open(os.path.join(models_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    p = lambda name: os.path.join(models_dir, name)  # noqa: E731
+
+    # ---- the full existing battery (package-parity SKIPs without packages)
+    verify_fasttext(p(man["fasttext"]["bin"]), rep, eps)
+    verify_fasttext(p(man["fasttext"]["ftz"]), rep, eps)
+    verify_arpa(p(man["arpa"]["arpa"]), rep, eps, p(man["sp"]["model"]))
+    verify_sp(p(man["sp"]["model"]), rep)
+    verify_bpe(p(man["bpe"]["vocab"]), p(man["bpe"]["merges"]), rep)
+
+    # ---- fastText: production branches + manifest reproduction
+    from datatrove_spark.kernels.fasttext_bin import FastTextModel, QuantMatrix
+
+    mb = FastTextModel.load(p(man["fasttext"]["bin"]))
+    mf = FastTextModel.load(p(man["fasttext"]["ftz"]))
+    rep.check(
+        "gen:ftz-production-branches",
+        isinstance(mf.input, QuantMatrix)
+        and mf.pruneidx is not None
+        and len(mf.pruneidx) == man["fasttext"]["pruned_rows"]
+        and mf.args["bucket"] > 0
+        and mf.args["word_ngrams"] > 1,
+        f"QuantMatrix + pruneidx({len(mf.pruneidx or {})}) + word-ngram buckets",
+    )
+    _train, held = build_corpus()
+    nb = nf = agree = 0
+    for lb, t in held:
+        pb = mb.predict(t)[0][0].replace("__label__", "")
+        pf = mf.predict(t)[0][0].replace("__label__", "")
+        nb += pb == lb
+        nf += pf == lb
+        agree += pb == pf
+    n = len(held)
+    rep.check(
+        "gen:fasttext-heldout-reproduces-manifest",
+        nb / n == man["fasttext"]["heldout_acc_bin"]
+        and nf / n == man["fasttext"]["heldout_acc_ftz"]
+        and agree / n == man["fasttext"]["bin_ftz_top1_agreement"],
+        f"acc_bin={nb / n:.4f} acc_ftz={nf / n:.4f} agree={agree / n:.4f} on {n} held-out docs",
+    )
+    rep.check(
+        "gen:fasttext-heldout-acc-floor",
+        nb / n >= 0.95 and agree / n >= 0.95,
+        f"bin {nb / n:.4f}, agreement {agree / n:.4f} (floor 0.95)",
+    )
+
+    # ---- ARPA: pruned 5-gram table, backoff exercised, scores reproduce
+    from datatrove_spark.kernels.arpa import ArpaLM
+
+    lm = ArpaLM.load(p(man["arpa"]["arpa"]))
+    by_order: dict[str, int] = {}
+    for g in lm.probs:
+        by_order[str(len(g))] = by_order.get(str(len(g)), 0) + 1
+    rep.check(
+        "gen:arpa-order5-pruned",
+        lm.order == 5 and by_order == man["arpa"]["ngrams_by_order"],
+        f"ngrams by order {sorted(by_order.items())}",
+    )
+    from datatrove_spark.kernels.perplexity import ccnet_normalize
+    from datatrove_spark.kernels.sentencepiece import SentencePieceUnigram as _SPU
+
+    sp_for_lm = _SPU.load(p(man["sp"]["model"]))
+    bad = []
+    backoff_windows = 0
+    for t, (want_s, want_n, want_miss) in man["arpa"]["probe_scores"].items():
+        pieces = sp_for_lm.encode_as_pieces(ccnet_normalize(t))
+        s, nn = lm.score_tokens(pieces)
+        missing5 = sum(
+            tuple(pieces[i : i + 5]) not in lm.probs
+            for i in range(max(len(pieces) - 4, 0))
+        )
+        if abs(s - want_s) > 1e-9 or nn != want_n or missing5 != want_miss:
+            bad.append(f"{t[:30]!r}: {(s, nn, missing5)} vs manifest {(want_s, want_n, want_miss)}")
+        backoff_windows += missing5
+    rep.check(
+        "gen:arpa-scores-reproduce",
+        not bad and backoff_windows > 0,
+        bad[0]
+        if bad
+        else f"{len(man['arpa']['probe_scores'])} probe piece-streams exact; "
+        f"{backoff_windows} pruned 5-gram windows took the backoff chain",
+    )
+
+    # ---- SP: darts charsmap branch + rule-path parity
+    from datatrove_spark.kernels.sentencepiece import SentencePieceUnigram
+
+    sp = SentencePieceUnigram.load(p(man["sp"]["model"]))
+    rep.check(
+        "gen:sp-charsmap-branch",
+        sp.charsmap is not None and len(sp.pieces) == man["sp"]["pieces"],
+        f"precompiled charsmap ({man['sp']['charsmap_bytes']} bytes), "
+        f"{len(sp.pieces)} pieces",
+    )
+    bad = []
+    for t in CHARSMAP_STRESS + FIXTURE_CORPUS:
+        darts = sp.normalize(t.replace("\n", " "))  # instance: charsmap path
+        rules = SentencePieceUnigram.normalize(t.replace("\n", " "))  # class: rule path
+        if darts != rules:
+            bad.append(f"{t[:30]!r}: {darts[:40]!r} vs {rules[:40]!r}")
+    rep.check(
+        "gen:sp-darts-vs-rules-parity",
+        not bad,
+        bad[0] if bad else f"{len(CHARSMAP_STRESS + FIXTURE_CORPUS)} texts byte-equal",
+    )
+
+    # ---- BPE: probe ids reproduce + byte-level decode round-trip
+    from datatrove_spark.kernels.bpe import BPETokenizer
+
+    tok = BPETokenizer.load(p(man["bpe"]["vocab"]), p(man["bpe"]["merges"]))
+    bad = [
+        t[:30]
+        for t, ids in man["bpe"]["probe_ids"].items()
+        if tok.encode(t) != ids
+    ]
+    rep.check(
+        "gen:bpe-ids-reproduce",
+        not bad and len(tok.ranks) == man["bpe"]["n_merges"],
+        bad[0] if bad else f"{len(man['bpe']['probe_ids'])} probes, {len(tok.ranks)} merges",
+    )
+    bad = [t[:30] for t in FIXTURE_CORPUS if tok.decode(tok.encode(t)) != t]
+    rep.check("gen:bpe-roundtrip", not bad, bad[0] if bad else "decode∘encode == id")
+
+    if spark:
+        verify_spark_operator_parity(
+            {
+                "fasttext": p(man["fasttext"]["bin"]),
+                "arpa": p(man["arpa"]["arpa"]),
+                "sp": p(man["sp"]["model"]),
+            },
+            rep,
+        )
+
+
 def _selftest_consistency(paths: dict[str, str], rep: Report) -> None:
     """In-container closes-the-loop checks that need no optional package:
     the .bin and .ftz written from the SAME vectors must predict the same
@@ -391,6 +552,14 @@ def main(argv: list[str] | None = None) -> int:
         help="build fixture artifacts and verify them (no external files)",
     )
     ap.add_argument(
+        "--gen",
+        metavar="DIR",
+        help="generate (or reuse, hash-checked) REALISTIC artifacts via "
+        "tools/gen_artifacts.py in DIR and run the full harness plus "
+        "production-branch parity checks (kmeans PQ, pruneidx, pruned "
+        "5-gram backoff, charsmap darts) — all in-container, non-SKIP",
+    )
+    ap.add_argument(
         "--spark",
         action="store_true",
         help="also verify the distributed operators (annotate_language / "
@@ -451,7 +620,12 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
     rep = Report()
-    if args.self_test:
+    if args.gen:
+        from gen_artifacts import generate
+
+        generate(args.gen)
+        verify_generated(args.gen, rep, args.eps, args.spark)
+    elif args.self_test:
         import tempfile
 
         with tempfile.TemporaryDirectory() as td:
