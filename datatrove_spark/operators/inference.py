@@ -145,6 +145,34 @@ def _endpoint_infer(prompt: str, params: dict, cfg: InferenceConfig) -> dict:
     }
 
 
+# HTTP statuses worth a retry: timeout-ish and server-side transients.
+# Other 4xx (400 bad request, 401/403 auth, 404, 422) are deterministic —
+# retrying burns the ladder against a response that cannot change.
+_RETRYABLE_HTTP = frozenset({408, 429, 500, 502, 503, 504})
+_RETRY_AFTER_CAP_SEC = 5.0
+
+
+def _classify_error(e: Exception) -> tuple[bool, float | None]:
+    """(retryable, server_suggested_delay_sec or None) for an endpoint
+    failure.  Honors Retry-After on 429/503 (seconds form only; HTTP-date
+    is rare from inference gateways), capped so a hostile header can't
+    stall an executor thread."""
+    import urllib.error
+
+    if isinstance(e, urllib.error.HTTPError):
+        if e.code not in _RETRYABLE_HTTP:
+            return False, None
+        delay = None
+        try:
+            ra = e.headers.get("Retry-After") if e.headers else None
+            if ra is not None:
+                delay = min(float(ra), _RETRY_AFTER_CAP_SEC)
+        except (TypeError, ValueError):
+            delay = None
+        return True, delay
+    return True, None  # URLError / socket timeout / bad JSON: transient
+
+
 def _one_rollout(prompt: str, cfg: InferenceConfig) -> dict:
     params = dict(cfg.default_generation_params)
     t0 = time.time()
@@ -167,18 +195,28 @@ def _one_rollout(prompt: str, cfg: InferenceConfig) -> dict:
                 "error": None,
             }
         except Exception as e:  # noqa: BLE001 — per-doc failure is data, not crash
+            retryable, server_delay = _classify_error(e)
             last_err = f"{type(e).__name__}: {e}"
+            if not retryable:
+                attempt_count = attempt + 1
+                break
             if attempt < cfg.max_retries:
-                time.sleep(cfg.retry_backoff_sec * (2**attempt))
+                time.sleep(
+                    server_delay
+                    if server_delay is not None
+                    else cfg.retry_backoff_sec * (2**attempt)
+                )
+    else:
+        attempt_count = cfg.max_retries + 1
     if cfg.strict:
-        raise RuntimeError(f"inference failed after {cfg.max_retries + 1} attempts: {last_err}")
+        raise RuntimeError(f"inference failed after {attempt_count} attempts: {last_err}")
     return {
         "text": None,
         "finish_reason": None,
         "prompt_tokens": None,
         "completion_tokens": None,
         "latency_ms": int((time.time() - t0) * 1000),
-        "attempts": cfg.max_retries + 1,
+        "attempts": attempt_count,
         "error": last_err,
     }
 
