@@ -20,6 +20,8 @@ continuous-crawl ingestion where recrawls cluster in time.
 
 from __future__ import annotations
 
+import json
+
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
@@ -96,6 +98,38 @@ def _numbered_dirs(spark: SparkSession, base: str, prefix: str) -> list[tuple[in
     return sorted(out)
 
 
+# compacted-dir commit protocol (round-7): a compaction is a multi-file
+# parquet rewrite, and directory visibility is NOT atomic on object stores —
+# a crash (or a concurrent reader racing the rewrite) can observe
+# ``upto=N`` half-written.  The lineage pattern fixes it: the data write is
+# followed by a single-file manifest PUT (the store's atomic unit), and
+# readers trust a compacted dir ONLY if its manifest exists.  A torn dir is
+# ignored and the per-batch tail dirs — the retained source of truth —
+# cover the same rows, so decisions are unchanged through any crash window.
+_COMMIT_MARKER = "_COMMITTED.json"
+
+
+def _write_commit_marker(spark: SparkSession, dir_path: str, meta: dict) -> None:
+    """Atomically publish ``dir_path`` as committed (create+close of one
+    small file = one PUT).  Kept as a module-level function so tests can
+    crash-inject between the parquet rewrite and the manifest swap."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{_COMMIT_MARKER}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
+
+
+def _is_committed(spark: SparkSession, dir_path: str) -> bool:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{_COMMIT_MARKER}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def streaming_minhash_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -142,9 +176,13 @@ def streaming_minhash_dedup(
       compact table + a ≤``compact_every``-batch tail instead of every
       batch dir ever written, and pays no distinct exchange (the compacted
       rows are already unique).  Compacted dirs are versioned + overwrite-
-      written (replay-idempotent); per-batch dirs are retained as the
-      recovery source of truth — prune dirs older than the newest two
-      compactions with external retention if storage matters.
+      written (replay-idempotent) and committed by a single-file manifest
+      PUT (``_COMMITTED.json``) AFTER the rewrite — readers trust a
+      compacted dir only with its manifest, so a compaction crashed
+      mid-rewrite is invisible rather than half-read; per-batch dirs are
+      retained as the recovery source of truth — prune dirs older than the
+      newest two COMMITTED compactions with external retention if storage
+      matters.
     * **Join direction**: the batch's band table (thousands of rows) is
       broadcast and the index STREAMS through a BroadcastHashJoin — zero
       exchange on the index side, so consult cost is one sequential scan
@@ -168,7 +206,11 @@ def streaming_minhash_dedup(
         """Newest safe compacted table (upto < batch_id) + uncompacted tail
         dirs (upto < batch < batch_id).  Strictly-earlier only: a replayed
         batch never sees its own partial writes."""
-        comps = [(n, p) for n, p in _numbered_dirs(spark, compacted_dir, "upto") if n < batch_id]
+        comps = [
+            (n, p)
+            for n, p in _numbered_dirs(spark, compacted_dir, "upto")
+            if n < batch_id and _is_committed(spark, p)
+        ]
         tail_lo = comps[-1][0] if comps else -1
         tails = [
             p
@@ -211,6 +253,7 @@ def streaming_minhash_dedup(
             kept.unpersist()
             if compact_every and batch_id > 0 and (batch_id + 1) % compact_every == 0:
                 src = _index_parts(batch_id) + [f"{index_dir}/batch={batch_id}"]
+                target = f"{compacted_dir}/upto={batch_id}"
                 (
                     spark.read.schema(_BAND_INDEX_SCHEMA)
                     .parquet(*src)
@@ -218,7 +261,12 @@ def streaming_minhash_dedup(
                     .repartition("band_hash")
                     .sortWithinPartitions("band_idx", "band_hash")
                     .write.mode("overwrite")
-                    .parquet(f"{compacted_dir}/upto={batch_id}")
+                    .parquet(target)
+                )
+                # manifest swap LAST: until this PUT lands, readers ignore
+                # the rewrite and consult the per-batch tail dirs instead
+                _write_commit_marker(
+                    spark, target, {"upto": batch_id, "n_source_dirs": len(src)}
                 )
         finally:
             batch_df.unpersist()

@@ -1465,3 +1465,86 @@ def test_streaming_minhash_compaction_equivalence(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{tmp_path}/compacted/data").collect()
     )
     assert kept_after == [10, 20, 30, 40], kept_after
+
+
+def test_streaming_compaction_crash_between_rewrite_and_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7: a compaction that dies AFTER the parquet rewrite but BEFORE
+    the manifest swap must be invisible — the torn ``upto=N`` dir is ignored
+    (no manifest), the per-batch tail dirs cover the same rows, and the
+    replayed run converges to decisions identical to an uninterrupted run."""
+    import datatrove_spark.streaming.dedup as sd
+    from datatrove_spark.streaming import streaming_minhash_dedup
+    from datatrove_spark.streaming.dedup import _numbered_dirs
+
+    schema = "doc_id long, text string"
+    topics = [
+        "the distributed engine shuffles partitioned data across executors "
+        "while the optimizer prunes columns and pushes filters into the scan "
+        "so large analytical queries finish quickly on the cluster",
+        "sourdough bread baking with long cold fermentation in the fridge "
+        "yielding an open crumb and a crackling caramelized crust after the "
+        "final proof and a very hot dutch oven bake",
+        "alpine glacier formation and moraine deposits over millennia plus "
+        "the slow carving of u shaped valleys by flowing ice and meltwater "
+        "streams braiding across the outwash plain",
+    ]
+    # batches 0-2 fresh topics; batch 3 near-dups of topics 0 and 1 — its
+    # verdict must come from index rows that the crashed compaction covered
+    batches = [
+        [(10, topics[0])],
+        [(20, topics[1])],
+        [(30, topics[2])],
+        [(40, topics[0] + " appended footer"), (50, topics[1] + " trailing note")],
+    ]
+
+    def write_batches(inp):
+        inp.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(inp / f"b{i}")
+            )
+
+    # ---- control: uninterrupted run
+    ctrl_in, ctrl_out = tmp_path / "ctrl_in", tmp_path / "ctrl_out"
+    write_batches(ctrl_in)
+    streaming_minhash_dedup(
+        spark, f"{ctrl_in}/*", str(ctrl_out), schema,
+        max_files_per_trigger=1, compact_every=2,
+    )
+    control = sorted(r.doc_id for r in spark.read.parquet(f"{ctrl_out}/data").collect())
+    assert control == [10, 20, 30], control
+
+    # ---- crashed run: kill between rewrite and manifest swap at batch 1
+    inp, out = tmp_path / "in", tmp_path / "out"
+    write_batches(inp)
+    real_marker = sd._write_commit_marker
+
+    def dying_marker(spark_, dir_path, meta):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(sd, "_write_commit_marker", dying_marker)
+    with pytest.raises(Exception, match="injected crash"):
+        streaming_minhash_dedup(
+            spark, f"{inp}/*", str(out), schema,
+            max_files_per_trigger=1, compact_every=2,
+        )
+    monkeypatch.setattr(sd, "_write_commit_marker", real_marker)
+
+    # the torn dir exists on disk but carries no manifest -> readers skip it
+    comp_dir = str(out / "band_index_compacted")
+    torn = _numbered_dirs(spark, comp_dir, "upto")
+    assert torn and not sd._is_committed(spark, torn[0][1]), torn
+
+    # ---- replay: same checkpoint, marker restored; batch 1 re-runs, the
+    # compaction overwrites the torn dir and commits it, batches 2-3 follow
+    streaming_minhash_dedup(
+        spark, f"{inp}/*", str(out), schema,
+        max_files_per_trigger=1, compact_every=2,
+    )
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{out}/data").collect())
+    assert kept == control, f"crash replay diverged: {kept} vs {control}"
+    comps = _numbered_dirs(spark, comp_dir, "upto")
+    assert all(sd._is_committed(spark, p) for _, p in comps)
+    assert [n for n, _ in comps] == [1, 3], comps
