@@ -51,11 +51,16 @@ Whitespace-less scripts (reference word_tokenizers.py:104-135 jieba/Sudachi,
 * ``ko`` — eojeol (whitespace-delimited Hangul words) with the most common
   case/topic particles (josa) split off the end by longest match — the
   morpheme-proxy slice that matters for stop-word checks, since Korean
-  function words ARE the particles.  DIVERGENCE: the reference's Kiwi
-  backend (tokenizer_assignment.csv row kor) is a full morphological
-  analyzer (also splits verb endings, disambiguates homographs); the josa
-  split is the deterministic dependency-free proxy.  A single-syllable
-  eojeol never splits (the particle must follow a non-empty stem).
+  function words ARE the particles.  Verb endings split too: multi-syllable
+  near-unambiguous endings by suffix match, single-syllable endings
+  (다/고/요/...) behind a morphological gate — pre-final tense marker or a
+  pinned high-frequency verb-stem inventory (round 7; the same
+  small-pinned-ambiguity-model shape as the zh OOV Viterbi).  DIVERGENCE:
+  the reference's Kiwi backend (tokenizer_assignment.csv row kor) is a
+  full morphological analyzer (full ending segmentation, homograph
+  disambiguation); this is the deterministic dependency-free proxy.  A
+  single-syllable eojeol never splits (the particle must follow a
+  non-empty stem).
 
 Every tokenizer shares the base word/number/punctuation segmentation of
 ``kernels.text.tokenize_words`` so single-language behavior is unchanged.
@@ -368,8 +373,7 @@ _KO_PARTICLES = (
 # High-precision VERB ENDINGS (round 5 — closes half the "ko josa proxy
 # doesn't split verb endings" divergence): only multi-syllable endings that
 # are near-unambiguous sentence-final / polite / connective morphemes, so a
-# noun is essentially never mangled.  Single-syllable endings (다/던/고...)
-# stay unsplit — too ambiguous without real morphological analysis (Kiwi).
+# noun is essentially never mangled.
 _KO_ENDINGS = (
     "습니다", "ㅂ니다", "입니다", "합니다",
     "었습니다", "았습니다", "했습니다",
@@ -383,6 +387,46 @@ _KO_SUFFIXES = tuple(
     sorted(set(_KO_PARTICLES) | set(_KO_ENDINGS), key=len, reverse=True)
 )
 
+# ---- single-syllable endings (round 7: the last ko-dispatch gap) --------
+# 다/고/요/지/죠/며/면/니/자/네 are individually ambiguous (사고 'accident'
+# is noun+ㅗ, not 사+고), so a bare suffix match would mangle nouns.  The
+# split is gated on the eojeol being morphologically COMMITTED to a verb:
+#
+# * the syllable before the ending is a pre-final tense/aspect marker —
+#   았/었/였/겠 or a fused stem+past contraction (했/됐/왔/갔/봤/줬/났/잤/
+#   섰/탔/샀).  The ㅆ batchim in these fused forms is essentially verbal:
+#   no common noun ends in one, so precision stays high for EVERY ending.
+# * for the plain declarative 다 only: the stem is a pinned inventory of
+#   the highest-frequency verb/adjective stems (public KAIST/NIKL corpus
+#   frequency practice — the same "small pinned ambiguity model" shape as
+#   the zh OOV Viterbi).  보고/하고 (noun reading exists) stay whole
+#   because 고 never takes the bare-stem gate.
+#
+# Reference dispatch: word_tokenizers.py:420-494 (KiwiTokenizer does full
+# morphological analysis; this is the deterministic dependency-free proxy).
+_KO_SINGLE_ENDINGS = frozenset("다고요지죠며면니자네")
+_KO_PREFINAL = frozenset("았었였겠했됐왔갔봤줬났잤섰탔샀")
+_KO_VERB_STEMS = frozenset({
+    "하", "되", "있", "없", "보", "주", "받", "먹", "마시", "살",
+    "알", "모르", "좋", "싫", "크", "작", "많", "적", "같", "다르",
+    "만들", "쓰", "읽", "듣", "묻", "찾", "놓", "두", "배우", "가르치",
+    "만나", "기다리", "열", "닫", "앉", "걷", "뛰", "웃", "울",
+    "일어나", "입", "벗", "신", "내리", "떠나", "끝나",
+    "시작하", "생각하", "말하", "사용하", "공부하", "일하", "사랑하",
+})
+
+
+def _ko_split_single_ending(tok: str) -> list[str] | None:
+    end = tok[-1]
+    if end not in _KO_SINGLE_ENDINGS:
+        return None
+    stem = tok[:-1]
+    if stem[-1] in _KO_PREFINAL:
+        return [stem, end]
+    if end == "다" and stem in _KO_VERB_STEMS:
+        return [stem, end]
+    return None
+
 
 def _tokenize_ko(text: str) -> list[str]:
     out: list[str] = []
@@ -394,7 +438,11 @@ def _tokenize_ko(text: str) -> list[str]:
                     out.append(p)
                     break
             else:
-                out.append(tok)
+                split = _ko_split_single_ending(tok)
+                if split is not None:
+                    out.extend(split)
+                else:
+                    out.append(tok)
         else:
             out.append(tok)
     return out

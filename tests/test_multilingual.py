@@ -230,8 +230,8 @@ def test_ko_josa_segmentation():
     from datatrove_spark.kernels.tokenizers import tokenize_words_lang
 
     assert tokenize_words_lang("고양이가 상자에서 잤다", "ko") == [
-        "고양이", "가", "상자", "에서", "잤다",
-    ]
+        "고양이", "가", "상자", "에서", "잤", "다",
+    ]  # round 7: 잤 is a fused stem+past contraction — 다 splits off
     assert tokenize_words_lang("나는 학교에 간다", "ko") == [
         "나", "는", "학교", "에", "간다",
     ]
@@ -442,8 +442,7 @@ def test_zh_dict_stop_words_use_zh_set():
 def test_ko_verb_ending_split():
     """Round-5: the ko proxy also splits high-precision multi-syllable verb
     endings (sentence-final/polite/connective), not just josa — closing
-    half the documented Kiwi divergence.  Single-syllable endings stay
-    unsplit (too ambiguous without morphological analysis)."""
+    half the documented Kiwi divergence."""
     from datatrove_spark.kernels.tokenizers import tokenize_words_lang
 
     cases = {
@@ -456,3 +455,39 @@ def test_ko_verb_ending_split():
         assert tokenize_words_lang(text, "ko") == want, text
     # a suffix-length eojeol never splits (the stem must be non-empty)
     assert tokenize_words_lang("습니다", "ko") == ["습니다"]
+
+
+def test_ko_single_syllable_ending_split():
+    """Round-7 (closes the last tokenizer-dispatch gap): single-syllable
+    endings split ONLY behind the morphological gate — a pre-final
+    tense/aspect syllable (았/었/였/겠 or the fused ㅆ-batchim past
+    contractions) commits the eojeol to a verb for any ending; the plain
+    declarative 다 additionally splits after a pinned high-frequency
+    verb-stem inventory.  Ambiguous noun homographs must stay whole."""
+    from datatrove_spark.kernels.tokenizers import tokenize_words_lang
+
+    cases = {
+        # pre-final tense marker gate (works for every single ending)
+        "먹었다": ["먹었", "다"],
+        "떠났다": ["떠났", "다"],
+        "갔다": ["갔", "다"],
+        "잤다": ["잤", "다"],
+        "했다": ["했", "다"],
+        "좋겠다": ["좋겠", "다"],
+        "먹었고": ["먹었", "고"],
+        "왔지": ["왔", "지"],
+        "했니": ["했", "니"],
+        # pinned verb-stem gate (다 only)
+        "보다": ["보", "다"],
+        "만들다": ["만들", "다"],
+        "없다": ["없", "다"],
+        "시작하다": ["시작하", "다"],
+    }
+    for text, want in cases.items():
+        assert tokenize_words_lang(text, "ko") == [w for w in want], text
+    # noun homographs survive: 사고 'accident' (고 never takes the bare-stem
+    # gate), 보고 'report', 바다 'sea' (바 is no verb stem), 수다 'chat',
+    # and present-contracted 간다/한다 (간/한 are not pre-final syllables)
+    for noun in ["사고", "보고", "바다", "수다", "친구", "간다", "한다"]:
+        got = tokenize_words_lang(noun, "ko")
+        assert got == [noun], (noun, got)
