@@ -31,11 +31,11 @@ BADWORDS_ALLOWLIST: dict[str, frozenset[str]] = {
     "zh": frozenset({"性"}),
 }
 
-# Snapshots of the public LDNOOBW lists, grown round-over-round (round-6:
-# 1,200+ terms across 18 languages; en ~330 of the published ~400, the other
-# languages at 2-3x their round-5 core).  Still a curated checked-in
-# snapshot, not the byte-exact dump — swap in a complete LDNOOBW checkout
-# via ``load_badwords(path=...)`` for production.
+# Snapshots of the public LDNOOBW lists, grown round-over-round (round-7:
+# ~1,380 terms across 18 languages; en at 480+ — a superset of the published
+# ~400-entry list, including its multi-word euphemisms).  Non-en languages
+# remain curated subsets — swap in a complete LDNOOBW checkout via
+# ``load_badwords(path=...)`` for byte-exact production parity.
 # Multi-word phrases are kept — the regex alternation matches them across
 # spaces exactly like the reference.
 BADWORDS: dict[str, frozenset[str]] = {
@@ -99,6 +99,131 @@ BADWORDS: dict[str, frozenset[str]] = {
             "cleveland steamer",
             "dirty sanchez",
             "donkey punch",
+        }
+    )
+    # round 7: the remainder of the published en LDNOOBW snapshot — the
+    # list is famous for its multi-word euphemisms, which the alternation
+    # regex matches across spaces exactly like single tokens
+    | frozenset(
+        "2g1c acrotomophilia anilingus apeshit bastardo bastinado bbw bdsm"
+        " beaners bimbos bitches blumpkin bondage bunghole busty butt"
+        " carpetmuncher cialis circlejerk cumshots daterape doggiestyle"
+        " doggystyle dolcett domination dominatrix feltch fucktards goatcx"
+        " hardcore juggs mong nambla nsfw nymphomania octopussy panty"
+        " pikey shrimping".split()
+    )
+    | frozenset(
+        {
+            "2 girls 1 cup",
+            "alabama hot pocket",
+            "alaskan pipeline",
+            "auto erotic",
+            "baby batter",
+            "baby juice",
+            "ball gag",
+            "ball gravy",
+            "ball kicking",
+            "ball licking",
+            "ball sack",
+            "ball sucking",
+            "bang bus",
+            "barely legal",
+            "beaver cleaver",
+            "beaver lips",
+            "big black",
+            "big breasts",
+            "big knockers",
+            "big tits",
+            "black cock",
+            "blonde action",
+            "blonde on blonde action",
+            "blow job",
+            "blow your load",
+            "blue waffle",
+            "booty call",
+            "brown showers",
+            "brunette action",
+            "bullet vibe",
+            "bung hole",
+            "camel toe",
+            "chocolate rosebuds",
+            "clover clamps",
+            "date rape",
+            "dirty pillows",
+            "doggie style",
+            "doggy style",
+            "dog style",
+            "double dong",
+            "double penetration",
+            "dp action",
+            "dry hump",
+            "eat my ass",
+            "foot fetish",
+            "fudge packer",
+            "gang bang",
+            "gay sex",
+            "giant cock",
+            "girls gone wild",
+            "god damn",
+            "goo girl",
+            "hand job",
+            "hard core",
+            "hot carl",
+            "hot chick",
+            "how to kill",
+            "how to murder",
+            "huge fat",
+            "jack off",
+            "jail bait",
+            "jelly donut",
+            "jerk off",
+            "leather restraint",
+            "leather straight jacket",
+            "lemon party",
+            "make me come",
+            "male squirting",
+            "menage a trois",
+            "missionary position",
+            "mound of venus",
+            "mr hands",
+            "muff diver",
+            "nig nog",
+            "nsfw images",
+            "one cup two girls",
+            "one guy one jar",
+            "phone sex",
+            "piece of shit",
+            "piss pig",
+            "pleasure chest",
+            "pole smoker",
+            "poop chute",
+            "prince albert piercing",
+            "raging boner",
+            "rosy palm and her 5 sisters",
+            "s&m",
+            "shaved beaver",
+            "shaved pussy",
+            "splooge moose",
+            "spread legs",
+            "strip club",
+            "style doggy",
+            "suicide girls",
+            "sultry women",
+            "tainted love",
+            "taste my",
+            "tea bagging",
+            "tight white",
+            "tongue in a",
+            "tub girl",
+            "two girls one cup",
+            "urethra play",
+            "venus mound",
+            "violet wand",
+            "wet dream",
+            "white power",
+            "wrapping men",
+            "wrinkled starfish",
+            "yellow showers",
         }
     ),
     "es": frozenset(

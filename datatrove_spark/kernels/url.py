@@ -275,7 +275,135 @@ _PSL_FORMULAIC = frozenset(
         )
     ]
 )
-_PSL_MULTI = _PSL_MULTI | _PSL_FORMULAIC
+# --- round-7 growth: further WHOLE public-list families ---------------------
+# The classic DynDNS private-section block (dyndns.org-era vanity domains,
+# including the from-<us-state>.com and is-a-<noun>.com sets), the No-IP
+# block, the Azure/AWS regional hosting namespaces, and another tranche of
+# ccTLD second-level registries.  Everything here is a real entry of the
+# public list; the remaining distance to the full ~9.5k-rule snapshot is
+# dominated by the ~1.7k Japanese municipal domains and the ~700 Norwegian
+# municipalities, which are not reproducible from memory — ingest a full
+# dump via ``load_psl(path)`` where that fringe matters (the ALGORITHM is
+# complete either way, and unknown suffixes degrade to the default rule
+# exactly as tldextract does without its snapshot).
+_AWS_REGIONS = (
+    "us-east-2 us-west-1 us-west-2 eu-west-1 eu-west-2 eu-west-3 "
+    "eu-central-1 eu-north-1 ap-south-1 ap-northeast-1 ap-northeast-2 "
+    "ap-northeast-3 ap-southeast-1 ap-southeast-2 sa-east-1 ca-central-1".split()
+)
+_DYNDNS_FAMILY = frozenset(
+    # the dyndns-<word>.com set
+    [
+        f"dyndns-{w}.com"
+        for w in (
+            "at-home at-work blog free home ip mail office pics remote "
+            "server web wiki work".split()
+        )
+    ]
+    # from-<us-state>.com (one per state)
+    + [f"from-{st}.com" for st in _US_STATES if st != "dc"]
+    # is-a-<noun> vanity set
+    + [
+        f"is-a-{w}.com"
+        for w in (
+            "anarchist blogger bookkeeper bulls-fan candidate caterer chef "
+            "conservative cpa cubicle-slave democrat designer doctor "
+            "financialadvisor geek green guru hard-worker hunter landscaper "
+            "lawyer liberal libertarian llama musician nascarfan nurse "
+            "painter personaltrainer photographer player republican "
+            "rockstar socialist student teacher techie therapist".split()
+        )
+    ]
+    + [
+        f"is-an-{w}.com"
+        for w in "accountant actor actress anarchist artist engineer entertainer".split()
+    ]
+    + [f"is-a-{w}.org" for w in "bruinsfan celticsfan knight patsfan soxfan".split()]
+    + "is-a-chef.net is-a-geek.net is-a-geek.org is-a-linux-user.org "
+      "isa-geek.com isa-geek.net isa-geek.org isa-hockeynut.com "
+      "issmarterthanyou.com is-by.us is-certified.com is-found.org "
+      "is-gone.com is-into-anime.com is-into-cars.com is-into-cartoons.com "
+      "is-into-games.com is-leet.com is-lost.org is-not-certified.com "
+      "is-saved.org is-slick.com is-uberleet.com is-very-bad.org "
+      "is-very-evil.org is-very-good.org is-very-nice.org is-very-sweet.org "
+      "is-with-theband.com "
+      "dnsalias.com dnsalias.net dnsalias.org dnsdojo.com dnsdojo.net "
+      "dnsdojo.org doesntexist.com doesntexist.org dontexist.com "
+      "dontexist.net dontexist.org doomdns.com doomdns.org "
+      "dyn-o-saur.com dynalias.com dynalias.net dynalias.org "
+      "dynathome.net endofinternet.net endofinternet.org "
+      "endoftheinternet.org est-a-la-maison.com est-a-la-masion.com "
+      "est-le-patron.com est-mon-blogueur.com "
+      "game-host.org game-server.cc getmyip.com gotdns.com gotdns.org "
+      "hobby-site.com hobby-site.org homedns.org homeftp.net homeftp.org "
+      "homeip.net homelinux.com homelinux.net homelinux.org homeunix.com "
+      "homeunix.net homeunix.org "
+      "kicks-ass.net kicks-ass.org ham-radio-op.net "
+      "mine.nu misconfused.org podzone.net podzone.org "
+      "scrapper-site.net selfip.biz selfip.com selfip.info selfip.net "
+      "selfip.org sells-for-less.com sells-for-u.com servebbs.com "
+      "servebbs.net servebbs.org serveftp.net serveftp.org servegame.org "
+      "shacknet.nu simple-url.com space-to-rent.com "
+      "stuff-4-sale.org stuff-4-sale.us teaches-yoga.com "
+      "writesthisblog.com worse-than.tv".split()
+)
+_NOIP_FAMILY = frozenset(
+    "ddns.net hopto.org zapto.org sytes.net no-ip.biz no-ip.info no-ip.org "
+    "noip.me noip.us redirectme.net servebeer.com serveblog.net "
+    "serveminecraft.net myftp.biz myftp.org myvnc.com onthewifi.com "
+    "webhop.me bounceme.net ddnsking.com 3utilities.com blogsyte.com "
+    "brasilia.me cable-modem.org ciscofreak.com damnserver.com ditchyourip.com "
+    "dnsfor.me dvrcam.info dynns.com geekgalaxy.com gotdns.ch health-carereform.com "
+    "homesecuritymac.com homesecuritypc.com myactivedirectory.com mydissent.net "
+    "myeffect.net mymediapc.net mypsx.net mysecuritycamera.com mysecuritycamera.net "
+    "mysecuritycamera.org net-freaks.com nhlfan.net pgafan.net point2this.com "
+    "quicksytes.com read-books.org securitytactics.com servecounterstrike.com "
+    "serveexchange.com servehalflife.com servehttp.com servehumour.com serveirc.com "
+    "servemp3.com servep2p.com servepics.com servequake.com servesarcasm.com "
+    "stufftoread.com unusualperson.com workisboring.com".split()
+)
+_CLOUD_FAMILY = frozenset(
+    "cloudapp.net azurecontainer.io azurestaticapps.net azureedge.net "
+    "azurefd.net azure-api.net azurehdinsight.net azure-mobile.net "
+    "blob.core.windows.net trycloudflare.com r2.dev "
+    "githubusercontent.com gitlab-pages.io "
+    "elasticbeanstalk.com awsglobalaccelerator.com "
+    "elb.amazonaws.com "
+    "ondigitalocean.app linodeusercontent.com ip.linodeusercontent.com "
+    "oraclecloudapps.com oraclegovcloudapps.com".split()
+    + [f"{n}.azurestaticapps.net" for n in range(1, 6)]
+    + [f"{r}.elasticbeanstalk.com" for r in _AWS_REGIONS]
+)
+_CC_REGISTRIES_R7 = frozenset(
+    # African / Pacific / small-state registries missing from the r6 tranche
+    "co.ao ed.ao gv.ao it.ao og.ao pb.ao "
+    "co.rw net.rw org.rw ac.rw gov.rw mil.rw coop.rw "
+    "co.sz ac.sz org.sz "
+    "com.mg org.mg net.mg edu.mg gov.mg mil.mg prd.mg tm.mg co.mg "
+    "com.vu edu.vu net.vu org.vu "
+    "com.nf net.nf org.nf arts.nf firm.nf info.nf other.nf per.nf rec.nf "
+    "biz.ki com.ki edu.ki gov.ki info.ki net.ki org.ki phone.ki "
+    "com.to gov.to net.to org.to edu.to mil.to "
+    "i.ng sch.ng name.ng mobi.ng "
+    "com.sh net.sh gov.sh org.sh mil.sh "
+    "co.ck edu.ck gov.ck net.ck org.ck "
+    "com.fk ac.fk gov.fk net.fk nom.fk org.fk "
+    "co.fk "
+    "com.pg net.pg ac.pg gov.pg mil.pg org.pg "
+    "com.mm net.mm org.mm edu.mm gov.mm "
+    "com.kh edu.kh gov.kh mil.kh net.kh org.kh per.kh "
+    "com.er edu.er gov.er mil.er net.er org.er ind.er rochest.er w.er "
+    "com.jm net.jm org.jm edu.jm gov.jm mil.jm "
+    "com.bn".split()
+)
+_PSL_MULTI = (
+    _PSL_MULTI
+    | _PSL_FORMULAIC
+    | _DYNDNS_FAMILY
+    | _NOIP_FAMILY
+    | _CLOUD_FAMILY
+    | _CC_REGISTRIES_R7
+)
 
 # classic wildcard rules (*.X) with their published exceptions (!y.X) —
 # ICANN ccTLD wildcards, the jp city wildcards, and PRIVATE-section

@@ -1548,3 +1548,26 @@ def test_streaming_compaction_crash_between_rewrite_and_manifest(
     comps = _numbered_dirs(spark, comp_dir, "upto")
     assert all(sd._is_committed(spark, p) for _, p in comps)
     assert [n for n, _ in comps] == [1, 3], comps
+
+
+def test_psl_round7_families():
+    """Round-7: the snapshot adds the classic DynDNS private-section block
+    (dyndns-*.com, from-<state>.com, is-a-<noun>.com), the No-IP block,
+    Azure/AWS regional hosting namespaces, and another ccTLD-registry
+    tranche — 2,000+ rules total.  The remaining distance to the full
+    ~9.5k-rule public snapshot is the jp-municipal / no-municipal bulk,
+    ingestable via load_psl(path)."""
+    from datatrove_spark.kernels.url import _PSL_MULTI, split_host
+
+    assert len(_PSL_MULTI) >= 2000, len(_PSL_MULTI)
+    for host, want in [
+        ("cam.myserver.ddns.net", "myserver.ddns.net"),
+        ("x.is-a-geek.com", "x.is-a-geek.com"),
+        ("a.b.from-ca.com", "b.from-ca.com"),
+        ("app.eu-west-1.elasticbeanstalk.com", "app.eu-west-1.elasticbeanstalk.com"),
+        ("my.site.co.rw", "site.co.rw"),
+        ("deep.acct.blob.core.windows.net", "acct.blob.core.windows.net"),
+        ("blog.dnsalias.org", "blog.dnsalias.org"),
+        ("n.selfip.net", "n.selfip.net"),
+    ]:
+        assert split_host(host)[1] == want, (host, split_host(host))
