@@ -403,11 +403,19 @@ def probe_media(payload: bytes) -> dict:
             and (payload[1] & 0xE0) == 0xE0
             and payload[:4] != b"\xff\xd8\xff\xe0"
         ):
-            # any frame-sync variant (incl. CRC-protected ff fa / ff f4) —
-            # _mp3_duration_ms itself validates version/layer
-            dur = _mp3_duration_ms(payload)
-            if dur is not None:
-                out["duration_ms"] = dur
+            # any frame-sync variant (incl. CRC-protected ff fa / ff f4).
+            # The exact frame-walk probe (kernels/mp3.py, round 7) is
+            # preferred — per-frame duration summation is exact for CBR and
+            # VBR; the size/byterate estimate remains the fallback for
+            # streams the walker rejects (e.g. free-format)
+            try:
+                from .mp3 import probe_mp3
+
+                out["duration_ms"] = probe_mp3(payload).duration_ms
+            except Exception:
+                dur = _mp3_duration_ms(payload)
+                if dur is not None:
+                    out["duration_ms"] = dur
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             # the three public WebP container flavors (RIFF chunk at 12..)
             tag = payload[12:16]

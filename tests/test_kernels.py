@@ -1257,7 +1257,10 @@ def test_probe_media_flac_and_mp3_duration():
 
     hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 Layer III, 128 kbps, 44.1 kHz
     mp3 = (hdr + bytes(413)) * 250
-    want = int(len(mp3) * 8 / 128000 * 1000)
+    # round 7: the frame-walk probe sums true per-frame durations
+    # (250 frames x 1152 samples @ 44.1 kHz), replacing the byterate
+    # estimate this test previously pinned (6515 ms, header rounding error)
+    want = int(250 * 1152 / 44100 * 1000)
     assert probe_media(mp3)["duration_ms"] == want
     id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10) + mp3
     assert probe_media(id3)["duration_ms"] == want
@@ -1310,7 +1313,8 @@ def test_media_probe_second_review_regressions():
 
     # CRC-protected MPEG1 Layer III header (0xFF 0xFA)
     mp3 = (bytes([0xFF, 0xFA, 0x90, 0x00]) + bytes(413)) * 50
-    assert probe_media(mp3)["duration_ms"] == int(len(mp3) * 8 / 128000 * 1000)
+    # exact frame-walk duration (round 7): 50 frames x 1152 @ 44.1 kHz
+    assert probe_media(mp3)["duration_ms"] == int(50 * 1152 / 44100 * 1000)
 
     # a fake trailing 'OggS' with invalid page flags must be skipped
     def page(granule, body=b"", first=False):

@@ -1,0 +1,115 @@
+"""MPEG audio structural parser (round 7): exact frame-walk duration,
+Xing/VBRI headers, ID3 tags, resync over junk — all on fixture streams
+whose every header/length/tag byte follows the public layout.  Sample
+decode is declared out of scope (kernels/mp3.py module docstring) and must
+stay behind UnsupportedMediaError."""
+
+from __future__ import annotations
+
+import pytest
+
+from datatrove_spark.kernels.media import UnsupportedMediaError, probe_media
+from datatrove_spark.kernels.mp3 import (
+    build_frame,
+    build_stream,
+    parse_frame_header,
+    probe_mp3,
+)
+
+
+def test_frame_header_fields_and_length():
+    f = build_frame(128, 44100, mode="joint_stereo")
+    h = parse_frame_header(f)
+    assert (h.version, h.layer, h.bitrate_kbps, h.sample_rate) == ("1", 3, 128, 44100)
+    # the canonical MPEG-1 Layer III length: 144*128000/44100 = 417 bytes
+    assert h.frame_bytes == len(f) == 417
+    assert parse_frame_header(build_frame(128, 44100, padding=1)).frame_bytes == 418
+    # MPEG-2 LSF Layer III: 576 samples -> coef 72; 72*64000/22050 = 208
+    h2 = parse_frame_header(build_frame(64, 22050, version="2"))
+    assert (h2.version, h2.samples, h2.frame_bytes) == ("2", 576, 208)
+    # Layer I: slot-of-4 formula; (12*256000/44100 + 0)*4 = 276
+    h1 = parse_frame_header(build_frame(256, 44100, layer=1))
+    assert (h1.layer, h1.samples, h1.frame_bytes) == (1, 384, 276)
+
+
+def test_cbr_walk_exact_duration():
+    # 38 frames of 1152 samples at 44100 Hz = 992.6 ms — per-frame exact,
+    # where the byterate estimate would include header rounding error
+    s = build_stream([(128, 44100)] * 38)
+    p = probe_mp3(s)
+    assert p.n_frames == 38
+    assert p.duration_ms == int(38 * 1152 / 44100 * 1000)
+    assert p.mean_bitrate_kbps == 128.0
+    assert not p.vbr and p.mode == "joint_stereo"
+    assert probe_media(s)["duration_ms"] == p.duration_ms
+
+
+def test_vbr_walk_sums_true_frame_durations():
+    frames = [(64, 44100)] * 10 + [(192, 44100)] * 10 + [(320, 44100)] * 5
+    p = probe_mp3(build_stream(frames))
+    assert p.n_frames == 25
+    assert p.vbr  # >1 distinct bitrate
+    assert p.bitrate_histogram == {64: 10, 192: 10, 320: 5}
+    assert p.mean_bitrate_kbps == round((64 * 10 + 192 * 10 + 320 * 5) / 25, 1)
+    assert p.duration_ms == int(25 * 1152 / 44100 * 1000)
+
+
+def test_xing_header_parsed_and_excluded_from_audio_frames():
+    s = build_stream([(128, 44100)] * 12, xing_frames=12)
+    p = probe_mp3(s)
+    assert p.xing == {"tag": "Xing", "vbr": True, "frames": 12}
+    assert p.n_frames == 12  # the Xing shell frame is not counted
+
+
+def test_xing_fallback_for_header_only_payload():
+    # probe of just the first frame (e.g. a ranged fetch): frame count from
+    # the Xing header stands in for the walk
+    s = build_stream([], xing_frames=9999)
+    p = probe_mp3(s + build_frame(128, 44100)[:2])  # truncated next frame
+    assert p.n_frames == 9999
+    assert p.duration_ms == int(9999 * 1152 / 44100 * 1000)
+
+
+def test_id3v2_and_id3v1_are_skipped_not_scanned():
+    # an ID3v2 body containing a fake frame sync must not fool the walker
+    evil_tag = b"\x00" * 30 + b"\xff\xfb\x90\x00" + b"\x00" * 30
+    s = build_stream([(128, 44100)] * 4, id3v2=evil_tag, id3v1=True)
+    p = probe_mp3(s)
+    assert p.n_frames == 4
+    assert p.id3v2_bytes == 10 + len(evil_tag)
+    assert p.id3v1
+    assert p.junk_bytes == 0
+
+
+def test_resync_over_embedded_junk():
+    good = build_stream([(128, 44100)] * 3)
+    junk = b"\x00junkjunk\x01"
+    s = good + junk + build_stream([(128, 44100)] * 2)
+    p = probe_mp3(s)
+    assert p.n_frames == 5
+    assert p.junk_bytes == len(junk)
+
+
+def test_mpeg25_and_mono_side_info():
+    s = build_stream([(32, 11025)] * 6, version="2.5", mode="mono")
+    p = probe_mp3(s)
+    assert (p.version, p.sample_rate, p.mode) == ("2.5", 11025, "mono")
+    assert p.duration_ms == int(6 * 576 / 11025 * 1000)
+
+
+def test_no_frames_and_free_format_raise_loudly():
+    with pytest.raises(UnsupportedMediaError, match="no MPEG audio frame"):
+        probe_mp3(b"definitely not audio" * 10)
+    # free format (bitrate index 0): structural length is undefined
+    free = bytes([0xFF, 0xFB, 0x00 | 0x00, 0x00]) + bytes(400)
+    with pytest.raises(UnsupportedMediaError, match="free-format"):
+        probe_mp3(free)
+
+
+def test_crc_flag_and_histogram_sorted():
+    s = build_frame(128, 44100, crc=True) + build_frame(128, 44100, crc=True)
+    p = probe_mp3(s)
+    assert p.crc_protected
+    frames = [(320, 44100), (64, 44100), (128, 44100)]
+    p2 = probe_mp3(build_stream(frames))
+    assert list(p2.bitrate_histogram) == [64, 128, 320]
