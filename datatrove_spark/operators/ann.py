@@ -336,26 +336,49 @@ def embedding_neardup(
 ) -> DataFrame:
     """Drop near-duplicate embeddings (cosine ≥ threshold); candidates from
     shared LSH bucket, exact cosine verify, min-id survives per pair-graph
-    (transitively via repeated application the graph is near-clique)."""
+    (transitively via repeated application the graph is near-clique).
+
+    Scale shape (round-7 rewrite): the verify step is a per-bucket
+    vectorized GEMM inside ``applyInPandas`` — one normalized matmul per
+    bucket group, row-chunked so a pathological mega-bucket costs bounded
+    MEMORY (chunk x bucket) while its O(m^2) compute stays explicit.  The
+    previous self-join evaluated an interpreted higher-order aggregate per
+    candidate PAIR, which at bucket occupancy ~200 (500k vecs, 2^10
+    buckets) meant ~19M slow expression trees — 98s at sf10 vs ~4s for the
+    same decisions here.  Bucket occupancy grows linearly with corpus size
+    at fixed ``n_planes``, so candidate pairs grow quadratically: size
+    ``n_planes ~ log2(n / 200)`` to hold per-bucket work constant
+    (documented in docs/SCALE.md; the default 10 suits <=10^6 vectors)."""
     df = ensure_channel(df)
-    b = (
-        with_lsh_bucket(df, dim, n_planes, seed, vec_col)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "lsh_bucket")
-        .localCheckpoint(eager=False)  # bucket UDF once, not per join side
+    b = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "lsh_bucket"
     )
-    l, r = b.alias("l"), b.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, x: a * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    ln = F.sqrt(F.aggregate(F.col("l._v"), F.lit(0.0), lambda a, x: a + x * x))
-    rn = F.sqrt(F.aggregate(F.col("r._v"), F.lit(0.0), lambda a, x: a + x * x))
+    id_type = df.schema[id_col].dataType.simpleString()
+    chunk = 2048
+
+    def _bucket_dups(pdf: pd.Series) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"dup_id": pdf["id"][:0]})
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        # zero vectors never match (the join formulation yielded NULL cos,
+        # which never passes >= threshold) — normalize them to zero rows
+        safe = np.where(norms == 0.0, 1.0, norms)
+        mat /= safe[:, None]
+        mat[norms == 0.0] = 0.0
+        dups: set = set()
+        for s in range(0, m, chunk):
+            sims = mat[s : s + chunk] @ mat.T
+            ii, jj = np.nonzero(sims >= threshold)
+            gi, gj = ids[s + ii], ids[jj]
+            dups.update(gj[gi < gj].tolist())  # larger id of each hit pair
+        return pd.DataFrame({"dup_id": sorted(dups)})
+
     dups = (
-        l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("keep_id"), F.col("r.id").alias("dup_id"), (dot / (ln * rn)).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .select("dup_id")
+        b.groupBy("lsh_bucket")
+        .applyInPandas(_bucket_dups, schema=f"dup_id {id_type}")
         .distinct()
     )
     out = df.join(dups, df[id_col] == dups["dup_id"], "left")
