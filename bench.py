@@ -30,6 +30,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # BENCH_SPILL=1: per-query shuffle-spill accounting via the UI REST API
+    # (stage-level memoryBytesSpilled/diskBytesSpilled/shuffleWriteBytes) —
+    # the memory-pressure story at sf10+.  Off by default: the UI server and
+    # per-query REST polls cost a little wall time the headline record
+    # should not carry.
+    spill_enabled = os.environ.get("BENCH_SPILL") == "1"
+    if spill_enabled:
+        os.environ["SPARK_UI"] = "true"
+
     import pyspark.sql.functions as F
 
     import __spark_entry__ as entrymod
@@ -121,6 +130,31 @@ def main() -> None:
         pre_load = _load1()
     host_loaded = pre_load > load_threshold
 
+    seen_stages: set[int] = set()
+    spill_by_query: dict[str, dict[str, int]] = {}
+
+    def _spill_delta(name: str) -> None:
+        """Attribute completed stages not yet seen to the query that just
+        ran (queries execute sequentially, stage ids are monotonic)."""
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        ) as r:
+            stages = json.loads(r.read().decode())
+        acc = spill_by_query.setdefault(
+            name, {"memory_spill_bytes": 0, "disk_spill_bytes": 0, "shuffle_write_bytes": 0}
+        )
+        for st in stages:
+            if st["stageId"] in seen_stages:
+                continue
+            seen_stages.add(st["stageId"])
+            acc["memory_spill_bytes"] += st.get("memoryBytesSpilled", 0)
+            acc["disk_spill_bytes"] += st.get("diskBytesSpilled", 0)
+            acc["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
+
     all_runs: dict[str, list[float]] = {name: [] for name in benches}
     pass_loads: list[float] = []
     for rep in range(repeats):
@@ -129,6 +163,8 @@ def main() -> None:
             t0 = time.time()
             _force(build())
             all_runs[name].append(time.time() - t0)
+            if spill_enabled:
+                _spill_delta(name)
         print(f"# pass {rep + 1}/{repeats} done (load {pass_loads[-1]})", file=sys.stderr)
 
     def _median(xs: list[float]) -> float:
@@ -190,6 +226,23 @@ def main() -> None:
         "host_loaded": host_loaded,
         "repeats": repeats,
     }
+    if spill_enabled:
+        result["spill"] = {
+            "by_query": {
+                k: v
+                for k, v in spill_by_query.items()
+                if v["memory_spill_bytes"] or v["disk_spill_bytes"]
+            },
+            "total_memory_spill_bytes": sum(
+                v["memory_spill_bytes"] for v in spill_by_query.values()
+            ),
+            "total_disk_spill_bytes": sum(
+                v["disk_spill_bytes"] for v in spill_by_query.values()
+            ),
+            "total_shuffle_write_bytes": sum(
+                v["shuffle_write_bytes"] for v in spill_by_query.values()
+            ),
+        }
     print(json.dumps(result))
     spark.stop()
 

@@ -33,7 +33,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_COPIES = 10
+N_COPIES = 10  # default: sf1.0; --copies 100 gives sf10 (500k docs, 60M lineitem)
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get(
     "SPARK_GRAFT_SF1_DIR",
@@ -42,13 +42,21 @@ DST = os.environ.get(
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=N_COPIES)
+    ap.add_argument("--dst", default=DST)
+    args = ap.parse_args()
+    dst = args.dst
+
     import pyspark.sql.functions as F
 
     from datatrove_spark.session import get_spark
 
     spark = get_spark("gen-sf1", master="local[16]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    copies = spark.range(N_COPIES).withColumnRenamed("id", "copy")
+    copies = spark.range(args.copies).withColumnRenamed("id", "copy")
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     n_docs = docs.count()
@@ -74,7 +82,7 @@ def main() -> None:
         .withColumn("n_chars", F.length("text"))
         .drop("copy")
     )
-    salted.repartition(16).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    salted.repartition(max(16, args.copies * 8 // 5)).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     n_vec = emb.count()
@@ -95,7 +103,7 @@ def main() -> None:
         )
         .drop("copy")
     )
-    rotated.repartition(8).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+    rotated.repartition(8).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
 
     ev = spark.read.parquet(f"{SRC}/events.parquet")
     n_ev = ev.count()
@@ -113,7 +121,7 @@ def main() -> None:
         .drop("copy")
         .repartition(16)
         .write.mode("overwrite")
-        .parquet(f"{DST}/events.parquet")
+        .parquet(f"{dst}/events.parquet")
     )
 
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
@@ -122,13 +130,13 @@ def main() -> None:
         li.crossJoin(F.broadcast(copies))
         .withColumn("l_orderkey", F.col("copy") * max_ok + F.col("l_orderkey"))
         .drop("copy")
-        .repartition(32)
+        .repartition(max(32, args.copies * 16 // 5))
         .write.mode("overwrite")
-        .parquet(f"{DST}/lineitem.parquet")
+        .parquet(f"{dst}/lineitem.parquet")
     )
 
     for t in ("documents", "embeddings", "events", "lineitem"):
-        print(t, spark.read.parquet(f"{DST}/{t}.parquet").count())
+        print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
     spark.stop()
 
 

@@ -1,0 +1,85 @@
+"""Merge per-SF bench records into the three-scale suite evidence
+(BENCH/suite_scaling_three_sf.json): per-query 10x and 100x ratios vs the
+O(n log n) bound, plus the spill story the sf10 point exists to tell.
+
+Usage: python tools/merge_scale_points.py sf0.1.json sf1.json sf10.json
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(paths: list[str]) -> None:
+    recs = []
+    for p in paths:
+        with open(p) as f:
+            recs.append(json.load(f))
+    recs.sort(key=lambda r: r["sf"])
+    base, mid, top = recs
+    n_base, n_top = base["n_docs"], top["n_docs"]
+
+    def nlogn_bound(n_lo: int, n_hi: int) -> float:
+        return (n_hi * math.log(n_hi)) / (n_lo * math.log(n_lo))
+
+    per_query = {}
+    for q in base["queries"]:
+        b, m, t = base["queries"][q], mid["queries"].get(q), top["queries"].get(q)
+        per_query[q] = {
+            "sf0.1_sec": b,
+            "sf1_sec": m,
+            "sf10_sec": t,
+            "ratio_10x": round(m / b, 2) if m else None,
+            "ratio_100x": round(t / b, 2) if t else None,
+        }
+    bound10 = round(nlogn_bound(n_base, mid["n_docs"]), 1)
+    bound100 = round(nlogn_bound(n_base, n_top), 1)
+    worst100 = max(per_query.items(), key=lambda kv: kv[1]["ratio_100x"] or 0)
+    out = {
+        "what": (
+            "headline suite at sf0.1 (driver testdata), sf1.0 and sf10 "
+            "(tools/gen_sf1.py deterministic scale-ups), same code, "
+            "local[32], interleaved best-of-2 + spill capture (BENCH_SPILL)"
+        ),
+        "n_docs": {"sf0.1": n_base, "sf1": mid["n_docs"], "sf10": n_top},
+        "suite_sec": {
+            "sf0.1": base["value"],
+            "sf1": mid["value"],
+            "sf10": top["value"],
+        },
+        "suite_ratio_100x": round(top["value"] / base["value"], 2),
+        "nlogn_bound_10x": bound10,
+        "nlogn_bound_100x": bound100,
+        "worst_query_100x": {"query": worst100[0], **worst100[1]},
+        "per_query": per_query,
+        "spill": {
+            sf: {
+                "memory_bytes": r["spill"]["total_memory_spill_bytes"],
+                "disk_bytes": r["spill"]["total_disk_spill_bytes"],
+                "shuffle_write_mb": round(
+                    r["spill"]["total_shuffle_write_bytes"] / 1e6, 1
+                ),
+            }
+            for sf, r in zip(("sf0.1", "sf1", "sf10"), recs)
+        },
+        "loads": {
+            sf: r["load_before_pass"] for sf, r in zip(("sf0.1", "sf1", "sf10"), recs)
+        },
+        "docs_per_sec_pipeline": {
+            sf: r["docs_per_sec"] for sf, r in zip(("sf0.1", "sf1", "sf10"), recs)
+        },
+    }
+    dst = os.path.join(REPO, "BENCH", "suite_scaling_three_sf.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in ("suite_sec", "suite_ratio_100x", "nlogn_bound_100x", "worst_query_100x", "spill")}, indent=1))
+    print("->", dst)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:4])
