@@ -329,10 +329,11 @@ def embedding_neardup(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int | str = 10,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 200,
 ) -> DataFrame:
     """Drop near-duplicate embeddings (cosine ≥ threshold); candidates from
     shared LSH bucket, exact cosine verify, min-id survives per pair-graph
@@ -347,9 +348,22 @@ def embedding_neardup(
     buckets) meant ~19M slow expression trees — 98s at sf10 vs ~4s for the
     same decisions here.  Bucket occupancy grows linearly with corpus size
     at fixed ``n_planes``, so candidate pairs grow quadratically: size
-    ``n_planes ~ log2(n / 200)`` to hold per-bucket work constant
-    (documented in docs/SCALE.md; the default 10 suits <=10^6 vectors)."""
+    ``n_planes ~ log2(n / target_bucket)`` to hold per-bucket work constant
+    (documented in docs/SCALE.md; the default 10 suits <=10^6 vectors).
+
+    ``n_planes="auto"`` applies that law from a count of ``df`` (one cheap
+    extra job; opt-in so the pinned default-profile decisions stay
+    byte-stable).  NOTE the recall trade every sign-LSH table makes: more
+    planes = smaller buckets = lower per-pair recall at fixed threshold —
+    "auto" holds COST constant while recall drifts down with corpus size;
+    use ``with_lsh_tables``-based ANN when recall must be held instead."""
     df = ensure_channel(df)
+    if n_planes == "auto":
+        import math
+
+        n_planes = max(10, math.ceil(math.log2(max(df.count(), 2) / target_bucket)))
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     b = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "lsh_bucket"
     )

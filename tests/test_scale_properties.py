@@ -357,3 +357,30 @@ def test_zh_fmm_lossless(run):
 
     toks = tokenize_words_lang(run, "zh-dict")
     assert "".join(toks) == "".join(run.split())
+
+
+def test_embedding_neardup_auto_planes(spark):
+    """Round-7: n_planes="auto" applies the log2(n/target_bucket) sizing law
+    (per-bucket work constant as the corpus grows) without changing the
+    duplicate semantics: planted exact duplicates are still caught."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.operators.ann import embedding_neardup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    rows += [(1000 + i, base[i].tolist()) for i in range(10)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_neardup(
+        df, dim=16, threshold=0.999, n_planes="auto", target_bucket=8
+    )
+    dropped = {r.vec_id for r in out.filter(~F.col("keep")).collect()}
+    assert dropped == {1000 + i for i in range(10)}, dropped
+    # auto resolves to ceil(log2(210/8)) = 5 -> floor of 10 applies; with a
+    # tiny target the law still floors at the pinned default
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        embedding_neardup(df, dim=16, n_planes="many")

@@ -1,0 +1,118 @@
+"""Code-governance chain cost at scale (reproducible tool for the ad-hoc
+round-6 measurement, extended to the sf10-scale point the round-7 judge
+asked for).
+
+Measures the FULL governance chain — permissive-license gate, repository
+opt-out, StarCoder-style code rules, credential scrub, copyright-banner
+strip — against the bare quality pipeline on the same synthetic code
+corpus, best-of-N interleaved passes.  The chain's native Catalyst gates
+run BEFORE the fused Python stage and shrink its input, which is why the
+"more work" config historically runs FASTER than the baseline
+(BENCH/code_governance.json, 0.47x at 150k files).
+
+Usage: python tools/governance_bench.py [--files 600000] [--cores 32]
+       [--out BENCH/code_governance_600k.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=600_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out_path = args.out or os.path.join(
+        REPO, "BENCH", f"code_governance_{args.files // 1000}k.json"
+    )
+
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.code_filters import CodeQualityConfig
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("governance-bench", master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_corpus(spark, args.files, partitions=args.cores).persist()
+    docs.count()
+
+    base_cfg = QualityPipelineConfig()
+    gov_cfg = QualityPipelineConfig(
+        scrub_secrets=True,
+        code_rules=CodeQualityConfig(),
+        license_allow=None,  # DEFAULT_PERMISSIVE
+        allow_unlicensed=True,
+        optout_repos=["org/opted-out-repo"],
+        strip_copyright=True,
+    )
+    # license gate needs allow list resolution: license_allow=None means OFF
+    # in the pipeline knob — pass the kernel default explicitly
+    from datatrove_spark.kernels.code_license import DEFAULT_PERMISSIVE
+
+    gov_cfg.license_allow = tuple(DEFAULT_PERMISSIVE)
+
+    def run(cfg) -> tuple[float, int]:
+        t0 = time.time()
+        out = quality_pipeline(docs, cfg)
+        kept = out.filter(F.col("keep")).count()
+        return time.time() - t0, kept
+
+    # warm-up both plans (worker + model singletons)
+    run(base_cfg)
+    run(gov_cfg)
+    base_walls, gov_walls = [], []
+    kept_base = kept_gov = 0
+    for _ in range(args.repeats):  # interleaved
+        w, kept_base = run(base_cfg)
+        base_walls.append(round(w, 3))
+        w, kept_gov = run(gov_cfg)
+        gov_walls.append(round(w, 3))
+
+    rec = {
+        "n_files": args.files,
+        "cores": args.cores,
+        "baseline": {
+            "kept": kept_base,
+            "best_sec": min(base_walls),
+            "walls": base_walls,
+            "files_per_sec": int(args.files / min(base_walls)),
+        },
+        "governance_all": {
+            "kept": kept_gov,
+            "best_sec": min(gov_walls),
+            "walls": gov_walls,
+            "files_per_sec": int(args.files / min(gov_walls)),
+        },
+        "overhead_ratio": round(min(gov_walls) / min(base_walls), 3),
+        "load_1min": round(os.getloadavg()[0], 2),
+        "note": (
+            "full code-governance chain (permissive-license gate, repo "
+            "opt-out, StarCoder code rules, credential scrub, copyright "
+            "strip) vs the bare quality pipeline; native gates run before "
+            "the fused Python stage and shrink its input"
+        ),
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({k: rec[k] for k in ("n_files", "overhead_ratio")}),
+          "->", out_path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
