@@ -57,9 +57,8 @@ def main() -> None:
         "ann_cosine_topk",
         "exact_substrings",
         "embedding_neardup",
-        "ivf_ann",
         "unigram_logprob",
-        "top_sources",
+        "top_groups",
         "code_quality",
     ):
         audit(q, m.queries()[q](spark, sf_dir))
