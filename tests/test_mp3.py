@@ -113,3 +113,18 @@ def test_crc_flag_and_histogram_sorted():
     frames = [(320, 44100), (64, 44100), (128, 44100)]
     p2 = probe_mp3(build_stream(frames))
     assert list(p2.bitrate_histogram) == [64, 128, 320]
+
+
+def test_media_struct_operator_uses_exact_mp3_duration(spark):
+    """The distributed media-probe operator surfaces the exact frame-walk
+    duration for MPEG-audio payloads (round 7) — integration through the
+    Arrow UDF path, not just the kernel."""
+    from datatrove_spark.operators.multimodal import attach_media_metadata
+
+    s = build_stream([(128, 44100)] * 43, id3v2=b"\x00" * 16, id3v1=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(s), "audio/mpeg")], "doc_id long, payload binary, mime string"
+    )
+    row = attach_media_metadata(df, mime_col="mime").select("media").collect()[0]
+    assert row.media.duration_ms == int(43 * 1152 / 44100 * 1000)
+    assert row.media.kind == "audio"
