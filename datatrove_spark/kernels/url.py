@@ -353,7 +353,7 @@ _NOIP_FAMILY = frozenset(
     "serveminecraft.net myftp.biz myftp.org myvnc.com onthewifi.com "
     "webhop.me bounceme.net ddnsking.com 3utilities.com blogsyte.com "
     "brasilia.me cable-modem.org ciscofreak.com damnserver.com ditchyourip.com "
-    "dnsfor.me dvrcam.info dynns.com geekgalaxy.com gotdns.ch health-carereform.com "
+    "dnsfor.me dvrcam.info dynns.com geekgalaxy.com gotdns.ch "
     "homesecuritymac.com homesecuritypc.com myactivedirectory.com mydissent.net "
     "myeffect.net mymediapc.net mypsx.net mysecuritycamera.com mysecuritycamera.net "
     "mysecuritycamera.org net-freaks.com nhlfan.net pgafan.net point2this.com "
@@ -366,14 +366,19 @@ _CLOUD_FAMILY = frozenset(
     "cloudapp.net azurecontainer.io azurestaticapps.net azureedge.net "
     "azurefd.net azure-api.net azurehdinsight.net azure-mobile.net "
     "blob.core.windows.net trycloudflare.com r2.dev "
-    "githubusercontent.com gitlab-pages.io "
+    "githubusercontent.com "
     "elasticbeanstalk.com awsglobalaccelerator.com "
-    "elb.amazonaws.com "
-    "ondigitalocean.app linodeusercontent.com ip.linodeusercontent.com "
-    "oraclecloudapps.com oraclegovcloudapps.com".split()
+    "ondigitalocean.app members.linode.com ip.linodeusercontent.com "
+    "oraclecloudapps.com oraclegovcloudapps.com "
+    "run.app a.run.app cloudfunctions.net translate.goog now.sh".split()
     + [f"{n}.azurestaticapps.net" for n in range(1, 6)]
     + [f"{r}.elasticbeanstalk.com" for r in _AWS_REGIONS]
 )
+# ccTLDs whose entire second level is a wildcard rule in the public list
+# (*.er, *.fk, *.kh, *.mm, *.pg, ...) get NO explicit second-level entries
+# here — the wildcard in _PSL_WILDCARD_BASES already yields the same
+# suffixes, and inventing specific registry labels under them would be
+# fabrication, not snapshot data.
 _CC_REGISTRIES_R7 = frozenset(
     # African / Pacific / small-state registries missing from the r6 tranche
     "co.ao ed.ao gv.ao it.ao og.ao pb.ao "
@@ -386,14 +391,6 @@ _CC_REGISTRIES_R7 = frozenset(
     "com.to gov.to net.to org.to edu.to mil.to "
     "i.ng sch.ng name.ng mobi.ng "
     "com.sh net.sh gov.sh org.sh mil.sh "
-    "co.ck edu.ck gov.ck net.ck org.ck "
-    "com.fk ac.fk gov.fk net.fk nom.fk org.fk "
-    "co.fk "
-    "com.pg net.pg ac.pg gov.pg mil.pg org.pg "
-    "com.mm net.mm org.mm edu.mm gov.mm "
-    "com.kh edu.kh gov.kh mil.kh net.kh org.kh per.kh "
-    "com.er edu.er gov.er mil.er net.er org.er ind.er rochest.er w.er "
-    "com.jm net.jm org.jm edu.jm gov.jm mil.jm "
     "com.bn".split()
 )
 _PSL_MULTI = (
@@ -412,7 +409,9 @@ _PSL_MULTI = (
 _PSL_WILDCARD_BASES = frozenset(
     "ck er fk jm kh mm pg bn "
     "kawasaki.jp kitakyushu.jp kobe.jp nagoya.jp sapporo.jp sendai.jp yokohama.jp "
-    "compute.amazonaws.com compute-1.amazonaws.com".split()
+    "compute.amazonaws.com compute-1.amazonaws.com "
+    # round 7: every ELB hostname is its own registrable namespace
+    "elb.amazonaws.com".split()
 )
 _PSL_EXCEPTIONS = frozenset(
     "www.ck city.kawasaki.jp city.kitakyushu.jp city.kobe.jp city.nagoya.jp "

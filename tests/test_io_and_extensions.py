@@ -1557,9 +1557,15 @@ def test_psl_round7_families():
     tranche — 2,000+ rules total.  The remaining distance to the full
     ~9.5k-rule public snapshot is the jp-municipal / no-municipal bulk,
     ingestable via load_psl(path)."""
-    from datatrove_spark.kernels.url import _PSL_MULTI, split_host
+    from datatrove_spark.kernels.url import (
+        _PSL_EXCEPTIONS,
+        _PSL_MULTI,
+        _PSL_WILDCARD_BASES,
+        split_host,
+    )
 
-    assert len(_PSL_MULTI) >= 2000, len(_PSL_MULTI)
+    n_rules = len(_PSL_MULTI) + len(_PSL_WILDCARD_BASES) + len(_PSL_EXCEPTIONS)
+    assert n_rules >= 2000, n_rules
     for host, want in [
         ("cam.myserver.ddns.net", "myserver.ddns.net"),
         ("x.is-a-geek.com", "x.is-a-geek.com"),
