@@ -368,12 +368,15 @@ def embedding_neardup(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "lsh_bucket"
     )
     id_type = df.schema[id_col].dataType.simpleString()
-    chunk = 2048
 
     def _bucket_dups(pdf: pd.Series) -> pd.DataFrame:
         m = len(pdf)
         if m < 2:
             return pd.DataFrame({"dup_id": pdf["id"][:0]})
+        # sims memory = chunk x m x 8B — scale the chunk INVERSELY with the
+        # bucket so a mega-bucket costs ~256 MB per slab, not chunk-fixed
+        # gigabytes (its O(m^2) compute stays, and stays explicit)
+        chunk = max(1, min(2048, 32_000_000 // m))
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
