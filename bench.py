@@ -157,6 +157,9 @@ def main() -> None:
 
     all_runs: dict[str, list[float]] = {name: [] for name in benches}
     pass_loads: list[float] = []
+    if spill_enabled:
+        _spill_delta("_startup")  # drain warm-up stages out of query 1's bill
+        spill_by_query.pop("_startup", None)
     for rep in range(repeats):
         pass_loads.append(_load1())
         for name, build in benches.items():
