@@ -96,8 +96,6 @@ def parse_frame_header(b: bytes, pos: int = 0) -> Mp3FrameHeader | None:
     if sr_idx == 3:
         return None  # reserved sample rate
     sample_rate = _SAMPLE_RATE[vbits][sr_idx]
-    if vbits == 0:
-        sample_rate = _SAMPLE_RATE[0][sr_idx]
     padding = (h2 >> 1) & 0x01
     bitrate = _BITRATE_KBPS[(vgroup, layer)][br_idx] if br_idx else None
     samples = _SAMPLES_PER_FRAME[(vgroup, layer)]
@@ -219,15 +217,28 @@ def probe_mp3(payload: bytes, max_resync: int = 65536) -> Mp3Probe:
     crc_any = False
     while pos + 4 <= end:
         h = parse_frame_header(payload, pos)
-        if h is None or (first is not None and (h.version, h.layer) != (first.version, first.layer)):
+        # the chain lock: version/layer/sample-rate cannot legally change
+        # mid-stream, so a parseable-but-different header is a false sync
+        # in junk, not a frame — as is a free-format header once a real
+        # chain is established (review findings: both previously either
+        # mis-counted frames or aborted the whole probe)
+        if (
+            h is None
+            or (
+                first is not None
+                and (h.version, h.layer, h.sample_rate)
+                != (first.version, first.layer, first.sample_rate)
+            )
+            or (h.frame_bytes is None and first is not None)
+        ):
             if junk >= max_resync:
                 break
             junk += 1
             pos += 1
             continue
         if h.frame_bytes is None:
-            # free-format: the chain length is undefined without decoding —
-            # declared, loud, structural-only
+            # free-format FIRST frame: the chain length is undefined
+            # without decoding — declared, loud, structural-only
             raise UnsupportedMediaError("free-format MPEG audio (bitrate index 0)")
         if first is None:
             first = h

@@ -393,10 +393,12 @@ def embedding_neardup(
             dups.update(gj[gi < gj].tolist())  # larger id of each hit pair
         return pd.DataFrame({"dup_id": sorted(dups)})
 
-    dups = (
-        b.groupBy("lsh_bucket")
-        .applyInPandas(_bucket_dups, schema=f"dup_id {id_type}")
-        .distinct()
+    # no distinct: each vector lives in exactly ONE bucket of this single
+    # sign-LSH table and _bucket_dups emits a per-bucket set, so dup_id is
+    # globally unique by construction — a distinct here would be a pure
+    # extra exchange on the operator this rewrite optimizes
+    dups = b.groupBy("lsh_bucket").applyInPandas(
+        _bucket_dups, schema=f"dup_id {id_type}"
     )
     out = df.join(dups, df[id_col] == dups["dup_id"], "left")
     out = apply_native_filter(out, F.col("dup_id").isNull(), "embedding_neardup")

@@ -166,7 +166,11 @@ def _classify_error(e: Exception) -> tuple[bool, float | None]:
         try:
             ra = e.headers.get("Retry-After") if e.headers else None
             if ra is not None:
-                delay = min(float(ra), _RETRY_AFTER_CAP_SEC)
+                val = float(ra)
+                # clamp BOTH ends: a negative/NaN header must not reach
+                # time.sleep (ValueError escapes the errors-are-data path)
+                if val == val:  # not NaN
+                    delay = min(max(val, 0.0), _RETRY_AFTER_CAP_SEC)
         except (TypeError, ValueError):
             delay = None
         return True, delay

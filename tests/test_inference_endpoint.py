@@ -224,3 +224,15 @@ def test_run_inference_endpoint_error_rows_survive(stub_server, spark):
     assert all(ro.error is None for ro in rollouts)  # retry absorbed the 500
     assert sum(ro.attempts for ro in rollouts) == 4  # one extra wire hit
     assert len(state.requests) == 4
+
+
+def test_negative_and_nan_retry_after_do_not_crash(stub_server):
+    """Review finding (round 7): a hostile Retry-After (-1, nan) must be
+    clamped, not passed to time.sleep where ValueError would escape the
+    errors-are-data path and kill the executor task."""
+    url, state = stub_server
+    for hostile in ("-1", "nan"):
+        state.script[:] = ["429"]
+        state.retry_after = hostile
+        out = _one_rollout("clamp me", _cfg(url, max_retries=1))
+        assert out["error"] is None and out["attempts"] == 2, (hostile, out)

@@ -128,3 +128,21 @@ def test_media_struct_operator_uses_exact_mp3_duration(spark):
     row = attach_media_metadata(df, mime_col="mime").select("media").collect()[0]
     assert row.media.duration_ms == int(43 * 1152 / 44100 * 1000)
     assert row.media.kind == "audio"
+
+
+def test_midstream_false_syncs_resync_not_abort():
+    """Review findings (round 7): junk containing (a) a free-format-looking
+    header and (b) a parseable header with a DIFFERENT sample rate must
+    resync, not abort the probe or corrupt the frame count."""
+    frames = build_stream([(128, 44100)] * 5)
+    # (a) FF FB 0x: same version/layer, bitrate index 0 (free format)
+    junk_free = b"\x00\xff\xfb\x04\x00\x11\x22"
+    p = probe_mp3(frames + junk_free + build_stream([(128, 44100)] * 5))
+    assert p.n_frames == 10
+    assert p.junk_bytes == len(junk_free)
+    # (b) valid-looking header at 48000 inside a 44100 stream
+    junk_sr = bytes([0xFF, 0xFB, 0x94, 0x00]) + b"\x00\x00"  # sr_idx=1
+    p2 = probe_mp3(frames + junk_sr + build_stream([(128, 44100)] * 5))
+    assert p2.n_frames == 10
+    assert p2.sample_rate == 44100
+    assert p2.duration_ms == int(10 * 1152 / 44100 * 1000)
