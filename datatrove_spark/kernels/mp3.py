@@ -355,11 +355,130 @@ def build_stream(
     return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# ID3v2 text frames (public id3.org layout, v2.2/2.3/2.4): the metadata a
+# crawl pipeline actually extracts from audio — title/artist/album/year/
+# genre.  Encodings per spec byte 0 of a text frame: 0 latin-1, 1 utf-16
+# with BOM, 2 utf-16be, 3 utf-8.  v2.4 sizes are syncsafe, v2.2/2.3 plain;
+# the tag-level unsynchronisation flag (FF 00 -> FF) is decoded.
+# --------------------------------------------------------------------------
+
+_ID3_TEXT_FRAMES = {
+    # v2.3/2.4 ids -> output keys
+    "TIT2": "title", "TPE1": "artist", "TALB": "album", "TCON": "genre",
+    "TYER": "year", "TDRC": "year", "TRCK": "track", "TLEN": "length_ms",
+    # v2.2 3-char ids
+    "TT2": "title", "TP1": "artist", "TAL": "album", "TCO": "genre",
+    "TYE": "year", "TRK": "track", "TLE": "length_ms",
+}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _decode_text_frame(body: bytes) -> str | None:
+    if not body:
+        return None
+    enc = _ID3_ENCODINGS.get(body[0])
+    if enc is None:
+        return None
+    try:
+        txt = body[1:].decode(enc, errors="replace")
+    except Exception:  # noqa: BLE001 — malformed frame: skip, never raise
+        return None
+    # v2.4 multi-value separator and trailing terminators are NULs
+    return txt.split("\x00", 1)[0].strip() or None
+
+
+def parse_id3v2(payload: bytes) -> dict:
+    """Text metadata from a leading ID3v2 tag: {title, artist, album, year,
+    genre, track, length_ms, version}.  Absent tag or absent frames yield
+    an empty dict / missing keys — never an exception (probe discipline)."""
+    out: dict = {}
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return out
+    major = payload[3]
+    if major not in (2, 3, 4):
+        return out
+    if any(payload[i] & 0x80 for i in (6, 7, 8, 9)):
+        return out
+    size = (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    flags = payload[5]
+    body = bytes(payload[10 : 10 + size])
+    if flags & 0x80:  # tag-level unsynchronisation
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40 and major in (3, 4):  # extended header: skip
+        if len(body) < 4:
+            return out
+        if major == 4:
+            ext = (body[0] << 21) | (body[1] << 14) | (body[2] << 7) | body[3]
+        else:
+            ext = int.from_bytes(body[0:4], "big") + 4
+        pos = ext
+    out["version"] = f"2.{major}"
+    id_len, size_len = (3, 3) if major == 2 else (4, 4)
+    head_len = id_len + size_len + (0 if major == 2 else 2)
+    while pos + head_len <= len(body):
+        fid_b = body[pos : pos + id_len]
+        if fid_b == b"\x00" * id_len:
+            break  # padding
+        fid = fid_b.decode("latin-1", errors="replace")
+        raw = body[pos + id_len : pos + id_len + size_len]
+        if major == 4:
+            if any(b & 0x80 for b in raw):
+                break  # not syncsafe -> corrupt frame header
+            fsize = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            fsize = int.from_bytes(raw, "big")
+        frame_body = body[pos + head_len : pos + head_len + fsize]
+        if len(frame_body) < fsize:
+            break  # truncated
+        key = _ID3_TEXT_FRAMES.get(fid)
+        if key is not None and key not in out:
+            val = _decode_text_frame(frame_body)
+            if val is not None:
+                out[key] = val
+        pos += head_len + fsize
+    return out
+
+
+def build_id3v2(fields: dict, major: int = 4, unsync: bool = False) -> bytes:
+    """Fixture writer: a structurally-valid ID3v2.3/2.4 tag carrying the
+    given text fields (reverse mapping of ``_ID3_TEXT_FRAMES``)."""
+    rev = {"title": "TIT2", "artist": "TPE1", "album": "TALB",
+           "genre": "TCON", "track": "TRCK", "length_ms": "TLEN",
+           "year": "TDRC" if major == 4 else "TYER"}
+    frames = bytearray()
+    for key, val in fields.items():
+        fid = rev[key].encode()
+        if major == 4:
+            body = b"\x03" + str(val).encode("utf-8")  # enc 3: utf-8
+        else:
+            body = b"\x01" + str(val).encode("utf-16")  # enc 1: BOM + utf-16
+        sz = len(body)
+        if major == 4:
+            size_b = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+        else:
+            size_b = sz.to_bytes(4, "big")
+        frames += fid + size_b + b"\x00\x00" + body
+    tag_body = bytes(frames) + b"\x00" * 8  # padding
+    if unsync:
+        tag_body = tag_body.replace(b"\xff", b"\xff\x00")
+    sz = len(tag_body)
+    flags = 0x80 if unsync else 0x00
+    return (
+        b"ID3" + bytes([major, 0, flags])
+        + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+        + tag_body
+    )
+
+
 __all__ = [
     "Mp3FrameHeader",
     "Mp3Probe",
     "parse_frame_header",
     "probe_mp3",
+    "parse_id3v2",
+    "build_id3v2",
     "build_frame",
     "build_stream",
 ]

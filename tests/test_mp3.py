@@ -146,3 +146,35 @@ def test_midstream_false_syncs_resync_not_abort():
     assert p2.n_frames == 10
     assert p2.sample_rate == 44100
     assert p2.duration_ms == int(10 * 1152 / 44100 * 1000)
+
+
+def test_id3v2_text_frames_v24_and_v23():
+    from datatrove_spark.kernels.mp3 import build_id3v2, parse_id3v2
+
+    fields = {"title": "Naïve Süite", "artist": "Артист", "album": "LP",
+              "year": "2019", "genre": "Ambient", "track": "3/12"}
+    for major in (4, 3):
+        tag = build_id3v2(fields, major=major)
+        got = parse_id3v2(tag + build_frame(128, 44100))
+        assert got["version"] == f"2.{major}"
+        for k, v in fields.items():
+            assert got[k] == v, (major, k, got)
+    # the walker still counts frames behind a rich tag
+    s = build_id3v2(fields) + build_stream([(128, 44100)] * 3)
+    assert probe_mp3(s).n_frames == 3
+
+
+def test_id3v2_unsync_and_malformed_never_raise():
+    from datatrove_spark.kernels.mp3 import build_id3v2, parse_id3v2
+
+    tag = build_id3v2({"title": "ÿ heavy ÿ title"}, major=4, unsync=True)
+    assert parse_id3v2(tag)["title"] == "ÿ heavy ÿ title"
+    # garbage, truncation, absent tag: empty/partial dicts, no exception
+    assert parse_id3v2(b"") == {}
+    assert parse_id3v2(b"ID3\x04\x00\x00\x00\x00") == {}
+    good = build_id3v2({"title": "t", "artist": "a"})
+    assert parse_id3v2(good[: len(good) - 12]).get("title") == "t"
+    # corrupt non-syncsafe v2.4 frame size stops the walk cleanly
+    broken = bytearray(build_id3v2({"title": "x"}))
+    broken[14] = 0xFF  # frame size byte with high bit
+    parse_id3v2(bytes(broken))
