@@ -532,6 +532,34 @@ def _subword_automaton(words: tuple[str, ...]) -> AhoCorasick:
 _WORD_SPLIT_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 
+# Names that can never be a public internet TLD — RFC 2606 (test/example/
+# invalid/localhost), RFC 6761/6762 special-use (local), RFC 7686 (onion:
+# reachable only via Tor — crawl junk for a clearnet pipeline), and the
+# private-use names ICANN reserves / leaks most often observed in crawls
+# (internal per ICANN SAC113 resolution, plus the classic intranet
+# suffixes).  A URL carrying one of these cannot be fetched from the
+# public internet, so it is dead weight in a crawl frontier.
+_SPECIAL_USE_TLDS = frozenset(
+    "test example invalid localhost local onion internal intranet "
+    "corp home lan localdomain".split()
+)
+_TLD_SHAPE_RE = re.compile(r"^(?:[a-z]{2,63}|xn--[a-z0-9-]{2,59})$")
+
+
+def is_junk_tld(host: str) -> bool:
+    """True when the host's top label is special-use (RFC 2606/6761/7686,
+    intranet leak names) or structurally impossible as a TLD (digits or
+    hyphens outside the xn-- IDN form, single char) — an IP literal is NOT
+    junk (it simply has no TLD)."""
+    if not host:
+        return True
+    labels = host.lower().rstrip(".").split(".")
+    tld = labels[-1]
+    if tld.isdigit():  # IPv4 literal: no TLD to judge
+        return False
+    return tld in _SPECIAL_USE_TLDS or not _TLD_SHAPE_RE.match(tld)
+
+
 @dataclass
 class UrlFilterConfig:
     blocked_domains: frozenset[str] = field(default_factory=frozenset)
@@ -540,10 +568,15 @@ class UrlFilterConfig:
     banned_subwords: tuple[str, ...] = ()
     soft_banned_words: frozenset[str] = field(default_factory=frozenset)
     soft_word_threshold: int = 2
+    # opt-in (default False: the pinned reference-parity oracle profile):
+    # drop URLs whose TLD is special-use or structurally impossible
+    drop_junk_tlds: bool = False
 
 
 def url_filter(url: str, cfg: UrlFilterConfig) -> tuple[bool, str | None]:
     fqdn, registered = split_host(url)
+    if cfg.drop_junk_tlds and is_junk_tld(fqdn):
+        return False, "junk_tld"
     if registered in cfg.blocked_domains:
         return False, "domain"
     if fqdn in cfg.blocked_domains:

@@ -1577,3 +1577,29 @@ def test_psl_round7_families():
         ("n.selfip.net", "n.selfip.net"),
     ]:
         assert split_host(host)[1] == want, (host, split_host(host))
+
+
+def test_junk_tld_gate_opt_in():
+    """Round-7: opt-in drop of URLs that cannot be fetched from the public
+    internet — special-use TLDs (RFC 2606/6761/7686, intranet leak names)
+    and structurally-impossible top labels.  Default OFF: the pinned
+    reference-parity profile never sees the check."""
+    from datatrove_spark.kernels.url import (
+        UrlFilterConfig,
+        is_junk_tld,
+        url_filter,
+    )
+
+    for host in ["db.local", "x.test", "router.lan", "svc.internal",
+                 "foo.onion", "web.corp", "nas.home", "a.example",
+                 "weird.t", "bad.123abc", "dash-.not--xn"]:
+        assert is_junk_tld(host), host
+    for host in ["example.com", "xn--bcher-kva.xn--p1ai", "a.co",
+                 "192.168.0.1", "deep.sub.github.io"]:
+        assert not is_junk_tld(host), host
+
+    gated = UrlFilterConfig(drop_junk_tlds=True)
+    assert url_filter("http://db.local/admin", gated) == (False, "junk_tld")
+    assert url_filter("https://example.com/x", gated) == (True, None)
+    # default profile: junk TLDs pass through to the other checks
+    assert url_filter("http://db.local/admin", UrlFilterConfig())[0]
