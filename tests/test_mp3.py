@@ -178,3 +178,71 @@ def test_id3v2_unsync_and_malformed_never_raise():
     broken = bytearray(build_id3v2({"title": "x"}))
     broken[14] = 0xFF  # frame size byte with high bit
     parse_id3v2(bytes(broken))
+
+
+# ---- property-based round-trips (hypothesis) ------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    _text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: s.strip()).filter(lambda s: s and "\x00" not in s)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        title=_text, artist=_text, album=_text,
+        major=st.sampled_from([3, 4]),
+        unsync=st.booleans(),
+    )
+    def test_id3v2_roundtrip_property(title, artist, album, major, unsync):
+        from datatrove_spark.kernels.mp3 import build_id3v2, parse_id3v2
+
+        tag = build_id3v2(
+            {"title": title, "artist": artist, "album": album},
+            major=major, unsync=unsync and major == 4,
+        )
+        got = parse_id3v2(tag)
+        assert (got["title"], got["artist"], got["album"]) == (
+            title, artist, album
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.lists(
+            st.tuples(
+                st.sampled_from([32, 64, 96, 128, 192, 256, 320]),
+                st.sampled_from([32000, 44100, 48000]),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+    )
+    def test_mp3_walk_counts_property(frames):
+        # one stream = one sample rate (the chain lock); bitrate may vary
+        sr = frames[0][1]
+        frames = [(br, sr) for br, _ in frames]
+        p = probe_mp3(build_stream(frames))
+        assert p.n_frames == len(frames)
+        assert p.duration_ms == int(len(frames) * 1152 / sr * 1000)
+        assert sum(p.bitrate_histogram.values()) == len(frames)
+
+    @settings(max_examples=40, deadline=None)
+    @given(junk=st.binary(min_size=1, max_size=64))
+    def test_mp3_walk_resyncs_over_arbitrary_junk_property(junk):
+        # arbitrary junk between two chains never changes the frame count
+        # (it may contain sync-lookalikes; the chain lock rejects them) —
+        # except junk whose tail prefixes a valid same-rate frame, which is
+        # indistinguishable from a truncated frame; avoid by capping junk
+        # at 64 bytes < min frame length and asserting >= (frames survive)
+        s = build_stream([(128, 44100)] * 3) + junk + build_stream([(128, 44100)] * 2)
+        p = probe_mp3(s)
+        assert p.n_frames >= 5 - 1  # at most the frame right after junk lost
+        assert p.n_frames <= 5 + 1
