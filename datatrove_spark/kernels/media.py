@@ -357,46 +357,9 @@ def probe_media(payload: bytes) -> dict:
             if sample_rate:
                 out["duration_ms"] = int(total * 1000 / sample_rate)
         elif payload[:4] == b"OggS":
-            # duration = last page's granule position / rate.  The granule
-            # rate is codec-specific: Opus fixes 48 kHz (RFC 7845 §4);
-            # Vorbis carries its rate in the identification header at byte
-            # 40 of the first page (public Vorbis I spec §4.2.2).
-            rate = None
-            # first page, single-segment: payload at 28; id packet layout is
-            # \x01'vorbis'(7) + version(4) + channels(1) + rate(4) → rate@40
-            if payload[28:35] == b"\x01vorbis":
-                (rate,) = struct.unpack("<I", payload[40:44])
-            elif b"OpusHead" in payload[:128]:
-                rate = 48000
-            if rate:
-                # 'OggS' can legally occur inside packet bodies — validate
-                # the candidate as a page header: version byte 0, header
-                # flags <= 7, AND the segment table + lacing-summed body
-                # must fit inside the remaining bytes (RFC 3533 §6: header
-                # is 27 + n_segments bytes, body is sum of lacing values).
-                # version/flags alone pass for ~1/2^13 of random offsets —
-                # the structural bound rejects those imposters.
-                def _ogg_page_ok(pos: int) -> bool:
-                    # bounds FIRST: a truncated trailing 'OggS' fragment
-                    # must test False, not IndexError the whole probe
-                    if pos + 27 > len(payload):
-                        return False
-                    if not (payload[pos + 4] == 0 and payload[pos + 5] <= 0x07):
-                        return False
-                    n_seg = payload[pos + 26]
-                    seg_end = pos + 27 + n_seg
-                    if seg_end > len(payload):
-                        return False
-                    body = sum(payload[pos + 27 : seg_end])
-                    return seg_end + body <= len(payload)
-
-                tail = payload.rfind(b"OggS")
-                while tail > 0 and not _ogg_page_ok(tail):
-                    tail = payload.rfind(b"OggS", 0, tail)
-                if tail >= 0 and _ogg_page_ok(tail):
-                    (granule,) = struct.unpack("<q", payload[tail + 6 : tail + 14])
-                    if granule > 0:
-                        out["duration_ms"] = int(granule * 1000 / rate)
+            ogg = probe_ogg(payload)
+            out["duration_ms"] = ogg.get("duration_ms")
+            out["width"], out["height"] = ogg.get("width"), ogg.get("height")
         elif payload[:3] == b"ID3" or (
             len(payload) >= 2
             and payload[0] == 0xFF
@@ -437,6 +400,88 @@ def probe_media(payload: bytes) -> dict:
                     out["width"], out["height"] = w & 0x3FFF, h & 0x3FFF
     except Exception:  # noqa: BLE001 — a probe never raises
         pass
+    return out
+
+
+def _ogg_page_valid(payload: bytes, pos: int) -> bool:
+    """'OggS' can legally occur inside packet bodies — validate a candidate
+    as a page header: version byte 0, header flags <= 7, AND the segment
+    table + lacing-summed body must fit inside the remaining bytes
+    (RFC 3533 §6: header is 27 + n_segments bytes, body is the sum of
+    lacing values).  version/flags alone pass for ~1/2^13 of random
+    offsets — the structural bound rejects those imposters.  Bounds are
+    checked FIRST so a truncated trailing fragment tests False rather
+    than IndexError-ing the probe."""
+    if pos + 27 > len(payload):
+        return False
+    if not (payload[pos + 4] == 0 and payload[pos + 5] <= 0x07):
+        return False
+    n_seg = payload[pos + 26]
+    seg_end = pos + 27 + n_seg
+    if seg_end > len(payload):
+        return False
+    body = sum(payload[pos + 27 : seg_end])
+    return seg_end + body <= len(payload)
+
+
+def probe_ogg(payload: bytes) -> dict:
+    """Codec identification + stream parameters from the FIRST packet of
+    an Ogg stream (round 7) — the per-codec public id-header layouts:
+
+    * Vorbis (Vorbis I spec §4.2.2): ``\\x01vorbis`` + version(4) +
+      channels(1) + rate(4 LE); granule rate = sample rate.
+    * Opus (RFC 7845 §5.1): ``OpusHead`` + ver(1) + channels(1) +
+      pre_skip(2 LE) + input_rate(4 LE); granule rate is FIXED 48 kHz and
+      the decoded duration excludes the pre-skip samples.
+    * FLAC-in-Ogg (Ogg-FLAC mapping 1.0): ``\\x7fFLAC`` + maj/min +
+      header count + 'fLaC' + STREAMINFO (rate/total as in a bare .flac).
+    * Theora (Theora I spec §6.2): ``\\x80theora`` + VMAJ/VMIN/VREV +
+      FMBW/FMBH(2 BE each) + PICW/PICH(3 BE each) — video dimensions.
+
+    Duration = last structurally-valid page's granule position / the
+    codec's granule rate (header-only; no packet decode)."""
+    out: dict = {}
+    if payload[:4] != b"OggS" or not _ogg_page_valid(payload, 0):
+        return out
+    first = payload[28 : 28 + payload[27]]  # first packet (single lacing)
+    rate = None
+    pre_skip = 0
+    if first[:7] == b"\x01vorbis" and len(first) >= 16:
+        out["codec"] = "vorbis"
+        out["channels"] = first[11]
+        (rate,) = struct.unpack("<I", first[12:16])
+        out["sample_rate"] = rate
+    elif first[:8] == b"OpusHead" and len(first) >= 19:
+        out["codec"] = "opus"
+        out["channels"] = first[9]
+        (pre_skip,) = struct.unpack("<H", first[10:12])
+        (out["sample_rate"],) = struct.unpack("<I", first[12:16])
+        out["pre_skip"] = pre_skip
+        rate = 48000  # granule rate fixed by RFC 7845 §4
+    elif first[:5] == b"\x7fFLAC" and len(first) >= 51:
+        out["codec"] = "flac"
+        # 9-byte mapping header, then the verbatim fLaC stream head:
+        # 'fLaC'(4) + block header(4) + STREAMINFO; rate/channels/total
+        # at STREAMINFO byte 10 as in a bare .flac
+        info = first[17:]
+        bits = int.from_bytes(info[10:18], "big")
+        rate = (bits >> 44) & 0xFFFFF
+        out["sample_rate"] = rate
+        out["channels"] = ((bits >> 41) & 0x7) + 1
+    elif first[:7] == b"\x80theora" and len(first) >= 20:
+        out["codec"] = "theora"
+        out["width"] = int.from_bytes(first[14:17], "big")
+        out["height"] = int.from_bytes(first[17:20], "big")
+        # granule rate = FRN/FRD frames/s with a keyframe-shift granule
+        # layout — frame-exact duration needs the shift; dims suffice here
+    if rate:
+        tail = payload.rfind(b"OggS")
+        while tail > 0 and not _ogg_page_valid(payload, tail):
+            tail = payload.rfind(b"OggS", 0, tail)
+        if tail >= 0 and _ogg_page_valid(payload, tail):
+            (granule,) = struct.unpack("<q", payload[tail + 6 : tail + 14])
+            if granule > 0:
+                out["duration_ms"] = int(max(granule - pre_skip, 0) * 1000 / rate)
     return out
 
 
@@ -779,6 +824,7 @@ __all__ = [
     "encode_bmp",
     "encode_png",
     "probe_media",
+    "probe_ogg",
     "decode_wav_header",
     "image_features",
     "audio_features",

@@ -209,7 +209,7 @@ def probe_mp3(payload: bytes, max_resync: int = 65536) -> Mp3Probe:
         end -= 128
 
     n_frames = 0
-    dur_num = 0.0  # seconds
+    total_samples = 0  # exact: the chain lock fixes the sample rate
     junk = 0
     first: Mp3FrameHeader | None = None
     hist: dict[int, int] = {}
@@ -248,7 +248,7 @@ def probe_mp3(payload: bytes, max_resync: int = 65536) -> Mp3Probe:
                 pos += h.frame_bytes
                 continue
         n_frames += 1
-        dur_num += h.samples / h.sample_rate
+        total_samples += h.samples
         hist[h.bitrate_kbps] = hist.get(h.bitrate_kbps, 0) + 1
         crc_any = crc_any or h.crc_protected
         pos += h.frame_bytes
@@ -258,7 +258,7 @@ def probe_mp3(payload: bytes, max_resync: int = 65536) -> Mp3Probe:
         # header-only payload (e.g. a probe read of the first kilobytes):
         # fall back to the Xing frame count
         n_frames = xing["frames"]
-        dur_num = n_frames * first.samples / first.sample_rate
+        total_samples = n_frames * first.samples
         hist = {}
     mean_kbps = (
         round(sum(k * v for k, v in hist.items()) / max(1, sum(hist.values())), 1)
@@ -271,7 +271,7 @@ def probe_mp3(payload: bytes, max_resync: int = 65536) -> Mp3Probe:
         sample_rate=first.sample_rate,
         mode=first.mode,
         n_frames=n_frames,
-        duration_ms=int(dur_num * 1000),
+        duration_ms=total_samples * 1000 // first.sample_rate,
         mean_bitrate_kbps=mean_kbps,
         vbr=bool(xing and xing.get("vbr")) or len(hist) > 1,
         crc_protected=crc_any,

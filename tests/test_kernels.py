@@ -1326,3 +1326,62 @@ def test_media_probe_second_review_regressions():
     good = page(0, b"OpusHead" + bytes(11), first=True) + page(96000)
     poisoned = good + b"junkOggS" + b"\xff" * 12
     assert probe_media(poisoned)["duration_ms"] == 2000
+
+
+def _ogg_page(packet: bytes, granule: int = 0, serial: int = 1, seq: int = 0,
+              flags: int = 0) -> bytes:
+    """Minimal structurally-valid Ogg page holding one packet (<255 b)."""
+    import struct as _s
+    assert len(packet) < 255
+    head = (b"OggS" + b"\x00" + bytes([flags]) + _s.pack("<q", granule)
+            + _s.pack("<I", serial) + _s.pack("<I", seq) + b"\x00\x00\x00\x00"
+            + bytes([1, len(packet)]))
+    return head + packet
+
+
+def test_probe_ogg_vorbis_opus_flac_theora():
+    """Round-7: codec + channels + rate + duration from the public Ogg
+    identification-header layouts; Opus duration excludes pre-skip
+    (RFC 7845: granule is 48 kHz output INCLUDING the pre-skip samples)."""
+    import struct as _s
+
+    from datatrove_spark.kernels.media import probe_media, probe_ogg
+
+    # Vorbis: \x01vorbis ver(4) ch(1) rate(4) ...
+    vid = b"\x01vorbis" + _s.pack("<I", 0) + bytes([2]) + _s.pack("<I", 44100) \
+        + _s.pack("<iii", 0, 128000, 0) + b"\xb8\x01"
+    s = _ogg_page(vid, flags=2) + _ogg_page(b"\x05audio", granule=44100 * 3, seq=1, flags=4)
+    p = probe_ogg(s)
+    assert (p["codec"], p["channels"], p["sample_rate"]) == ("vorbis", 2, 44100)
+    assert p["duration_ms"] == 3000
+    assert probe_media(s)["duration_ms"] == 3000
+
+    # Opus: OpusHead ver ch pre_skip(2) input_rate(4) gain(2) mapping(1)
+    oid = b"OpusHead" + bytes([1, 2]) + _s.pack("<H", 312) + _s.pack("<I", 48000) \
+        + _s.pack("<h", 0) + bytes([0])
+    s = _ogg_page(oid, flags=2) + _ogg_page(b"\x05opus", granule=48000 * 2 + 312, seq=1, flags=4)
+    p = probe_ogg(s)
+    assert (p["codec"], p["channels"], p["pre_skip"]) == ("opus", 2, 312)
+    assert p["duration_ms"] == 2000  # pre-skip excluded
+
+    # FLAC-in-Ogg: \x7fFLAC maj min nheaders(2) + verbatim fLaC head
+    bits = (16000 << 44) | (0 << 41) | (15 << 36) | 16000 * 4  # mono, 4 s
+    streaminfo = bytearray(34)
+    streaminfo[10:18] = bits.to_bytes(8, "big")
+    fid = b"\x7fFLAC\x01\x00\x00\x01" + b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(streaminfo)
+    s = _ogg_page(fid, flags=2) + _ogg_page(b"\x05flac", granule=16000 * 4, seq=1, flags=4)
+    p = probe_ogg(s)
+    assert (p["codec"], p["channels"], p["sample_rate"]) == ("flac", 1, 16000)
+    assert p["duration_ms"] == 4000
+
+    # Theora: \x80theora VMAJ VMIN VREV FMBW(2) FMBH(2) PICW(3) PICH(3)
+    tid = (b"\x80theora" + bytes([3, 2, 1]) + _s.pack(">HH", 40, 30)
+           + (632).to_bytes(3, "big") + (478).to_bytes(3, "big") + bytes(10))
+    s = _ogg_page(tid, flags=2)
+    p = probe_ogg(s)
+    assert (p["codec"], p["width"], p["height"]) == ("theora", 632, 478)
+    assert probe_media(s)["width"] == 632
+
+    # garbage and truncation: empty dict, never an exception
+    assert probe_ogg(b"OggS truncated") == {}
+    assert probe_ogg(b"not ogg at all") == {}
