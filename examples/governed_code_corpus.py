@@ -1,0 +1,85 @@
+"""The FULL code-governance pipeline over a source-code corpus: permissive-
+license gate, repository opt-out, StarCoder-style code rules, PII +
+credential scrub, copyright-banner strip, weighted source mixing — then
+the standard quality filter, all in one checkpointed run.
+
+The governance gates are pure Catalyst and run AHEAD of the fused Python
+scoring stage, shrinking its input — measured 0.38x the wall of the bare
+pipeline at 600k files (BENCH/code_governance_600k.json): governance is a
+net NEGATIVE-cost stage at every scale we can measure.
+
+Run: spark-submit --py-files dist/datatrove_spark.zip \\
+        examples/governed_code_corpus.py <corpus_parquet> <out_dir> \\
+        [optout.txt]
+
+``optout.txt``: one repository name per line (the opt-out registry
+snapshot); omit to run without an opt-out gate.
+"""
+
+import sys
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.kernels.code_license import DEFAULT_PERMISSIVE
+from datatrove_spark.lineage import LineageConfig, lineage_table, run_checkpointed
+from datatrove_spark.operators.code_filters import CodeQualityConfig
+from datatrove_spark.operators.filters import mix_sources
+from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+from datatrove_spark.session import get_spark
+
+
+def main(corpus: str, out_dir: str, optout_path: str | None = None) -> None:
+    spark = get_spark("governed-code-corpus")
+    df = spark.read.parquet(corpus)
+
+    optout = None
+    if optout_path:
+        with open(optout_path) as f:
+            optout = [line.strip() for line in f if line.strip()]
+
+    cfg = QualityPipelineConfig(
+        text_col="content",
+        languages=("en",),
+        # governance family (all native Catalyst; see README release notes)
+        license_allow=tuple(DEFAULT_PERMISSIVE),
+        # keep unlicensed files, drop only detected-NON-permissive ones;
+        # The-Stack-strict corpora set allow_unlicensed=False (most code in
+        # the wild carries no license header, so strict mode keeps only the
+        # explicitly-permissive slice)
+        allow_unlicensed=True,
+        optout_repos=optout,
+        code_rules=CodeQualityConfig(),
+        strip_copyright=True,
+        scrub_pii=True,
+        scrub_secrets=True,
+        repartition_to=spark.sparkContext.defaultParallelism * 2,
+        salt_buckets=16,  # splits mega-repos across partitions
+    )
+    summary = run_checkpointed(
+        spark,
+        df,
+        lambda d: quality_pipeline(d, cfg),
+        LineageConfig(out_dir=out_dir, n_buckets=256, buckets_per_commit=32),
+    )
+    print("run summary:", summary)
+
+    # per-gate removal accounting comes free from the drop_reason channel
+    lineage_table(spark, out_dir).orderBy("bucket").show(20, truncate=50)
+
+    # downstream: deterministic weighted mixing of the survivors by source
+    # language (engine-portable md5 rule — any engine reproduces the split)
+    # keep is a PARTITION column of the lineage layout (string-typed after
+    # partition discovery) — filter on its literal
+    survivors = spark.read.parquet(f"{out_dir}/data").filter("keep = 'true'")
+    mixed = mix_sources(
+        survivors,
+        weights={"python": 1.0, "javascript": 0.5, "java": 0.5},
+        source_col="lang",
+        id_col="path",
+    )
+    mixed.groupBy("lang").agg(F.count("*").alias("n_sampled")).show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
