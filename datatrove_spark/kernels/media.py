@@ -443,7 +443,18 @@ def probe_ogg(payload: bytes) -> dict:
     out: dict = {}
     if payload[:4] != b"OggS" or not _ogg_page_valid(payload, 0):
         return out
-    first = payload[28 : 28 + payload[27]]  # first packet (single lacing)
+    # first packet via the LACING TABLE (RFC 3533 §6): n_segments at 26,
+    # lacing values follow, body starts after them; the packet ends at the
+    # first lacing value < 255 (id headers are well under one segment, but
+    # a parser must not assume n_segments == 1)
+    n_seg = payload[26]
+    body_start = 27 + n_seg
+    plen = 0
+    for lace in payload[27 : 27 + n_seg]:
+        plen += lace
+        if lace < 255:
+            break
+    first = payload[body_start : body_start + plen]
     rate = None
     pre_skip = 0
     if first[:7] == b"\x01vorbis" and len(first) >= 16:

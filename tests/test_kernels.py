@@ -1385,3 +1385,21 @@ def test_probe_ogg_vorbis_opus_flac_theora():
     # garbage and truncation: empty dict, never an exception
     assert probe_ogg(b"OggS truncated") == {}
     assert probe_ogg(b"not ogg at all") == {}
+
+
+def test_probe_ogg_multisegment_first_page():
+    """A first page whose segment table has padding segments after the id
+    packet (n_segments > 1) must still parse via the lacing table — the
+    packet ends at the first lacing value < 255."""
+    import struct as _s
+
+    from datatrove_spark.kernels.media import probe_ogg
+
+    vid = b"\x01vorbis" + _s.pack("<I", 0) + bytes([2]) + _s.pack("<I", 22050) \
+        + _s.pack("<iii", 0, 96000, 0) + b"\xb8\x01"
+    pad = b"\x00" * 9  # a second (spurious) packet on the same page
+    head = (b"OggS" + b"\x00\x02" + _s.pack("<q", 0) + _s.pack("<I", 7)
+            + _s.pack("<I", 0) + b"\x00\x00\x00\x00"
+            + bytes([2, len(vid), len(pad)]))
+    p = probe_ogg(head + vid + pad)
+    assert (p["codec"], p["channels"], p["sample_rate"]) == ("vorbis", 2, 22050)
