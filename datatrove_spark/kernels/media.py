@@ -496,6 +496,71 @@ def probe_ogg(payload: bytes) -> dict:
     return out
 
 
+def probe_audio(payload: bytes) -> dict:
+    """Unified audio metadata across every container this engine parses —
+    {container, codec, channels, sample_rate, duration_ms}, all None-safe
+    and exception-free (probe discipline).  One UDF-ready entry point:
+    WAV (fmt chunk), bare FLAC (STREAMINFO), MPEG audio (exact frame
+    walk, kernels/mp3.py), and Ogg (id-header dispatch: vorbis/opus/
+    flac/theora)."""
+    out = {
+        "container": None,
+        "codec": None,
+        "channels": None,
+        "sample_rate": None,
+        "duration_ms": None,
+    }
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            meta = decode_wav_header(payload)
+            out.update(
+                container="wav",
+                codec="pcm",
+                channels=meta.get("n_channels"),
+                sample_rate=meta.get("sample_rate"),
+                duration_ms=meta.get("duration_ms"),
+            )
+        elif payload[:4] == b"fLaC":
+            info = payload[8:]
+            bits = int.from_bytes(info[10:18], "big")
+            rate = (bits >> 44) & 0xFFFFF
+            out.update(
+                container="flac",
+                codec="flac",
+                channels=((bits >> 41) & 0x7) + 1,
+                sample_rate=rate or None,
+                duration_ms=int((bits & 0xFFFFFFFFF) * 1000 / rate) if rate else None,
+            )
+        elif payload[:4] == b"OggS":
+            ogg = probe_ogg(payload)
+            if ogg.get("codec") in ("vorbis", "opus", "flac"):
+                out.update(
+                    container="ogg",
+                    codec=ogg.get("codec"),
+                    channels=ogg.get("channels"),
+                    sample_rate=ogg.get("sample_rate"),
+                    duration_ms=ogg.get("duration_ms"),
+                )
+        elif payload[:3] == b"ID3" or (
+            len(payload) >= 2
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            from .mp3 import probe_mp3
+
+            p = probe_mp3(payload)
+            out.update(
+                container="mpeg",
+                codec=f"mpeg{p.version}-layer{p.layer}",
+                channels=1 if p.mode == "mono" else 2,
+                sample_rate=p.sample_rate,
+                duration_ms=p.duration_ms,
+            )
+    except Exception:  # noqa: BLE001 — a probe never raises
+        pass
+    return out
+
+
 # MPEG-1/2 Layer III bitrate (kbps) and sample-rate tables (public header
 # layout) — duration is ESTIMATED as size/byterate from the first frame
 # header (exact for CBR, approximate for VBR; header-only by design)
@@ -836,6 +901,7 @@ __all__ = [
     "encode_png",
     "probe_media",
     "probe_ogg",
+    "probe_audio",
     "decode_wav_header",
     "image_features",
     "audio_features",

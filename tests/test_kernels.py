@@ -1403,3 +1403,43 @@ def test_probe_ogg_multisegment_first_page():
             + bytes([2, len(vid), len(pad)]))
     p = probe_ogg(head + vid + pad)
     assert (p["codec"], p["channels"], p["sample_rate"]) == ("vorbis", 2, 22050)
+
+
+def test_probe_audio_unified_dispatch():
+    """Round-7 capstone: one UDF-ready entry point with a fixed schema for
+    every audio container the engine parses."""
+    import struct as _s
+
+    import numpy as np
+
+    from datatrove_spark.kernels.media import encode_wav, probe_audio
+    from datatrove_spark.kernels.mp3 import build_stream
+
+    wav = encode_wav(np.zeros(16000, dtype=np.int16), sample_rate=16000)
+    p = probe_audio(wav)
+    assert (p["container"], p["codec"], p["channels"]) == ("wav", "pcm", 1)
+    assert p["duration_ms"] == 1000
+
+    mp3 = build_stream([(128, 44100)] * 10, id3v2=b"\x00" * 8)
+    p = probe_audio(mp3)
+    assert (p["container"], p["codec"]) == ("mpeg", "mpeg1-layer3")
+    assert (p["channels"], p["sample_rate"]) == (2, 44100)
+    assert p["duration_ms"] == int(10 * 1152 / 44100 * 1000)
+
+    bits = (22050 << 44) | (1 << 41) | (15 << 36) | 22050 * 2
+    info = bytearray(34); info[10:18] = bits.to_bytes(8, "big")
+    flac = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(info)
+    p = probe_audio(flac)
+    assert (p["container"], p["channels"], p["duration_ms"]) == ("flac", 2, 2000)
+
+    oid = b"OpusHead" + bytes([1, 1]) + _s.pack("<H", 0) + _s.pack("<I", 48000) \
+        + _s.pack("<h", 0) + bytes([0])
+    page = (b"OggS" + b"\x00\x02" + _s.pack("<q", 48000) + _s.pack("<I", 9)
+            + _s.pack("<I", 0) + b"\x00\x00\x00\x00" + bytes([1, len(oid)]) + oid)
+    p = probe_audio(page)
+    assert (p["container"], p["codec"], p["duration_ms"]) == ("ogg", "opus", 1000)
+
+    # junk: the full None schema, no exception
+    p = probe_audio(b"not audio")
+    assert p == {"container": None, "codec": None, "channels": None,
+                 "sample_rate": None, "duration_ms": None}
