@@ -173,27 +173,52 @@ def attach_media_metadata(
     probe_media; no pixel/sample decode, cheap at any scale)."""
     mime = F.col(mime_col) if mime_col else F.lit("application/octet-stream")
     if probe:
-        from pyspark.sql.types import IntegerType, StructField, StructType
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
         probe_schema = StructType(
             [
                 StructField("width", IntegerType(), True),
                 StructField("height", IntegerType(), True),
                 StructField("duration_ms", IntegerType(), True),
+                StructField("codec", StringType(), True),
+                StructField("channels", IntegerType(), True),
+                StructField("sample_rate", IntegerType(), True),
             ]
         )
 
         @F.pandas_udf(probe_schema)
         def _probe(payloads: pd.Series) -> pd.DataFrame:
-            rows = [probe_media(bytes(p) if p is not None else b"") for p in payloads]
+            from ..kernels.media import probe_audio
+
+            rows = []
+            for p in payloads:
+                raw = bytes(p) if p is not None else b""
+                m = probe_media(raw)
+                # audio containers carry codec/channels/rate (round 7);
+                # the unified prober also supplies the exact duration
+                a = probe_audio(raw)
+                rows.append(
+                    {
+                        "width": m["width"],
+                        "height": m["height"],
+                        "duration_ms": a["duration_ms"] or m["duration_ms"],
+                        "codec": a["codec"],
+                        "channels": a["channels"],
+                        "sample_rate": a["sample_rate"],
+                    }
+                )
             return pd.DataFrame(rows)
 
         df = df.withColumn("_probe", _probe(F.col(payload_col)))
         width = F.col("_probe.width")
         height = F.col("_probe.height")
         duration = F.col("_probe.duration_ms")
+        codec = F.col("_probe.codec")
+        channels = F.col("_probe.channels")
+        sample_rate = F.col("_probe.sample_rate")
     else:
-        width = height = duration = F.lit(None).cast("int")
+        width = height = duration = channels = sample_rate = F.lit(None).cast("int")
+        codec = F.lit(None).cast("string")
     df = df.withColumn(
         "media",
         F.struct(
@@ -203,6 +228,9 @@ def attach_media_metadata(
             height.alias("height"),
             duration.alias("duration_ms"),
             F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            codec.alias("codec"),
+            channels.alias("channels"),
+            sample_rate.alias("sample_rate"),
         ),
     )
     return df.drop("_probe") if probe else df

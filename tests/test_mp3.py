@@ -246,3 +246,20 @@ if _HAS_HYP:
         p = probe_mp3(s)
         assert p.n_frames >= 5 - 1  # at most the frame right after junk lost
         assert p.n_frames <= 5 + 1
+
+
+def test_media_struct_audio_fields(spark):
+    """Round-7: the media struct carries codec/channels/sample_rate for
+    audio payloads (None for images and junk — additive schema)."""
+    from datatrove_spark.operators.multimodal import attach_media_metadata
+
+    mp3 = build_stream([(192, 48000)] * 5, id3v2=b"\x00" * 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(mp3), "audio/mpeg"), (2, bytearray(b"junk"), "text/plain")],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = {r.doc_id: r.media for r in attach_media_metadata(df, mime_col="mime").collect()}
+    assert rows[1].codec == "mpeg1-layer3"
+    assert (rows[1].channels, rows[1].sample_rate) == (2, 48000)
+    assert rows[1].duration_ms == int(5 * 1152 / 48000 * 1000)
+    assert rows[2].codec is None and rows[2].channels is None
