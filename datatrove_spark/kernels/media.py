@@ -515,7 +515,7 @@ def probe_audio(payload: bytes) -> dict:
             meta = decode_wav_header(payload)
             out.update(
                 container="wav",
-                codec="pcm",
+                codec=meta.get("codec"),
                 channels=meta.get("n_channels"),
                 sample_rate=meta.get("sample_rate"),
                 duration_ms=meta.get("duration_ms"),
@@ -599,17 +599,27 @@ def _mp3_duration_ms(payload: bytes) -> int | None:
     return int((len(payload) - pos) * 8 / (bitrate * 1000) * 1000)
 
 
+# WAVE format-tag → codec name (the tags decode_wav accepts; extensible
+# resolves through its SubFormat GUID below before this lookup)
+_WAV_CODECS = {1: "pcm", 3: "pcm_float", 6: "g711_alaw", 7: "g711_mulaw"}
+
+
 def decode_wav_header(payload: bytes) -> dict:
     """fmt/data sizes only (no sample materialization)."""
     pos = 12
-    sample_rate, n_channels, bits, data_size = 0, 1, 16, 0
+    audio_format, sample_rate, n_channels, bits, data_size = 1, 0, 1, 16, 0
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if cid == b"fmt ":
-            _af, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
+            audio_format, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8 : pos + 24]
             )
+            if audio_format == 0xFFFE and size >= 26 and pos + 34 <= len(payload):
+                # WAVE_FORMAT_EXTENSIBLE: real tag = SubFormat GUID head
+                (audio_format,) = struct.unpack(
+                    "<H", payload[pos + 32 : pos + 34]
+                )
         elif cid == b"data":
             data_size = size
         pos += 8 + size + (size & 1)
@@ -619,6 +629,7 @@ def decode_wav_header(payload: bytes) -> dict:
         "n_channels": n_channels,
         "bits": bits,
         "duration_ms": int(n_frames * 1000 / max(sample_rate, 1)),
+        "codec": _WAV_CODECS.get(audio_format, f"wav_fmt_{audio_format}"),
     }
 
 

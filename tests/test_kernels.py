@@ -924,6 +924,12 @@ def test_wav_extended_formats_roundtrip():
     assert d["n_samples"] == sr
     assert np.abs(d["samples"] - sig).max() < 1e-3
 
+    # header-only probe resolves the extensible wrapper to the real codec
+    from datatrove_spark.kernels.media import decode_wav_header
+
+    assert decode_wav_header(payload)["codec"] == "pcm"
+    assert decode_wav_header(base)["codec"] == "pcm"
+
 
 def test_probe_media_webp_dimensions():
     """Header-only WebP probes for all three container flavors (public
@@ -1419,6 +1425,11 @@ def test_probe_audio_unified_dispatch():
     p = probe_audio(wav)
     assert (p["container"], p["codec"], p["channels"]) == ("wav", "pcm", 1)
     assert p["duration_ms"] == 1000
+
+    # WAV codec follows the fmt tag, not a hardcoded "pcm"
+    for fmt, codec in [("ulaw", "g711_mulaw"), ("alaw", "g711_alaw"), ("f32", "pcm_float")]:
+        p = probe_audio(encode_wav(np.zeros(8000), 8000, fmt=fmt))
+        assert (p["container"], p["codec"], p["duration_ms"]) == ("wav", codec, 1000), fmt
 
     mp3 = build_stream([(128, 44100)] * 10, id3v2=b"\x00" * 8)
     p = probe_audio(mp3)
