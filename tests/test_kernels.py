@@ -1454,3 +1454,99 @@ def test_probe_audio_unified_dispatch():
     p = probe_audio(b"not audio")
     assert p == {"container": None, "codec": None, "channels": None,
                  "sample_rate": None, "duration_ms": None}
+
+
+# ---- probe fuzz properties (hypothesis) ------------------------------------
+# Web-scale crawls feed these probes truncated, bit-rotted, and adversarial
+# payloads at 10^12-file volume; the probe contract is "fixed schema, never
+# raise".  Three layers: pure garbage, garbage behind every real magic
+# prefix (forces each container branch to parse junk), and single-byte /
+# truncation corruptions of VALID fixtures (the realistic failure mode —
+# a torn range-read or a flipped bit mid-header).
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP_PROBE = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP_PROBE = False
+
+_PROBE_KEYS = {"container", "codec", "channels", "sample_rate", "duration_ms"}
+_MAGICS = [
+    b"",
+    b"RIFF",
+    b"RIFFxxxxWAVE",
+    b"fLaC",
+    b"OggS",
+    b"ID3",
+    b"\xff\xfb",
+    b"\x89PNG\r\n\x1a\n",
+    b"BM",
+    b"\xff\xd8\xff",
+    b"GIF89a",
+    b"RIFFxxxxWEBP",
+]
+
+
+def _valid_fixtures():
+    import struct as _s
+
+    import numpy as np
+
+    from datatrove_spark.kernels.media import encode_png, encode_wav
+    from datatrove_spark.kernels.mp3 import build_stream
+
+    wav = encode_wav(0.1 * np.sin(np.arange(800.0)), 8000, fmt="ulaw")
+    mp3 = build_stream([(128, 44100)] * 4, id3v2=b"\x00" * 8)
+    bits = (8000 << 44) | (0 << 41) | (15 << 36) | 16000
+    info = bytearray(34)
+    info[10:18] = bits.to_bytes(8, "big")
+    flac = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(info)
+    oid = (
+        b"OpusHead" + bytes([1, 2]) + _s.pack("<H", 312) + _s.pack("<I", 48000)
+        + _s.pack("<h", 0) + bytes([0])
+    )
+    ogg = (
+        b"OggS" + b"\x00\x02" + _s.pack("<q", 96000) + _s.pack("<I", 7)
+        + _s.pack("<I", 0) + b"\x00\x00\x00\x00" + bytes([1, len(oid)]) + oid
+    )
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    return [wav, mp3, flac, ogg, png]
+
+
+def _assert_probe_contract(payload):
+    from datatrove_spark.kernels.media import probe_audio, probe_media
+
+    a = probe_audio(payload)
+    assert set(a) == _PROBE_KEYS
+    for k in ("channels", "sample_rate", "duration_ms"):
+        assert a[k] is None or isinstance(a[k], int)
+    assert a["codec"] is None or isinstance(a["codec"], str)
+    m = probe_media(payload)
+    assert set(m) == {"width", "height", "duration_ms"}
+    for v in m.values():
+        assert v is None or isinstance(v, int)
+
+
+if _HAS_HYP_PROBE:
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        magic=st.sampled_from(_MAGICS),
+        junk=st.binary(min_size=0, max_size=200),
+    )
+    def test_probe_fuzz_magic_prefixed_garbage(magic, junk):
+        _assert_probe_contract(magic + junk)
+
+    @settings(max_examples=120, deadline=None)
+    @given(data=st.data())
+    def test_probe_fuzz_corrupted_valid_fixtures(data):
+        fixtures = _valid_fixtures()
+        payload = bytearray(data.draw(st.sampled_from(fixtures)))
+        mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
+        if mode in ("truncate", "both"):
+            payload = payload[: data.draw(st.integers(0, len(payload)))]
+        if mode in ("flip", "both") and payload:
+            i = data.draw(st.integers(0, len(payload) - 1))
+            payload[i] ^= data.draw(st.integers(1, 255))
+        _assert_probe_contract(bytes(payload))
