@@ -553,6 +553,8 @@ def is_junk_tld(host: str) -> bool:
     junk (it simply has no TLD)."""
     if not host:
         return True
+    if ":" in host:  # IPv6 literal: no TLD to judge
+        return False
     labels = host.lower().rstrip(".").split(".")
     tld = labels[-1]
     if tld.isdigit():  # IPv4 literal: no TLD to judge

@@ -1595,7 +1595,8 @@ def test_junk_tld_gate_opt_in():
                  "weird.t", "bad.123abc", "dash-.not--xn"]:
         assert is_junk_tld(host), host
     for host in ["example.com", "xn--bcher-kva.xn--p1ai", "a.co",
-                 "192.168.0.1", "deep.sub.github.io"]:
+                 "192.168.0.1", "deep.sub.github.io",
+                 "::1", "2001:db8::1"]:  # IP literals have no TLD to judge
         assert not is_junk_tld(host), host
 
     gated = UrlFilterConfig(drop_junk_tlds=True)
