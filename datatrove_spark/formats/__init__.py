@@ -1,0 +1,7 @@
+"""Dependency-free file-format codecs used by the table-format layer."""
+
+from datatrove_spark.formats.avro import (  # noqa: F401
+    AvroSchema,
+    read_avro_file,
+    write_avro_file,
+)

@@ -1,0 +1,488 @@
+"""Apache Avro binary encoding + object container files, dependency-free.
+
+Implements the subset of the Avro 1.12 specification
+(https://avro.apache.org/docs/1.12.0/specification/) that the Iceberg
+table-format layer needs — which turns out to be the whole practical core:
+
+* all eight primitive types (``null boolean int long float double bytes
+  string``) with the spec's zig-zag varint integers and little-endian IEEE
+  floats;
+* complex types: ``record``, ``enum``, ``array``, ``map``, ``union``,
+  ``fixed`` — arrays/maps with block encoding (including the negative-count
+  "block size follows" form on read);
+* named-type references (a record defined once may be referenced by name
+  later in the same schema);
+* the object container file format: ``Obj\\x01`` magic, file-metadata map
+  (``avro.schema`` / ``avro.codec``), 16-byte sync marker, data blocks, and
+  the ``null`` + ``deflate`` codecs (deflate = raw DEFLATE, ``zlib`` with
+  ``wbits=-15``).
+
+Values map to plain Python: records are ``dict``, arrays ``list``, maps
+``dict``, bytes/fixed ``bytes``, enums their symbol string, unions the bare
+value (branch resolved by runtime type, with ``None`` → the ``null`` branch).
+
+Logical types and attributes the encoder does not interpret (``field-id``,
+``element-id`` … as used by Iceberg manifest schemas) ride along untouched in
+the schema JSON — Avro's spec requires implementations to preserve unknown
+attributes, which is exactly how Iceberg smuggles its field IDs.
+
+Parity: the writer's output is read back bit-compatibly by the JVM Avro
+library (``avro-1.12.1.jar`` on the Spark classpath) and vice versa — see
+tests/test_avro.py's interop cases.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, BinaryIO, Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_PRIMITIVES = frozenset(
+    ["null", "boolean", "int", "long", "float", "double", "bytes", "string"]
+)
+
+__all__ = ["AvroSchema", "write_avro_file", "read_avro_file", "AvroError"]
+
+
+class AvroError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# schema model
+# ---------------------------------------------------------------------------
+
+
+class AvroSchema:
+    """A parsed Avro schema: wraps the JSON form and resolves named types.
+
+    ``parsed`` is the JSON structure with every named-type *reference*
+    (a bare string like ``"r102"``) left as-is; ``named`` maps fullname →
+    definition dict so the codec can chase references.
+    """
+
+    def __init__(self, schema_json: str | dict | list):
+        if isinstance(schema_json, str) and schema_json.lstrip()[:1] in "[{\"":
+            self.parsed = json.loads(schema_json)
+        else:
+            self.parsed = schema_json
+        self.named: dict[str, Any] = {}
+        self._collect_named(self.parsed, namespace="")
+        # canonical JSON text (what gets written into container metadata)
+        self.json = json.dumps(self.parsed, separators=(",", ":"))
+
+    def _collect_named(self, node: Any, namespace: str) -> None:
+        if isinstance(node, list):
+            for branch in node:
+                self._collect_named(branch, namespace)
+            return
+        if not isinstance(node, dict):
+            return
+        t = node.get("type")
+        if t in ("record", "enum", "fixed"):
+            name = node["name"]
+            ns = node.get("namespace", namespace)
+            full = f"{ns}.{name}" if ns and "." not in name else name
+            self.named[full] = node
+            self.named[name] = node  # short-name lookup (Iceberg uses r102 etc.)
+            if t == "record":
+                for field in node.get("fields", []):
+                    self._collect_named(field["type"], ns)
+        elif t == "array":
+            self._collect_named(node["items"], namespace)
+        elif t == "map":
+            self._collect_named(node["values"], namespace)
+        elif isinstance(t, (dict, list)):
+            self._collect_named(t, namespace)
+
+    def resolve(self, node: Any) -> Any:
+        """Follow named-type references and {'type': primitive} wrappers."""
+        while True:
+            if isinstance(node, str):
+                if node in _PRIMITIVES:
+                    return node
+                if node in self.named:
+                    return self.named[node]
+                raise AvroError(f"unresolved type reference {node!r}")
+            if isinstance(node, dict) and isinstance(node.get("type"), str) and (
+                node["type"] in _PRIMITIVES and not _has_complex_keys(node)
+            ):
+                return node["type"]
+            return node
+
+
+def _has_complex_keys(node: dict) -> bool:
+    # {'type': 'bytes', 'logicalType': 'decimal', ...} is still primitive for
+    # the binary codec; only containers carry structural keys.
+    return any(k in node for k in ("fields", "items", "values", "symbols", "size"))
+
+
+# ---------------------------------------------------------------------------
+# binary encoding (spec §"Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: BinaryIO, value: int) -> None:
+    """Zig-zag varint — spec: int and long share one encoding."""
+    encoded = (value << 1) ^ (value >> 63)
+    while True:
+        byte = encoded & 0x7F
+        encoded >>= 7
+        if encoded:
+            out.write(bytes([byte | 0x80]))
+        else:
+            out.write(bytes([byte]))
+            return
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    accum = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise AvroError("EOF inside varint")
+        byte = b[0]
+        accum |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise AvroError("varint too long")
+    return (accum >> 1) ^ -(accum & 1)
+
+
+def _write_bytes(out: BinaryIO, value: bytes) -> None:
+    _write_long(out, len(value))
+    out.write(value)
+
+
+def _read_nbytes(buf: io.BytesIO, n: int) -> bytes:
+    data = buf.read(n)
+    if len(data) != n:
+        raise AvroError(f"EOF: wanted {n} bytes, got {len(data)}")
+    return data
+
+
+def _union_branch_index(schema: "AvroSchema", branches: list, value: Any) -> int:
+    """Resolve which union branch a Python value belongs to.
+
+    Iceberg only ever uses ``["null", X]`` / ``[X, "null"]`` unions, but the
+    matcher below is general: first exact-kind match wins.
+    """
+    for i, raw in enumerate(branches):
+        node = schema.resolve(raw)
+        if node == "null" and value is None:
+            return i
+    for i, raw in enumerate(branches):
+        node = schema.resolve(raw)
+        if node == "null":
+            continue
+        if value is None:
+            continue
+        if isinstance(node, str):
+            if node == "boolean" and isinstance(value, bool):
+                return i
+            if node in ("int", "long") and isinstance(value, int) and not isinstance(value, bool):
+                return i
+            if node in ("float", "double") and isinstance(value, (int, float)) and not isinstance(value, bool):
+                return i
+            if node == "string" and isinstance(value, str):
+                return i
+            if node == "bytes" and isinstance(value, (bytes, bytearray)):
+                return i
+        else:
+            t = node.get("type")
+            if t == "record" and isinstance(value, dict):
+                return i
+            if t == "array" and isinstance(value, list):
+                return i
+            if t == "map" and isinstance(value, dict):
+                return i
+            if t == "fixed" and isinstance(value, (bytes, bytearray)):
+                return i
+            if t == "enum" and isinstance(value, str):
+                return i
+    raise AvroError(f"no union branch in {branches} matches {type(value).__name__}")
+
+
+def encode_value(schema: AvroSchema, node: Any, value: Any, out: BinaryIO) -> None:
+    node = schema.resolve(node)
+    if isinstance(node, list):  # union
+        idx = _union_branch_index(schema, node, value)
+        _write_long(out, idx)
+        encode_value(schema, node[idx], value, out)
+        return
+    if isinstance(node, str):
+        if node == "null":
+            if value is not None:
+                raise AvroError(f"null schema got {value!r}")
+            return
+        if node == "boolean":
+            out.write(b"\x01" if value else b"\x00")
+            return
+        if node in ("int", "long"):
+            _write_long(out, int(value))
+            return
+        if node == "float":
+            out.write(struct.pack("<f", float(value)))
+            return
+        if node == "double":
+            out.write(struct.pack("<d", float(value)))
+            return
+        if node == "bytes":
+            _write_bytes(out, bytes(value))
+            return
+        if node == "string":
+            _write_bytes(out, value.encode("utf-8"))
+            return
+        raise AvroError(f"unknown primitive {node!r}")
+    t = node["type"]
+    if t == "record":
+        for field in node["fields"]:
+            name = field["name"]
+            if name in value:
+                fval = value[name]
+            elif "default" in field:
+                fval = field["default"]
+            else:
+                raise AvroError(f"record value missing field {name!r}")
+            encode_value(schema, field["type"], fval, out)
+        return
+    if t == "array":
+        if value:
+            _write_long(out, len(value))
+            for item in value:
+                encode_value(schema, node["items"], item, out)
+        _write_long(out, 0)
+        return
+    if t == "map":
+        if value:
+            _write_long(out, len(value))
+            for k, v in value.items():
+                _write_bytes(out, k.encode("utf-8"))
+                encode_value(schema, node["values"], v, out)
+        _write_long(out, 0)
+        return
+    if t == "fixed":
+        data = bytes(value)
+        if len(data) != node["size"]:
+            raise AvroError(f"fixed {node['name']} wants {node['size']} bytes, got {len(data)}")
+        out.write(data)
+        return
+    if t == "enum":
+        symbols = node["symbols"]
+        try:
+            _write_long(out, symbols.index(value))
+        except ValueError:
+            raise AvroError(f"{value!r} not in enum {node.get('name')}") from None
+        return
+    raise AvroError(f"unsupported schema node {node!r}")
+
+
+def decode_value(schema: AvroSchema, node: Any, buf: io.BytesIO) -> Any:
+    node = schema.resolve(node)
+    if isinstance(node, list):  # union
+        idx = _read_long(buf)
+        if not 0 <= idx < len(node):
+            raise AvroError(f"union index {idx} out of range")
+        return decode_value(schema, node[idx], buf)
+    if isinstance(node, str):
+        if node == "null":
+            return None
+        if node == "boolean":
+            return _read_nbytes(buf, 1) != b"\x00"
+        if node in ("int", "long"):
+            return _read_long(buf)
+        if node == "float":
+            return struct.unpack("<f", _read_nbytes(buf, 4))[0]
+        if node == "double":
+            return struct.unpack("<d", _read_nbytes(buf, 8))[0]
+        if node == "bytes":
+            return _read_nbytes(buf, _read_long(buf))
+        if node == "string":
+            return _read_nbytes(buf, _read_long(buf)).decode("utf-8")
+        raise AvroError(f"unknown primitive {node!r}")
+    t = node["type"]
+    if t == "record":
+        return {
+            field["name"]: decode_value(schema, field["type"], buf)
+            for field in node["fields"]
+        }
+    if t == "array":
+        items = []
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                return items
+            if count < 0:  # negative count: block byte-size follows (skippable form)
+                count = -count
+                _read_long(buf)
+            for _ in range(count):
+                items.append(decode_value(schema, node["items"], buf))
+    if t == "map":
+        result: dict[str, Any] = {}
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                return result
+            if count < 0:
+                count = -count
+                _read_long(buf)
+            for _ in range(count):
+                key = _read_nbytes(buf, _read_long(buf)).decode("utf-8")
+                result[key] = decode_value(schema, node["values"], buf)
+    if t == "fixed":
+        return _read_nbytes(buf, node["size"])
+    if t == "enum":
+        idx = _read_long(buf)
+        symbols = node["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise AvroError(f"enum index {idx} out of range")
+        return symbols[idx]
+    raise AvroError(f"unsupported schema node {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# object container files (spec §"Object Container Files")
+# ---------------------------------------------------------------------------
+
+
+def _derive_sync(schema_json: str, metadata: dict[str, bytes]) -> bytes:
+    """Deterministic 16-byte sync marker.
+
+    The spec only requires the marker be 16 "randomly-generated" bytes that
+    delimit blocks; deriving it from the header content keeps byte-identical
+    reruns (the repo's reproducibility discipline) while staying unique per
+    logical file.
+    """
+    import hashlib
+
+    h = hashlib.sha256(schema_json.encode("utf-8"))
+    for k in sorted(metadata):
+        h.update(k.encode("utf-8"))
+        h.update(metadata[k])
+    return h.digest()[:SYNC_SIZE]
+
+
+def write_avro_file(
+    path: str,
+    schema: AvroSchema | str | dict,
+    records: Iterable[dict],
+    metadata: dict[str, str | bytes] | None = None,
+    codec: str = "deflate",
+    records_per_block: int = 1024,
+) -> int:
+    """Write an Avro object container file; returns bytes written."""
+    if not isinstance(schema, AvroSchema):
+        schema = AvroSchema(schema)
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r}")
+    meta: dict[str, bytes] = {}
+    for k, v in (metadata or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode("utf-8")
+    meta["avro.schema"] = schema.json.encode("utf-8")
+    meta["avro.codec"] = codec.encode("utf-8")
+    sync = _derive_sync(schema.json, meta)
+
+    out = io.BytesIO()
+    out.write(MAGIC)
+    _write_long(out, len(meta))
+    for k in meta:  # insertion order: schema/codec last is fine, order is free
+        _write_bytes(out, k.encode("utf-8"))
+        _write_bytes(out, meta[k])
+    _write_long(out, 0)
+    out.write(sync)
+
+    block: list[dict] = []
+
+    def flush() -> None:
+        if not block:
+            return
+        body = io.BytesIO()
+        for rec in block:
+            encode_value(schema, schema.parsed, rec, body)
+        payload = body.getvalue()
+        if codec == "deflate":
+            comp = zlib.compressobj(level=6, wbits=-15)
+            payload = comp.compress(payload) + comp.flush()
+        _write_long(out, len(block))
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+        block.clear()
+
+    for rec in records:
+        block.append(rec)
+        if len(block) >= records_per_block:
+            flush()
+    flush()
+
+    data = out.getvalue()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    import os
+
+    os.replace(tmp, path)
+    return len(data)
+
+
+def read_avro_header(raw: bytes) -> tuple[AvroSchema, dict[str, bytes], str, bytes, int]:
+    """Parse a container header; returns (schema, metadata, codec, sync, offset)."""
+    if raw[:4] != MAGIC:
+        raise AvroError("not an Avro object container file")
+    buf = io.BytesIO(raw)
+    buf.seek(4)
+    meta: dict[str, bytes] = {}
+    while True:
+        count = _read_long(buf)
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            _read_long(buf)
+        for _ in range(count):
+            key = _read_nbytes(buf, _read_long(buf)).decode("utf-8")
+            meta[key] = _read_nbytes(buf, _read_long(buf))
+    sync = _read_nbytes(buf, SYNC_SIZE)
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    schema = AvroSchema(meta["avro.schema"].decode("utf-8"))
+    return schema, meta, codec, sync, buf.tell()
+
+
+def read_avro_file(path: str) -> tuple[list[dict], dict[str, bytes]]:
+    """Read every record of an Avro object container file.
+
+    Returns (records, file_metadata).  Manifest files are small (metadata of
+    the table, not data), so whole-file reads are the right granularity.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    schema, meta, codec, sync, offset = read_avro_header(raw)
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r}")
+    buf = io.BytesIO(raw)
+    buf.seek(offset)
+    records: list[dict] = []
+    while buf.tell() < len(raw):
+        count = _read_long(buf)
+        size = _read_long(buf)
+        payload = _read_nbytes(buf, size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        block = io.BytesIO(payload)
+        for _ in range(count):
+            records.append(decode_value(schema, schema.parsed, block))
+        if _read_nbytes(buf, SYNC_SIZE) != sync:
+            raise AvroError("sync marker mismatch (torn block)")
+    return records, meta
+
+
+def iter_avro_file(path: str) -> Iterator[dict]:
+    records, _ = read_avro_file(path)
+    yield from records

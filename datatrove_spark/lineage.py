@@ -167,6 +167,130 @@ def run_checkpointed(
     return summary
 
 
+def run_checkpointed_iceberg(
+    spark: SparkSession,
+    source_df: DataFrame,
+    transform,
+    cfg: LineageConfig,
+) -> dict:
+    """``run_checkpointed`` with the commit log replaced by a real Iceberg
+    table (north rule: "writes per-partition lineage + filter-removal metrics
+    to Iceberg so any failed run resumes from the last committed snapshot
+    checkpoint").
+
+    ``cfg.out_dir`` IS the table location.  Each bucket batch commits as ONE
+    ``append`` snapshot whose summary carries the batch's bucket ids and
+    per-bucket metrics; a restarted run reads the snapshot log and skips
+    committed buckets.  Because data files only become visible at the
+    metadata version swap, plain appends are crash-idempotent — the
+    dynamic-partition-overwrite machinery the bare-parquet runner needs is
+    unnecessary here (a crashed batch's files are orphans no snapshot
+    references, and maintenance GC may reap them).
+
+    The table is partitioned by (bucket, keep), so downstream "kept corpus"
+    reads prune at the manifest level before Spark lists a single file.
+    """
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    done = committed_iceberg_buckets(cfg.out_dir)
+    todo = [b for b in range(cfg.n_buckets) if b not in done]
+    src = with_bucket(source_df, cfg)
+    if cfg.stage_source and todo:
+        staged_dir = os.path.join(cfg.out_dir, "_staged_source")
+        if not os.path.exists(staged_dir):
+            src.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged_dir)
+        src = spark.read.parquet(staged_dir)
+    summary = {"committed_before": len(done), "batches": 0, "rows_in": 0, "rows_kept": 0}
+    table: IcebergTable | None = (
+        IcebergTable.load(cfg.out_dir) if IcebergTable.exists(cfg.out_dir) else None
+    )
+
+    for i in range(0, len(todo), cfg.buckets_per_commit):
+        batch = todo[i : i + cfg.buckets_per_commit]
+        t0 = time.time()
+        part = src.filter(F.col(BUCKET_COL).isin(batch))
+        out = transform(part)
+        out.persist()
+        try:
+            if table is None:
+                table = IcebergTable.create(
+                    cfg.out_dir, out.schema, partition_by=[BUCKET_COL, "keep"]
+                )
+            metrics_rows = (
+                out.groupBy(BUCKET_COL, "drop_reason").agg(F.count("*").alias("n")).collect()
+            )
+            per_bucket: dict[int, dict] = {
+                b: {"n_in": 0, "n_kept": 0, "drop_reasons": {}} for b in batch
+            }
+            for r in metrics_rows:
+                m = per_bucket[r[BUCKET_COL]]
+                m["n_in"] += r["n"]
+                if r["drop_reason"] is None:
+                    m["n_kept"] += r["n"]
+                else:
+                    m["drop_reasons"][r["drop_reason"]] = r["n"]
+            table.append(
+                spark,
+                out,
+                summary={
+                    "lineage-buckets": json.dumps(batch),
+                    "lineage-metrics": json.dumps(
+                        {str(b): per_bucket[b] for b in batch}, sort_keys=True
+                    ),
+                    "lineage-wall-ms": int((time.time() - t0) * 1000),
+                },
+            )
+        finally:
+            out.unpersist()
+        summary["batches"] += 1
+        summary["rows_in"] += sum(m["n_in"] for m in per_bucket.values())
+        summary["rows_kept"] += sum(m["n_kept"] for m in per_bucket.values())
+    return summary
+
+
+def committed_iceberg_buckets(location: str) -> set[int]:
+    """Buckets already committed to the Iceberg-backed checkpoint table."""
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    if not IcebergTable.exists(location):
+        return set()
+    done: set[int] = set()
+    for snap in IcebergTable.load(location).snapshots():
+        buckets = snap["summary"].get("lineage-buckets")
+        if buckets:
+            done.update(json.loads(buckets))
+    return done
+
+
+def iceberg_lineage_table(spark: SparkSession, location: str) -> DataFrame:
+    """Per-bucket lineage from Iceberg snapshot summaries — same shape as
+    ``lineage_table`` so monitoring queries work on either backend."""
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    rows = []
+    if IcebergTable.exists(location):
+        for snap in IcebergTable.load(location).snapshots():
+            metrics = snap["summary"].get("lineage-metrics")
+            if not metrics:
+                continue
+            wall_ms = int(snap["summary"].get("lineage-wall-ms", 0))
+            ts = snap["timestamp-ms"] / 1000.0
+            for b, m in json.loads(metrics).items():
+                rows.append(
+                    (
+                        int(b),
+                        m["n_in"],
+                        m["n_kept"],
+                        json.dumps(m["drop_reasons"], sort_keys=True),
+                        wall_ms,
+                        ts,
+                    )
+                )
+    return spark.createDataFrame(
+        rows, "bucket int, n_in long, n_kept long, drop_reasons string, wall_ms long, commit_ts double"
+    )
+
+
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """The commit log as a DataFrame: (bucket, n_in, n_kept, drop_reasons,
     wall_ms, commit_ts) — per-partition lineage for auditing/monitoring."""

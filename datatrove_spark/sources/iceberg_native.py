@@ -1,0 +1,1088 @@
+"""A from-spec Apache Iceberg v2 table format implementation, dependency-free.
+
+The north rule pins the corpus to "Iceberg tables of source-code repositories"
+with runs that "resume from the last committed snapshot checkpoint".  This
+container ships no Iceberg runtime jars, so — same discipline as the repo's
+FLAC/JPEG/WebP codecs — the table format itself is implemented from the public
+specification (https://iceberg.apache.org/spec/, format-version 2):
+
+* table metadata as ``metadata/vN.metadata.json`` + ``version-hint.text``
+  (the HadoopTables file-system catalog convention: a commit is an atomic
+  create of the next ``vN`` followed by a version-hint swap);
+* snapshots with sequence numbers, operation summaries, and a snapshot log;
+* manifest lists and manifests as Avro object-container files using the
+  spec's exact record shapes and field IDs (``manifest_file`` fields
+  500-519, ``manifest_entry``/``data_file`` fields 0-4 / 100-142), written
+  with :mod:`datatrove_spark.formats.avro`;
+* identity-transform partition specs; manifest partition summaries drive
+  partition pruning *before* Spark ever sees a file path.
+
+Data files are standard Spark-written parquet.  The write path stages a
+normal ``df.write.partitionBy(...)`` then publishes files into the table's
+hive-layout ``data/`` directory under commit-unique names; the read path
+hands the manifests' surviving file list to ONE ``spark.read.parquet`` scan
+(``basePath`` recovers partition columns), so scans keep the JVM vectorized
+parquet reader, predicate pushdown, and whole-stage codegen — an Iceberg
+*metadata* layer over a native Spark *data* path.  On an object store the
+publish-by-rename step would be replaced by a direct fanout writer (Iceberg
+itself names files into place and relies on metadata for visibility); the
+commit protocol is unchanged.
+
+Crash model (what the checkpointed runner relies on): data files become
+visible only when the metadata version-hint swap lands, so a crash anywhere
+before that leaves orphan files that no snapshot references — a resumed run
+simply re-processes the batch and commits fresh files.  Blind re-appends can
+never double-count, which is precisely the property ``lineage.py`` had to
+build dynamic-partition-overwrite machinery to get on bare parquet.
+
+Deliberately out of scope (documented, loud): non-identity partition
+transforms (bucket/truncate/year/...), position/equality delete files
+(content=1/2), sort orders beyond the unsorted default, and the REST/Hive
+catalogs — the file-system catalog is the one that works against a plain
+path.  Column-level stats in manifests are populated for lower/upper bounds
+of partition columns only; per-column metrics ride the parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datatrove_spark.formats.avro import AvroSchema, read_avro_file, write_avro_file
+
+__all__ = ["IcebergTable", "IcebergError", "CommitConflict"]
+
+
+class IcebergError(RuntimeError):
+    pass
+
+
+class CommitConflict(IcebergError):
+    """Another writer committed the same version first (optimistic locking)."""
+
+
+# ---------------------------------------------------------------------------
+# type mapping (spec §Schemas: primitive types)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.BooleanType: "boolean",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+}
+
+_ICEBERG_TO_SPARK = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "boolean": T.BooleanType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+
+def _iceberg_type(dt: T.DataType, next_id: list[int]) -> Any:
+    """Spark type → Iceberg schema type, assigning fresh field IDs depth-first
+    (the spec requires every nested field/element/key/value to carry an id)."""
+    for spark_t, ice in _SPARK_TO_ICEBERG.items():
+        if isinstance(dt, spark_t):
+            return ice
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, next_id),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise IcebergError(f"unsupported Spark type for Iceberg schema: {dt}")
+
+
+def schema_from_spark(schema: T.StructType) -> dict:
+    """Build the Iceberg schema JSON (schema-id 0) from a Spark StructType.
+
+    Top-level fields get ids 1..N first (matching how Iceberg's own
+    ``AssignFreshIds`` numbers a fresh table), then nested ids follow.
+    """
+    fields = []
+    next_id = [len(schema.fields) + 1]
+    for i, f in enumerate(schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, next_id),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+        "last-column-id": next_id[0] - 1,
+    }
+
+
+def spark_type_of(ice_type: Any) -> T.DataType:
+    if isinstance(ice_type, str):
+        if ice_type in _ICEBERG_TO_SPARK:
+            return _ICEBERG_TO_SPARK[ice_type]
+        if ice_type.startswith("decimal"):
+            prec, scale = ice_type[8:-1].split(",")
+            return T.DecimalType(int(prec), int(scale))
+        raise IcebergError(f"unsupported Iceberg type {ice_type!r}")
+    t = ice_type["type"]
+    if t == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], spark_type_of(f["type"]), not f["required"])
+                for f in ice_type["fields"]
+            ]
+        )
+    if t == "list":
+        return T.ArrayType(spark_type_of(ice_type["element"]), not ice_type["element-required"])
+    if t == "map":
+        return T.MapType(
+            spark_type_of(ice_type["key"]),
+            spark_type_of(ice_type["value"]),
+            not ice_type["value-required"],
+        )
+    raise IcebergError(f"unsupported Iceberg type {ice_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# manifest Avro schemas (spec §Manifests / §Manifest Lists — exact field IDs)
+# ---------------------------------------------------------------------------
+
+
+def _partition_struct_schema(spec_fields: list[dict], table_schema: dict) -> dict:
+    """The r102 partition struct: one field per partition-spec field, Avro
+    type derived from the (identity-transform) source column, nullable."""
+    by_id = {f["id"]: f for f in table_schema["fields"]}
+    avro_fields = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        avro_fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _avro_primitive(src["type"])],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": avro_fields}
+
+
+def _avro_primitive(ice_type: str) -> str:
+    mapping = {
+        "string": "string",
+        "long": "long",
+        "int": "int",
+        "boolean": "boolean",
+        "float": "float",
+        "double": "double",
+        "binary": "bytes",
+        "date": "int",
+        "timestamp": "long",
+        "timestamptz": "long",
+    }
+    if ice_type not in mapping:
+        raise IcebergError(f"identity partition on unsupported type {ice_type!r}")
+    return mapping[ice_type]
+
+
+def manifest_entry_schema(partition_schema: dict) -> dict:
+    """``manifest_entry`` with nested ``data_file`` (r2), v2 field IDs."""
+
+    def kv_map(name: str, kid: int, vid: int, vtype: str) -> dict:
+        return {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": kid},
+                    {"name": "value", "type": vtype, "field-id": vid},
+                ],
+            },
+            "logicalType": "map",
+        }
+
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "column_sizes",
+                "type": ["null", kv_map("k117_v118", 117, 118, "long")],
+                "default": None,
+                "field-id": 108,
+            },
+            {
+                "name": "value_counts",
+                "type": ["null", kv_map("k119_v120", 119, 120, "long")],
+                "default": None,
+                "field-id": 109,
+            },
+            {
+                "name": "null_value_counts",
+                "type": ["null", kv_map("k121_v122", 121, 122, "long")],
+                "default": None,
+                "field-id": 110,
+            },
+            {
+                "name": "lower_bounds",
+                "type": ["null", kv_map("k126_v127", 126, 127, "bytes")],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", kv_map("k129_v130", 129, 130, "bytes")],
+                "default": None,
+                "field-id": 128,
+            },
+            {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 131},
+            {
+                "name": "split_offsets",
+                "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
+                "default": None,
+                "field-id": 132,
+            },
+            {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                    "element-id": 508,
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+        {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 519},
+    ],
+}
+
+# entry status codes (spec §Manifests)
+EXISTING, ADDED, DELETED = 0, 1, 2
+
+
+def _bound_bytes(value: Any, ice_type: str) -> bytes | None:
+    """Single-value serialization for bounds (spec Appendix D): little-endian
+    ints/longs/floats, UTF-8 strings."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type == "int":
+        return _struct.pack("<i", int(value))
+    if ice_type == "long":
+        return _struct.pack("<q", int(value))
+    if ice_type == "float":
+        return _struct.pack("<f", float(value))
+    if ice_type == "double":
+        return _struct.pack("<d", float(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# the table
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PendingCommit:
+    operation: str
+    added_files: list[dict]
+    carried_manifests: list[dict]
+    summary_extra: dict[str, str] = field(default_factory=dict)
+
+
+class IcebergTable:
+    """An Iceberg v2 table rooted at a filesystem path.
+
+    >>> t = IcebergTable.create(location, df.schema, partition_by=["bucket"])
+    >>> t.append(spark, df)                      # one snapshot
+    >>> t.read(spark).groupBy(...)               # current snapshot
+    >>> t.read(spark, snapshot_id=first)         # time travel
+    >>> t.overwrite_partitions(spark, df2)       # replace touched partitions
+    """
+
+    def __init__(self, location: str, metadata: dict, version: int = 0):
+        self.location = location.rstrip("/")
+        self.metadata = metadata
+        # the metadata version this instance is based on — commits target
+        # version+1 exclusively, so a writer whose view is stale (someone
+        # else committed since load) fails with CommitConflict instead of
+        # silently dropping the other writer's snapshot
+        self._version = version
+
+    # -- catalog (HadoopTables layout) --------------------------------------
+
+    @staticmethod
+    def _metadata_dir(location: str) -> str:
+        return os.path.join(location, "metadata")
+
+    @classmethod
+    def exists(cls, location: str) -> bool:
+        return os.path.exists(os.path.join(cls._metadata_dir(location), "version-hint.text"))
+
+    @classmethod
+    def load(cls, location: str) -> "IcebergTable":
+        mdir = cls._metadata_dir(location)
+        hint_path = os.path.join(mdir, "version-hint.text")
+        try:
+            with open(hint_path) as f:
+                version = int(f.read().strip())
+        except FileNotFoundError:
+            raise IcebergError(f"no Iceberg table at {location!r} (no version-hint.text)") from None
+        with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+            return cls(location, json.load(f), version=version)
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        schema: T.StructType,
+        partition_by: Iterable[str] = (),
+        properties: dict[str, str] | None = None,
+    ) -> "IcebergTable":
+        if cls.exists(location):
+            raise IcebergError(f"table already exists at {location!r}")
+        ice_schema = schema_from_spark(schema)
+        last_column_id = ice_schema.pop("last-column-id")
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        spec_fields = []
+        partition_by = list(partition_by)
+        for i, col in enumerate(partition_by):
+            if col not in by_name:
+                raise IcebergError(f"partition column {col!r} not in schema")
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        now_ms = int(time.time() * 1000)
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid_mod.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_column_id,
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": dict(properties or {}),
+            "current-snapshot-id": -1,
+            "refs": {},
+            "snapshots": [],
+            "statistics": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        table = cls(location, metadata, version=0)
+        table._write_metadata(version=1)
+        table._version = 1
+        return table
+
+    # -- metadata accessors ---------------------------------------------------
+
+    @property
+    def schema(self) -> dict:
+        sid = self.metadata["current-schema-id"]
+        return next(s for s in self.metadata["schemas"] if s["schema-id"] == sid)
+
+    @property
+    def spark_schema(self) -> T.StructType:
+        return spark_type_of(self.schema)  # struct → StructType
+
+    @property
+    def partition_spec(self) -> dict:
+        sid = self.metadata["default-spec-id"]
+        return next(s for s in self.metadata["partition-specs"] if s["spec-id"] == sid)
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return [f["name"] for f in self.partition_spec["fields"]]
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata["snapshots"])
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.metadata["current-snapshot-id"]
+        if sid is None or sid == -1:
+            return None
+        return self._snapshot(sid)
+
+    def _snapshot(self, snapshot_id: int) -> dict:
+        for s in self.metadata["snapshots"]:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise IcebergError(f"unknown snapshot {snapshot_id}")
+
+    def history(self) -> list[dict]:
+        return list(self.metadata["snapshot-log"])
+
+    # -- write path -----------------------------------------------------------
+
+    def append(self, spark: SparkSession, df: DataFrame, summary: dict | None = None) -> int:
+        """Commit one append snapshot; returns its snapshot id."""
+        return self._commit_data(spark, df, operation="append", summary=summary)
+
+    def overwrite(self, spark: SparkSession, df: DataFrame, summary: dict | None = None) -> int:
+        """Replace the WHOLE table contents in one snapshot."""
+        return self._commit_data(spark, df, operation="overwrite", summary=summary, replace_all=True)
+
+    def overwrite_partitions(
+        self, spark: SparkSession, df: DataFrame, summary: dict | None = None
+    ) -> int:
+        """Dynamic partition overwrite: partitions present in ``df`` are
+        replaced; untouched partitions survive (Iceberg's ReplacePartitions)."""
+        if not self.partition_columns:
+            raise IcebergError("overwrite_partitions on an unpartitioned table; use overwrite()")
+        return self._commit_data(
+            spark, df, operation="overwrite", summary=summary, replace_touched=True
+        )
+
+    def _commit_data(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        operation: str,
+        summary: dict | None,
+        replace_all: bool = False,
+        replace_touched: bool = False,
+    ) -> int:
+        table_cols = [f["name"] for f in self.schema["fields"]]
+        missing = [c for c in table_cols if c not in df.columns]
+        if missing:
+            raise IcebergError(f"dataframe missing table columns {missing}")
+        df = df.select(*table_cols)
+
+        commit_uuid = str(uuid_mod.uuid4())
+        added = self._publish_data_files(df, commit_uuid)
+
+        if replace_all:
+            carried, removed = [], self._live_manifests()
+        elif replace_touched:
+            touched = {self._partition_key(f["partition"]) for f in added}
+            carried, removed = self._carry_filtering(touched)
+        else:
+            carried, removed = self._live_manifests(), []
+
+        return self._commit_snapshot(
+            operation=operation,
+            added_files=added,
+            carried_manifests=carried,
+            removed_manifests=removed,
+            commit_uuid=commit_uuid,
+            summary_extra={k: str(v) for k, v in (summary or {}).items()},
+        )
+
+    def _publish_data_files(self, df: DataFrame, commit_uuid: str) -> list[dict]:
+        """Write parquet via Spark into a staging dir, then publish each file
+        into the hive-layout ``data/`` dir under a commit-unique name.
+
+        Local-FS publish is an ``os.rename`` per file.  An object-store
+        deployment writes files into place directly (Iceberg's own fanout
+        writer) — visibility is metadata-gated either way, so the protocol
+        does not depend on rename atomicity, only the metadata swap does.
+        """
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.location, "_staging", commit_uuid)
+        writer = df.write.mode("overwrite")
+        part_cols = self.partition_columns
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
+
+        spec_fields = self.partition_spec["fields"]
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        col_types = {pf["name"]: by_id[pf["source-id"]]["type"] for pf in spec_fields}
+
+        published: list[dict] = []
+        data_root = os.path.join(self.location, "data")
+        for dirpath, _dirnames, filenames in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            kv_segments = [s for s in rel.split(os.sep) if "=" in s]
+            partition = _parse_partition(kv_segments, col_types)
+            for fname in sorted(filenames):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fname)
+                dst_dir = os.path.join(data_root, *kv_segments) if kv_segments else data_root
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, f"{commit_uuid[:8]}-{fname}")
+                os.replace(src, dst)
+                meta = pq.ParquetFile(dst).metadata
+                published.append(
+                    {
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                    }
+                )
+        _rmtree_quiet(staging)
+        _rmtree_quiet(os.path.join(self.location, "_staging"), only_if_empty=True)
+        return published
+
+    def _partition_key(self, partition: dict) -> tuple:
+        return tuple(partition.get(c) for c in self.partition_columns)
+
+    def _live_manifests(self) -> list[dict]:
+        snap = self.current_snapshot()
+        if snap is None:
+            return []
+        records, _ = read_avro_file(snap["manifest-list"])
+        return records
+
+    def _carry_filtering(self, touched: set[tuple]) -> tuple[list[dict], list[dict]]:
+        """Split live manifests into carried-verbatim vs needs-rewrite for a
+        dynamic partition overwrite; rewrites drop entries in touched
+        partitions (recorded as DELETED so counts stay truthful)."""
+        carried: list[dict] = []
+        removed: list[dict] = []
+        for mf in self._live_manifests():
+            entries, meta = read_avro_file(mf["manifest_path"])
+            live = [e for e in entries if e["status"] != DELETED]
+            hit = [e for e in live if self._partition_key(e["data_file"]["partition"]) in touched]
+            if not hit:
+                carried.append(mf)
+            else:
+                keep = [e for e in live if self._partition_key(e["data_file"]["partition"]) not in touched]
+                removed.append({"manifest": mf, "kept_entries": keep, "deleted_entries": hit})
+        return carried, removed
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        added_files: list[dict],
+        carried_manifests: list[dict],
+        removed_manifests: list[dict],
+        commit_uuid: str,
+        summary_extra: dict[str, str],
+    ) -> int:
+        md = self.metadata
+        seq = md["last-sequence-number"] + 1
+        snapshot_id = _new_snapshot_id()
+        parent = md["current-snapshot-id"]
+        mdir = self._metadata_dir(self.location)
+        os.makedirs(mdir, exist_ok=True)
+
+        part_schema = _partition_struct_schema(self.partition_spec["fields"], self.schema)
+        entry_schema = manifest_entry_schema(part_schema)
+        manifest_meta = {
+            "schema": json.dumps({k: v for k, v in self.schema.items()}),
+            "partition-spec": json.dumps(self.partition_spec["fields"]),
+            "partition-spec-id": str(self.partition_spec["spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        }
+
+        manifest_files: list[dict] = []
+
+        def write_manifest(entries: list[dict], tag: str) -> dict:
+            path = os.path.join(mdir, f"{commit_uuid}-m{tag}.avro")
+            length = write_avro_file(path, entry_schema, entries, metadata=manifest_meta)
+            n_added = sum(1 for e in entries if e["status"] == ADDED)
+            n_existing = sum(1 for e in entries if e["status"] == EXISTING)
+            n_deleted = sum(1 for e in entries if e["status"] == DELETED)
+            rows = lambda st: sum(  # noqa: E731
+                e["data_file"]["record_count"] for e in entries if e["status"] == st
+            )
+            seqs = [e["sequence_number"] for e in entries if e["sequence_number"] is not None]
+            return {
+                "manifest_path": path,
+                "manifest_length": length,
+                "partition_spec_id": self.partition_spec["spec-id"],
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(seqs, default=seq),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": n_added,
+                "existing_files_count": n_existing,
+                "deleted_files_count": n_deleted,
+                "added_rows_count": rows(ADDED),
+                "existing_rows_count": rows(EXISTING),
+                "deleted_rows_count": rows(DELETED),
+                "partitions": self._partition_summaries(entries),
+                "key_metadata": None,
+            }
+
+        if added_files:
+            new_entries = [
+                {
+                    "status": ADDED,
+                    "snapshot_id": snapshot_id,
+                    # explicit sequence numbers (the spec's null-inheritance is
+                    # a writer optimization; explicit values decode identically)
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f["file_path"],
+                        "file_format": f["file_format"],
+                        "partition": f["partition"],
+                        "record_count": f["record_count"],
+                        "file_size_in_bytes": f["file_size_in_bytes"],
+                        "column_sizes": None,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "key_metadata": None,
+                        "split_offsets": None,
+                        "sort_order_id": 0,
+                    },
+                }
+                for f in added_files
+            ]
+            manifest_files.append(write_manifest(new_entries, tag="0"))
+
+        for i, rm in enumerate(removed_manifests, start=1):
+            entries = [
+                {**e, "status": EXISTING}
+                for e in rm.get("kept_entries", [])
+            ] + [
+                {**e, "status": DELETED}
+                for e in rm.get("deleted_entries", rm.get("all_entries", []))
+            ]
+            if entries:
+                manifest_files.append(write_manifest(entries, tag=str(i)))
+
+        manifest_files.extend(carried_manifests)
+
+        list_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+        write_avro_file(
+            list_path,
+            MANIFEST_LIST_SCHEMA,
+            manifest_files,
+            metadata={
+                "snapshot-id": str(snapshot_id),
+                "parent-snapshot-id": str(parent) if parent not in (None, -1) else "null",
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+
+        added_rows = sum(f["record_count"] for f in added_files)
+        added_size = sum(f["file_size_in_bytes"] for f in added_files)
+        prev_totals = {"total-records": 0, "total-data-files": 0}
+        cur = self.current_snapshot()
+        if cur is not None:
+            prev_totals["total-records"] = int(cur["summary"].get("total-records", 0))
+            prev_totals["total-data-files"] = int(cur["summary"].get("total-data-files", 0))
+        deleted_rows = sum(
+            e["data_file"]["record_count"]
+            for rm in removed_manifests
+            for e in rm.get("deleted_entries", [])
+        )
+        deleted_files = sum(len(rm.get("deleted_entries", [])) for rm in removed_manifests)
+        total_records = (
+            added_rows
+            if not carried_manifests and not removed_manifests
+            else prev_totals["total-records"] + added_rows - deleted_rows
+        )
+        total_files = (
+            len(added_files)
+            if not carried_manifests and not removed_manifests
+            else prev_totals["total-data-files"] + len(added_files) - deleted_files
+        )
+        now_ms = int(time.time() * 1000)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            **({"parent-snapshot-id": parent} if parent not in (None, -1) else {}),
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "schema-id": self.metadata["current-schema-id"],
+            "summary": {
+                "operation": operation,
+                "added-data-files": str(len(added_files)),
+                "added-records": str(added_rows),
+                "added-files-size": str(added_size),
+                "deleted-data-files": str(deleted_files),
+                "deleted-records": str(deleted_rows),
+                "total-records": str(total_records),
+                "total-data-files": str(total_files),
+                **summary_extra,
+            },
+        }
+
+        new_md = json.loads(json.dumps(md))  # deep copy
+        new_md["last-sequence-number"] = seq
+        new_md["last-updated-ms"] = now_ms
+        new_md["current-snapshot-id"] = snapshot_id
+        new_md["snapshots"].append(snapshot)
+        new_md["snapshot-log"].append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+        new_md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        self.metadata = new_md
+        self._write_metadata(version=self._version + 1)
+        self._version += 1
+        return snapshot_id
+
+    def _partition_summaries(self, entries: list[dict]) -> list[dict] | None:
+        spec_fields = self.partition_spec["fields"]
+        if not spec_fields:
+            return None
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        summaries = []
+        live = [e for e in entries if e["status"] != DELETED]
+        for pf in spec_fields:
+            ice_type = by_id[pf["source-id"]]["type"]
+            values = [e["data_file"]["partition"].get(pf["name"]) for e in live]
+            non_null = [v for v in values if v is not None]
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in values),
+                    "contains_nan": False,
+                    "lower_bound": _bound_bytes(min(non_null), ice_type) if non_null else None,
+                    "upper_bound": _bound_bytes(max(non_null), ice_type) if non_null else None,
+                }
+            )
+        return summaries
+
+    def _current_version(self) -> int:
+        hint = os.path.join(self._metadata_dir(self.location), "version-hint.text")
+        if not os.path.exists(hint):
+            return 0
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def _write_metadata(self, version: int) -> None:
+        """The HadoopTables commit: create ``vN.metadata.json`` exclusively
+        (optimistic concurrency — EEXIST means another writer won), then swap
+        ``version-hint.text`` atomically."""
+        mdir = self._metadata_dir(self.location)
+        os.makedirs(mdir, exist_ok=True)
+        path = os.path.join(mdir, f"v{version}.metadata.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} already committed at {self.location!r}"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.metadata, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        self.metadata.setdefault("metadata-log", []).append(
+            {"timestamp-ms": self.metadata["last-updated-ms"], "metadata-file": path}
+        )
+        hint = os.path.join(mdir, "version-hint.text")
+        tmp = hint + f".tmp-{version}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint)
+
+    # -- read path --------------------------------------------------------------
+
+    def data_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: Callable[[dict], bool] | dict | None = None,
+    ) -> list[dict]:
+        """Live data files of a snapshot, optionally partition-pruned.
+
+        Pruning happens at TWO metadata levels before any data IO: manifest
+        partition summaries skip whole manifests, then per-entry partition
+        values skip files — the Iceberg scan-planning model.
+        """
+        snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        pred = _as_predicate(partition_filter)
+        manifest_files, _ = read_avro_file(snap["manifest-list"])
+        out: list[dict] = []
+        for mf in manifest_files:
+            if pred is not None and not self._manifest_may_match(mf, partition_filter):
+                continue
+            entries, _ = read_avro_file(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == DELETED:
+                    continue
+                if pred is not None and not pred(e["data_file"]["partition"]):
+                    continue
+                out.append(e["data_file"])
+        return out
+
+    def _manifest_may_match(self, mf: dict, partition_filter) -> bool:
+        """Manifest-level pruning via partition summaries (exact-match filters
+        against lower/upper bounds only; anything else conservatively scans)."""
+        if not isinstance(partition_filter, dict) or not mf.get("partitions"):
+            return True
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        for i, pf in enumerate(self.partition_spec["fields"]):
+            name = pf["name"]
+            if name not in partition_filter:
+                continue
+            want = partition_filter[name]
+            summ = mf["partitions"][i]
+            ice_type = by_id[pf["source-id"]]["type"]
+            lo, hi = summ.get("lower_bound"), summ.get("upper_bound")
+            wb = _bound_bytes(want, ice_type)
+            if wb is None:
+                continue
+            if lo is not None and _bound_lt(wb, lo, ice_type):
+                return False
+            if hi is not None and _bound_lt(hi, wb, ice_type):
+                return False
+        return True
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filter: Callable[[dict], bool] | dict | None = None,
+    ) -> DataFrame:
+        """The snapshot as ONE native parquet scan over the manifests' file
+        list; partition columns are recovered via ``basePath`` discovery, so
+        pushdown/pruning/codegen all behave exactly as a plain parquet read."""
+        files = self.data_files(snapshot_id, partition_filter)
+        schema = self.spark_schema
+        if not files:
+            return spark.createDataFrame([], schema)
+        part_cols = set(self.partition_columns)
+        reader = spark.read
+        if part_cols:
+            reader = reader.option("basePath", os.path.join(self.location, "data"))
+        # file schema = table schema minus partition columns (hive layout)
+        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
+        # normalize column order + partition column types to the table schema
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+    # -- maintenance ------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the most recent ``keep_last`` snapshots from metadata
+        (file GC is a separate concern, as in Iceberg proper)."""
+        snaps = self.metadata["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
+        self.metadata["snapshots"] = snaps[-keep_last:]
+        self.metadata["snapshot-log"] = [
+            e for e in self.metadata["snapshot-log"] if e["snapshot-id"] not in expired
+        ]
+        self._write_metadata(version=self._version + 1)
+        self._version += 1
+        return expired
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_COUNTER = [0]
+
+
+def _new_snapshot_id() -> int:
+    """Positive, time-ordered, collision-resistant snapshot ids (Iceberg uses
+    random longs; time-ordering makes test output deterministic to read)."""
+    _SNAPSHOT_COUNTER[0] += 1
+    return int(time.time() * 1000) * 1000 + (os.getpid() % 997) + _SNAPSHOT_COUNTER[0] * 131
+
+
+def _parse_partition(kv_segments: list[str], col_types: dict[str, str]) -> dict:
+    """Hive ``key=value`` dir segments → typed partition values (Spark's
+    escaping: URL-style %XX; ``__HIVE_DEFAULT_PARTITION__`` is null)."""
+    out: dict[str, Any] = {}
+    for seg in kv_segments:
+        key, _, raw = seg.partition("=")
+        key = urllib.parse.unquote(key)
+        if key not in col_types:
+            continue
+        raw = urllib.parse.unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[key] = None
+            continue
+        t = col_types[key]
+        if t in ("int", "long", "date"):
+            out[key] = int(raw)
+        elif t in ("float", "double"):
+            out[key] = float(raw)
+        elif t == "boolean":
+            out[key] = raw.lower() == "true"
+        else:
+            out[key] = raw
+    return out
+
+
+def _as_predicate(partition_filter) -> Callable[[dict], bool] | None:
+    if partition_filter is None:
+        return None
+    if callable(partition_filter):
+        return partition_filter
+    wanted = dict(partition_filter)
+
+    def pred(partition: dict) -> bool:
+        return all(partition.get(k) == v for k, v in wanted.items())
+
+    return pred
+
+
+def _bound_lt(a: bytes, b: bytes, ice_type: str) -> bool:
+    """Compare two single-value bound serializations."""
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.unpack("<i", a)[0] < _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", a)[0] < _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", a)[0] < _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", a)[0] < _struct.unpack("<d", b)[0]
+    return a < b  # strings/bytes: lexicographic
+
+
+def _rmtree_quiet(path: str, only_if_empty: bool = False) -> None:
+    import shutil
+
+    try:
+        if only_if_empty:
+            os.rmdir(path)
+        else:
+            shutil.rmtree(path)
+    except OSError:
+        pass

@@ -1,0 +1,547 @@
+"""Avro codec + from-spec Iceberg v2 table format.
+
+Parity strategy: the Avro layer is oracled BIDIRECTIONALLY against the JVM
+Avro library already on Spark's classpath (avro-1.12.1.jar) — our writer's
+files must parse in the JVM reader and vice versa — and the Iceberg layer is
+pinned by behavioral tests of the spec's guarantees: snapshot isolation,
+time travel, dynamic partition overwrite, metadata-gated crash atomicity,
+optimistic-concurrency commit conflicts, and two-level partition pruning.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from datatrove_spark.formats.avro import (
+    AvroError,
+    AvroSchema,
+    read_avro_file,
+    write_avro_file,
+)
+from datatrove_spark.sources.iceberg_native import (
+    MANIFEST_LIST_SCHEMA,
+    CommitConflict,
+    IcebergTable,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "top",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": ["null", "long"], "default": None},
+        {"name": "d", "type": "double"},
+        {"name": "flags", "type": {"type": "array", "items": "boolean"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "inner",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "sub",
+                    "fields": [
+                        {"name": "b", "type": "bytes"},
+                        {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 8}},
+                        {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["RED", "BLUE"]}},
+                    ],
+                },
+            ],
+            "default": None,
+        },
+        {"name": "inner2", "type": ["null", "sub"], "default": None},
+    ],
+}
+
+
+def _nested_rows():
+    return [
+        {
+            "s": "héllo ✓",
+            "n": -(2**62),
+            "d": 3.141592653589793,
+            "flags": [True, False, True],
+            "m": {"a": 1, "b": -2},
+            "inner": {"b": b"\x00\xff", "fx": b"12345678", "e": "BLUE"},
+            "inner2": None,
+        },
+        {
+            "s": "",
+            "n": None,
+            "d": -0.0,
+            "flags": [],
+            "m": {},
+            "inner": None,
+            # named-type REFERENCE branch ("sub" defined earlier in the schema)
+            "inner2": {"b": b"", "fx": b"abcdefgh", "e": "RED"},
+        },
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_roundtrip_nested(tmp_path, codec):
+    path = str(tmp_path / "t.avro")
+    write_avro_file(path, NESTED_SCHEMA, _nested_rows(), codec=codec, metadata={"k": "v"})
+    out, meta = read_avro_file(path)
+    assert out == _nested_rows()
+    assert meta["k"] == b"v"
+    assert meta["avro.codec"] == codec.encode()
+
+
+def test_avro_multiple_blocks(tmp_path):
+    path = str(tmp_path / "blocks.avro")
+    schema = {"type": "record", "name": "r", "fields": [{"name": "i", "type": "long"}]}
+    rows = [{"i": i * 977 - 5000} for i in range(10_000)]
+    write_avro_file(path, schema, rows, records_per_block=256)
+    out, _ = read_avro_file(path)
+    assert out == rows
+
+
+def test_avro_rejects_garbage(tmp_path):
+    path = str(tmp_path / "bad.avro")
+    with open(path, "wb") as f:
+        f.write(b"PAR1not-avro")
+    with pytest.raises(AvroError):
+        read_avro_file(path)
+
+
+def test_avro_torn_block_detected(tmp_path):
+    path = str(tmp_path / "torn.avro")
+    schema = {"type": "record", "name": "r", "fields": [{"name": "i", "type": "long"}]}
+    write_avro_file(path, schema, [{"i": 1}, {"i": 2}], codec="null")
+    raw = bytearray(open(path, "rb").read())
+    raw[-1] ^= 0xFF  # corrupt the trailing sync marker
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(AvroError, match="sync|EOF"):
+        read_avro_file(path)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "s": st.text(max_size=40),
+                "n": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+                "d": st.floats(allow_nan=False, width=64),
+                "flags": st.lists(st.booleans(), max_size=5),
+                "m": st.dictionaries(st.text(max_size=8), st.integers(-(2**31), 2**31), max_size=4),
+                "inner": st.none(),
+                "inner2": st.none(),
+            }
+        ),
+        max_size=30,
+    )
+)
+def test_avro_property_roundtrip(tmp_path_factory, rows):
+    path = str(tmp_path_factory.mktemp("avro") / "p.avro")
+    write_avro_file(path, NESTED_SCHEMA, rows)
+    out, _ = read_avro_file(path)
+    assert out == rows
+
+
+def test_avro_zigzag_boundaries(tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [{"name": "v", "type": "long"}]}
+    values = [0, -1, 1, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)]
+    path = str(tmp_path / "z.avro")
+    write_avro_file(path, schema, [{"v": v} for v in values])
+    out, _ = read_avro_file(path)
+    assert [r["v"] for r in out] == values
+
+
+# ---------------------------------------------------------------------------
+# Avro ↔ JVM interop (avro-1.12.1.jar on the Spark classpath is the oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_jvm_reads_our_manifest_list(spark, tmp_path):
+    path = str(tmp_path / "mlist.avro")
+    rows = [
+        {
+            "manifest_path": "/x/m0.avro",
+            "manifest_length": 4096,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 7,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1234567890123,
+            "added_files_count": 3,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 999,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [
+                {"contains_null": False, "contains_nan": False, "lower_bound": b"\x01\x00\x00\x00", "upper_bound": b"\x09\x00\x00\x00"}
+            ],
+            "key_metadata": None,
+        }
+    ]
+    write_avro_file(path, MANIFEST_LIST_SCHEMA, rows, metadata={"format-version": "2"})
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert reader.getMetaString("format-version") == "2"
+    rec = reader.next()
+    assert str(rec.get("manifest_path")) == "/x/m0.avro"
+    assert rec.get("manifest_length") == 4096
+    assert rec.get("sequence_number") == 7
+    parts = rec.get("partitions")
+    assert parts.size() == 1 and parts.get(0).get("contains_null") is False
+    assert not reader.hasNext()
+    reader.close()
+
+
+def test_our_reader_parses_jvm_file(spark, tmp_path):
+    path = str(tmp_path / "jvm.avro")
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {"name": "a", "type": "string"},
+                {"name": "b", "type": ["null", "long"], "default": None},
+                {"name": "m", "type": {"type": "map", "values": "long"}},
+            ],
+        }
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    fw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    fw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    fw.create(sch, jvm.java.io.File(path))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+    rec.put("a", "wörld ✓")
+    rec.put("b", jvm.java.lang.Long(3_000_000_000))
+    m = jvm.java.util.HashMap()
+    m.put("k", jvm.java.lang.Long(-7))
+    rec.put("m", m)
+    fw.append(rec)
+    fw.close()
+    out, meta = read_avro_file(path)
+    assert out == [{"a": "wörld ✓", "b": 3_000_000_000, "m": {"k": -7}}]
+    assert meta["avro.codec"] == b"deflate"
+
+
+# ---------------------------------------------------------------------------
+# Iceberg table format
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _fresh(tmp_path, name="tbl"):
+    loc = str(tmp_path / name)
+    shutil.rmtree(loc, ignore_errors=True)
+    return loc
+
+
+def test_create_append_read_time_travel(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    s1 = t.append(spark, docs.filter("doc_id % 3 = 0"))
+    s2 = t.append(spark, docs.filter("doc_id % 3 != 0"))
+    assert t.read(spark).count() == docs.count()
+    assert t.read(spark, snapshot_id=s1).count() == docs.filter("doc_id % 3 = 0").count()
+    # snapshot metadata invariants
+    snaps = t.snapshots()
+    assert [s["snapshot-id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent-snapshot-id"] == s1
+    assert snaps[0]["sequence-number"] == 1 and snaps[1]["sequence-number"] == 2
+    assert int(snaps[1]["summary"]["total-records"]) == docs.count()
+    # schema round-trips through metadata JSON
+    t2 = IcebergTable.load(loc)
+    assert t2.spark_schema == docs.schema
+    assert t2.metadata["format-version"] == 2
+
+
+def test_value_level_roundtrip(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    a = t.read(spark).orderBy("doc_id").toPandas()
+    b = docs.orderBy("doc_id").select(*[f.name for f in docs.schema.fields]).toPandas()
+    assert a.equals(b)
+
+
+def test_unpartitioned_table(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)
+    t.append(spark, docs.limit(100))
+    assert t.read(spark).count() == 100
+    assert t.partition_columns == []
+    # whole-table overwrite
+    t.overwrite(spark, docs.limit(10))
+    assert t.read(spark).count() == 10
+
+
+def test_partition_pruning_levels(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    # one snapshot per lang → manifest partition summaries are disjoint,
+    # so manifest-level pruning alone must cut the candidate set
+    for lang in langs:
+        t.append(spark, docs.filter(F.col("lang") == lang))
+    all_files = t.data_files()
+    pruned = t.data_files(partition_filter={"lang": langs[0]})
+    assert 0 < len(pruned) < len(all_files)
+    got = t.read(spark, partition_filter={"lang": langs[0]})
+    assert got.count() == docs.filter(F.col("lang") == langs[0]).count()
+    assert set(r[0] for r in got.select("lang").distinct().collect()) == {langs[0]}
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    lang = docs.select("lang").first()[0]
+    repl = docs.filter(F.col("lang") == lang).withColumn("text", F.upper("text")).limit(5)
+    t.overwrite_partitions(spark, repl)
+    cur = t.read(spark)
+    # touched partition fully replaced (5 rows), others untouched
+    assert cur.filter(F.col("lang") == lang).count() == 5
+    other = cur.filter(F.col("lang") != lang).orderBy("doc_id").toPandas()
+    want = docs.filter(F.col("lang") != lang).orderBy("doc_id").toPandas()
+    assert other.equals(want)
+    # the previous snapshot still reads the pre-overwrite data (isolation)
+    prev = t.snapshots()[-2]["snapshot-id"]
+    assert t.read(spark, snapshot_id=prev).count() == docs.count()
+
+
+def test_crash_before_metadata_swap_is_invisible(spark, docs, tmp_path):
+    """Data published but no metadata commit → the table still reads the last
+    snapshot; a resumed append is clean (no double counting)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs.filter("doc_id % 2 = 0"))
+    n_before = t.read(spark).count()
+
+    # simulate the crash: publish data files exactly as a commit would, then die
+    orphaned = t._publish_data_files(docs.filter("doc_id % 2 != 0"), "deadbeef-crash")
+    assert orphaned  # files ARE on disk under data/
+    reloaded = IcebergTable.load(loc)
+    assert reloaded.read(spark).count() == n_before  # ...but invisible
+
+    # the replayed batch commits normally; totals are exact, not doubled
+    reloaded.append(spark, docs.filter("doc_id % 2 != 0"))
+    assert reloaded.read(spark).count() == docs.count()
+
+
+def test_commit_conflict_detected(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)
+    t.append(spark, docs.limit(10))
+    stale = IcebergTable.load(loc)
+    t.append(spark, docs.limit(5))  # winner bumps the version
+    with pytest.raises(CommitConflict):
+        stale.append(spark, docs.limit(5))  # loser must NOT silently clobber
+
+
+def test_empty_table_reads_empty(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    df = t.read(spark)
+    assert df.count() == 0
+    assert df.schema == docs.schema
+
+
+def test_expire_snapshots(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)
+    for k in range(3):
+        t.append(spark, docs.limit(10 * (k + 1)))
+    expired = t.expire_snapshots(keep_last=1)
+    assert len(expired) == 2
+    t2 = IcebergTable.load(loc)
+    assert len(t2.snapshots()) == 1
+    # the surviving snapshot still reads the full accumulated table
+    assert t2.read(spark).count() == 10 + 20 + 30
+
+
+def test_jvm_avro_parses_real_manifests(spark, docs, tmp_path):
+    """Every Avro file a commit writes (manifest list + manifests) must parse
+    in the JVM Avro reader with all spec-mandated fields present."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    snap = t.current_snapshot()
+    jvm = spark._jvm
+
+    def jvm_read(path):
+        r = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        rows = []
+        while r.hasNext():
+            rows.append(r.next())
+        schema = r.getSchema()
+        r.close()
+        return rows, schema
+
+    mlist, schema = jvm_read(snap["manifest-list"])
+    assert schema.getName() == "manifest_file"
+    # Iceberg smuggles field ids through Avro's extra-attribute passthrough
+    assert schema.getField("manifest_path").getObjectProp("field-id") == 500
+    assert len(mlist) >= 1
+    entries, eschema = jvm_read(str(mlist[0].get("manifest_path")))
+    assert eschema.getName() == "manifest_entry"
+    assert eschema.getField("data_file").getObjectProp("field-id") == 2
+    total = sum(e.get("data_file").get("record_count") for e in entries)
+    assert total == docs.count()
+    df0 = entries[0].get("data_file")
+    assert str(df0.get("file_format")) == "PARQUET"
+    assert os.path.exists(str(df0.get("file_path")))
+
+
+def test_schema_type_coverage(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("s", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("l", T.LongType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("bin", T.BinaryType()),
+            T.StructField("arr", T.ArrayType(T.StringType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+            T.StructField(
+                "nested", T.StructType([T.StructField("x", T.LongType())])
+            ),
+        ]
+    )
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, schema)
+    # ids are unique and every nested element/key/value got one
+    ice = t.schema
+    seen = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            for key in ("id", "element-id", "key-id", "value-id"):
+                if key in node:
+                    assert node[key] not in seen
+                    seen.add(node[key])
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(ice)
+    assert len(seen) == t.metadata["last-column-id"]
+    assert IcebergTable.load(loc).spark_schema == schema
+    df = spark.createDataFrame(
+        [("a", 1, 2, True, 0.5, 0.25, b"\x01", ["x"], {"k": 1}, (7,))], schema
+    )
+    t.append(spark, df)
+    row = t.read(spark).first()
+    assert row["s"] == "a" and row["nested"]["x"] == 7 and row["m"]["k"] == 1
+
+
+# ---------------------------------------------------------------------------
+# checkpointed runner on Iceberg
+# ---------------------------------------------------------------------------
+
+
+def _quality_transform(df):
+    keep = F.col("n_chars") >= 200
+    return df.withColumn("keep", keep).withColumn(
+        "drop_reason", F.when(~keep, F.lit("too_short"))
+    )
+
+
+def test_run_checkpointed_iceberg_and_resume(spark, docs, tmp_path):
+    from datatrove_spark.lineage import (
+        LineageConfig,
+        committed_iceberg_buckets,
+        iceberg_lineage_table,
+        run_checkpointed_iceberg,
+    )
+
+    loc = _fresh(tmp_path, "ckpt")
+    cfg = LineageConfig(out_dir=loc, n_buckets=8, buckets_per_commit=4, repo_col="source")
+    s1 = run_checkpointed_iceberg(spark, docs, _quality_transform, cfg)
+    assert s1["batches"] == 2
+    assert s1["rows_in"] == docs.count()
+
+    t = IcebergTable.load(loc)
+    assert len(t.snapshots()) == 2
+    assert committed_iceberg_buckets(loc) == set(range(8))
+
+    # resume: nothing left to do, no new snapshots
+    s2 = run_checkpointed_iceberg(spark, docs, _quality_transform, cfg)
+    assert s2["batches"] == 0
+    assert len(IcebergTable.load(loc).snapshots()) == 2
+
+    # the committed corpus matches a direct run of the same transform
+    expected = _quality_transform(docs)
+    got = t.read(spark)
+    assert got.count() == docs.count()
+    assert (
+        got.filter("keep").count() == expected.filter("keep").count()
+    )
+    # kept-corpus read prunes on the keep partition at metadata level
+    kept_files = t.data_files(partition_filter={"keep": True})
+    assert 0 < len(kept_files) < len(t.data_files())
+
+    # per-partition lineage from snapshot summaries
+    lin = iceberg_lineage_table(spark, loc).toPandas()
+    assert sorted(lin["bucket"]) == list(range(8))
+    assert int(lin["n_in"].sum()) == docs.count()
+    assert int(lin["n_kept"].sum()) == expected.filter("keep").count()
+    dropped = sum(json.loads(d).get("too_short", 0) for d in lin["drop_reasons"])
+    assert dropped == expected.filter("NOT keep").count()
+
+
+def test_run_checkpointed_iceberg_crash_replay(spark, docs, tmp_path):
+    """Kill between batches; the resumed run completes exactly the missing
+    buckets and row totals are exact."""
+    from datatrove_spark.lineage import LineageConfig, run_checkpointed_iceberg
+
+    loc = _fresh(tmp_path, "crash")
+    cfg = LineageConfig(out_dir=loc, n_buckets=8, buckets_per_commit=2, repo_col="source")
+
+    calls = {"n": 0}
+
+    def dying_transform(df):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected crash")
+        return _quality_transform(df)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_checkpointed_iceberg(spark, docs, dying_transform, cfg)
+
+    # two of four batches committed
+    t = IcebergTable.load(loc)
+    assert len(t.snapshots()) == 2
+
+    summary = run_checkpointed_iceberg(spark, docs, _quality_transform, cfg)
+    assert summary["committed_before"] == 4  # 2 batches × 2 buckets
+    assert summary["batches"] == 2
+    final = IcebergTable.load(loc).read(spark)
+    assert final.count() == docs.count()
+    assert final.select("doc_id").distinct().count() == docs.count()
