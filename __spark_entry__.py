@@ -41,6 +41,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _docs_via_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table routed through a from-spec Iceberg v2 round-trip
+    (two append snapshots, lang-partitioned, then a current-snapshot read).
+
+    Queries built on this helper keep their plain-parquet DuckDB oracle, so
+    the driver's value-hash gate pins the table format's byte-level fidelity
+    (text included) every round — an Iceberg parity check that costs no
+    verification-window slot.  See datatrove_spark/sources/iceberg_native.py.
+    """
+    import hashlib
+    import shutil
+
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    docs = _docs(spark, sf_dir)
+    loc = "/tmp/datatrove_spark_iceberg/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(loc, ignore_errors=True)
+    table = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    table.append(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    table.append(spark, docs.filter(F.col("doc_id") % 2 != 0))
+    return table.read(spark)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -511,8 +534,10 @@ def q_doc_stats_by_source(spark, sf_dir):
     # avg is computed as one exact-integer sum divided by one exact count —
     # a single float division — so partial-aggregation order can never flip
     # the 6dp rounding (the round-1 hash-mismatch cause).
+    # Source relation is the Iceberg round-trip: the unchanged parquet oracle
+    # now also hash-pins the table format's value-level fidelity.
     return (
-        _docs(spark, sf_dir)
+        _docs_via_iceberg(spark, sf_dir)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

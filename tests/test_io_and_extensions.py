@@ -470,12 +470,13 @@ def test_megatron_binary_roundtrip(spark, tmp_path):
 
 
 def test_iceberg_gated_corpus_io(spark, tmp_path):
-    """Iceberg-shaped corpus IO: table identifiers route to the catalog,
-    filesystem paths fall back to parquet with identical semantics (no
-    Iceberg jars in this container, so the catalog branch is identifier
-    detection only)."""
+    """Iceberg-shaped corpus IO: table identifiers route to the catalog;
+    filesystem paths now land on the repo's from-spec native Iceberg v2
+    tables (no jars in this container, so the catalog branch stays
+    identifier detection only)."""
     from datatrove_spark.corpus import synth_corpus
     from datatrove_spark.sources import iceberg_available, is_table_identifier, read_corpus, write_corpus
+    from datatrove_spark.sources.iceberg_native import IcebergTable
 
     assert is_table_identifier("iceberg.corpus.files")
     assert not is_table_identifier("/data/corpus")
@@ -485,9 +486,18 @@ def test_iceberg_gated_corpus_io(spark, tmp_path):
     src = synth_corpus(spark, 50, partitions=2)
     out = str(tmp_path / "corpus")
     write_corpus(src.select("repo", "path", "commit", "lang", "content"), out, mode="overwrite")
+    assert IcebergTable.exists(out)  # the path branch writes a REAL table
     back = read_corpus(spark, out)
     assert back.count() == 50
     assert back.columns == ["repo", "path", "commit", "lang", "content"]
+    # a second write is one more snapshot, and append semantics hold
+    write_corpus(src.limit(10).select(*back.columns), out, mode="append")
+    assert read_corpus(spark, out).count() == 60
+    assert len(IcebergTable.load(out).snapshots()) == 2
+    # plain-parquet corpora remain readable through the same entry point
+    plain = str(tmp_path / "plain")
+    src.select(*back.columns).write.parquet(plain)
+    assert read_corpus(spark, plain).count() == 50
 
     import pytest as _pytest
 
