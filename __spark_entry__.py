@@ -550,6 +550,41 @@ def q_doc_stats_by_source(spark, sf_dir):
     )
 
 
+def q_iceberg_dedup(spark, sf_dir):
+    """In-place Iceberg dedup via position-delete files, driver-oracled.
+
+    Plants duplicates (every doc_id % 10 == 0 re-appended under doc_id +
+    10,000,000), commits, then dedups IN PLACE with survivor = min doc_id
+    per sha256(text) — written as position-delete files, no data rewrite —
+    and aggregates the merge-on-read scan.  The DuckDB oracle states the
+    same survivor rule in SQL, so the driver value-hashes the delete-file
+    write AND the anti-join read path every round.
+    """
+    import hashlib
+    import shutil
+
+    from datatrove_spark.sources.iceberg import dedup_corpus_deletes
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    docs = _docs(spark, sf_dir)
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    loc = "/tmp/datatrove_spark_iceberg/" + hashlib.md5(
+        (sf_dir + ":dedup").encode()
+    ).hexdigest()[:12]
+    shutil.rmtree(loc, ignore_errors=True)
+    table = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    table.append(spark, docs.unionByName(dupes))
+    dedup_corpus_deletes(spark, loc, text_col="text", order_col="doc_id")
+    surv = table.refresh().read(spark)
+    return surv.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_token_count_hist(spark, sf_dir):
     from datatrove_spark.operators import with_token_count
 
@@ -1353,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- stats --
         "doc_stats": q_doc_stats,
         "doc_stats_by_source": q_doc_stats_by_source,
+        "iceberg_dedup": q_iceberg_dedup,
         "line_stats": q_line_stats,
         "word_stats": q_word_stats_suite,
         "para_sent_stats": q_para_sent_stats,
@@ -1726,6 +1762,24 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars) AS max_chars,
                    sum(len(string_split(text, ' ')))::BIGINT AS sum_words
             FROM documents GROUP BY source
+        """,
+        "iceberg_dedup": """
+            -- mirrors sources/iceberg.dedup_corpus_deletes with
+            -- order_col=doc_id: survivor = min doc_id per text class over
+            -- the corpus plus its planted duplicates
+            WITH all_rows AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            keepers AS (SELECT text, min(doc_id) AS mid FROM all_rows GROUP BY text)
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(a.doc_id)::BIGINT AS sum_ids,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM all_rows a JOIN keepers k ON a.text = k.text AND a.doc_id = k.mid
+            GROUP BY lang
         """,
         "token_count_hist": """
             SELECT token_count, count(*) AS n FROM (

@@ -189,6 +189,16 @@ def run_checkpointed_iceberg(
 
     The table is partitioned by (bucket, keep), so downstream "kept corpus"
     reads prune at the manifest level before Spark lists a single file.
+
+    Each batch runs the transform exactly ONCE: the output is staged
+    (written + published, still invisible) via the table's two-phase append,
+    per-bucket keep/drop counts come from the published files' footer
+    record counts and partition values, and the drop-reason breakdown comes
+    from a column-pruned scan of ONLY the dropped files' ``drop_reason``
+    column — then the snapshot commits with those metrics in its summary.
+    The earlier shape (persist → metrics pass → write pass) ran the UDF
+    pipeline twice-ish and its cache materialization was the dominant,
+    parallelism-independent cost of the whole checkpointed run.
     """
     from datatrove_spark.sources.iceberg_native import IcebergTable
 
@@ -210,38 +220,44 @@ def run_checkpointed_iceberg(
         t0 = time.time()
         part = src.filter(F.col(BUCKET_COL).isin(batch))
         out = transform(part)
-        out.persist()
-        try:
-            if table is None:
-                table = IcebergTable.create(
-                    cfg.out_dir, out.schema, partition_by=[BUCKET_COL, "keep"]
-                )
-            metrics_rows = (
-                out.groupBy(BUCKET_COL, "drop_reason").agg(F.count("*").alias("n")).collect()
+        if table is None:
+            table = IcebergTable.create(
+                cfg.out_dir, out.schema, partition_by=[BUCKET_COL, "keep"]
             )
-            per_bucket: dict[int, dict] = {
-                b: {"n_in": 0, "n_kept": 0, "drop_reasons": {}} for b in batch
-            }
-            for r in metrics_rows:
-                m = per_bucket[r[BUCKET_COL]]
-                m["n_in"] += r["n"]
-                if r["drop_reason"] is None:
-                    m["n_kept"] += r["n"]
-                else:
-                    m["drop_reasons"][r["drop_reason"]] = r["n"]
-            table.append(
-                spark,
-                out,
-                summary={
-                    "lineage-buckets": json.dumps(batch),
-                    "lineage-metrics": json.dumps(
-                        {str(b): per_bucket[b] for b in batch}, sort_keys=True
-                    ),
-                    "lineage-wall-ms": int((time.time() - t0) * 1000),
-                },
+        # ONE pass: compute + write + publish (files invisible until commit)
+        staged = table.stage_append(out)
+        per_bucket: dict[int, dict] = {
+            b: {"n_in": 0, "n_kept": 0, "drop_reasons": {}} for b in batch
+        }
+        dropped_paths: list[str] = []
+        for f in staged["files"]:
+            m = per_bucket[f["partition"][BUCKET_COL]]
+            m["n_in"] += f["record_count"]
+            if f["partition"]["keep"]:
+                m["n_kept"] += f["record_count"]
+            elif f["record_count"]:
+                dropped_paths.append(f["file_path"])
+        if dropped_paths:
+            # drop-reason breakdown: column-pruned scan of ONLY dropped files
+            reasons = (
+                spark.read.option("basePath", os.path.join(cfg.out_dir, "data"))
+                .parquet(*dropped_paths)
+                .groupBy(BUCKET_COL, "drop_reason")
+                .agg(F.count("*").alias("n"))
+                .collect()
             )
-        finally:
-            out.unpersist()
+            for r in reasons:
+                per_bucket[r[BUCKET_COL]]["drop_reasons"][r["drop_reason"]] = r["n"]
+        table.commit_append(
+            staged,
+            summary={
+                "lineage-buckets": json.dumps(batch),
+                "lineage-metrics": json.dumps(
+                    {str(b): per_bucket[b] for b in batch}, sort_keys=True
+                ),
+                "lineage-wall-ms": int((time.time() - t0) * 1000),
+            },
+        )
         summary["batches"] += 1
         summary["rows_in"] += sum(m["n_in"] for m in per_bucket.values())
         summary["rows_kept"] += sum(m["n_kept"] for m in per_bucket.values())

@@ -79,3 +79,64 @@ def write_corpus(df: DataFrame, target: str, mode: str = "append") -> None:
         table.overwrite(spark, df)
     else:
         table.append(spark, df)
+
+
+def dedup_corpus_deletes(
+    spark: SparkSession,
+    location: str,
+    text_col: str = "content",
+    order_col: str | None = None,
+    summary: dict | None = None,
+) -> int | None:
+    """Exact-dedup a native Iceberg corpus IN PLACE via position-delete
+    files — the 10^12-file shape of :func:`operators.dedup.exact_dedup`.
+
+    Survivor = first physical occurrence (min (data file, row position)) per
+    ``sha2(text, 256)``, the same content key the batch operator uses; every
+    other copy becomes one row in a position-delete file.  Pass ``order_col``
+    (e.g. a document id) to make the survivor logically deterministic — min
+    (order, file, pos) — instead of dependent on physical write order.  Cost at scale: one
+    scan + one hash-shuffle of (key, position) pairs + a delete-file write
+    sized by the DUPLICATE count — dropping 3% of a 100 TB corpus writes
+    ~GBs of deletes instead of rewriting ~97 TB of survivors.  Reads after
+    the commit are merge-on-read (anti-join); run ``IcebergTable.compact``
+    when accumulated deletes warrant a rewrite.
+
+    Returns the delete snapshot's id, or None when the corpus was already
+    duplicate-free.
+    """
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    t = IcebergTable.load(location)
+    order = [F.col(order_col).alias("_o")] if order_col else []
+    scan = t.scan_with_positions(spark).select(
+        *t.partition_columns,
+        F.sha2(F.col(text_col), 256).alias("_h"),
+        *([F.col(order_col)] if order_col else []),
+        "_dt_file",
+        "_dt_pos",
+    )
+    # groupBy-min + join-back, NOT a window: a degenerate duplicate class
+    # stays skew-free under partial aggregation + AQE (same reasoning as
+    # operators/dedup.py exact_dedup)
+    pos = F.struct(
+        *order, F.col("_dt_file").alias("_f"), F.col("_dt_pos").alias("_p")
+    )
+    keepers = scan.groupBy("_h").agg(F.min(pos).alias("_keep"))
+    dupes = (
+        scan.join(keepers, "_h")
+        .filter(
+            (F.col("_dt_file") != F.col("_keep._f"))
+            | (F.col("_dt_pos") != F.col("_keep._p"))
+        )
+        .select(
+            *t.partition_columns,
+            F.col("_dt_file").alias("file_path"),
+            F.col("_dt_pos").alias("pos"),
+        )
+    )
+    return t.commit_position_deletes(
+        spark, dupes, summary={"dedup-key": f"sha256({text_col})", **(summary or {})}
+    )

@@ -35,12 +35,28 @@ simply re-processes the batch and commits fresh files.  Blind re-appends can
 never double-count, which is precisely the property ``lineage.py`` had to
 build dynamic-partition-overwrite machinery to get on bare parquet.
 
+Row-level deletes (spec §Row-level deletes, merge-on-read): position delete
+files (content=1) are supported end-to-end.  ``delete_where`` scans the live
+snapshot with Spark's ``_metadata.file_path``/``row_index`` parquet metadata
+columns, writes partition-scoped parquet delete files carrying the spec's
+reserved field IDs (``file_path``=2147483546, ``pos``=2147483545, rows sorted
+by (file_path, pos)), and commits them in a ``content=1`` delete manifest
+under a new "delete" snapshot.  Reads merge-on-read: surviving data rows are
+the scan ANTI-JOINed against applicable deletes under the spec's sequence-
+number rule (a delete applies to data files whose data sequence number ≤ the
+delete's) — broadcast when the delete count is small, shuffle otherwise.
+``compact`` materializes (rewrites data, drops delete files).  This is THE
+10^12-file maintenance primitive: deduplicating 3% of a 100 TB corpus costs
+a metadata-sized delete-file write instead of a 100 TB rewrite.
+
 Deliberately out of scope (documented, loud): non-identity partition
-transforms (bucket/truncate/year/...), position/equality delete files
-(content=1/2), sort orders beyond the unsorted default, and the REST/Hive
-catalogs — the file-system catalog is the one that works against a plain
-path.  Column-level stats in manifests are populated for lower/upper bounds
-of partition columns only; per-column metrics ride the parquet footers.
+transforms (bucket/truncate/year/...), equality delete files (content=2 —
+position deletes cover the engine's dedup/retention use cases and avoid the
+sequence-scoped value-matching read path), sort orders beyond the unsorted
+default, and the REST/Hive catalogs — the file-system catalog is the one
+that works against a plain path.  Column-level stats in manifests are
+populated for lower/upper bounds of partition columns only; per-column
+metrics ride the parquet footers.
 """
 
 from __future__ import annotations
@@ -386,6 +402,23 @@ MANIFEST_LIST_SCHEMA = {
 # entry status codes (spec §Manifests)
 EXISTING, ADDED, DELETED = 0, 1, 2
 
+# data_file.content codes (spec §Manifests: content)
+DATA_CONTENT, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
+
+# reserved field IDs of position-delete-file columns (spec §Position Delete Files)
+DELETE_FILE_PATH_ID = 2147483546
+DELETE_POS_ID = 2147483545
+
+# Spark's ``_metadata.file_path`` is a URI ("file:/p", "file:///p",
+# "hdfs://host/p"); manifests store filesystem paths.  Stripping the scheme
+# and (optional) //authority maps the former onto the latter for the
+# local/HDFS layouts this catalog targets.
+_URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?"
+
+
+def _uri_to_path(uri: str) -> str:
+    return urllib.parse.urlparse(uri).path or uri
+
 
 def _bound_bytes(value: Any, ice_type: str) -> bytes | None:
     """Single-value serialization for bounds (spec Appendix D): little-endian
@@ -440,6 +473,13 @@ class IcebergTable:
         # else committed since load) fails with CommitConflict instead of
         # silently dropping the other writer's snapshot
         self._version = version
+
+    def refresh(self) -> "IcebergTable":
+        """Reload metadata from disk — picks up snapshots committed through
+        OTHER instances of this table (each commit helper loads its own)."""
+        fresh = IcebergTable.load(self.location)
+        self.metadata, self._version = fresh.metadata, fresh._version
+        return self
 
     # -- catalog (HadoopTables layout) --------------------------------------
 
@@ -561,6 +601,35 @@ class IcebergTable:
         """Commit one append snapshot; returns its snapshot id."""
         return self._commit_data(spark, df, operation="append", summary=summary)
 
+    def stage_append(self, df: DataFrame) -> dict:
+        """Phase 1 of a two-phase append: compute + write + publish the data
+        files WITHOUT committing a snapshot.  The files stay invisible (no
+        metadata references them) until :meth:`commit_append` — so a caller
+        can derive commit-summary metrics from the published files' footer
+        statistics and columns instead of persisting the input plan and
+        running it twice (at checkpoint scale that second pass of the UDF
+        pipeline dominated the whole commit cost).  A crash between the two
+        phases orphans the published files exactly like any pre-commit crash.
+        """
+        table_cols = [f["name"] for f in self.schema["fields"]]
+        missing = [c for c in table_cols if c not in df.columns]
+        if missing:
+            raise IcebergError(f"dataframe missing table columns {missing}")
+        commit_uuid = str(uuid_mod.uuid4())
+        files = self._publish_data_files(df.select(*table_cols), commit_uuid)
+        return {"commit_uuid": commit_uuid, "files": files}
+
+    def commit_append(self, staged: dict, summary: dict | None = None) -> int:
+        """Phase 2: commit files published by :meth:`stage_append`."""
+        return self._commit_snapshot(
+            operation="append",
+            added_files=staged["files"],
+            carried_manifests=self._live_manifests(),
+            removed_manifests=[],
+            commit_uuid=staged["commit_uuid"],
+            summary_extra={k: str(v) for k, v in (summary or {}).items()},
+        )
+
     def overwrite(self, spark: SparkSession, df: DataFrame, summary: dict | None = None) -> int:
         """Replace the WHOLE table contents in one snapshot."""
         return self._commit_data(spark, df, operation="overwrite", summary=summary, replace_all=True)
@@ -595,7 +664,14 @@ class IcebergTable:
         added = self._publish_data_files(df, commit_uuid)
 
         if replace_all:
-            carried, removed = [], self._live_manifests()
+            # drop every live manifest, recording its live entries as DELETED
+            # so snapshot-summary totals stay truthful (data and delete files)
+            removed = []
+            for mf in self._live_manifests():
+                entries, _ = read_avro_file(mf["manifest_path"])
+                live = [e for e in entries if e["status"] != DELETED]
+                removed.append({"manifest": mf, "kept_entries": [], "deleted_entries": live})
+            carried = []
         elif replace_touched:
             touched = {self._partition_key(f["partition"]) for f in added}
             carried, removed = self._carry_filtering(touched)
@@ -620,14 +696,19 @@ class IcebergTable:
         writer) — visibility is metadata-gated either way, so the protocol
         does not depend on rename atomicity, only the metadata swap does.
         """
-        import pyarrow.parquet as pq
-
         staging = os.path.join(self.location, "_staging", commit_uuid)
         writer = df.write.mode("overwrite")
         part_cols = self.partition_columns
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(staging)
+        return self._publish_staging(staging, commit_uuid)
+
+    def _publish_staging(self, staging: str, commit_uuid: str) -> list[dict]:
+        """Walk a staged ``partitionBy`` write and rename every parquet file
+        into the hive-layout ``data/`` dir; returns file descriptors with
+        the partition tuple parsed from the hive path segments."""
+        import pyarrow.parquet as pq
 
         spec_fields = self.partition_spec["fields"]
         by_id = {f["id"]: f for f in self.schema["fields"]}
@@ -660,6 +741,185 @@ class IcebergTable:
         _rmtree_quiet(staging)
         _rmtree_quiet(os.path.join(self.location, "_staging"), only_if_empty=True)
         return published
+
+    # -- row-level deletes (spec §Row-level deletes; position deletes only) -----
+
+    def scan_with_positions(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The snapshot as a DataFrame carrying two extra columns naming each
+        row's physical location: ``_dt_file`` (the data file's manifest path)
+        and ``_dt_pos`` (its ordinal in that file, from Spark's parquet
+        ``_metadata.row_index``).  This is the input to position-delete
+        writers — fully distributed, no driver materialization.
+
+        Deletes already committed ARE applied: a delete writer choosing
+        survivors (e.g. dedup's min-position keeper) must pick among LIVE
+        rows only — an already-deleted row winning keeper-ship would delete
+        every live copy of its class.
+        """
+        files = self.data_files(snapshot_id)
+        schema = self.spark_schema
+        if not files:
+            return spark.createDataFrame(
+                [], T.StructType(schema.fields + [
+                    T.StructField("_dt_file", T.StringType()),
+                    T.StructField("_dt_pos", T.LongType()),
+                ])
+            )
+        part_cols = set(self.partition_columns)
+        reader = spark.read
+        if part_cols:
+            reader = reader.option("basePath", os.path.join(self.location, "data"))
+        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        from pyspark.sql import functions as F
+
+        df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+            F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias("_dt_file"),
+            F.col("_metadata.row_index").alias("_dt_pos"),
+        )
+        return self._anti_join_deletes(spark, df, self.delete_files(snapshot_id))
+
+    @staticmethod
+    def _anti_join_deletes(spark: SparkSession, df: DataFrame, deletes: list[dict]) -> DataFrame:
+        """Subtract position-delete rows from a frame carrying ``_dt_file``/
+        ``_dt_pos``: ONE anti-join against the union of delete files —
+        broadcast while total deletes stay small, shuffle beyond that."""
+        if not deletes:
+            return df
+        from pyspark.sql import functions as F
+
+        del_schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ]
+        )
+        del_df = (
+            spark.read.schema(del_schema)
+            .parquet(*[d["file"]["file_path"] for d in deletes])
+            .select(F.col("file_path").alias("_dt_file"), F.col("pos").alias("_dt_pos"))
+        )
+        if sum(d["file"]["record_count"] for d in deletes) <= 20_000_000:
+            del_df = F.broadcast(del_df)
+        return df.join(del_df, ["_dt_file", "_dt_pos"], "left_anti")
+
+    def delete_where(self, spark: SparkSession, condition, summary: dict | None = None) -> int | None:
+        """Commit a "delete" snapshot removing rows matching ``condition``
+        (a Column or SQL string over table columns) WITHOUT rewriting any
+        data file — the Iceberg v2 merge-on-read delete.
+
+        Returns the new snapshot id, or None when nothing matched.  Cost at
+        10^12 files: one pushdown-pruned scan of the candidate partitions
+        plus a delete-file write proportional to the number of DELETED rows
+        — never to table size.
+        """
+        from pyspark.sql import functions as F
+
+        scan = self.scan_with_positions(spark)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        deletes = scan.filter(cond).select(
+            *self.partition_columns,
+            F.col("_dt_file").alias("file_path"),
+            F.col("_dt_pos").alias("pos"),
+        )
+        return self.commit_position_deletes(spark, deletes, summary=summary)
+
+    def commit_position_deletes(
+        self, spark: SparkSession, deletes: DataFrame, summary: dict | None = None
+    ) -> int | None:
+        """Commit a DataFrame of ``(partition columns..., file_path, pos)``
+        rows as partition-scoped position-delete files in one "delete"
+        snapshot.  ``file_path`` must match the manifests' stored data-file
+        paths (``scan_with_positions`` emits exactly that form).
+
+        Delete files are parquet with the spec's reserved field IDs
+        (file_path=2147483546, pos=2147483545) written via Spark's
+        ``parquet.field.id`` column-metadata support, rows sorted by
+        (file_path, pos) as the spec requires.
+        """
+        from pyspark.sql import functions as F
+
+        part_cols = self.partition_columns
+        cols = [*part_cols, "file_path", "pos"]
+        missing = [c for c in cols if c not in deletes.columns]
+        if missing:
+            raise IcebergError(f"position-delete frame missing columns {missing}")
+        commit_uuid = str(uuid_mod.uuid4())
+        staging = os.path.join(self.location, "_staging", commit_uuid)
+        out = (
+            deletes.select(*cols)
+            .withColumn("pos", F.col("pos").cast("long"))
+            .withMetadata("file_path", {"parquet.field.id": DELETE_FILE_PATH_ID})
+            .withMetadata("pos", {"parquet.field.id": DELETE_POS_ID})
+            .sortWithinPartitions("file_path", "pos")
+        )
+        writer = out.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        prev = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        try:
+            writer.parquet(staging)
+        finally:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev)
+        published = self._publish_staging(staging, commit_uuid)
+        published = [f for f in published if f["record_count"] > 0]
+        if not published:
+            return None
+        n_deletes = sum(f["record_count"] for f in published)
+        return self._commit_snapshot(
+            operation="delete",
+            added_files=[],
+            added_delete_files=published,
+            carried_manifests=self._live_manifests(),
+            removed_manifests=[],
+            commit_uuid=commit_uuid,
+            summary_extra={
+                "added-position-deletes": str(n_deletes),
+                **{k: str(v) for k, v in (summary or {}).items()},
+            },
+        )
+
+    def delete_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: Callable[[dict], bool] | dict | None = None,
+    ) -> list[dict]:
+        """Live position-delete files of a snapshot with their sequence
+        numbers (``{"file": <data_file dict>, "sequence_number": N}``),
+        partition-pruned like :meth:`data_files`."""
+        snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        pred = _as_predicate(partition_filter)
+        manifest_files, _ = read_avro_file(snap["manifest-list"])
+        out: list[dict] = []
+        for mf in manifest_files:
+            if mf["content"] != 1:
+                continue
+            if pred is not None and not self._manifest_may_match(mf, partition_filter):
+                continue
+            entries, _ = read_avro_file(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == DELETED:
+                    continue
+                if pred is not None and not pred(e["data_file"]["partition"]):
+                    continue
+                out.append({"file": e["data_file"], "sequence_number": e["sequence_number"]})
+        return out
+
+    def compact(self, spark: SparkSession, summary: dict | None = None) -> int:
+        """Materialize merge-on-read state: rewrite the table's live rows
+        (deletes applied) as fresh data files and drop every delete file —
+        Iceberg's rewrite_data_files maintenance action.  Run when
+        accumulated deletes make the read-side anti-join cost noticeable."""
+        n_deletes = sum(d["file"]["record_count"] for d in self.delete_files())
+        return self.overwrite(
+            spark,
+            self.read(spark),
+            summary={"compacted-position-deletes": str(n_deletes), **(summary or {})},
+        )
 
     def _partition_key(self, partition: dict) -> tuple:
         return tuple(partition.get(c) for c in self.partition_columns)
@@ -696,6 +956,7 @@ class IcebergTable:
         removed_manifests: list[dict],
         commit_uuid: str,
         summary_extra: dict[str, str],
+        added_delete_files: list[dict] | None = None,
     ) -> int:
         md = self.metadata
         seq = md["last-sequence-number"] + 1
@@ -706,17 +967,17 @@ class IcebergTable:
 
         part_schema = _partition_struct_schema(self.partition_spec["fields"], self.schema)
         entry_schema = manifest_entry_schema(part_schema)
-        manifest_meta = {
-            "schema": json.dumps({k: v for k, v in self.schema.items()}),
-            "partition-spec": json.dumps(self.partition_spec["fields"]),
-            "partition-spec-id": str(self.partition_spec["spec-id"]),
-            "format-version": "2",
-            "content": "data",
-        }
 
         manifest_files: list[dict] = []
 
-        def write_manifest(entries: list[dict], tag: str) -> dict:
+        def write_manifest(entries: list[dict], tag: str, content: int = 0) -> dict:
+            manifest_meta = {
+                "schema": json.dumps({k: v for k, v in self.schema.items()}),
+                "partition-spec": json.dumps(self.partition_spec["fields"]),
+                "partition-spec-id": str(self.partition_spec["spec-id"]),
+                "format-version": "2",
+                "content": "data" if content == 0 else "deletes",
+            }
             path = os.path.join(mdir, f"{commit_uuid}-m{tag}.avro")
             length = write_avro_file(path, entry_schema, entries, metadata=manifest_meta)
             n_added = sum(1 for e in entries if e["status"] == ADDED)
@@ -730,7 +991,7 @@ class IcebergTable:
                 "manifest_path": path,
                 "manifest_length": length,
                 "partition_spec_id": self.partition_spec["spec-id"],
-                "content": 0,
+                "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": min(seqs, default=seq),
                 "added_snapshot_id": snapshot_id,
@@ -774,6 +1035,34 @@ class IcebergTable:
             ]
             manifest_files.append(write_manifest(new_entries, tag="0"))
 
+        if added_delete_files:
+            del_entries = [
+                {
+                    "status": ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": POSITION_DELETES,
+                        "file_path": f["file_path"],
+                        "file_format": f["file_format"],
+                        "partition": f["partition"],
+                        "record_count": f["record_count"],
+                        "file_size_in_bytes": f["file_size_in_bytes"],
+                        "column_sizes": None,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "key_metadata": None,
+                        "split_offsets": None,
+                        "sort_order_id": None,
+                    },
+                }
+                for f in added_delete_files
+            ]
+            manifest_files.append(write_manifest(del_entries, tag="d0", content=1))
+
         for i, rm in enumerate(removed_manifests, start=1):
             entries = [
                 {**e, "status": EXISTING}
@@ -783,7 +1072,9 @@ class IcebergTable:
                 for e in rm.get("deleted_entries", rm.get("all_entries", []))
             ]
             if entries:
-                manifest_files.append(write_manifest(entries, tag=str(i)))
+                # a rewritten delete manifest must stay a delete manifest
+                src_content = rm.get("manifest", {}).get("content", 0)
+                manifest_files.append(write_manifest(entries, tag=str(i), content=src_content))
 
         manifest_files.extend(carried_manifests)
 
@@ -807,12 +1098,30 @@ class IcebergTable:
         if cur is not None:
             prev_totals["total-records"] = int(cur["summary"].get("total-records", 0))
             prev_totals["total-data-files"] = int(cur["summary"].get("total-data-files", 0))
+        prev_del_files = prev_del_rows = 0
+        if cur is not None:
+            prev_del_files = int(cur["summary"].get("total-delete-files", 0))
+            prev_del_rows = int(cur["summary"].get("total-position-deletes", 0))
+        # removed entries split by content: data rows vs position-delete rows
+        _removed = [
+            e for rm in removed_manifests for e in rm.get("deleted_entries", [])
+        ]
         deleted_rows = sum(
             e["data_file"]["record_count"]
-            for rm in removed_manifests
-            for e in rm.get("deleted_entries", [])
+            for e in _removed
+            if e["data_file"].get("content", 0) == 0
         )
-        deleted_files = sum(len(rm.get("deleted_entries", [])) for rm in removed_manifests)
+        deleted_files = sum(1 for e in _removed if e["data_file"].get("content", 0) == 0)
+        removed_del_files = sum(1 for e in _removed if e["data_file"].get("content", 0) == 1)
+        removed_del_rows = sum(
+            e["data_file"]["record_count"]
+            for e in _removed
+            if e["data_file"].get("content", 0) == 1
+        )
+        n_added_deletes = len(added_delete_files or [])
+        added_delete_rows = sum(f["record_count"] for f in added_delete_files or [])
+        total_delete_files = prev_del_files + n_added_deletes - removed_del_files
+        total_delete_rows = prev_del_rows + added_delete_rows - removed_del_rows
         total_records = (
             added_rows
             if not carried_manifests and not removed_manifests
@@ -840,6 +1149,8 @@ class IcebergTable:
                 "deleted-records": str(deleted_rows),
                 "total-records": str(total_records),
                 "total-data-files": str(total_files),
+                "total-delete-files": str(total_delete_files),
+                "total-position-deletes": str(total_delete_rows),
                 **summary_extra,
             },
         }
@@ -930,6 +1241,8 @@ class IcebergTable:
         manifest_files, _ = read_avro_file(snap["manifest-list"])
         out: list[dict] = []
         for mf in manifest_files:
+            if mf["content"] != 0:  # delete manifests are not data
+                continue
             if pred is not None and not self._manifest_may_match(mf, partition_filter):
                 continue
             entries, _ = read_avro_file(mf["manifest_path"])
@@ -938,7 +1251,7 @@ class IcebergTable:
                     continue
                 if pred is not None and not pred(e["data_file"]["partition"]):
                     continue
-                out.append(e["data_file"])
+                out.append(dict(e["data_file"], _sequence_number=e["sequence_number"]))
         return out
 
     def _manifest_may_match(self, mf: dict, partition_filter) -> bool:
@@ -972,7 +1285,17 @@ class IcebergTable:
     ) -> DataFrame:
         """The snapshot as ONE native parquet scan over the manifests' file
         list; partition columns are recovered via ``basePath`` discovery, so
-        pushdown/pruning/codegen all behave exactly as a plain parquet read."""
+        pushdown/pruning/codegen all behave exactly as a plain parquet read.
+
+        When the snapshot carries position-delete files, deleted rows are
+        subtracted merge-on-read: one ANTI-JOIN of the scan against the
+        union of applicable delete files on (file path, row position) —
+        broadcast while total deletes stay small, shuffle beyond that.  The
+        spec's sequence-number scoping rule (a delete applies only to data
+        files with data sequence number ≤ the delete's) is satisfied
+        structurally rather than joined per-row: data-file paths are
+        commit-unique, so a delete row can never name a file added after it.
+        """
         files = self.data_files(snapshot_id, partition_filter)
         schema = self.spark_schema
         if not files:
@@ -986,6 +1309,17 @@ class IcebergTable:
         df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
         # normalize column order + partition column types to the table schema
         from pyspark.sql import functions as F
+
+        deletes = self.delete_files(snapshot_id, partition_filter)
+        if deletes:
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias(
+                    "_dt_file"
+                ),
+                F.col("_metadata.row_index").alias("_dt_pos"),
+            )
+            df = self._anti_join_deletes(spark, df, deletes)
 
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]

@@ -545,3 +545,223 @@ def test_run_checkpointed_iceberg_crash_replay(spark, docs, tmp_path):
     final = IcebergTable.load(loc).read(spark)
     assert final.count() == docs.count()
     assert final.select("doc_id").distinct().count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# Row-level deletes: position delete files, merge-on-read (spec content=1)
+# ---------------------------------------------------------------------------
+
+
+def _schema_cols(docs):
+    return [f.name for f in docs.schema.fields]
+
+
+def test_delete_where_merge_on_read(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    s1 = t.append(spark, docs)
+    n = docs.count()
+    n_del = docs.filter("doc_id % 7 = 0").count()
+    s2 = t.delete_where(spark, "doc_id % 7 = 0")
+    assert s2 is not None
+    got = t.read(spark)
+    assert got.count() == n - n_del
+    assert got.filter("doc_id % 7 = 0").count() == 0
+    # time travel to the pre-delete snapshot still sees every row
+    assert t.read(spark, snapshot_id=s1).count() == n
+    # snapshot summary carries the delete accounting
+    summ = t.current_snapshot()["summary"]
+    assert summ["operation"] == "delete"
+    assert int(summ["added-position-deletes"]) == n_del
+    assert int(summ["total-position-deletes"]) == n_del
+    assert int(summ["total-records"]) == n  # data untouched (merge-on-read)
+    # no data file was rewritten
+    assert {f["file_path"] for f in t.data_files()} == {
+        f["file_path"] for f in t.data_files(snapshot_id=s1)
+    }
+
+
+def test_delete_value_level(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    t.delete_where(spark, "doc_id % 7 = 0")
+    a = t.read(spark).orderBy("doc_id").toPandas()
+    b = docs.filter("doc_id % 7 != 0").orderBy("doc_id").select(*_schema_cols(docs)).toPandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_delete_then_append_unaffected(spark, docs, tmp_path):
+    """Rows appended AFTER a delete can never be hit by it (the spec's
+    sequence-number scoping, satisfied structurally by path uniqueness)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs.filter("doc_id % 2 = 0"))
+    t.delete_where(spark, "doc_id % 4 = 0")
+    t.append(spark, docs.filter("doc_id % 2 != 0"))
+    got = t.read(spark)
+    want = docs.filter("doc_id % 4 != 0")
+    assert got.count() == want.count()
+    # a second delete on top accumulates with the first
+    t.delete_where(spark, "doc_id % 3 = 0")
+    assert t.read(spark).count() == docs.filter("doc_id % 4 != 0 AND doc_id % 3 != 0").count()
+
+
+def test_delete_partition_scoped(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    t.delete_where(spark, F.col("lang") == langs[0])
+    # delete files are partition-scoped: pruning another partition finds none
+    assert t.delete_files(partition_filter={"lang": langs[0]})
+    assert t.delete_files(partition_filter={"lang": langs[1]}) == []
+    got = t.read(spark)
+    assert got.filter(F.col("lang") == langs[0]).count() == 0
+    assert got.count() == docs.filter(F.col("lang") != langs[0]).count()
+
+
+def test_delete_nothing_matches_is_noop(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    n_snaps = len(t.snapshots())
+    assert t.delete_where(spark, "doc_id < 0") is None
+    assert len(t.snapshots()) == n_snaps  # no empty delete snapshot
+    assert t.read(spark).count() == docs.count()
+
+
+def test_delete_file_spec_format(spark, docs, tmp_path):
+    """Delete files carry the spec's reserved parquet field IDs and are
+    sorted by (file_path, pos); the delete manifest says content=deletes."""
+    import pyarrow.parquet as pq
+
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    t.delete_where(spark, "doc_id % 5 = 0")
+    dels = t.delete_files()
+    assert dels and all(d["file"]["content"] == 1 for d in dels)
+    assert all(d["file"]["file_format"] == "PARQUET" for d in dels)
+    for d in dels:
+        sch = pq.read_schema(d["file"]["file_path"])
+        assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+        assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+        rows = pq.read_table(d["file"]["file_path"]).to_pylist()
+        assert rows == sorted(rows, key=lambda r: (r["file_path"], r["pos"]))
+        assert len(rows) == d["file"]["record_count"]
+    # manifest-list level: the delete manifest is flagged content=1
+    mlist, _ = read_avro_file(t.current_snapshot()["manifest-list"])
+    contents = {mf["content"] for mf in mlist}
+    assert contents == {0, 1}
+    dmf = next(mf for mf in mlist if mf["content"] == 1)
+    _, meta = read_avro_file(dmf["manifest_path"])
+    assert meta["content"] == b"deletes"
+
+
+def test_jvm_reads_delete_manifest(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    t.delete_where(spark, "doc_id % 5 = 0")
+    jvm = spark._jvm
+    mlist, _ = read_avro_file(t.current_snapshot()["manifest-list"])
+    dmf = next(mf for mf in mlist if mf["content"] == 1)
+    r = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(dmf["manifest_path"]),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    rows = []
+    while r.hasNext():
+        rows.append(r.next())
+    r.close()
+    assert rows and all(e.get("data_file").get("content") == 1 for e in rows)
+    total = sum(e.get("data_file").get("record_count") for e in rows)
+    assert total == docs.filter("doc_id % 5 = 0").count()
+
+
+def test_compact_materializes_deletes(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    t.delete_where(spark, "doc_id % 3 = 0")
+    before = t.read(spark).orderBy("doc_id").toPandas()
+    old_paths = {f["file_path"] for f in t.data_files()}
+    t.compact(spark)
+    after = t.read(spark).orderBy("doc_id").toPandas()
+    assert after.reset_index(drop=True).equals(before.reset_index(drop=True))
+    assert t.delete_files() == []
+    summ = t.current_snapshot()["summary"]
+    assert int(summ["total-records"]) == len(before)
+    assert int(summ["total-delete-files"]) == 0
+    assert int(summ["total-position-deletes"]) == 0
+    # data files actually rewritten
+    assert {f["file_path"] for f in t.data_files()}.isdisjoint(old_paths)
+
+
+def test_overwrite_totals_truthful(spark, docs, tmp_path):
+    """Regression: whole-table overwrite of a NON-empty table must count the
+    replaced rows as deleted — total-records is the new contents, exactly."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs.limit(100))
+    t.overwrite(spark, docs.limit(10))
+    summ = t.current_snapshot()["summary"]
+    assert int(summ["total-records"]) == 10
+    assert int(summ["deleted-records"]) == 100
+    assert t.read(spark).count() == 10
+
+
+def test_crash_before_delete_commit_is_invisible(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+
+    def die(*a, **k):
+        raise RuntimeError("injected crash before metadata swap")
+
+    t._write_metadata = die
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.delete_where(spark, "doc_id % 2 = 0")
+    # reload from disk: the delete never became visible
+    t2 = IcebergTable.load(loc)
+    assert t2.delete_files() == []
+    assert t2.read(spark).count() == docs.count()
+    # and a retried delete commits cleanly
+    assert t2.delete_where(spark, "doc_id % 2 = 0") is not None
+    assert t2.read(spark).count() == docs.filter("doc_id % 2 != 0").count()
+
+
+def test_stage_append_invisible_until_commit(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    staged = t.stage_append(docs.limit(50))
+    assert t.read(spark).count() == 0
+    t.commit_append(staged, summary={"who": "test"})
+    assert t.read(spark).count() == 50
+    assert t.current_snapshot()["summary"]["who"] == "test"
+
+
+def test_dedup_corpus_deletes(spark, tmp_path):
+    """In-place exact dedup of an Iceberg corpus: duplicate content becomes
+    position deletes; survivors match the batch operator's decisions."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.operators.dedup import exact_dedup
+    from datatrove_spark.sources.iceberg import dedup_corpus_deletes
+
+    rows = synth_corpus(spark, 2000, partitions=8).drop("content_class")
+    loc = _fresh(tmp_path, "corpus")
+    t = IcebergTable.create(loc, rows.schema, partition_by=[])
+    t.append(spark, rows)
+    sid = dedup_corpus_deletes(spark, loc, text_col="content")
+    assert sid is not None
+    got = t.refresh().read(spark)
+    n_unique = rows.select("content").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("content").distinct().count() == n_unique
+    # double dedup is a no-op
+    assert dedup_corpus_deletes(spark, loc, text_col="content") is None
+    # parity with the batch operator's survivor count
+    batch = exact_dedup(rows.withColumn("doc_id", F.monotonically_increasing_id()),
+                        text_col="content")
+    assert got.count() == batch.filter(F.col("keep")).count()

@@ -51,7 +51,7 @@ def generate_corpus(n_rows: int) -> None:
     spark.stop()
 
 
-def run_at(cores: int) -> dict:
+def run_at(cores: int, iceberg: bool = False) -> dict:
     out_json = os.path.join(REPO, ".bench_data", f"run_{cores}.json")
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("python") or sys.executable), "spark-submit"
@@ -76,6 +76,13 @@ def run_at(cores: int) -> dict:
         "--input", DATA_DIR,
         "--out", out_json,
     ]
+    if iceberg:
+        # production shape: output committed to a fresh native Iceberg table
+        # (data writes + snapshot commits inside the measured wall)
+        table_dir = os.path.join(REPO, ".bench_data", f"iceberg_{cores}")
+        if os.path.exists(table_dir):
+            shutil.rmtree(table_dir)
+        cmd += ["--iceberg-out", table_dir, "--buckets", "8", "--buckets-per-commit", "4"]
     print("+", " ".join(cmd), file=sys.stderr)
     subprocess.run(cmd, check=True, cwd=REPO, capture_output=True, text=True)
     with open(out_json) as f:
@@ -87,6 +94,14 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument("--n-cores", type=int, default=4, help="N; the comparison runs at N and 4N cores")
+    ap.add_argument(
+        "--iceberg",
+        action="store_true",
+        help="measure the production checkpointed-Iceberg mode (output "
+        "committed to a native Iceberg table, data writes + snapshot commits "
+        "inside the measured wall) instead of the bare count-only pipeline; "
+        "records BENCH/scaling_iceberg.json and appends to BENCH/BASELINE.md",
+    )
     args = ap.parse_args()
 
     if not args.skip_generate or not os.path.exists(DATA_DIR):
@@ -95,9 +110,52 @@ def main() -> None:
     build_zip()
 
     n = args.n_cores
-    r_n = run_at(n)
-    r_4n = run_at(4 * n)
+    r_n = run_at(n, iceberg=args.iceberg)
+    r_4n = run_at(4 * n, iceberg=args.iceberg)
     eff = (r_4n["files_per_sec"] / r_n["files_per_sec"]) / 4.0
+
+    if args.iceberg:
+        assert r_n["n_kept"] == r_4n["n_kept"], (
+            f"decisions diverged across parallelism: {r_n['n_kept']} vs {r_4n['n_kept']}"
+        )
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        summary = {
+            "mode": "iceberg_checkpointed",
+            "n_files": r_n["n_files"],
+            "n_cores": n,
+            "localN": r_n,
+            "local4N": r_4n,
+            "scaling_efficiency_N_to_4N": round(eff, 3),
+            "target": 0.8,
+            "pass": eff >= 0.8,
+        }
+        with open(os.path.join(BENCH_DIR, "scaling_iceberg.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        md = f"""
+## Production mode: checkpointed Iceberg output (N vs 4N)
+
+Same job, but in the production shape the north rule names: every bucket
+batch's output (kept AND dropped rows, with drop_reason) is COMMITTED to a
+native Iceberg v2 table — parquet data writes, manifest/manifest-list/
+metadata commits, and per-bucket filter-removal metrics all inside the
+measured wall (`tools/run_pipeline.py --iceberg-out`, 8 repo-hash buckets,
+2 snapshot commits).  A killed run resumes from the last committed snapshot.
+
+| parallelism | wall sec | files/sec |
+|---|---|---|
+| local[{n}]  (N)  | {r_n["wall_sec"]} | {r_n["files_per_sec"]} |
+| local[{4 * n}] (4N) | {r_4n["wall_sec"]} | {r_4n["files_per_sec"]} |
+
+**Scaling efficiency (N → 4N)** = ({r_4n["files_per_sec"]} / {r_n["files_per_sec"]}) / 4
+= **{eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+n_kept identical at both levels: {r_n["n_kept"]:,} of {r_n["n_files"]:,}.
+
+Reproduce: `python tools/scaling_bench.py --rows {r_n["n_files"]} --n-cores {n} --iceberg --skip-generate`
+"""
+        with open(os.path.join(BENCH_DIR, "BASELINE.md"), "a") as f:
+            f.write(md)
+        print(json.dumps(summary))
+        return
 
     os.makedirs(BENCH_DIR, exist_ok=True)
     summary = {
