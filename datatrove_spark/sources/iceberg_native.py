@@ -619,16 +619,33 @@ class IcebergTable:
         files = self._publish_data_files(df.select(*table_cols), commit_uuid)
         return {"commit_uuid": commit_uuid, "files": files}
 
-    def commit_append(self, staged: dict, summary: dict | None = None) -> int:
-        """Phase 2: commit files published by :meth:`stage_append`."""
-        return self._commit_snapshot(
-            operation="append",
-            added_files=staged["files"],
-            carried_manifests=self._live_manifests(),
-            removed_manifests=[],
-            commit_uuid=staged["commit_uuid"],
-            summary_extra={k: str(v) for k, v in (summary or {}).items()},
-        )
+    def commit_append(self, staged: dict, summary: dict | None = None, retries: int = 0) -> int:
+        """Phase 2: commit files published by :meth:`stage_append`.
+
+        ``retries``: on :class:`CommitConflict` (another writer won the
+        version race), refresh to the winner's metadata and re-commit, up to
+        N times.  Safe for APPENDS specifically — the staged files are
+        already on disk and an append carries every live manifest forward
+        whatever the winner added; delete/overwrite commits are NOT
+        auto-retried because their correctness depends on the snapshot they
+        were computed against.
+        """
+        attempt = 0
+        while True:
+            try:
+                return self._commit_snapshot(
+                    operation="append",
+                    added_files=staged["files"],
+                    carried_manifests=self._live_manifests(),
+                    removed_manifests=[],
+                    commit_uuid=staged["commit_uuid"],
+                    summary_extra={k: str(v) for k, v in (summary or {}).items()},
+                )
+            except CommitConflict:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                self.refresh()
 
     def overwrite(self, spark: SparkSession, df: DataFrame, summary: dict | None = None) -> int:
         """Replace the WHOLE table contents in one snapshot."""
@@ -1162,8 +1179,15 @@ class IcebergTable:
         new_md["snapshots"].append(snapshot)
         new_md["snapshot-log"].append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
         new_md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        old_md = self.metadata
         self.metadata = new_md
-        self._write_metadata(version=self._version + 1)
+        try:
+            self._write_metadata(version=self._version + 1)
+        except BaseException:
+            # losing the optimistic-lock race must leave this instance's view
+            # unchanged so the caller can refresh() and retry cleanly
+            self.metadata = old_md
+            raise
         self._version += 1
         return snapshot_id
 
@@ -1327,20 +1351,113 @@ class IcebergTable:
 
     # -- maintenance ------------------------------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(self, keep_last: int = 1, clean_files: bool = True) -> list[int]:
         """Drop all but the most recent ``keep_last`` snapshots from metadata
-        (file GC is a separate concern, as in Iceberg proper)."""
+        and (like Iceberg's ExpireSnapshots action) physically remove every
+        file reachable ONLY through the expired snapshots: their manifest
+        lists, manifests no live snapshot carries, and data/delete files
+        that no live snapshot holds under a non-DELETED entry status.  This
+        is what reclaims the space `compact()` frees — the rewritten data
+        stays referenced by the pre-compaction snapshots until they expire.
+
+        ``clean_files=False`` reverts to metadata-only expiry.
+        """
         snaps = self.metadata["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
-        self.metadata["snapshots"] = snaps[-keep_last:]
+        expired_snaps = snaps[:-keep_last]
+        kept_snaps = snaps[-keep_last:]
+        expired = [s["snapshot-id"] for s in expired_snaps]
+
+        victims: list[str] = []
+        if clean_files:
+            live_refs: set[str] = set()
+            for s in kept_snaps:
+                live_refs.add(os.path.abspath(s["manifest-list"]))
+                mfs, _ = read_avro_file(s["manifest-list"])
+                for mf in mfs:
+                    live_refs.add(os.path.abspath(mf["manifest_path"]))
+                    entries, _ = read_avro_file(mf["manifest_path"])
+                    for e in entries:
+                        if e["status"] != DELETED:  # DELETED = not readable
+                            live_refs.add(os.path.abspath(e["data_file"]["file_path"]))
+            expired_refs: set[str] = set()
+            for s in expired_snaps:
+                expired_refs.add(os.path.abspath(s["manifest-list"]))
+                mfs, _ = read_avro_file(s["manifest-list"])
+                for mf in mfs:
+                    expired_refs.add(os.path.abspath(mf["manifest_path"]))
+                    entries, _ = read_avro_file(mf["manifest_path"])
+                    for e in entries:
+                        expired_refs.add(os.path.abspath(e["data_file"]["file_path"]))
+            victims = sorted(expired_refs - live_refs)
+
+        self.metadata["snapshots"] = kept_snaps
         self.metadata["snapshot-log"] = [
             e for e in self.metadata["snapshot-log"] if e["snapshot-id"] not in expired
         ]
         self._write_metadata(version=self._version + 1)
         self._version += 1
+        # files go AFTER the metadata swap: a crash mid-cleanup leaves only
+        # unreferenced files (reclaimable later), never a torn live snapshot
+        for p in victims:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
         return expired
+
+    def remove_orphan_files(self, grace_seconds: float = 259200.0, dry_run: bool = False) -> list[str]:
+        """Reclaim files under the table location that NO current snapshot
+        references — the cleanup half of the crash model (a crash between
+        publish and metadata swap orphans published files) plus leftover
+        ``_staging`` debris.  ``grace_seconds`` (default 3 days, Iceberg's
+        own default) protects files an in-flight commit has published but
+        not yet committed.  Conservative: ANY entry status counts as a
+        reference.  Returns the removed (or, with ``dry_run``, would-be
+        removed) paths.
+        """
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.add(os.path.abspath(s["manifest-list"]))
+            mfs, _ = read_avro_file(s["manifest-list"])
+            for mf in mfs:
+                referenced.add(os.path.abspath(mf["manifest_path"]))
+                entries, _ = read_avro_file(mf["manifest_path"])
+                for e in entries:
+                    referenced.add(os.path.abspath(e["data_file"]["file_path"]))
+        cutoff = time.time() - grace_seconds
+        victims: list[str] = []
+        roots = [
+            os.path.join(self.location, "data"),
+            os.path.join(self.location, "_staging"),
+        ]
+        for root in roots:
+            for dirpath, _dirnames, filenames in os.walk(root):
+                for fn in filenames:
+                    p = os.path.abspath(os.path.join(dirpath, fn))
+                    if p in referenced or os.path.getmtime(p) > cutoff:
+                        continue
+                    victims.append(p)
+        mdir = self._metadata_dir(self.location)
+        for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
+            if not fn.endswith(".avro"):
+                continue  # vN.metadata.json / version-hint are the catalog
+            p = os.path.abspath(os.path.join(mdir, fn))
+            if p not in referenced and os.path.getmtime(p) <= cutoff:
+                victims.append(p)
+        victims.sort()
+        if not dry_run:
+            for p in victims:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            for root in roots:  # prune now-empty partition/staging dirs
+                for dirpath, dirnames, filenames in os.walk(root, topdown=False):
+                    if not dirnames and not filenames and dirpath != root:
+                        _rmtree_quiet(dirpath, only_if_empty=True)
+        return victims
 
 
 # ---------------------------------------------------------------------------

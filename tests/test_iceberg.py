@@ -765,3 +765,82 @@ def test_dedup_corpus_deletes(spark, tmp_path):
     batch = exact_dedup(rows.withColumn("doc_id", F.monotonically_increasing_id()),
                         text_col="content")
     assert got.count() == batch.filter(F.col("keep")).count()
+
+
+# ---------------------------------------------------------------------------
+# Maintenance: snapshot expiry file cleanup, orphan GC, concurrent appends
+# ---------------------------------------------------------------------------
+
+
+def test_expire_snapshots_reclaims_files(spark, docs, tmp_path):
+    """append → delete → compact → expire: the pre-compaction data and
+    delete files are physically reclaimed; the live snapshot reads intact."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    t.delete_where(spark, "doc_id % 3 = 0")
+    old_data = {f["file_path"] for f in t.data_files()}
+    old_dels = {d["file"]["file_path"] for d in t.delete_files()}
+    assert old_data and old_dels
+    t.compact(spark)
+    want = t.read(spark).orderBy("doc_id").toPandas()
+    # everything still on disk: the older snapshots reference it
+    assert all(os.path.exists(p) for p in old_data | old_dels)
+    t.expire_snapshots(keep_last=1)
+    # old files gone, live table intact
+    assert not any(os.path.exists(p) for p in old_data | old_dels)
+    t2 = IcebergTable.load(loc)
+    got = t2.read(spark).orderBy("doc_id").toPandas()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert len(t2.snapshots()) == 1
+
+
+def test_expire_keeps_files_still_live(spark, docs, tmp_path):
+    """Cumulative appends: expiring old snapshots must NOT remove files the
+    surviving snapshot still reads (EXISTING entries)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)
+    for k in range(3):
+        t.append(spark, docs.limit(10 * (k + 1)))
+    t.expire_snapshots(keep_last=1)
+    t2 = IcebergTable.load(loc)
+    assert t2.read(spark).count() == 10 + 20 + 30
+
+
+def test_remove_orphan_files(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    live = {os.path.abspath(f["file_path"]) for f in t.data_files()}
+    # crash model: files published but never committed
+    orphans = t._publish_data_files(docs.limit(20), "deadbeef-orphan")
+    orphan_paths = {os.path.abspath(f["file_path"]) for f in orphans}
+    # inside the grace window nothing moves
+    assert t.remove_orphan_files() == []
+    # dry run lists, removes nothing
+    listed = set(t.remove_orphan_files(grace_seconds=0.0, dry_run=True))
+    assert orphan_paths <= listed and not (live & listed)
+    assert all(os.path.exists(p) for p in orphan_paths)
+    removed = set(t.remove_orphan_files(grace_seconds=0.0))
+    assert orphan_paths <= removed and not (live & removed)
+    assert not any(os.path.exists(p) for p in orphan_paths)
+    assert t.read(spark).count() == docs.count()
+
+
+def test_commit_append_conflict_retry(spark, docs, tmp_path):
+    """Two writers race: the loser's plain commit raises CommitConflict and
+    leaves its view clean; with retries it lands on top of the winner."""
+    loc = _fresh(tmp_path)
+    IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t1, t2 = IcebergTable.load(loc), IcebergTable.load(loc)
+    staged1 = t1.stage_append(docs.filter("doc_id % 2 = 0"))
+    t2.append(spark, docs.filter("doc_id % 2 != 0"))  # t2 wins the version
+    with pytest.raises(CommitConflict):
+        t1.commit_append(staged1)
+    # the failed attempt left t1's in-memory view unchanged (pre-race: empty)
+    assert len(t1.snapshots()) == 0
+    sid = t1.commit_append(staged1, retries=2)
+    assert sid is not None
+    t3 = IcebergTable.load(loc)
+    assert len(t3.snapshots()) == 2  # the winner's append + the retried one
+    assert t3.read(spark).count() == docs.count()
