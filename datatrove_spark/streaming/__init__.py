@@ -1,4 +1,9 @@
-from .ingest import resumable_ingest, streaming_quality_pipeline  # noqa: F401
+from .ingest import (  # noqa: F401
+    resumable_ingest,
+    resumable_ingest_iceberg,
+    streaming_iceberg_sink,
+    streaming_quality_pipeline,
+)
 from .windows import batch_window_counts, streaming_window_counts  # noqa: F401
 from .stateful import batch_sessions, streaming_sessions  # noqa: F401
 from .dedup import streaming_exact_dedup, streaming_minhash_dedup  # noqa: F401

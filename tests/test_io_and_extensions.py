@@ -1614,3 +1614,53 @@ def test_junk_tld_gate_opt_in():
     assert url_filter("https://example.com/x", gated) == (True, None)
     # default profile: junk TLDs pass through to the other checks
     assert url_filter("http://db.local/admin", UrlFilterConfig())[0]
+
+
+def test_resumable_ingest_iceberg(spark, tmp_path):
+    """Streaming ingest into a native Iceberg table: one snapshot per
+    micro-batch, checkpoint-resumable, replays are metadata no-ops."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.pipeline import QualityPipelineConfig
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+    from datatrove_spark.streaming import (
+        resumable_ingest_iceberg,
+        streaming_iceberg_sink,
+    )
+
+    in_dir = str(tmp_path / "in")
+    loc = str(tmp_path / "tbl")
+    corpus = synth_corpus(spark, 60, partitions=2)
+    corpus.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    cfg = QualityPipelineConfig()
+
+    resumable_ingest_iceberg(spark, in_dir, loc, schema, cfg=cfg)
+    t = IcebergTable.load(loc)
+    assert t.read(spark).count() == 60
+    n_snaps = len(t.snapshots())
+    assert n_snaps >= 1
+    assert all("streaming-batch-id" in s["summary"] for s in t.snapshots())
+
+    # restart with NO new files → checkpoint prevents reprocessing
+    resumable_ingest_iceberg(spark, in_dir, loc, schema, cfg=cfg)
+    t = IcebergTable.load(loc)
+    assert t.read(spark).count() == 60
+    assert len(t.snapshots()) == n_snaps
+
+    # new files → only the delta lands, as fresh snapshots
+    synth_corpus(spark, 30, partitions=1).write.mode("append").parquet(in_dir)
+    resumable_ingest_iceberg(spark, in_dir, loc, schema, cfg=cfg)
+    t = IcebergTable.load(loc)
+    assert t.read(spark).count() == 60 + 30
+    assert len(t.snapshots()) > n_snaps
+
+    # at-least-once replay of a committed micro-batch is a metadata no-op
+    bid = int(t.snapshots()[-1]["summary"]["streaming-batch-id"])
+    before = len(t.snapshots())
+    streaming_iceberg_sink(spark.read.parquet(in_dir), bid, loc, cfg=cfg)
+    t = IcebergTable.load(loc)
+    assert len(t.snapshots()) == before
+    assert t.read(spark).count() == 60 + 30
+    # kept-only readers prune at the manifest level via the keep partition
+    kept = t.read(spark, partition_filter={"keep": True})
+    assert 0 < kept.count() < 90
