@@ -474,6 +474,59 @@ class IcebergTable:
         # silently dropping the other writer's snapshot
         self._version = version
 
+    def add_columns(self, new_fields) -> int:
+        """Schema evolution (spec §Schemas): append OPTIONAL top-level
+        columns under fresh field ids, register the new schema in the
+        ``schemas`` list, and swap ``current-schema-id`` in one metadata
+        commit.  Files written under the old schema null-fill the new
+        columns at read time (the scan passes the current schema explicitly,
+        so a parquet file that lacks a column yields nulls for it).
+
+        Columns are always added as optional regardless of the Spark field's
+        nullable flag — a required column without a default would make every
+        existing file unreadable, which is why Iceberg's own AddColumn does
+        the same.  Returns the new schema id.
+        """
+        if isinstance(new_fields, T.StructType):
+            new_fields = list(new_fields.fields)
+        cur = self.schema
+        names = {f["name"] for f in cur["fields"]}
+        next_id = [self.metadata["last-column-id"] + 1]
+        added = []
+        for f in new_fields:
+            if f.name in names:
+                raise IcebergError(f"column {f.name!r} already exists")
+            fid = next_id[0]
+            next_id[0] += 1
+            added.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type(f.dataType, next_id),
+                }
+            )
+        new_sid = max(s["schema-id"] for s in self.metadata["schemas"]) + 1
+        new_schema = {
+            "type": "struct",
+            "schema-id": new_sid,
+            "fields": cur["fields"] + added,
+        }
+        old_md = self.metadata
+        new_md = json.loads(json.dumps(old_md))
+        new_md["schemas"].append(new_schema)
+        new_md["current-schema-id"] = new_sid
+        new_md["last-column-id"] = next_id[0] - 1
+        new_md["last-updated-ms"] = int(time.time() * 1000)
+        self.metadata = new_md
+        try:
+            self._write_metadata(version=self._version + 1)
+        except BaseException:
+            self.metadata = old_md
+            raise
+        self._version += 1
+        return new_sid
+
     def refresh(self) -> "IcebergTable":
         """Reload metadata from disk — picks up snapshots committed through
         OTHER instances of this table (each commit helper loads its own)."""

@@ -844,3 +844,35 @@ def test_commit_append_conflict_retry(spark, docs, tmp_path):
     t3 = IcebergTable.load(loc)
     assert len(t3.snapshots()) == 2  # the winner's append + the retried one
     assert t3.read(spark).count() == docs.count()
+
+
+def test_schema_evolution_add_columns(spark, docs, tmp_path):
+    """Add-column evolution: old files null-fill, new appends carry values,
+    the evolved schema survives reload, and deletes work across
+    mixed-schema files."""
+    from pyspark.sql import types as T
+
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    sid = t.add_columns([T.StructField("quality_score", T.DoubleType())])
+    assert sid == 1
+    assert t.spark_schema.fieldNames()[-1] == "quality_score"
+    got = t.read(spark)
+    assert got.filter("quality_score IS NULL").count() == docs.count()
+    # new appends must carry the new column — and its values read back
+    with pytest.raises(Exception, match="missing table columns"):
+        t.append(spark, docs.limit(1))
+    t.append(spark, docs.limit(10).withColumn("quality_score", F.lit(0.5)))
+    assert t.read(spark).filter("quality_score = 0.5").count() == 10
+    # evolution is durable and versioned in the schemas list
+    t2 = IcebergTable.load(loc)
+    assert "quality_score" in t2.spark_schema.fieldNames()
+    assert [s["schema-id"] for s in t2.metadata["schemas"]] == [0, 1]
+    # duplicate add refused
+    with pytest.raises(Exception, match="already exists"):
+        t2.add_columns([T.StructField("quality_score", T.DoubleType())])
+    # position deletes across mixed-schema files
+    t2.delete_where(spark, "quality_score = 0.5")
+    assert t2.read(spark).filter("quality_score IS NOT NULL").count() == 0
+    assert t2.read(spark).count() == docs.count()
