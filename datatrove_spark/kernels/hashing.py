@@ -61,3 +61,71 @@ def simhash64(tokens: list[str]) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & (_MAX_U64 - 1)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Murmur3 x86 32-bit (Iceberg spec Appendix B: the bucket-transform hash,
+# seed 0; Spark's F.hash is the same algorithm but seed 42, so it cannot be
+# reused).  Reference: Austin Appleby's public-domain MurmurHash3_x86_32.
+# ---------------------------------------------------------------------------
+
+_M3_C1 = 0xCC9E2D51
+_M3_C2 = 0x1B873593
+_U32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _U32
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit of ``data`` → unsigned 32-bit int."""
+    h = seed & _U32
+    n = len(data)
+    full = n - (n % 4)
+    for i in range(0, full, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * _M3_C1) & _U32
+        k = _rotl32(k, 15)
+        k = (k * _M3_C2) & _U32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _U32
+    k = 0
+    tail = data[full:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * _M3_C1) & _U32
+        k = _rotl32(k, 15)
+        k = (k * _M3_C2) & _U32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _U32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _U32
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int) -> int:
+    """Iceberg ``bucket[n]`` transform (spec Appendix B): murmur3_32 of the
+    value's canonical bytes, masked non-negative, mod n.  Strings hash their
+    UTF-8 bytes; int/long hash the 8-byte little-endian of the 64-bit value
+    (the spec hashes int and long identically so the transform is
+    type-promotion-stable)."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        data = value.encode("utf-8")
+    elif isinstance(value, bytes):
+        data = value
+    elif isinstance(value, (int, np.integer)):
+        data = int(value).to_bytes(8, "little", signed=True)
+    else:
+        raise TypeError(f"bucket transform unsupported for {type(value).__name__}")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n

@@ -14,8 +14,11 @@ specification (https://iceberg.apache.org/spec/, format-version 2):
   spec's exact record shapes and field IDs (``manifest_file`` fields
   500-519, ``manifest_entry``/``data_file`` fields 0-4 / 100-142), written
   with :mod:`datatrove_spark.formats.avro`;
-* identity-transform partition specs; manifest partition summaries drive
-  partition pruning *before* Spark ever sees a file path.
+* identity and ``bucket[N]`` partition transforms (the latter via the
+  spec's Appendix-B murmur3_32, verified against the spec's own worked
+  examples — the north rule's "repartition by repo-hash" as a real table
+  layout); manifest partition summaries drive partition pruning *before*
+  Spark ever sees a file path.
 
 Data files are standard Spark-written parquet.  The write path stages a
 normal ``df.write.partitionBy(...)`` then publishes files into the table's
@@ -49,8 +52,8 @@ delete's) — broadcast when the delete count is small, shuffle otherwise.
 10^12-file maintenance primitive: deduplicating 3% of a 100 TB corpus costs
 a metadata-sized delete-file write instead of a 100 TB rewrite.
 
-Deliberately out of scope (documented, loud): non-identity partition
-transforms (bucket/truncate/year/...), equality delete files (content=2 —
+Deliberately out of scope (documented, loud): the remaining partition
+transforms (truncate/year/month/day/hour), equality delete files (content=2 —
 position deletes cover the engine's dedup/retention use cases and avoid the
 sequence-scoped value-matching read path), sort orders beyond the unsorted
 default, and the REST/Hive catalogs — the file-system catalog is the one
@@ -63,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid as uuid_mod
@@ -220,17 +224,34 @@ def spark_type_of(ice_type: Any) -> T.DataType:
 # ---------------------------------------------------------------------------
 
 
+def _parse_transform(transform: str) -> tuple[str, int | None]:
+    """``"identity"`` or ``"bucket[N]"`` → (kind, param)."""
+    if transform == "identity":
+        return "identity", None
+    if transform.startswith("bucket[") and transform.endswith("]"):
+        return "bucket", int(transform[len("bucket[") : -1])
+    raise IcebergError(f"unsupported partition transform {transform!r}")
+
+
+def _partition_value_type(pf: dict, table_schema: dict) -> str:
+    """Iceberg type of a partition-spec field's VALUE: the source column's
+    type for identity, ``int`` for bucket[N] (spec §Partition Transforms)."""
+    kind, _ = _parse_transform(pf["transform"])
+    if kind == "bucket":
+        return "int"
+    by_id = {f["id"]: f for f in table_schema["fields"]}
+    return by_id[pf["source-id"]]["type"]
+
+
 def _partition_struct_schema(spec_fields: list[dict], table_schema: dict) -> dict:
     """The r102 partition struct: one field per partition-spec field, Avro
-    type derived from the (identity-transform) source column, nullable."""
-    by_id = {f["id"]: f for f in table_schema["fields"]}
+    type derived from the transform's value type, nullable."""
     avro_fields = []
     for pf in spec_fields:
-        src = by_id[pf["source-id"]]
         avro_fields.append(
             {
                 "name": pf["name"],
-                "type": ["null", _avro_primitive(src["type"])],
+                "type": ["null", _avro_primitive(_partition_value_type(pf, table_schema))],
                 "default": None,
                 "field-id": pf["field-id"],
             }
@@ -571,13 +592,22 @@ class IcebergTable:
         by_name = {f["name"]: f for f in ice_schema["fields"]}
         spec_fields = []
         partition_by = list(partition_by)
-        for i, col in enumerate(partition_by):
+        for i, spec in enumerate(partition_by):
+            # "col" = identity; "bucket(col, N)" = the spec's murmur3 bucket
+            # transform (the north rule's repartition-by-repo-hash as a real
+            # table layout)
+            m = re.fullmatch(r"\s*bucket\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*", spec)
+            if m:
+                col, n = m.group(1), int(m.group(2))
+                transform, name = f"bucket[{n}]", f"{col}_bucket"
+            else:
+                col, transform, name = spec, "identity", spec
             if col not in by_name:
                 raise IcebergError(f"partition column {col!r} not in schema")
             spec_fields.append(
                 {
-                    "name": col,
-                    "transform": "identity",
+                    "name": name,
+                    "transform": transform,
                     "source-id": by_name[col]["id"],
                     "field-id": 1000 + i,
                 }
@@ -757,6 +787,33 @@ class IcebergTable:
             summary_extra={k: str(v) for k, v in (summary or {}).items()},
         )
 
+    def _with_partition_values(self, df: DataFrame) -> DataFrame:
+        """Materialize computed partition-value columns for non-identity
+        transforms — bucket[N] runs the spec's murmur3_32 (Appendix B) as a
+        vectorized pandas UDF over the source column.  Identity fields need
+        nothing: the source column IS the partition value."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        for pf in self.partition_spec["fields"]:
+            kind, n = _parse_transform(pf["transform"])
+            if kind == "identity":
+                continue
+            src = by_id[pf["source-id"]]["name"]
+
+            def _make(n_buckets: int):
+                from datatrove_spark.kernels.hashing import iceberg_bucket
+
+                @pandas_udf("int")
+                def _bucket(s):
+                    return s.map(lambda v: iceberg_bucket(v, n_buckets))
+
+                return _bucket
+
+            df = df.withColumn(pf["name"], _make(n)(F.col(src)))
+        return df
+
     def _publish_data_files(self, df: DataFrame, commit_uuid: str) -> list[dict]:
         """Write parquet via Spark into a staging dir, then publish each file
         into the hive-layout ``data/`` dir under a commit-unique name.
@@ -767,7 +824,7 @@ class IcebergTable:
         does not depend on rename atomicity, only the metadata swap does.
         """
         staging = os.path.join(self.location, "_staging", commit_uuid)
-        writer = df.write.mode("overwrite")
+        writer = self._with_partition_values(df).write.mode("overwrite")
         part_cols = self.partition_columns
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -782,7 +839,7 @@ class IcebergTable:
 
         spec_fields = self.partition_spec["fields"]
         by_id = {f["id"]: f for f in self.schema["fields"]}
-        col_types = {pf["name"]: by_id[pf["source-id"]]["type"] for pf in spec_fields}
+        col_types = {pf["name"]: _partition_value_type(pf, self.schema) for pf in spec_fields}
 
         published: list[dict] = []
         data_root = os.path.join(self.location, "data")
@@ -829,8 +886,12 @@ class IcebergTable:
         files = self.data_files(snapshot_id)
         schema = self.spark_schema
         if not files:
+            names = {f.name for f in schema.fields}
             return spark.createDataFrame(
                 [], T.StructType(schema.fields + [
+                    T.StructField(c, T.IntegerType())
+                    for c in self.partition_columns if c not in names
+                ] + [
                     T.StructField("_dt_file", T.StringType()),
                     T.StructField("_dt_pos", T.LongType()),
                 ])
@@ -843,8 +904,13 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
+        # transform partition fields (e.g. bucket[N]) are not table columns;
+        # surface them from the hive dirs so delete writers can scope deletes
+        schema_names = {f.name for f in schema.fields}
+        extra_part = [c for c in self.partition_columns if c not in schema_names]
         df = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+            *[F.col(c) for c in extra_part],
             F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias("_dt_file"),
             F.col("_metadata.row_index").alias("_dt_pos"),
         )
@@ -1252,7 +1318,7 @@ class IcebergTable:
         summaries = []
         live = [e for e in entries if e["status"] != DELETED]
         for pf in spec_fields:
-            ice_type = by_id[pf["source-id"]]["type"]
+            ice_type = _partition_value_type(pf, self.schema)
             values = [e["data_file"]["partition"].get(pf["name"]) for e in live]
             non_null = [v for v in values if v is not None]
             summaries.append(
@@ -1343,7 +1409,7 @@ class IcebergTable:
                 continue
             want = partition_filter[name]
             summ = mf["partitions"][i]
-            ice_type = by_id[pf["source-id"]]["type"]
+            ice_type = _partition_value_type(pf, self.schema)
             lo, hi = summ.get("lower_bound"), summ.get("upper_bound")
             wb = _bound_bytes(want, ice_type)
             if wb is None:

@@ -876,3 +876,55 @@ def test_schema_evolution_add_columns(spark, docs, tmp_path):
     t2.delete_where(spark, "quality_score = 0.5")
     assert t2.read(spark).filter("quality_score IS NOT NULL").count() == 0
     assert t2.read(spark).count() == docs.count()
+
+
+def test_bucket_partition_transform(spark, docs, tmp_path):
+    """bucket[N] partitioning: murmur3 bucket dirs (spec Appendix B — hash
+    verified against the spec's own worked examples in test_hashing), the
+    source column stays a data column, pruning works on the bucket value,
+    and deletes are bucket-scoped."""
+    from datatrove_spark.kernels.hashing import iceberg_bucket
+
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["bucket(source, 4)"])
+    t.append(spark, docs)
+    spec = t.partition_spec["fields"][0]
+    assert spec["transform"] == "bucket[4]" and spec["name"] == "source_bucket"
+    # partition values in the manifests match the spec's transform exactly
+    for f in t.data_files():
+        assert 0 <= f["partition"]["source_bucket"] < 4
+    # the source column is still in the data files (unlike identity layout)
+    got = t.read(spark)
+    assert got.count() == docs.count()
+    assert set(got.columns) == {f.name for f in docs.schema.fields}
+    src0 = docs.select("source").first()[0]
+    b0 = iceberg_bucket(src0, 4)
+    # value-level: rows of src0 all live in files whose partition == b0
+    hit = [
+        f for f in t.data_files(partition_filter={"source_bucket": b0})
+    ]
+    assert hit and all(f["partition"]["source_bucket"] == b0 for f in hit)
+    pruned = t.read(spark, partition_filter={"source_bucket": b0})
+    assert pruned.filter(F.col("source") == src0).count() == docs.filter(
+        F.col("source") == src0
+    ).count()
+    assert 0 < len(hit) < len(t.data_files())
+    # deletes on a bucket-partitioned table scope to the bucket
+    t.delete_where(spark, F.col("source") == src0)
+    assert t.read(spark).filter(F.col("source") == src0).count() == 0
+    assert t.read(spark).count() == docs.filter(F.col("source") != src0).count()
+    dels = t.delete_files()
+    assert dels and all(d["file"]["partition"]["source_bucket"] == b0 for d in dels)
+
+
+def test_bucket_transform_long_source(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["bucket(doc_id, 8)"])
+    t.append(spark, docs)
+    from datatrove_spark.kernels.hashing import iceberg_bucket
+
+    some_id = docs.select("doc_id").first()[0]
+    b = iceberg_bucket(int(some_id), 8)
+    pruned = t.read(spark, partition_filter={"doc_id_bucket": b})
+    assert pruned.filter(F.col("doc_id") == some_id).count() == 1
+    assert t.read(spark).count() == docs.count()

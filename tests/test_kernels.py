@@ -1550,3 +1550,25 @@ if _HAS_HYP_PROBE:
             i = data.draw(st.integers(0, len(payload) - 1))
             payload[i] ^= data.draw(st.integers(1, 255))
         _assert_probe_contract(bytes(payload))
+
+
+def test_murmur3_published_vectors():
+    """MurmurHash3 x86-32 against the public reference vectors plus the
+    Iceberg spec's own Appendix-B worked examples for the bucket transform."""
+    from datatrove_spark.kernels.hashing import iceberg_bucket, murmur3_32
+
+    assert murmur3_32(b"") == 0
+    assert murmur3_32(b"", seed=1) == 0x514E28B7
+    assert murmur3_32(b"", seed=0xFFFFFFFF) == 0x81F16F39
+    assert murmur3_32(b"\xff\xff\xff\xff") == 0x76293B50
+    assert murmur3_32(b"Hello, world!", seed=0x9747B28C) == 0x24884CBA
+    assert murmur3_32(b"aaaa", seed=0x9747B28C) == 0x5A97808A
+    # Iceberg spec Appendix B: bucket hashes — int/long 34 and string "iceberg"
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    # int and long must bucket identically (type-promotion stability)
+    import numpy as np
+
+    assert iceberg_bucket(np.int32(34), 16) == iceberg_bucket(34, 16)
+    assert iceberg_bucket(None, 16) is None
+    assert all(0 <= iceberg_bucket(f"repo{i}", 32) < 32 for i in range(100))

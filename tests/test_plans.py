@@ -223,3 +223,26 @@ def test_license_detect_materializes_derived_columns(spark):
     assert plan.count("translate") == 1, plan
     assert plan.count("substring(") == 1, plan
     assert "regexp_replace" not in plan
+
+
+def test_iceberg_merge_on_read_plan(spark, docs, tmp_path_factory):
+    """Iceberg reads with position deletes must stay one native parquet scan
+    + ONE broadcast anti-join (no BNLJ, no extra shuffle of the data side),
+    and predicate pushdown must still reach the parquet scan through the
+    merge."""
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    loc = str(tmp_path_factory.mktemp("ice_plan") / "tbl")
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    t.delete_where(spark, "doc_id % 5 = 0")
+    got = t.read(spark).filter(F.col("doc_id") > 100).select("doc_id", "lang")
+    plan = _plan(spark, got)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # the data side reaches the join without a shuffle (broadcast on deletes)
+    assert tree.count("Exchange") == 1  # the broadcast exchange only
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThan(doc_id,100)" in ln for ln in pushed)
