@@ -1,0 +1,179 @@
+"""Maintenance CLI for native Iceberg tables — the operational counterpart
+of ``run_pipeline.py --iceberg-out``.
+
+Subcommands (all take the table path as the first argument):
+
+  snapshots   print the snapshot log (id, sequence, operation, totals)
+  history     print the checkpoint lineage carried in snapshot summaries
+  expire      expire all but the last K snapshots and reclaim their files
+  orphans     remove crash-orphaned files outside the grace window
+  compact     materialize merge-on-read state (rewrite data, drop deletes)
+  dedup       in-place exact dedup via position-delete files
+
+Examples:
+
+  python tools/iceberg_tool.py snapshots /data/corpus_table
+  python tools/iceberg_tool.py expire /data/corpus_table --keep 3
+  python tools/iceberg_tool.py orphans /data/corpus_table --grace-hours 72
+  python tools/iceberg_tool.py dedup /data/corpus_table --text-col content
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _table(path: str):
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    if not IcebergTable.exists(path):
+        sys.exit(f"no Iceberg table at {path!r}")
+    return IcebergTable.load(path)
+
+
+def _spark():
+    # the repo session defaults (8g driver, AQE, Arrow batching) — a bare
+    # getOrCreate() inherits a 1g heap and OOMs on corpus-sized tables
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("iceberg-tool")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_snapshots(args) -> None:
+    t = _table(args.table)
+    for s in t.snapshots():
+        summ = s["summary"]
+        print(
+            json.dumps(
+                {
+                    "snapshot_id": s["snapshot-id"],
+                    "sequence": s["sequence-number"],
+                    "timestamp_ms": s["timestamp-ms"],
+                    "operation": summ.get("operation"),
+                    "total_records": summ.get("total-records"),
+                    "total_data_files": summ.get("total-data-files"),
+                    "total_position_deletes": summ.get("total-position-deletes"),
+                }
+            )
+        )
+
+
+def cmd_history(args) -> None:
+    t = _table(args.table)
+    for s in t.snapshots():
+        summ = s["summary"]
+        if "lineage-buckets" in summ:
+            print(
+                json.dumps(
+                    {
+                        "snapshot_id": s["snapshot-id"],
+                        "buckets": json.loads(summ["lineage-buckets"]),
+                        "metrics": json.loads(summ.get("lineage-metrics", "{}")),
+                        "wall_ms": summ.get("lineage-wall-ms"),
+                    }
+                )
+            )
+        elif "streaming-batch-id" in summ:
+            print(
+                json.dumps(
+                    {
+                        "snapshot_id": s["snapshot-id"],
+                        "streaming_batch_id": summ["streaming-batch-id"],
+                        "added_records": summ.get("added-records"),
+                    }
+                )
+            )
+
+
+def cmd_expire(args) -> None:
+    t = _table(args.table)
+    expired = t.expire_snapshots(keep_last=args.keep, clean_files=not args.metadata_only)
+    print(json.dumps({"expired_snapshots": expired, "kept": args.keep}))
+
+
+def cmd_orphans(args) -> None:
+    t = _table(args.table)
+    removed = t.remove_orphan_files(
+        grace_seconds=args.grace_hours * 3600.0, dry_run=args.dry_run
+    )
+    print(
+        json.dumps(
+            {"dry_run": args.dry_run, "n_files": len(removed), "files": removed[:50]}
+        )
+    )
+
+
+def cmd_compact(args) -> None:
+    t = _table(args.table)
+    sid = t.compact(_spark())
+    print(json.dumps({"snapshot_id": sid}))
+
+
+def cmd_dedup(args) -> None:
+    from datatrove_spark.sources.iceberg import dedup_corpus_deletes
+
+    sid = dedup_corpus_deletes(
+        _spark(),
+        args.table,
+        text_col=args.text_col,
+        order_col=args.order_col,
+    )
+    t = _table(args.table)
+    summ = t.current_snapshot()["summary"] if sid is not None else {}
+    print(
+        json.dumps(
+            {
+                "snapshot_id": sid,
+                "added_position_deletes": summ.get("added-position-deletes", "0"),
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("snapshots")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_snapshots)
+
+    p = sub.add_parser("history")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_history)
+
+    p = sub.add_parser("expire")
+    p.add_argument("table")
+    p.add_argument("--keep", type=int, default=3)
+    p.add_argument("--metadata-only", action="store_true")
+    p.set_defaults(fn=cmd_expire)
+
+    p = sub.add_parser("orphans")
+    p.add_argument("table")
+    p.add_argument("--grace-hours", type=float, default=72.0)
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(fn=cmd_orphans)
+
+    p = sub.add_parser("compact")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("dedup")
+    p.add_argument("table")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--order-col", default=None)
+    p.set_defaults(fn=cmd_dedup)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
