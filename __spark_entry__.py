@@ -530,35 +530,58 @@ def q_lang_stats(spark, sf_dir):
     )
 
 
-def q_doc_stats_by_source(spark, sf_dir):
+def _doc_stat_aggs():
     # avg is computed as one exact-integer sum divided by one exact count —
     # a single float division — so partial-aggregation order can never flip
     # the 6dp rounding (the round-1 hash-mismatch cause).
-    # Source relation is the Iceberg round-trip: the unchanged parquet oracle
-    # now also hash-pins the table format's value-level fidelity.
-    return (
+    return [
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("sum_words"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+
+
+def q_doc_stats_by_source(spark, sf_dir):
+    """Two-mode Iceberg-format suite (mode column, one oracle row):
+
+    * ``base``  — doc stats by source over an Iceberg ROUND-TRIP of the
+      documents table (two append snapshots, lang-partitioned): the
+      unchanged-vs-parquet oracle hash-pins the format's value fidelity.
+    * ``dedup`` — the same stats by lang over the table's IN-PLACE exact
+      dedup via position-delete files (survivor = min doc_id per text,
+      merge-on-read): the oracle states the survivor rule in SQL, so the
+      delete-file write AND the anti-join read path are value-hashed
+      every round.
+    """
+    base = (
         _docs_via_iceberg(spark, sf_dir)
         .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-            F.sum(F.size(F.split("text", " "))).alias("sum_words"),
-        )
+        .agg(*_doc_stat_aggs())
         .withColumn("avg_chars", F.round(F.col("sum_chars") / F.col("n_docs"), 6))
+        .select(F.lit("base").alias("mode"), F.col("source").alias("grp"), "n_docs",
+                "sum_chars", "avg_chars", "min_chars", "max_chars", "sum_words", "sum_ids")
     )
+    dedup = (
+        _docs_deduped_iceberg(spark, sf_dir)
+        .groupBy("lang")
+        .agg(*_doc_stat_aggs())
+        .withColumn("avg_chars", F.round(F.col("sum_chars") / F.col("n_docs"), 6))
+        .select(F.lit("dedup").alias("mode"), F.col("lang").alias("grp"), "n_docs",
+                "sum_chars", "avg_chars", "min_chars", "max_chars", "sum_words", "sum_ids")
+    )
+    return base.unionByName(dedup)
 
 
-def q_iceberg_dedup(spark, sf_dir):
-    """In-place Iceberg dedup via position-delete files, driver-oracled.
+def _docs_deduped_iceberg(spark, sf_dir):
+    """Survivors of an IN-PLACE Iceberg dedup via position-delete files.
 
     Plants duplicates (every doc_id % 10 == 0 re-appended under doc_id +
-    10,000,000), commits, then dedups IN PLACE with survivor = min doc_id
+    10,000,000), commits, then dedups in place with survivor = min doc_id
     per sha256(text) — written as position-delete files, no data rewrite —
-    and aggregates the merge-on-read scan.  The DuckDB oracle states the
-    same survivor rule in SQL, so the driver value-hashes the delete-file
-    write AND the anti-join read path every round.
+    and returns the merge-on-read scan of the survivors.
     """
     import hashlib
     import shutil
@@ -577,12 +600,7 @@ def q_iceberg_dedup(spark, sf_dir):
     table = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
     table.append(spark, docs.unionByName(dupes))
     dedup_corpus_deletes(spark, loc, text_col="text", order_col="doc_id")
-    surv = table.refresh().read(spark)
-    return surv.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("doc_id").alias("sum_ids"),
-        F.sum("n_chars").alias("sum_chars"),
-    )
+    return table.refresh().read(spark)
 
 
 def q_token_count_hist(spark, sf_dir):
@@ -1388,7 +1406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- stats --
         "doc_stats": q_doc_stats,
         "doc_stats_by_source": q_doc_stats_by_source,
-        "iceberg_dedup": q_iceberg_dedup,
         "line_stats": q_line_stats,
         "word_stats": q_word_stats_suite,
         "para_sent_stats": q_para_sent_stats,
@@ -1753,33 +1770,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_stats_by_source": """
             -- sum(BIGINT) returns HUGEINT in DuckDB; cast to BIGINT so the
-            -- driver serializes it identically to Spark's long (r02 hash fix)
-            SELECT source,
+            -- driver serializes it identically to Spark's long (r02 hash fix).
+            -- mode=base: stats by source (Spark side reads an Iceberg
+            -- round-trip of the same rows).  mode=dedup: stats by lang over
+            -- the survivors of sources/iceberg.dedup_corpus_deletes with
+            -- order_col=doc_id — survivor = min doc_id per text class over
+            -- the corpus plus its planted duplicates (Spark side reads the
+            -- position-delete merge-on-read scan).
+            SELECT 'base' AS mode,
+                   source AS grp,
                    count(*) AS n_docs,
                    sum(n_chars)::BIGINT AS sum_chars,
                    round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars,
-                   sum(len(string_split(text, ' ')))::BIGINT AS sum_words
+                   sum(len(string_split(text, ' ')))::BIGINT AS sum_words,
+                   sum(doc_id)::BIGINT AS sum_ids
             FROM documents GROUP BY source
-        """,
-        "iceberg_dedup": """
-            -- mirrors sources/iceberg.dedup_corpus_deletes with
-            -- order_col=doc_id: survivor = min doc_id per text class over
-            -- the corpus plus its planted duplicates
-            WITH all_rows AS (
-              SELECT doc_id, text, lang, source, n_chars FROM documents
-              UNION ALL
-              SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars
-              FROM documents WHERE doc_id % 10 = 0
-            ),
-            keepers AS (SELECT text, min(doc_id) AS mid FROM all_rows GROUP BY text)
-            SELECT lang,
-                   count(*) AS n_docs,
-                   sum(a.doc_id)::BIGINT AS sum_ids,
-                   sum(n_chars)::BIGINT AS sum_chars
-            FROM all_rows a JOIN keepers k ON a.text = k.text AND a.doc_id = k.mid
-            GROUP BY lang
+            UNION ALL
+            SELECT 'dedup' AS mode, lang AS grp, n_docs, sum_chars, avg_chars,
+                   min_chars, max_chars, sum_words, sum_ids
+            FROM (
+              WITH all_rows AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 10 = 0
+              ),
+              keepers AS (SELECT text, min(doc_id) AS mid FROM all_rows GROUP BY text)
+              SELECT lang,
+                     count(*) AS n_docs,
+                     sum(n_chars)::BIGINT AS sum_chars,
+                     round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+                     min(n_chars) AS min_chars,
+                     max(n_chars) AS max_chars,
+                     sum(len(string_split(a.text, ' ')))::BIGINT AS sum_words,
+                     sum(a.doc_id)::BIGINT AS sum_ids
+              FROM all_rows a JOIN keepers k ON a.text = k.text AND a.doc_id = k.mid
+              GROUP BY lang
+            )
         """,
         "token_count_hist": """
             SELECT token_count, count(*) AS n FROM (
