@@ -14,11 +14,11 @@ specification (https://iceberg.apache.org/spec/, format-version 2):
   spec's exact record shapes and field IDs (``manifest_file`` fields
   500-519, ``manifest_entry``/``data_file`` fields 0-4 / 100-142), written
   with :mod:`datatrove_spark.formats.avro`;
-* identity and ``bucket[N]`` partition transforms (the latter via the
-  spec's Appendix-B murmur3_32, verified against the spec's own worked
-  examples — the north rule's "repartition by repo-hash" as a real table
-  layout); manifest partition summaries drive partition pruning *before*
-  Spark ever sees a file path.
+* identity, ``bucket[N]`` and ``truncate[W]`` partition transforms (bucket
+  via the spec's Appendix-B murmur3_32, verified against the spec's own
+  worked examples — the north rule's "repartition by repo-hash" as a real
+  table layout); manifest partition summaries drive partition pruning
+  *before* Spark ever sees a file path.
 
 Data files are standard Spark-written parquet.  The write path stages a
 normal ``df.write.partitionBy(...)`` then publishes files into the table's
@@ -52,8 +52,8 @@ delete's) — broadcast when the delete count is small, shuffle otherwise.
 10^12-file maintenance primitive: deduplicating 3% of a 100 TB corpus costs
 a metadata-sized delete-file write instead of a 100 TB rewrite.
 
-Deliberately out of scope (documented, loud): the remaining partition
-transforms (truncate/year/month/day/hour), equality delete files (content=2 —
+Deliberately out of scope (documented, loud): the date/time partition
+transforms (year/month/day/hour), equality delete files (content=2 —
 position deletes cover the engine's dedup/retention use cases and avoid the
 sequence-scoped value-matching read path), sort orders beyond the unsorted
 default, and the REST/Hive catalogs — the file-system catalog is the one
@@ -225,22 +225,39 @@ def spark_type_of(ice_type: Any) -> T.DataType:
 
 
 def _parse_transform(transform: str) -> tuple[str, int | None]:
-    """``"identity"`` or ``"bucket[N]"`` → (kind, param)."""
+    """``"identity"``, ``"bucket[N]"`` or ``"truncate[W]"`` → (kind, param)."""
     if transform == "identity":
         return "identity", None
-    if transform.startswith("bucket[") and transform.endswith("]"):
-        return "bucket", int(transform[len("bucket[") : -1])
+    for kind in ("bucket", "truncate"):
+        if transform.startswith(kind + "[") and transform.endswith("]"):
+            return kind, int(transform[len(kind) + 1 : -1])
     raise IcebergError(f"unsupported partition transform {transform!r}")
 
 
 def _partition_value_type(pf: dict, table_schema: dict) -> str:
     """Iceberg type of a partition-spec field's VALUE: the source column's
-    type for identity, ``int`` for bucket[N] (spec §Partition Transforms)."""
+    type for identity and truncate, ``int`` for bucket[N]
+    (spec §Partition Transforms)."""
     kind, _ = _parse_transform(pf["transform"])
     if kind == "bucket":
         return "int"
     by_id = {f["id"]: f for f in table_schema["fields"]}
     return by_id[pf["source-id"]]["type"]
+
+
+def iceberg_truncate(value, width: int):
+    """Iceberg ``truncate[W]`` transform (spec §Partition Transforms):
+    strings truncate to the first W CODEPOINTS; integers truncate to
+    ``v - (v mod W)`` with a floored (always-non-negative) modulus, so
+    negative values round toward -inf and ranges stay contiguous."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return value[:width]
+    if isinstance(value, (int,)) or hasattr(value, "__index__"):
+        v = int(value)
+        return v - (((v % width) + width) % width)
+    raise TypeError(f"truncate transform unsupported for {type(value).__name__}")
 
 
 def _partition_struct_schema(spec_fields: list[dict], table_schema: dict) -> dict:
@@ -595,11 +612,14 @@ class IcebergTable:
         for i, spec in enumerate(partition_by):
             # "col" = identity; "bucket(col, N)" = the spec's murmur3 bucket
             # transform (the north rule's repartition-by-repo-hash as a real
-            # table layout)
-            m = re.fullmatch(r"\s*bucket\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*", spec)
+            # table layout); "truncate(col, W)" = prefix/width truncation
+            m = re.fullmatch(
+                r"\s*(bucket|truncate)\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*", spec
+            )
             if m:
-                col, n = m.group(1), int(m.group(2))
-                transform, name = f"bucket[{n}]", f"{col}_bucket"
+                kind, col, n = m.group(1), m.group(2), int(m.group(3))
+                transform = f"{kind}[{n}]"
+                name = f"{col}_{'bucket' if kind == 'bucket' else 'trunc'}"
             else:
                 col, transform, name = spec, "identity", spec
             if col not in by_name:
@@ -801,6 +821,15 @@ class IcebergTable:
             if kind == "identity":
                 continue
             src = by_id[pf["source-id"]]["name"]
+            if kind == "truncate":
+                # native expressions: substring for strings, floored-mod
+                # subtraction for integers (pmod is already non-negative)
+                if by_id[pf["source-id"]]["type"] == "string":
+                    expr = F.substring(F.col(src), 1, n)
+                else:
+                    expr = F.col(src) - F.pmod(F.col(src), F.lit(n))
+                df = df.withColumn(pf["name"], expr)
+                continue
 
             def _make(n_buckets: int):
                 from datatrove_spark.kernels.hashing import iceberg_bucket
@@ -889,8 +918,12 @@ class IcebergTable:
             names = {f.name for f in schema.fields}
             return spark.createDataFrame(
                 [], T.StructType(schema.fields + [
-                    T.StructField(c, T.IntegerType())
-                    for c in self.partition_columns if c not in names
+                    T.StructField(
+                        pf["name"],
+                        spark_type_of(_partition_value_type(pf, self.schema)),
+                    )
+                    for pf in self.partition_spec["fields"]
+                    if pf["name"] not in names
                 ] + [
                     T.StructField("_dt_file", T.StringType()),
                     T.StructField("_dt_pos", T.LongType()),

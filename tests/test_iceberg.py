@@ -928,3 +928,27 @@ def test_bucket_transform_long_source(spark, docs, tmp_path):
     pruned = t.read(spark, partition_filter={"doc_id_bucket": b})
     assert pruned.filter(F.col("doc_id") == some_id).count() == 1
     assert t.read(spark).count() == docs.count()
+
+
+def test_truncate_partition_transform(spark, docs, tmp_path):
+    """truncate[W]: string prefix dirs (native substring at write), the
+    source column stays in the files, pruning by the truncated value."""
+    from datatrove_spark.sources.iceberg_native import iceberg_truncate
+
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["truncate(source, 3)"])
+    t.append(spark, docs)
+    spec = t.partition_spec["fields"][0]
+    assert spec["transform"] == "truncate[3]" and spec["name"] == "source_trunc"
+    src0 = docs.select("source").first()[0]
+    pref = iceberg_truncate(src0, 3)
+    assert pref == src0[:3]
+    pruned = t.read(spark, partition_filter={"source_trunc": pref})
+    assert pruned.filter(F.col("source") == src0).count() == docs.filter(
+        F.col("source") == src0
+    ).count()
+    assert t.read(spark).count() == docs.count()
+    # integer truncation floors toward -inf (spec: floored modulus)
+    assert iceberg_truncate(17, 5) == 15
+    assert iceberg_truncate(-1, 5) == -5
+    assert iceberg_truncate(None, 5) is None
