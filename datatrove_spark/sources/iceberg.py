@@ -140,3 +140,48 @@ def dedup_corpus_deletes(
     return t.commit_position_deletes(
         spark, dupes, summary={"dedup-key": f"sha256({text_col})", **(summary or {})}
     )
+
+
+def optout_corpus_deletes(
+    spark: SparkSession,
+    location: str,
+    repos,
+    repo_col: str = "repo",
+    summary: dict | None = None,
+) -> int | None:
+    """Retroactive repository opt-out on a committed Iceberg corpus via
+    EQUALITY delete files — the after-the-fact counterpart of
+    :func:`operators.code_filters.repo_optout_filter` (which gates rows
+    during a pipeline run).
+
+    An opt-out request arriving AFTER the corpus is committed costs one
+    O(len(list)) metadata-sized write — no scan, no rewrite of the
+    10^12-file corpus.  Matching happens merge-on-read; per the spec's
+    strict sequence rule the delete only affects data committed BEFORE it,
+    so a re-crawl appended later is unaffected (and should be gated by the
+    pipeline-time filter instead).
+
+    ``repos``: an iterable of repo names or a single-column DataFrame.
+    Returns the delete snapshot id, or None for an empty list.
+    """
+    from pyspark.sql import types as T
+
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    t = IcebergTable.load(location)
+    if isinstance(repos, DataFrame):
+        values = repos.toDF(repo_col)
+    else:
+        repos = [r for r in repos if r]
+        if not repos:
+            return None
+        values = spark.createDataFrame(
+            [(r,) for r in repos],
+            T.StructType([T.StructField(repo_col, T.StringType())]),
+        )
+    return t.commit_equality_deletes(
+        spark,
+        values,
+        [repo_col],
+        summary={"optout-count": str(values.count()), **(summary or {})},
+    )

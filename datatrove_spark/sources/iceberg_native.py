@@ -38,8 +38,9 @@ simply re-processes the batch and commits fresh files.  Blind re-appends can
 never double-count, which is precisely the property ``lineage.py`` had to
 build dynamic-partition-overwrite machinery to get on bare parquet.
 
-Row-level deletes (spec §Row-level deletes, merge-on-read): position delete
-files (content=1) are supported end-to-end.  ``delete_where`` scans the live
+Row-level deletes (spec §Row-level deletes, merge-on-read): position
+(content=1) AND equality (content=2) delete files are supported
+end-to-end.  ``delete_where`` scans the live
 snapshot with Spark's ``_metadata.file_path``/``row_index`` parquet metadata
 columns, writes partition-scoped parquet delete files carrying the spec's
 reserved field IDs (``file_path``=2147483546, ``pos``=2147483545, rows sorted
@@ -48,14 +49,17 @@ under a new "delete" snapshot.  Reads merge-on-read: surviving data rows are
 the scan ANTI-JOINed against applicable deletes under the spec's sequence-
 number rule (a delete applies to data files whose data sequence number ≤ the
 delete's) — broadcast when the delete count is small, shuffle otherwise.
-``compact`` materializes (rewrites data, drops delete files).  This is THE
-10^12-file maintenance primitive: deduplicating 3% of a 100 TB corpus costs
-a metadata-sized delete-file write instead of a 100 TB rewrite.
+Equality deletes store value tuples
+(``commit_equality_deletes``) applied by null-safe anti-join under the
+spec's STRICT sequence rule — later appends survive — which makes
+retroactive repository opt-out from a committed corpus an O(list) write
+with no scan.  ``compact`` materializes (rewrites data, drops delete
+files).  These are THE 10^12-file maintenance primitives: deduplicating 3%
+of a 100 TB corpus costs a metadata-sized delete-file write instead of a
+100 TB rewrite.
 
 Deliberately out of scope (documented, loud): the date/time partition
-transforms (year/month/day/hour), equality delete files (content=2 —
-position deletes cover the engine's dedup/retention use cases and avoid the
-sequence-scoped value-matching read path), sort orders beyond the unsorted
+transforms (year/month/day/hour), sort orders beyond the unsorted
 default, and the REST/Hive catalogs — the file-system catalog is the one
 that works against a plain path.  Column-level stats in manifests are
 populated for lower/upper bounds of partition columns only; per-column
@@ -357,6 +361,12 @@ def manifest_entry_schema(partition_schema: dict) -> dict:
                 "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
                 "default": None,
                 "field-id": 132,
+            },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
             },
             {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
         ],
@@ -947,7 +957,12 @@ class IcebergTable:
             F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias("_dt_file"),
             F.col("_metadata.row_index").alias("_dt_pos"),
         )
-        return self._anti_join_deletes(spark, df, self.delete_files(snapshot_id))
+        df = self._anti_join_deletes(
+            spark, df, self.delete_files(snapshot_id, content=POSITION_DELETES)
+        )
+        return self._anti_join_equality(
+            spark, df, self.delete_files(snapshot_id, content=EQUALITY_DELETES), files
+        )
 
     @staticmethod
     def _anti_join_deletes(spark: SparkSession, df: DataFrame, deletes: list[dict]) -> DataFrame:
@@ -972,6 +987,61 @@ class IcebergTable:
         if sum(d["file"]["record_count"] for d in deletes) <= 20_000_000:
             del_df = F.broadcast(del_df)
         return df.join(del_df, ["_dt_file", "_dt_pos"], "left_anti")
+
+    def _anti_join_equality(
+        self, spark: SparkSession, df: DataFrame, deletes: list[dict], files: list[dict]
+    ) -> DataFrame:
+        """Subtract equality-delete rows from a frame carrying ``_dt_file``:
+        one anti-join per (equality-id set, sequence) group on null-safe
+        column equality, guarded by the spec's STRICT sequence rule — the
+        delete applies only to data files with sequence number < its own,
+        so the data side first picks up its per-file sequence from a
+        broadcast (metadata-sized) map."""
+        if not deletes:
+            return df
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        seq_df = F.broadcast(
+            spark.createDataFrame(
+                [(f["file_path"], int(f.get("_sequence_number") or 0)) for f in files],
+                T.StructType(
+                    [
+                        T.StructField("_dt_file", T.StringType()),
+                        T.StructField("_data_seq", T.LongType()),
+                    ]
+                ),
+            )
+        )
+        df = df.join(seq_df, "_dt_file", "left")
+        id_to_field = {f["id"]: f for f in self.schema["fields"]}
+        groups: dict[tuple, list[dict]] = {}
+        for d in deletes:
+            key = (tuple(d["file"]["equality_ids"]), int(d["sequence_number"] or 0))
+            groups.setdefault(key, []).append(d)
+        for (ids, dseq), group in sorted(groups.items()):
+            cols = [id_to_field[i]["name"] for i in ids]
+            del_schema = T.StructType(
+                [
+                    T.StructField(c, spark_type_of(id_to_field[i]["type"]))
+                    for c, i in zip(cols, ids)
+                ]
+            )
+            dd = (
+                spark.read.schema(del_schema)
+                .parquet(*[d["file"]["file_path"] for d in group])
+                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+                .distinct()
+            )
+            if sum(d["file"]["record_count"] for d in group) <= 1_000_000:
+                dd = F.broadcast(dd)
+            cond = reduce(
+                lambda a, b: a & b,
+                [df[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
+            ) & (F.col("_data_seq") < F.lit(dseq))
+            df = df.join(dd, cond, "left_anti")
+        return df.drop("_data_seq")
 
     def delete_where(self, spark: SparkSession, condition, summary: dict | None = None) -> int | None:
         """Commit a "delete" snapshot removing rows matching ``condition``
@@ -1050,14 +1120,78 @@ class IcebergTable:
             },
         )
 
+    def commit_equality_deletes(
+        self,
+        spark: SparkSession,
+        values: DataFrame,
+        eq_cols: list[str],
+        summary: dict | None = None,
+    ) -> int | None:
+        """Commit a DataFrame of equality-column value tuples as GLOBAL
+        equality-delete files (spec content=2) in one "delete" snapshot:
+        any data row whose ``eq_cols`` values match a delete row is removed
+        at read — but ONLY in data files strictly older than this commit
+        (the spec's sequence rule: an equality delete applies to sequence
+        numbers < its own), so rows appended later survive.
+
+        This is the retroactive-removal primitive: opting out a repository
+        from a committed 10^12-file corpus costs an O(list) write with NO
+        scan at delete time; matching happens merge-on-read.
+        """
+        from pyspark.sql import functions as F
+
+        schema_by_name = {f["name"]: f for f in self.schema["fields"]}
+        missing = [c for c in eq_cols if c not in schema_by_name]
+        if missing:
+            raise IcebergError(f"equality columns {missing} not in table schema")
+        ids = [schema_by_name[c]["id"] for c in eq_cols]
+        commit_uuid = str(uuid_mod.uuid4())
+        staging = os.path.join(self.location, "_staging", commit_uuid)
+        out = values.select(*eq_cols).distinct()
+        for c, fid in zip(eq_cols, ids):
+            out = out.withMetadata(c, {"parquet.field.id": fid})
+        prev = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        try:
+            out.coalesce(1).write.mode("overwrite").parquet(staging)
+        finally:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev)
+        published = [
+            dict(f, content=EQUALITY_DELETES, equality_ids=ids)
+            for f in self._publish_staging(staging, commit_uuid)
+            if f["record_count"] > 0
+        ]
+        if not published:
+            return None
+        n = sum(f["record_count"] for f in published)
+        return self._commit_snapshot(
+            operation="delete",
+            added_files=[],
+            added_delete_files=published,
+            carried_manifests=self._live_manifests(),
+            removed_manifests=[],
+            commit_uuid=commit_uuid,
+            summary_extra={
+                "added-equality-deletes": str(n),
+                **{k: str(v) for k, v in (summary or {}).items()},
+            },
+        )
+
     def delete_files(
         self,
         snapshot_id: int | None = None,
         partition_filter: Callable[[dict], bool] | dict | None = None,
+        content: int | None = POSITION_DELETES,
     ) -> list[dict]:
-        """Live position-delete files of a snapshot with their sequence
-        numbers (``{"file": <data_file dict>, "sequence_number": N}``),
-        partition-pruned like :meth:`data_files`."""
+        """Live delete files of a snapshot with their sequence numbers
+        (``{"file": <data_file dict>, "sequence_number": N}``),
+        partition-pruned like :meth:`data_files`.  ``content`` selects
+        position (1, the default) or equality (2) delete files; None = both.
+
+        An equality delete with a NULL partition tuple is GLOBAL — it
+        survives any partition filter (spec: global deletes apply to every
+        partition).
+        """
         snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
         if snap is None:
             return []
@@ -1067,13 +1201,15 @@ class IcebergTable:
         for mf in manifest_files:
             if mf["content"] != 1:
                 continue
-            if pred is not None and not self._manifest_may_match(mf, partition_filter):
-                continue
             entries, _ = read_avro_file(mf["manifest_path"])
             for e in entries:
                 if e["status"] == DELETED:
                     continue
-                if pred is not None and not pred(e["data_file"]["partition"]):
+                if content is not None and e["data_file"].get("content", 1) != content:
+                    continue
+                part = e["data_file"]["partition"]
+                is_global = all(v is None for v in part.values()) if part else True
+                if pred is not None and not is_global and not pred(part):
                     continue
                 out.append({"file": e["data_file"], "sequence_number": e["sequence_number"]})
         return out
@@ -1083,11 +1219,13 @@ class IcebergTable:
         (deletes applied) as fresh data files and drop every delete file —
         Iceberg's rewrite_data_files maintenance action.  Run when
         accumulated deletes make the read-side anti-join cost noticeable."""
-        n_deletes = sum(d["file"]["record_count"] for d in self.delete_files())
+        n_deletes = sum(
+            d["file"]["record_count"] for d in self.delete_files(content=None)
+        )
         return self.overwrite(
             spark,
             self.read(spark),
-            summary={"compacted-position-deletes": str(n_deletes), **(summary or {})},
+            summary={"compacted-deletes": str(n_deletes), **(summary or {})},
         )
 
     def _partition_key(self, partition: dict) -> tuple:
@@ -1212,7 +1350,7 @@ class IcebergTable:
                     "sequence_number": seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": POSITION_DELETES,
+                        "content": f.get("content", POSITION_DELETES),
                         "file_path": f["file_path"],
                         "file_format": f["file_format"],
                         "partition": f["partition"],
@@ -1225,6 +1363,7 @@ class IcebergTable:
                         "upper_bounds": None,
                         "key_metadata": None,
                         "split_offsets": None,
+                        "equality_ids": f.get("equality_ids"),
                         "sort_order_id": None,
                     },
                 }
@@ -1267,30 +1406,44 @@ class IcebergTable:
         if cur is not None:
             prev_totals["total-records"] = int(cur["summary"].get("total-records", 0))
             prev_totals["total-data-files"] = int(cur["summary"].get("total-data-files", 0))
-        prev_del_files = prev_del_rows = 0
+        prev_del_files = prev_pos_rows = prev_eq_rows = 0
         if cur is not None:
             prev_del_files = int(cur["summary"].get("total-delete-files", 0))
-            prev_del_rows = int(cur["summary"].get("total-position-deletes", 0))
-        # removed entries split by content: data rows vs position-delete rows
+            prev_pos_rows = int(cur["summary"].get("total-position-deletes", 0))
+            prev_eq_rows = int(cur["summary"].get("total-equality-deletes", 0))
+        # removed entries split by content: data vs position vs equality
         _removed = [
             e for rm in removed_manifests for e in rm.get("deleted_entries", [])
         ]
-        deleted_rows = sum(
-            e["data_file"]["record_count"]
-            for e in _removed
-            if e["data_file"].get("content", 0) == 0
-        )
-        deleted_files = sum(1 for e in _removed if e["data_file"].get("content", 0) == 0)
-        removed_del_files = sum(1 for e in _removed if e["data_file"].get("content", 0) == 1)
-        removed_del_rows = sum(
-            e["data_file"]["record_count"]
-            for e in _removed
-            if e["data_file"].get("content", 0) == 1
-        )
+
+        def _rm_count(content):
+            return sum(1 for e in _removed if e["data_file"].get("content", 0) == content)
+
+        def _rm_rows(content):
+            return sum(
+                e["data_file"]["record_count"]
+                for e in _removed
+                if e["data_file"].get("content", 0) == content
+            )
+
+        deleted_rows = _rm_rows(0)
+        deleted_files = _rm_count(0)
         n_added_deletes = len(added_delete_files or [])
-        added_delete_rows = sum(f["record_count"] for f in added_delete_files or [])
-        total_delete_files = prev_del_files + n_added_deletes - removed_del_files
-        total_delete_rows = prev_del_rows + added_delete_rows - removed_del_rows
+        added_pos_rows = sum(
+            f["record_count"]
+            for f in added_delete_files or []
+            if f.get("content", POSITION_DELETES) == POSITION_DELETES
+        )
+        added_eq_rows = sum(
+            f["record_count"]
+            for f in added_delete_files or []
+            if f.get("content", POSITION_DELETES) == EQUALITY_DELETES
+        )
+        total_delete_files = (
+            prev_del_files + n_added_deletes - _rm_count(1) - _rm_count(2)
+        )
+        total_delete_rows = prev_pos_rows + added_pos_rows - _rm_rows(1)
+        total_eq_rows = prev_eq_rows + added_eq_rows - _rm_rows(2)
         total_records = (
             added_rows
             if not carried_manifests and not removed_manifests
@@ -1320,6 +1473,7 @@ class IcebergTable:
                 "total-data-files": str(total_files),
                 "total-delete-files": str(total_delete_files),
                 "total-position-deletes": str(total_delete_rows),
+                "total-equality-deletes": str(total_eq_rows),
                 **summary_extra,
             },
         }
@@ -1486,8 +1640,9 @@ class IcebergTable:
         # normalize column order + partition column types to the table schema
         from pyspark.sql import functions as F
 
-        deletes = self.delete_files(snapshot_id, partition_filter)
-        if deletes:
+        pos = self.delete_files(snapshot_id, partition_filter, content=POSITION_DELETES)
+        eqs = self.delete_files(snapshot_id, partition_filter, content=EQUALITY_DELETES)
+        if pos or eqs:
             df = df.select(
                 "*",
                 F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias(
@@ -1495,7 +1650,8 @@ class IcebergTable:
                 ),
                 F.col("_metadata.row_index").alias("_dt_pos"),
             )
-            df = self._anti_join_deletes(spark, df, deletes)
+            df = self._anti_join_deletes(spark, df, pos)
+            df = self._anti_join_equality(spark, df, eqs, files)
 
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]

@@ -952,3 +952,95 @@ def test_truncate_partition_transform(spark, docs, tmp_path):
     assert iceberg_truncate(17, 5) == 15
     assert iceberg_truncate(-1, 5) == -5
     assert iceberg_truncate(None, 5) is None
+
+
+# ---------------------------------------------------------------------------
+# Equality delete files (spec content=2): retroactive value-based removal
+# ---------------------------------------------------------------------------
+
+
+def test_equality_delete_merge_on_read(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    s1 = t.append(spark, docs)
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    vals = spark.createDataFrame([(langs[0],)], "lang string")
+    sid = t.commit_equality_deletes(spark, vals, ["lang"])
+    assert sid is not None
+    got = t.read(spark)
+    assert got.filter(F.col("lang") == langs[0]).count() == 0
+    assert got.count() == docs.filter(F.col("lang") != langs[0]).count()
+    # time travel: the pre-delete snapshot is intact
+    assert t.read(spark, snapshot_id=s1).count() == docs.count()
+    summ = t.current_snapshot()["summary"]
+    assert summ["operation"] == "delete"
+    assert int(summ["added-equality-deletes"]) == 1
+    assert int(summ["total-equality-deletes"]) == 1
+    # manifest entry carries the equality ids + content=2
+    dels = t.delete_files(content=2)
+    assert len(dels) == 1 and dels[0]["file"]["content"] == 2
+    lang_id = next(f["id"] for f in t.schema["fields"] if f["name"] == "lang")
+    assert dels[0]["file"]["equality_ids"] == [lang_id]
+
+
+def test_equality_delete_strict_sequence_rule(spark, docs, tmp_path):
+    """Rows appended AFTER an equality delete survive even when their
+    values match (spec: applies to sequence numbers strictly less)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs.filter("doc_id % 2 = 0"))
+    lang0 = docs.select("lang").first()[0]
+    t.commit_equality_deletes(
+        spark, spark.createDataFrame([(lang0,)], "lang string"), ["lang"]
+    )
+    assert t.read(spark).filter(F.col("lang") == lang0).count() == 0
+    # the re-crawl lands AFTER the opt-out commit: it must survive
+    t.append(spark, docs.filter("doc_id % 2 != 0"))
+    got = t.read(spark)
+    survivors = docs.filter((F.col("doc_id") % 2 != 0) | (F.col("lang") != lang0))
+    assert got.count() == survivors.count()
+    assert got.filter(F.col("lang") == lang0).count() == docs.filter(
+        (F.col("doc_id") % 2 != 0) & (F.col("lang") == lang0)
+    ).count()
+
+
+def test_equality_and_position_deletes_compose(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    lang0 = docs.select("lang").first()[0]
+    t.delete_where(spark, "doc_id % 7 = 0")  # position deletes
+    t.commit_equality_deletes(
+        spark, spark.createDataFrame([(lang0,)], "lang string"), ["lang"]
+    )
+    want = docs.filter((F.col("doc_id") % 7 != 0) & (F.col("lang") != lang0))
+    got = t.read(spark)
+    assert got.count() == want.count()
+    a = got.orderBy("doc_id").toPandas().reset_index(drop=True)
+    b = want.orderBy("doc_id").select(*[f.name for f in docs.schema.fields]).toPandas().reset_index(drop=True)
+    assert a.equals(b)
+    # compact materializes both kinds and zeroes the totals
+    t.compact(spark)
+    summ = t.current_snapshot()["summary"]
+    assert int(summ["total-position-deletes"]) == 0
+    assert int(summ["total-equality-deletes"]) == 0
+    assert t.read(spark).count() == want.count()
+
+
+def test_optout_corpus_deletes(spark, tmp_path):
+    """Retroactive repo opt-out: O(list) equality-delete write, whole repos
+    vanish from reads, later re-crawls unaffected."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.sources.iceberg import optout_corpus_deletes
+
+    rows = synth_corpus(spark, 1000, partitions=4).drop("content_class")
+    loc = _fresh(tmp_path, "corpus")
+    t = IcebergTable.create(loc, rows.schema, partition_by=[])
+    t.append(spark, rows)
+    victims = [r[0] for r in rows.select("repo").distinct().limit(3).collect()]
+    sid = optout_corpus_deletes(spark, loc, victims)
+    assert sid is not None
+    got = t.refresh().read(spark)
+    assert got.filter(F.col("repo").isin(victims)).count() == 0
+    assert got.count() == rows.filter(~F.col("repo").isin(victims)).count()
+    assert optout_corpus_deletes(spark, loc, []) is None
