@@ -9,6 +9,8 @@ Subcommands (all take the table path as the first argument):
   orphans     remove crash-orphaned files outside the grace window
   compact     materialize merge-on-read state (rewrite data, drop deletes)
   dedup       in-place exact dedup via position-delete files
+  optout      retroactive repository opt-out via equality-delete files
+              (O(list) write, no scan; later re-crawls unaffected)
 
 Examples:
 
@@ -137,6 +139,17 @@ def cmd_dedup(args) -> None:
     )
 
 
+def cmd_optout(args) -> None:
+    from datatrove_spark.sources.iceberg import optout_corpus_deletes
+
+    with open(args.list) as fh:
+        repos = [ln.strip() for ln in fh if ln.strip()]
+    sid = optout_corpus_deletes(
+        _spark(), args.table, repos, repo_col=args.repo_col
+    )
+    print(json.dumps({"snapshot_id": sid, "n_repos": len(repos)}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -170,6 +183,12 @@ def main() -> None:
     p.add_argument("--text-col", default="content")
     p.add_argument("--order-col", default=None)
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("optout")
+    p.add_argument("table")
+    p.add_argument("--list", required=True, help="text file, one repo per line")
+    p.add_argument("--repo-col", default="repo")
+    p.set_defaults(fn=cmd_optout)
 
     args = ap.parse_args()
     args.fn(args)
