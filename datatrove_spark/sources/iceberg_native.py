@@ -490,6 +490,125 @@ def _bound_bytes(value: Any, ice_type: str) -> bytes | None:
     return None
 
 
+def _bound_decode(raw: bytes, ice_type: str):
+    """Inverse of :func:`_bound_bytes` for manifest-level pruning."""
+    import struct as _struct
+
+    if raw is None:
+        return None
+    if ice_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    return None
+
+
+def _file_may_match(data_file: dict, value_filter: dict, table_schema: dict) -> bool:
+    """Manifest-level FILE pruning by column bounds: False only when the
+    file's lower/upper bounds PROVE no row can satisfy the filter.  A filter
+    value is a scalar (equality) or an inclusive ``(lo, hi)`` range with
+    None = open end.  Files without stats for a column never prune."""
+    by_name = {f["name"]: f for f in table_schema["fields"]}
+    lo_map = {kv["key"]: kv["value"] for kv in (data_file.get("lower_bounds") or [])}
+    hi_map = {kv["key"]: kv["value"] for kv in (data_file.get("upper_bounds") or [])}
+    for col, cond in value_filter.items():
+        f = by_name.get(col)
+        if f is None:
+            raise IcebergError(f"value_filter column {col!r} not in schema")
+        lo = _bound_decode(lo_map.get(f["id"]), f["type"]) if f["id"] in lo_map else None
+        hi = _bound_decode(hi_map.get(f["id"]), f["type"]) if f["id"] in hi_map else None
+        if lo is None or hi is None:
+            continue
+        want_lo, want_hi = cond if isinstance(cond, tuple) else (cond, cond)
+        if want_hi is not None and lo > want_hi:
+            return False
+        if want_lo is not None and hi < want_lo:
+            return False
+    return True
+
+
+# string bounds longer than this are omitted rather than truncated: a
+# truncated UPPER bound is not a valid upper bound without the spec's
+# increment-last-codepoint adjustment, and skipping long strings loses
+# nothing (nobody range-prunes on document text)
+_MAX_STRING_BOUND = 128
+
+
+def _column_stats(pq_meta, table_schema: dict) -> dict:
+    """Per-column file statistics from the parquet footer, in the manifest's
+    shape (spec: value_counts / null_value_counts / lower_bounds /
+    upper_bounds keyed by field id).  This is what lets scan planning skip
+    whole FILES at the metadata level — at 10^12 files the alternative is
+    opening 10^12 parquet footers before the first byte of data IO."""
+    by_name = {f["name"]: f for f in table_schema["fields"]}
+    # a bound is only valid if EVERY row group contributed stats for the
+    # column — collect per-row-group, then keep fully-covered columns
+    per_col: dict[str, list] = {}
+    for rg in range(pq_meta.num_row_groups):
+        row_group = pq_meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in by_name:
+                continue  # nested or partition-only column
+            st = col.statistics
+            rec = None
+            if st is not None and st.has_min_max:
+                try:
+                    mn, mx = st.min, st.max
+                    if not isinstance(mn, bytes):  # undecoded binary: skip
+                        n_null = (st.null_count if st.has_null_count else 0) or 0
+                        rec = (mn, mx, n_null, st.num_values + n_null)
+                except (ValueError, NotImplementedError):
+                    rec = None
+            per_col.setdefault(name, []).append(rec)
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    values: dict[str, int] = {}
+    ok: set[str] = set()
+    for name, recs in per_col.items():
+        if len(recs) != pq_meta.num_row_groups or any(r is None for r in recs):
+            continue
+        ok.add(name)
+        mins[name] = min(r[0] for r in recs)
+        maxs[name] = max(r[1] for r in recs)
+        nulls[name] = sum(r[2] for r in recs)
+        values[name] = sum(r[3] for r in recs)
+    lower, upper, vcounts, ncounts = [], [], [], []
+    for name in sorted(ok):
+        f = by_name[name]
+        if f["type"] == "string" and (
+            len(str(mins[name]).encode()) > _MAX_STRING_BOUND
+            or len(str(maxs[name]).encode()) > _MAX_STRING_BOUND
+        ):
+            continue
+        lo = _bound_bytes(mins[name], f["type"])
+        hi = _bound_bytes(maxs[name], f["type"])
+        if lo is None or hi is None:
+            continue
+        lower.append({"key": f["id"], "value": lo})
+        upper.append({"key": f["id"], "value": hi})
+        vcounts.append({"key": f["id"], "value": values[name]})
+        ncounts.append({"key": f["id"], "value": nulls[name]})
+    if not lower:
+        return {}
+    return {
+        "lower_bounds": lower,
+        "upper_bounds": upper,
+        "value_counts": vcounts,
+        "null_value_counts": ncounts,
+    }
+
+
 # ---------------------------------------------------------------------------
 # the table
 # ---------------------------------------------------------------------------
@@ -902,6 +1021,7 @@ class IcebergTable:
                         "partition": partition,
                         "record_count": meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
+                        **_column_stats(meta, self.schema),
                     }
                 )
         _rmtree_quiet(staging)
@@ -1329,10 +1449,10 @@ class IcebergTable:
                         "record_count": f["record_count"],
                         "file_size_in_bytes": f["file_size_in_bytes"],
                         "column_sizes": None,
-                        "value_counts": None,
-                        "null_value_counts": None,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
+                        "value_counts": f.get("value_counts"),
+                        "null_value_counts": f.get("null_value_counts"),
+                        "lower_bounds": f.get("lower_bounds"),
+                        "upper_bounds": f.get("upper_bounds"),
                         "key_metadata": None,
                         "split_offsets": None,
                         "sort_order_id": 0,
@@ -1557,12 +1677,16 @@ class IcebergTable:
         self,
         snapshot_id: int | None = None,
         partition_filter: Callable[[dict], bool] | dict | None = None,
+        value_filter: dict | None = None,
     ) -> list[dict]:
-        """Live data files of a snapshot, optionally partition-pruned.
+        """Live data files of a snapshot, optionally pruned.
 
-        Pruning happens at TWO metadata levels before any data IO: manifest
-        partition summaries skip whole manifests, then per-entry partition
-        values skip files — the Iceberg scan-planning model.
+        Pruning happens at THREE metadata levels before any data IO:
+        manifest partition summaries skip whole manifests, per-entry
+        partition values skip files, and per-entry COLUMN BOUNDS
+        (``value_filter``: column → scalar or inclusive ``(lo, hi)`` range)
+        skip files whose footer min/max prove no row can match — the
+        Iceberg scan-planning model.
         """
         snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
         if snap is None:
@@ -1580,6 +1704,10 @@ class IcebergTable:
                 if e["status"] == DELETED:
                     continue
                 if pred is not None and not pred(e["data_file"]["partition"]):
+                    continue
+                if value_filter and not _file_may_match(
+                    e["data_file"], value_filter, self.schema
+                ):
                     continue
                 out.append(dict(e["data_file"], _sequence_number=e["sequence_number"]))
         return out
@@ -1612,10 +1740,17 @@ class IcebergTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_filter: Callable[[dict], bool] | dict | None = None,
+        value_filter: dict | None = None,
     ) -> DataFrame:
         """The snapshot as ONE native parquet scan over the manifests' file
         list; partition columns are recovered via ``basePath`` discovery, so
         pushdown/pruning/codegen all behave exactly as a plain parquet read.
+
+        ``value_filter`` (column → scalar or inclusive ``(lo, hi)`` range)
+        prunes FILES by manifest column bounds before Spark ever lists them
+        AND applies the equivalent row filter to the result, so the output
+        is exact — the metadata prune is a planning optimization, not a
+        semantics change.
 
         When the snapshot carries position-delete files, deleted rows are
         subtracted merge-on-read: one ANTI-JOIN of the scan against the
@@ -1625,8 +1760,10 @@ class IcebergTable:
         files with data sequence number ≤ the delete's) is satisfied
         structurally rather than joined per-row: data-file paths are
         commit-unique, so a delete row can never name a file added after it.
+        Equality deletes apply via null-safe anti-join under the strict
+        sequence rule (see :meth:`_anti_join_equality`).
         """
-        files = self.data_files(snapshot_id, partition_filter)
+        files = self.data_files(snapshot_id, partition_filter, value_filter)
         schema = self.spark_schema
         if not files:
             return spark.createDataFrame([], schema)
@@ -1653,9 +1790,18 @@ class IcebergTable:
             df = self._anti_join_deletes(spark, df, pos)
             df = self._anti_join_equality(spark, df, eqs, files)
 
-        return df.select(
+        df = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        for col, cond in (value_filter or {}).items():
+            # the exact residual of the metadata prune (files without stats
+            # pass the prune; rows outside the range must still drop)
+            lo, hi = cond if isinstance(cond, tuple) else (cond, cond)
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # -- maintenance ------------------------------------------------------------
 

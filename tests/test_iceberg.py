@@ -1044,3 +1044,67 @@ def test_optout_corpus_deletes(spark, tmp_path):
     assert got.filter(F.col("repo").isin(victims)).count() == 0
     assert got.count() == rows.filter(~F.col("repo").isin(victims)).count()
     assert optout_corpus_deletes(spark, loc, []) is None
+
+
+# ---------------------------------------------------------------------------
+# Manifest column bounds: metadata-level FILE skipping
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_column_bounds_and_file_skip(spark, docs, tmp_path):
+    """Publish writes per-column footer bounds into the manifests; a
+    value_filter prunes whole files at the metadata level and the read
+    stays exact (residual row filter applied)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)  # unpartitioned: bounds do the work
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    t1, t2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    t.append(spark, docs.filter(F.col("doc_id") < t1).repartition(1))
+    t.append(spark, docs.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2)).repartition(1))
+    t.append(spark, docs.filter(F.col("doc_id") >= t2).repartition(1))
+    all_files = t.data_files()
+    assert len(all_files) == 3
+    did = next(f["id"] for f in t.schema["fields"] if f["name"] == "doc_id")
+    for f in all_files:
+        los = {kv["key"]: kv["value"] for kv in f["lower_bounds"]}
+        his = {kv["key"]: kv["value"] for kv in f["upper_bounds"]}
+        assert did in los and did in his
+        vals = {kv["key"]: kv["value"] for kv in f["value_counts"]}
+        assert vals[did] == f["record_count"]
+    # range filter prunes to one file of three
+    pruned = t.data_files(value_filter={"doc_id": (None, ids[5])})
+    assert len(pruned) == 1
+    got = t.read(spark, value_filter={"doc_id": (None, ids[5])})
+    assert got.count() == 6  # exact: residual filter inside the survivor file
+    # scalar equality
+    assert t.read(spark, value_filter={"doc_id": t1}).count() == 1
+    # string column bounds prune too (lang is low-cardinality but bounded)
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    got_l = t.read(spark, value_filter={"lang": langs[0]})
+    assert got_l.count() == docs.filter(F.col("lang") == langs[0]).count()
+    # unfiltered read unchanged
+    assert t.read(spark).count() == docs.count()
+    # pruning never lies: a range covering everything keeps all files
+    assert len(t.data_files(value_filter={"doc_id": (None, None)})) == 3
+
+
+def test_bounds_roundtrip_through_jvm_manifest(spark, docs, tmp_path):
+    """The bounds kv-maps must survive the Avro round trip as the spec's
+    k126/k129 map encoding (JVM GenericDatumReader parses them)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    mlist, _ = read_avro_file(t.current_snapshot()["manifest-list"])
+    dmf = next(mf for mf in mlist if mf["content"] == 0)
+    jvm = spark._jvm
+    r = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(dmf["manifest_path"]),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    rec = r.next()
+    lb = rec.get("data_file").get("lower_bounds")
+    assert lb is not None and lb.size() > 0
+    keys = {lb.get(i).get("key") for i in range(lb.size())}
+    did = next(f["id"] for f in t.schema["fields"] if f["name"] == "doc_id")
+    assert did in keys
+    r.close()
