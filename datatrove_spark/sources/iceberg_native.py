@@ -694,6 +694,50 @@ class IcebergTable:
         self._version += 1
         return new_sid
 
+    def tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a snapshot under a named TAG ref (spec §Refs) — e.g. tag the
+        snapshot a model was trained from as ``"prod-2026-08"``.  Tagged
+        snapshots survive :meth:`expire_snapshots`, so the pinned corpus
+        version stays reproducible while untagged history is reclaimed."""
+        if name == "main":
+            raise IcebergError("'main' is the branch ref; pick another name")
+        sid = snapshot_id if snapshot_id is not None else self.metadata["current-snapshot-id"]
+        if sid in (None, -1):
+            raise IcebergError("no snapshot to tag")
+        self._snapshot(sid)  # raises if unknown
+        old_md = self.metadata
+        new_md = json.loads(json.dumps(old_md))
+        new_md.setdefault("refs", {})[name] = {"snapshot-id": sid, "type": "tag"}
+        new_md["last-updated-ms"] = int(time.time() * 1000)
+        self.metadata = new_md
+        try:
+            self._write_metadata(version=self._version + 1)
+        except BaseException:
+            self.metadata = old_md
+            raise
+        self._version += 1
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise IcebergError("cannot drop the main branch ref")
+        old_md = self.metadata
+        new_md = json.loads(json.dumps(old_md))
+        new_md.get("refs", {}).pop(name, None)
+        new_md["last-updated-ms"] = int(time.time() * 1000)
+        self.metadata = new_md
+        try:
+            self._write_metadata(version=self._version + 1)
+        except BaseException:
+            self.metadata = old_md
+            raise
+        self._version += 1
+
+    def ref_snapshot_id(self, name: str) -> int:
+        refs = self.metadata.get("refs") or {}
+        if name not in refs:
+            raise IcebergError(f"unknown ref {name!r}")
+        return refs[name]["snapshot-id"]
+
     def refresh(self) -> "IcebergTable":
         """Reload metadata from disk — picks up snapshots committed through
         OTHER instances of this table (each commit helper loads its own)."""
@@ -1604,7 +1648,9 @@ class IcebergTable:
         new_md["current-snapshot-id"] = snapshot_id
         new_md["snapshots"].append(snapshot)
         new_md["snapshot-log"].append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
-        new_md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        refs = dict(md.get("refs") or {})  # preserve tags across commits
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        new_md["refs"] = refs
         old_md = self.metadata
         self.metadata = new_md
         try:
@@ -1741,6 +1787,7 @@ class IcebergTable:
         snapshot_id: int | None = None,
         partition_filter: Callable[[dict], bool] | dict | None = None,
         value_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """The snapshot as ONE native parquet scan over the manifests' file
         list; partition columns are recovered via ``basePath`` discovery, so
@@ -1762,7 +1809,14 @@ class IcebergTable:
         commit-unique, so a delete row can never name a file added after it.
         Equality deletes apply via null-safe anti-join under the strict
         sequence rule (see :meth:`_anti_join_equality`).
+
+        ``ref`` reads a named tag/branch (mutually exclusive with
+        ``snapshot_id``).
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise IcebergError("pass either snapshot_id or ref, not both")
+            snapshot_id = self.ref_snapshot_id(ref)
         files = self.data_files(snapshot_id, partition_filter, value_filter)
         schema = self.spark_schema
         if not files:
@@ -1803,6 +1857,68 @@ class IcebergTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED by the append snapshots AFTER ``from_snapshot_id`` up
+        to ``to_snapshot_id`` (default: current) — Iceberg's incremental
+        append scan.  The 10^12-file consumer pattern: tokenize/index only
+        the new crawl since the last processed snapshot instead of
+        re-scanning the corpus.
+
+        "delete" snapshots in the range add no rows and are skipped (their
+        deletes affect OLD data, which an incremental consumer has already
+        seen); an "overwrite" snapshot in the range raises — added-rows
+        semantics cannot represent a replacement.
+        """
+        snaps = self.snapshots()
+        ids = [s["snapshot-id"] for s in snaps]
+        if from_snapshot_id not in ids:
+            raise IcebergError(f"unknown from_snapshot {from_snapshot_id}")
+        to_id = to_snapshot_id if to_snapshot_id is not None else ids[-1]
+        if to_id not in ids:
+            raise IcebergError(f"unknown to_snapshot {to_id}")
+        lo, hi = ids.index(from_snapshot_id), ids.index(to_id)
+        if hi < lo:
+            raise IcebergError("to_snapshot precedes from_snapshot")
+        files: list[dict] = []
+        for s in snaps[lo + 1 : hi + 1]:
+            op = s["summary"].get("operation")
+            if op == "delete":
+                continue
+            if op != "append":
+                raise IcebergError(
+                    f"snapshot {s['snapshot-id']} is {op!r}: incremental "
+                    "append semantics cannot represent it"
+                )
+            manifests, _ = read_avro_file(s["manifest-list"])
+            for mf in manifests:
+                if mf["content"] != 0 or mf["added_snapshot_id"] != s["snapshot-id"]:
+                    continue
+                entries, _ = read_avro_file(mf["manifest_path"])
+                files.extend(
+                    e["data_file"]
+                    for e in entries
+                    if e["status"] == ADDED and e["snapshot_id"] == s["snapshot-id"]
+                )
+        schema = self.spark_schema
+        if not files:
+            return spark.createDataFrame([], schema)
+        part_cols = set(self.partition_columns)
+        reader = spark.read
+        if part_cols:
+            reader = reader.option("basePath", os.path.join(self.location, "data"))
+        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        from pyspark.sql import functions as F
+
+        df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
     # -- maintenance ------------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1, clean_files: bool = True) -> list[int]:
@@ -1819,8 +1935,17 @@ class IcebergTable:
         snaps = self.metadata["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        expired_snaps = snaps[:-keep_last]
-        kept_snaps = snaps[-keep_last:]
+        # ref-protected snapshots (tags, branches) never expire
+        protected = {
+            r["snapshot-id"] for r in (self.metadata.get("refs") or {}).values()
+        }
+        tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
+        kept_snaps = [
+            s for s in snaps if s["snapshot-id"] in protected or s["snapshot-id"] in tail
+        ]
+        expired_snaps = [s for s in snaps if s not in kept_snaps]
+        if not expired_snaps:
+            return []
         expired = [s["snapshot-id"] for s in expired_snaps]
 
         victims: list[str] = []

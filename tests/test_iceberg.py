@@ -1108,3 +1108,60 @@ def test_bounds_roundtrip_through_jvm_manifest(spark, docs, tmp_path):
     did = next(f["id"] for f in t.schema["fields"] if f["name"] == "doc_id")
     assert did in keys
     r.close()
+
+
+# ---------------------------------------------------------------------------
+# Refs (tags) and incremental append reads
+# ---------------------------------------------------------------------------
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    s1 = t.append(spark, docs.limit(100))
+    t.tag("prod-v1")
+    t.append(spark, docs)
+    t.overwrite(spark, docs.limit(10))
+    # the tag survives subsequent commits and reads the pinned snapshot
+    t2 = IcebergTable.load(loc)
+    assert t2.ref_snapshot_id("prod-v1") == s1
+    assert t2.read(spark, ref="prod-v1").count() == 100
+    assert t2.read(spark).count() == 10
+    # expiry keeps the tagged snapshot (and its files) alive
+    t2.expire_snapshots(keep_last=1)
+    t3 = IcebergTable.load(loc)
+    assert {s["snapshot-id"] for s in t3.snapshots()} >= {s1}
+    assert t3.read(spark, ref="prod-v1").count() == 100
+    assert t3.read(spark).count() == 10
+    # dropping the ref releases it for the next expiry
+    t3.drop_ref("prod-v1")
+    t3.expire_snapshots(keep_last=1)
+    t4 = IcebergTable.load(loc)
+    assert len(t4.snapshots()) == 1
+    with pytest.raises(Exception, match="unknown ref"):
+        t4.read(spark, ref="prod-v1")
+
+
+def test_read_incremental_appends(spark, docs, tmp_path):
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    s1 = t.append(spark, docs.filter("doc_id % 3 = 0"))
+    s2 = t.append(spark, docs.filter("doc_id % 3 = 1"))
+    s3 = t.append(spark, docs.filter("doc_id % 3 = 2"))
+    # the delta after s1 is exactly the two later appends
+    inc = t.read_incremental(spark, s1)
+    want = docs.filter("doc_id % 3 != 0")
+    assert inc.count() == want.count()
+    a = inc.orderBy("doc_id").toPandas().reset_index(drop=True)
+    b = want.orderBy("doc_id").select(*[f.name for f in docs.schema.fields]).toPandas().reset_index(drop=True)
+    assert a.equals(b)
+    # bounded range
+    assert t.read_incremental(spark, s1, s2).count() == docs.filter("doc_id % 3 = 1").count()
+    # empty range
+    assert t.read_incremental(spark, s3).count() == 0
+    # delete snapshots are skipped; overwrite raises
+    t.delete_where(spark, "doc_id % 6 = 1")
+    assert t.read_incremental(spark, s3).count() == 0
+    t.overwrite(spark, docs.limit(5))
+    with pytest.raises(Exception, match="incremental"):
+        t.read_incremental(spark, s1)
