@@ -59,8 +59,8 @@ of a 100 TB corpus costs a metadata-sized delete-file write instead of a
 100 TB rewrite.
 
 Deliberately out of scope (documented, loud): the date/time partition
-transforms (year/month/day/hour), sort orders beyond the unsorted
-default, and the REST/Hive catalogs — the file-system catalog is the one
+transforms (year/month/day/hour), sort orders beyond ascending identity
+fields, and the REST/Hive catalogs — the file-system catalog is the one
 that works against a plain path.  Column-level stats in manifests are
 populated for lower/upper bounds of partition columns only; per-column
 metrics ride the parquet footers.
@@ -774,6 +774,7 @@ class IcebergTable:
         schema: T.StructType,
         partition_by: Iterable[str] = (),
         properties: dict[str, str] | None = None,
+        sort_by: Iterable[str] = (),
     ) -> "IcebergTable":
         if cls.exists(location):
             raise IcebergError(f"table already exists at {location!r}")
@@ -805,6 +806,18 @@ class IcebergTable:
                     "field-id": 1000 + i,
                 }
             )
+        sort_fields = []
+        for col in sort_by:
+            if col not in by_name:
+                raise IcebergError(f"sort column {col!r} not in schema")
+            sort_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+            )
         now_ms = int(time.time() * 1000)
         metadata = {
             "format-version": 2,
@@ -818,8 +831,9 @@ class IcebergTable:
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "last-partition-id": 999 + len(spec_fields),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 1 if sort_fields else 0,
+            "sort-orders": [{"order-id": 0, "fields": []}]
+            + ([{"order-id": 1, "fields": sort_fields}] if sort_fields else []),
             "properties": dict(properties or {}),
             "current-snapshot-id": -1,
             "refs": {},
@@ -852,6 +866,19 @@ class IcebergTable:
     @property
     def partition_columns(self) -> list[str]:
         return [f["name"] for f in self.partition_spec["fields"]]
+
+    @property
+    def sort_columns(self) -> list[str]:
+        """Source column names of the default sort order (identity fields)."""
+        oid = self.metadata.get("default-sort-order-id", 0)
+        order = next(
+            (o for o in self.metadata.get("sort-orders", []) if o["order-id"] == oid),
+            None,
+        )
+        if not order or not order["fields"]:
+            return []
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        return [by_id[f["source-id"]]["name"] for f in order["fields"]]
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata["snapshots"])
@@ -1026,7 +1053,14 @@ class IcebergTable:
         does not depend on rename atomicity, only the metadata swap does.
         """
         staging = os.path.join(self.location, "_staging", commit_uuid)
-        writer = self._with_partition_values(df).write.mode("overwrite")
+        df = self._with_partition_values(df)
+        sort_cols = self.sort_columns
+        if sort_cols:
+            # range-cluster on the sort order so files get DISJOINT column
+            # bounds — this is what turns the manifest bounds into an
+            # effective file-skip index (one shuffle, declared by the table)
+            df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+        writer = df.write.mode("overwrite")
         part_cols = self.partition_columns
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -1499,7 +1533,7 @@ class IcebergTable:
                         "upper_bounds": f.get("upper_bounds"),
                         "key_metadata": None,
                         "split_offsets": None,
-                        "sort_order_id": 0,
+                        "sort_order_id": self.metadata["default-sort-order-id"],
                     },
                 }
                 for f in added_files

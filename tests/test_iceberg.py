@@ -1165,3 +1165,42 @@ def test_read_incremental_appends(spark, docs, tmp_path):
     t.overwrite(spark, docs.limit(5))
     with pytest.raises(Exception, match="incremental"):
         t.read_incremental(spark, s1)
+
+
+def test_sort_order_clusters_files_for_pruning(spark, docs, tmp_path):
+    """A declared sort order range-clusters writes, so file bounds become
+    disjoint and value_filter pruning skips most of the table."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, sort_by=["doc_id"])
+    assert t.metadata["default-sort-order-id"] == 1
+    assert t.sort_columns == ["doc_id"]
+    # at test scale AQE would coalesce the range exchange to one partition;
+    # pin it so the clustering shape is observable
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    prev_n = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t.append(spark, docs.repartition(8))  # scrambled input
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_n)
+    files = t.data_files()
+    assert len(files) > 1
+    did = next(f["id"] for f in t.schema["fields"] if f["name"] == "doc_id")
+    ranges = []
+    for f in files:
+        lo = {kv["key"]: kv["value"] for kv in f["lower_bounds"]}[did]
+        hi = {kv["key"]: kv["value"] for kv in f["upper_bounds"]}[did]
+        import struct
+        ranges.append((struct.unpack("<q", lo)[0], struct.unpack("<q", hi)[0]))
+        assert f["sort_order_id"] == 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: range clustering worked
+    # a point lookup prunes to ONE file
+    some_id = sorted(r[0] for r in docs.select("doc_id").collect())[7]
+    assert len(t.data_files(value_filter={"doc_id": some_id})) == 1
+    got = t.read(spark, value_filter={"doc_id": some_id})
+    assert got.count() == 1
+    assert t.read(spark).count() == docs.count()
