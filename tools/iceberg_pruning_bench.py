@@ -1,0 +1,81 @@
+"""Measure manifest-level file pruning on a sort-clustered Iceberg table.
+
+Builds a sorted-by-repo corpus table from .bench_data/corpus (600k files),
+then compares a full-scan aggregate against point/range reads that prune
+via manifest column bounds.  Records BENCH/iceberg_pruning.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from datatrove_spark.session import get_spark
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    import pyspark.sql.functions as F
+
+    spark = get_spark("iceberg-pruning-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(os.path.join(REPO, ".bench_data", "corpus"))
+    loc = os.path.join(REPO, ".bench_data", "iceberg_sorted")
+    if not IcebergTable.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+        t = IcebergTable.create(loc, corpus.schema, sort_by=["repo"])
+        t.append(spark, corpus)
+    t = IcebergTable.load(loc)
+    n_files = len(t.data_files())
+
+    # warm the JVM + file listing
+    t.read(spark).count()
+
+    t0 = time.time()
+    full = t.read(spark).agg(F.count("*"), F.sum(F.length("content"))).collect()
+    full_s = time.time() - t0
+
+    repo0 = corpus.select("repo").first()[0]
+    pruned_files = len(t.data_files(value_filter={"repo": repo0}))
+    t0 = time.time()
+    point = (
+        t.read(spark, value_filter={"repo": repo0})
+        .agg(F.count("*"), F.sum(F.length("content")))
+        .collect()
+    )
+    point_s = time.time() - t0
+
+    # correctness: the pruned read must equal the unpruned filtered read
+    want = (
+        t.read(spark)
+        .filter(F.col("repo") == repo0)
+        .agg(F.count("*"), F.sum(F.length("content")))
+        .collect()
+    )
+    assert [tuple(r) for r in point] == [tuple(r) for r in want], (point, want)
+
+    rec = {
+        "n_rows": int(full[0][0]),
+        "n_files_total": n_files,
+        "n_files_point_read": pruned_files,
+        "full_scan_sec": round(full_s, 3),
+        "point_read_sec": round(point_s, 3),
+        "speedup": round(full_s / point_s, 1) if point_s else None,
+        "point_rows": int(point[0][0]),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "iceberg_pruning.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
