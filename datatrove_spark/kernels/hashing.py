@@ -124,6 +124,15 @@ def iceberg_bucket(value, n: int) -> int:
         data = value.encode("utf-8")
     elif isinstance(value, bytes):
         data = value
+    elif isinstance(value, (float, np.floating)):
+        # pandas upcasts an int64 column WITH NULLS to float64 before the
+        # UDF sees it: NaN is the null, integral floats are the ints
+        if np.isnan(value):
+            return None
+        if float(value).is_integer():
+            data = int(value).to_bytes(8, "little", signed=True)
+        else:
+            raise TypeError("bucket transform unsupported for non-integral float")
     elif isinstance(value, (int, np.integer)):
         data = int(value).to_bytes(8, "little", signed=True)
     else:

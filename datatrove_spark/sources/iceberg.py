@@ -169,6 +169,7 @@ def optout_corpus_deletes(
     from datatrove_spark.sources.iceberg_native import IcebergTable
 
     t = IcebergTable.load(location)
+    extra = dict(summary or {})
     if isinstance(repos, DataFrame):
         values = repos.toDF(repo_col)
     else:
@@ -179,9 +180,7 @@ def optout_corpus_deletes(
             [(r,) for r in repos],
             T.StructType([T.StructField(repo_col, T.StringType())]),
         )
-    return t.commit_equality_deletes(
-        spark,
-        values,
-        [repo_col],
-        summary={"optout-count": str(values.count()), **(summary or {})},
-    )
+        # list branch: the count is known locally; the DataFrame branch's
+        # count already lands in the commit's added-equality-deletes
+        extra.setdefault("optout-count", str(len(repos)))
+    return t.commit_equality_deletes(spark, values, [repo_col], summary=extra)

@@ -464,10 +464,6 @@ DELETE_POS_ID = 2147483545
 _URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?"
 
 
-def _uri_to_path(uri: str) -> str:
-    return urllib.parse.urlparse(uri).path or uri
-
-
 def _bound_bytes(value: Any, ice_type: str) -> bytes | None:
     """Single-value serialization for bounds (spec Appendix D): little-endian
     ints/longs/floats, UTF-8 strings."""
@@ -511,23 +507,34 @@ def _bound_decode(raw: bytes, ice_type: str):
     return None
 
 
-def _file_may_match(data_file: dict, value_filter: dict, table_schema: dict) -> bool:
-    """Manifest-level FILE pruning by column bounds: False only when the
-    file's lower/upper bounds PROVE no row can satisfy the filter.  A filter
-    value is a scalar (equality) or an inclusive ``(lo, hi)`` range with
-    None = open end.  Files without stats for a column never prune."""
+def _compile_value_filter(value_filter: dict, table_schema: dict) -> list[tuple]:
+    """Resolve filter columns to (field_id, ice_type, want_lo, want_hi)
+    ONCE per scan — pruning runs per manifest entry, and rebuilding the
+    schema map there would make planning O(entries × columns) dict builds
+    in exactly the metadata path that must stay cheap at 10^12 files."""
     by_name = {f["name"]: f for f in table_schema["fields"]}
-    lo_map = {kv["key"]: kv["value"] for kv in (data_file.get("lower_bounds") or [])}
-    hi_map = {kv["key"]: kv["value"] for kv in (data_file.get("upper_bounds") or [])}
+    compiled = []
     for col, cond in value_filter.items():
         f = by_name.get(col)
         if f is None:
             raise IcebergError(f"value_filter column {col!r} not in schema")
-        lo = _bound_decode(lo_map.get(f["id"]), f["type"]) if f["id"] in lo_map else None
-        hi = _bound_decode(hi_map.get(f["id"]), f["type"]) if f["id"] in hi_map else None
+        want_lo, want_hi = cond if isinstance(cond, tuple) else (cond, cond)
+        compiled.append((f["id"], f["type"], want_lo, want_hi))
+    return compiled
+
+
+def _file_may_match(data_file: dict, compiled_filter: list[tuple]) -> bool:
+    """Manifest-level FILE pruning by column bounds: False only when the
+    file's lower/upper bounds PROVE no row can satisfy the filter.  Filter
+    bounds are inclusive, None = open end.  Files without stats for a
+    column never prune."""
+    lo_map = {kv["key"]: kv["value"] for kv in (data_file.get("lower_bounds") or [])}
+    hi_map = {kv["key"]: kv["value"] for kv in (data_file.get("upper_bounds") or [])}
+    for fid, ice_type, want_lo, want_hi in compiled_filter:
+        lo = _bound_decode(lo_map.get(fid), ice_type) if fid in lo_map else None
+        hi = _bound_decode(hi_map.get(fid), ice_type) if fid in hi_map else None
         if lo is None or hi is None:
             continue
-        want_lo, want_hi = cond if isinstance(cond, tuple) else (cond, cond)
         if want_hi is not None and lo > want_hi:
             return False
         if want_lo is not None and hi < want_lo:
@@ -679,11 +686,23 @@ class IcebergTable:
             "schema-id": new_sid,
             "fields": cur["fields"] + added,
         }
+
+        def mutate(md):
+            md["schemas"].append(new_schema)
+            md["current-schema-id"] = new_sid
+            md["last-column-id"] = next_id[0] - 1
+
+        self._commit_metadata(mutate)
+        return new_sid
+
+    def _commit_metadata(self, mutate) -> None:
+        """One metadata-only commit: deep-copy, ``mutate(new_md)``, stamp
+        last-updated-ms, write version+1, roll the in-memory view back on
+        any failure (so a lost optimistic-lock race leaves the instance
+        consistent for refresh()-and-retry)."""
         old_md = self.metadata
         new_md = json.loads(json.dumps(old_md))
-        new_md["schemas"].append(new_schema)
-        new_md["current-schema-id"] = new_sid
-        new_md["last-column-id"] = next_id[0] - 1
+        mutate(new_md)
         new_md["last-updated-ms"] = int(time.time() * 1000)
         self.metadata = new_md
         try:
@@ -692,7 +711,6 @@ class IcebergTable:
             self.metadata = old_md
             raise
         self._version += 1
-        return new_sid
 
     def tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Pin a snapshot under a named TAG ref (spec §Refs) — e.g. tag the
@@ -705,32 +723,16 @@ class IcebergTable:
         if sid in (None, -1):
             raise IcebergError("no snapshot to tag")
         self._snapshot(sid)  # raises if unknown
-        old_md = self.metadata
-        new_md = json.loads(json.dumps(old_md))
-        new_md.setdefault("refs", {})[name] = {"snapshot-id": sid, "type": "tag"}
-        new_md["last-updated-ms"] = int(time.time() * 1000)
-        self.metadata = new_md
-        try:
-            self._write_metadata(version=self._version + 1)
-        except BaseException:
-            self.metadata = old_md
-            raise
-        self._version += 1
+        self._commit_metadata(
+            lambda md: md.setdefault("refs", {}).__setitem__(
+                name, {"snapshot-id": sid, "type": "tag"}
+            )
+        )
 
     def drop_ref(self, name: str) -> None:
         if name == "main":
             raise IcebergError("cannot drop the main branch ref")
-        old_md = self.metadata
-        new_md = json.loads(json.dumps(old_md))
-        new_md.get("refs", {}).pop(name, None)
-        new_md["last-updated-ms"] = int(time.time() * 1000)
-        self.metadata = new_md
-        try:
-            self._write_metadata(version=self._version + 1)
-        except BaseException:
-            self.metadata = old_md
-            raise
-        self._version += 1
+        self._commit_metadata(lambda md: md.get("refs", {}).pop(name, None))
 
     def ref_snapshot_id(self, name: str) -> int:
         refs = self.metadata.get("refs") or {}
@@ -1137,29 +1139,11 @@ class IcebergTable:
                     T.StructField("_dt_pos", T.LongType()),
                 ])
             )
-        part_cols = set(self.partition_columns)
-        reader = spark.read
-        if part_cols:
-            reader = reader.option("basePath", os.path.join(self.location, "data"))
-        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
-        from pyspark.sql import functions as F
-
-        df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
-        # transform partition fields (e.g. bucket[N]) are not table columns;
-        # surface them from the hive dirs so delete writers can scope deletes
-        schema_names = {f.name for f in schema.fields}
-        extra_part = [c for c in self.partition_columns if c not in schema_names]
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
-            *[F.col(c) for c in extra_part],
-            F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias("_dt_file"),
-            F.col("_metadata.row_index").alias("_dt_pos"),
-        )
-        df = self._anti_join_deletes(
-            spark, df, self.delete_files(snapshot_id, content=POSITION_DELETES)
-        )
-        return self._anti_join_equality(
-            spark, df, self.delete_files(snapshot_id, content=EQUALITY_DELETES), files
+        return self._merged_scan(
+            spark,
+            files,
+            self.delete_files(snapshot_id, content=POSITION_DELETES),
+            self.delete_files(snapshot_id, content=EQUALITY_DELETES),
         )
 
     @staticmethod
@@ -1182,43 +1166,37 @@ class IcebergTable:
             .parquet(*[d["file"]["file_path"] for d in deletes])
             .select(F.col("file_path").alias("_dt_file"), F.col("pos").alias("_dt_pos"))
         )
-        if sum(d["file"]["record_count"] for d in deletes) <= 20_000_000:
+        # size-based broadcast gate: a row-count gate lies about memory
+        # (each delete row carries a ~100-byte path string; compressed
+        # parquet inflates several-fold as a hash relation).  64 MB of
+        # delete FILES is a safely-broadcastable relation on the repo's 8g
+        # driver defaults; past that, shuffle.
+        if sum(d["file"]["file_size_in_bytes"] for d in deletes) <= 64 * 1024 * 1024:
             del_df = F.broadcast(del_df)
         return df.join(del_df, ["_dt_file", "_dt_pos"], "left_anti")
 
     def _anti_join_equality(
-        self, spark: SparkSession, df: DataFrame, deletes: list[dict], files: list[dict]
+        self, spark: SparkSession, df: DataFrame, deletes: list[dict]
     ) -> DataFrame:
-        """Subtract equality-delete rows from a frame carrying ``_dt_file``:
-        one anti-join per (equality-id set, sequence) group on null-safe
-        column equality, guarded by the spec's STRICT sequence rule — the
-        delete applies only to data files with sequence number < its own,
-        so the data side first picks up its per-file sequence from a
-        broadcast (metadata-sized) map."""
+        """Subtract equality-delete rows from a frame: one anti-join per
+        equality-id set on null-safe column equality.  Sequence scoping is
+        NOT handled here — callers pass only the delete files that apply to
+        the frame's data files (see :meth:`_merged_scan`, which branches
+        the scan by delete-commit epoch instead of joining a per-row
+        sequence map; path-form matching between manifests and Spark's
+        ``_metadata`` URIs is fragile and a silent miss would turn the
+        delete into a no-op)."""
         if not deletes:
             return df
         from functools import reduce
 
         from pyspark.sql import functions as F
 
-        seq_df = F.broadcast(
-            spark.createDataFrame(
-                [(f["file_path"], int(f.get("_sequence_number") or 0)) for f in files],
-                T.StructType(
-                    [
-                        T.StructField("_dt_file", T.StringType()),
-                        T.StructField("_data_seq", T.LongType()),
-                    ]
-                ),
-            )
-        )
-        df = df.join(seq_df, "_dt_file", "left")
         id_to_field = {f["id"]: f for f in self.schema["fields"]}
         groups: dict[tuple, list[dict]] = {}
         for d in deletes:
-            key = (tuple(d["file"]["equality_ids"]), int(d["sequence_number"] or 0))
-            groups.setdefault(key, []).append(d)
-        for (ids, dseq), group in sorted(groups.items()):
+            groups.setdefault(tuple(d["file"]["equality_ids"]), []).append(d)
+        for ids, group in sorted(groups.items()):
             cols = [id_to_field[i]["name"] for i in ids]
             del_schema = T.StructType(
                 [
@@ -1228,18 +1206,80 @@ class IcebergTable:
             )
             dd = (
                 spark.read.schema(del_schema)
-                .parquet(*[d["file"]["file_path"] for d in group])
+                .parquet(*sorted({d["file"]["file_path"] for d in group}))
                 .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
                 .distinct()
             )
-            if sum(d["file"]["record_count"] for d in group) <= 1_000_000:
+            if sum(d["file"]["file_size_in_bytes"] for d in group) <= 64 * 1024 * 1024:
                 dd = F.broadcast(dd)
             cond = reduce(
                 lambda a, b: a & b,
                 [df[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
-            ) & (F.col("_data_seq") < F.lit(dseq))
+            )
             df = df.join(dd, cond, "left_anti")
-        return df.drop("_data_seq")
+        return df
+
+    def _merged_scan(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        pos: list[dict],
+        eqs: list[dict],
+    ) -> DataFrame:
+        """One DataFrame over ``files`` carrying ``_dt_file``/``_dt_pos``
+        (plus transform partition columns), with position AND equality
+        deletes subtracted.
+
+        The spec's strict sequence rule for equality deletes (apply only to
+        data files with sequence number < the delete's) is realized by
+        BRANCHING THE FILE SET: files are grouped by which delete commits
+        postdate them — at most (#equality-delete commits + 1) branches,
+        independent of append count — each branch anti-joins exactly its
+        applicable delete rows, and the branches union back into one frame.
+        No per-row sequence join, and no matching of manifest path strings
+        against Spark's ``_metadata`` URI forms (hive-escaped partition
+        values or relative table paths would make that matching silently
+        miss).
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        schema = self.spark_schema
+        part_cols = set(self.partition_columns)
+        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        schema_names = {f.name for f in schema.fields}
+        extra_part = [c for c in self.partition_columns if c not in schema_names]
+
+        dseqs = sorted({int(d["sequence_number"] or 0) for d in eqs})
+
+        def applicable(file_seq: int) -> tuple:
+            return tuple(ds for ds in dseqs if ds > file_seq)
+
+        groups: dict[tuple, list[dict]] = {}
+        for f in files:
+            groups.setdefault(applicable(int(f.get("_sequence_number") or 0)), []).append(f)
+
+        branches = []
+        for app, fl in sorted(groups.items()):
+            reader = spark.read
+            if part_cols:
+                reader = reader.option("basePath", os.path.join(self.location, "data"))
+            bdf = reader.schema(file_schema).parquet(*[f["file_path"] for f in fl])
+            bdf = bdf.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+                *[F.col(c) for c in extra_part],
+                F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias(
+                    "_dt_file"
+                ),
+                F.col("_metadata.row_index").alias("_dt_pos"),
+            )
+            if app:
+                sub = [d for d in eqs if int(d["sequence_number"] or 0) in app]
+                bdf = self._anti_join_equality(spark, bdf, sub)
+            branches.append(bdf)
+        df = reduce(lambda a, b: a.unionByName(b), branches)
+        return self._anti_join_deletes(spark, df, pos)
 
     def delete_where(self, spark: SparkSession, condition, summary: dict | None = None) -> int | None:
         """Commit a "delete" snapshot removing rows matching ``condition``
@@ -1772,6 +1812,7 @@ class IcebergTable:
         if snap is None:
             return []
         pred = _as_predicate(partition_filter)
+        compiled = _compile_value_filter(value_filter, self.schema) if value_filter else None
         manifest_files, _ = read_avro_file(snap["manifest-list"])
         out: list[dict] = []
         for mf in manifest_files:
@@ -1785,9 +1826,7 @@ class IcebergTable:
                     continue
                 if pred is not None and not pred(e["data_file"]["partition"]):
                     continue
-                if value_filter and not _file_may_match(
-                    e["data_file"], value_filter, self.schema
-                ):
+                if compiled and not _file_may_match(e["data_file"], compiled):
                     continue
                 out.append(dict(e["data_file"], _sequence_number=e["sequence_number"]))
         return out
@@ -1855,29 +1894,24 @@ class IcebergTable:
         schema = self.spark_schema
         if not files:
             return spark.createDataFrame([], schema)
-        part_cols = set(self.partition_columns)
-        reader = spark.read
-        if part_cols:
-            reader = reader.option("basePath", os.path.join(self.location, "data"))
-        # file schema = table schema minus partition columns (hive layout)
-        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
-        df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
-        # normalize column order + partition column types to the table schema
         from pyspark.sql import functions as F
 
         pos = self.delete_files(snapshot_id, partition_filter, content=POSITION_DELETES)
         eqs = self.delete_files(snapshot_id, partition_filter, content=EQUALITY_DELETES)
         if pos or eqs:
-            df = df.select(
-                "*",
-                F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "").alias(
-                    "_dt_file"
-                ),
-                F.col("_metadata.row_index").alias("_dt_pos"),
+            df = self._merged_scan(spark, files, pos, eqs)
+        else:
+            part_cols = set(self.partition_columns)
+            reader = spark.read
+            if part_cols:
+                reader = reader.option("basePath", os.path.join(self.location, "data"))
+            # file schema = table schema minus partition columns (hive layout)
+            file_schema = T.StructType(
+                [f for f in schema.fields if f.name not in part_cols]
             )
-            df = self._anti_join_deletes(spark, df, pos)
-            df = self._anti_join_equality(spark, df, eqs, files)
+            df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
 
+        # normalize column order + partition column types to the table schema
         df = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -1898,15 +1932,16 @@ class IcebergTable:
         to_snapshot_id: int | None = None,
     ) -> DataFrame:
         """Rows ADDED by the append snapshots AFTER ``from_snapshot_id`` up
-        to ``to_snapshot_id`` (default: current) — Iceberg's incremental
-        append scan.  The 10^12-file consumer pattern: tokenize/index only
-        the new crawl since the last processed snapshot instead of
-        re-scanning the corpus.
+        to ``to_snapshot_id`` (default: current) that are STILL LIVE at the
+        range's end — Iceberg's incremental append scan, with the
+        to-snapshot's row-level deletes applied so a row that was appended
+        and then deleted inside the range is not handed to the consumer.
+        The 10^12-file pattern: tokenize/index only the new crawl since the
+        last processed snapshot instead of re-scanning the corpus.
 
-        "delete" snapshots in the range add no rows and are skipped (their
-        deletes affect OLD data, which an incremental consumer has already
-        seen); an "overwrite" snapshot in the range raises — added-rows
-        semantics cannot represent a replacement.
+        "delete" snapshots in the range add no rows (their delete files are
+        picked up by the final merge); an "overwrite" snapshot in the range
+        raises — added-rows semantics cannot represent a replacement.
         """
         snaps = self.snapshots()
         ids = [s["snapshot-id"] for s in snaps]
@@ -1934,21 +1969,21 @@ class IcebergTable:
                     continue
                 entries, _ = read_avro_file(mf["manifest_path"])
                 files.extend(
-                    e["data_file"]
+                    dict(e["data_file"], _sequence_number=e["sequence_number"])
                     for e in entries
                     if e["status"] == ADDED and e["snapshot_id"] == s["snapshot-id"]
                 )
         schema = self.spark_schema
         if not files:
             return spark.createDataFrame([], schema)
-        part_cols = set(self.partition_columns)
-        reader = spark.read
-        if part_cols:
-            reader = reader.option("basePath", os.path.join(self.location, "data"))
-        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
         from pyspark.sql import functions as F
 
-        df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
+        df = self._merged_scan(
+            spark,
+            files,
+            self.delete_files(to_id, content=POSITION_DELETES),
+            self.delete_files(to_id, content=EQUALITY_DELETES),
+        )
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -2005,12 +2040,13 @@ class IcebergTable:
                         expired_refs.add(os.path.abspath(e["data_file"]["file_path"]))
             victims = sorted(expired_refs - live_refs)
 
-        self.metadata["snapshots"] = kept_snaps
-        self.metadata["snapshot-log"] = [
-            e for e in self.metadata["snapshot-log"] if e["snapshot-id"] not in expired
-        ]
-        self._write_metadata(version=self._version + 1)
-        self._version += 1
+        def mutate(md):
+            md["snapshots"] = kept_snaps
+            md["snapshot-log"] = [
+                e for e in md["snapshot-log"] if e["snapshot-id"] not in expired
+            ]
+
+        self._commit_metadata(mutate)
         # files go AFTER the metadata swap: a crash mid-cleanup leaves only
         # unreferenced files (reclaimable later), never a torn live snapshot
         for p in victims:

@@ -105,10 +105,19 @@ def streaming_iceberg_sink(
     out = quality_pipeline(batch_df, cfg or QualityPipelineConfig())
     if IcebergTable.exists(table_location):
         table = IcebergTable.load(table_location)
-        done = {
-            s["summary"].get("streaming-batch-id") for s in table.snapshots()
-        }
-        if str(batch_id) in done:
+        # Spark streaming batch ids are monotonic, so "replay" always means
+        # batch_id <= the largest committed id.  Comparing against the MAX
+        # (not set membership) keeps the guard correct even after
+        # expire_snapshots dropped the replayed batch's own snapshot — some
+        # later snapshot with a larger id survives in that scenario.  (A
+        # brand-new stream over an EXISTING table must use a fresh table or
+        # fresh checkpoint, as with any Spark sink.)
+        committed = [
+            int(s["summary"]["streaming-batch-id"])
+            for s in table.snapshots()
+            if "streaming-batch-id" in s["summary"]
+        ]
+        if committed and batch_id <= max(committed):
             return  # at-least-once replay of an already-committed batch
     else:
         table = IcebergTable.create(

@@ -1204,3 +1204,101 @@ def test_sort_order_clusters_files_for_pruning(spark, docs, tmp_path):
     got = t.read(spark, value_filter={"doc_id": some_id})
     assert got.count() == 1
     assert t.read(spark).count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# Review-finding regressions
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_transform_with_null_int_source(spark, tmp_path):
+    """pandas upcasts int64-with-nulls to float64 before the bucket UDF:
+    NaN must become a null partition value, integral floats must bucket
+    like the ints they are."""
+    from pyspark.sql import types as T
+
+    from datatrove_spark.kernels.hashing import iceberg_bucket
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    rows = [(34, "a"), (None, "b"), (7, "c")]
+    df = spark.createDataFrame(rows, schema)
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, schema, partition_by=["bucket(k, 16)"])
+    t.append(spark, df)
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == set(rows)
+    parts = {f["partition"]["k_bucket"] for f in t.data_files()}
+    assert None in parts  # the null row landed in a null bucket partition
+    assert iceberg_bucket(34, 16) in parts
+
+
+def test_expire_conflict_leaves_view_clean(spark, docs, tmp_path):
+    """A lost optimistic-lock race during expiry must not leave the
+    instance's in-memory snapshot list trimmed (review finding)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    for k in range(3):
+        t.append(spark, docs.limit(10 * (k + 1)))
+    n_before = len(t.snapshots())
+    # another writer wins the next version
+    other = IcebergTable.load(loc)
+    other.append(spark, docs.limit(5))
+    with pytest.raises(CommitConflict):
+        t.expire_snapshots(keep_last=1)
+    assert len(t.snapshots()) == n_before  # view rolled back
+    t.refresh()
+    assert t.expire_snapshots(keep_last=1)
+    assert len(IcebergTable.load(loc).snapshots()) == 1
+
+
+def test_read_incremental_applies_in_range_deletes(spark, docs, tmp_path):
+    """A row appended AND deleted inside the range must not reach an
+    incremental consumer (review finding: double-counted corpus rows)."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    s1 = t.append(spark, docs.filter("doc_id % 2 = 0"))
+    t.append(spark, docs.filter("doc_id % 2 != 0"))
+    t.delete_where(spark, "doc_id % 4 = 1")  # hits only the in-range append
+    inc = t.read_incremental(spark, s1)
+    want = docs.filter("doc_id % 2 != 0 AND doc_id % 4 != 1")
+    assert inc.count() == want.count()
+    assert inc.filter("doc_id % 4 = 1").count() == 0
+
+
+def test_deletes_with_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values containing '/' hive-escape to %2F in directory
+    names, which diverges the manifest path form from Spark's _metadata
+    URI form.  Deletes must still apply: position deletes are written in
+    the scan's own form, and equality-delete sequencing branches the file
+    set instead of string-matching paths (review finding)."""
+    from datatrove_spark.corpus import synth_corpus
+
+    rows = synth_corpus(spark, 400, partitions=2).drop("content_class")
+    loc = _fresh(tmp_path)
+    # truncate(repo, 12) keeps the 'owner/name' slash inside partition values
+    t = IcebergTable.create(loc, rows.schema, partition_by=["truncate(repo, 12)"])
+    t.append(spark, rows)
+    assert any("%2F" in f["file_path"] or "/" in f["partition"]["repo_trunc"]
+               for f in t.data_files())
+    n = rows.count()
+    # position deletes across escaped dirs
+    t.delete_where(spark, F.length("content") % 2 == 0)
+    want = rows.filter(F.length("content") % 2 != 0)
+    assert t.read(spark).count() == want.count()
+    # equality deletes across escaped dirs (global scope, branch-scoped seq)
+    victim = want.select("repo").first()[0]
+    t.commit_equality_deletes(
+        spark, spark.createDataFrame([(victim,)], "repo string"), ["repo"]
+    )
+    got = t.read(spark)
+    assert got.filter(F.col("repo") == victim).count() == 0
+    assert got.count() == want.filter(F.col("repo") != victim).count()
+    # appended-after rows with the victim repo survive (strict sequencing)
+    again = rows.filter(F.col("repo") == victim).limit(3)
+    t.append(spark, again)
+    assert t.read(spark).filter(F.col("repo") == victim).count() == again.count()
