@@ -1,0 +1,77 @@
+"""The full Iceberg corpus lifecycle: quality-filter into a table, then
+maintain it in place — dedup, retroactive opt-out, compaction, snapshot
+expiry — without ever rewriting the surviving data until compaction.
+
+Run: spark-submit --py-files dist/datatrove_spark.zip \\
+        examples/iceberg_corpus_lifecycle.py <corpus_parquet> <table_dir>
+
+Every step commits a snapshot; re-running the pipeline step resumes from
+the last committed bucket batch, and `tools/iceberg_tool.py snapshots
+<table_dir>` shows the whole history.
+"""
+
+import sys
+
+from pyspark.sql import functions as F
+
+from datatrove_spark.lineage import LineageConfig, run_checkpointed_iceberg
+from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+from datatrove_spark.session import get_spark
+from datatrove_spark.sources.iceberg import (
+    dedup_corpus_deletes,
+    optout_corpus_deletes,
+)
+from datatrove_spark.sources.iceberg_native import IcebergTable
+
+
+def main(corpus: str, table_dir: str) -> None:
+    spark = get_spark("iceberg-lifecycle")
+    df = spark.read.parquet(corpus)
+    cfg = QualityPipelineConfig(text_col="content", languages=("en",))
+
+    # 1. quality-filter into the table: one snapshot per bucket batch,
+    #    per-bucket filter-removal metrics in the snapshot summaries;
+    #    a rerun of this step resumes from the snapshot log
+    summary = run_checkpointed_iceberg(
+        spark,
+        df,
+        lambda part: quality_pipeline(part, cfg),
+        LineageConfig(out_dir=table_dir, n_buckets=32, buckets_per_commit=8),
+    )
+    print("pipeline:", summary)
+
+    # 2. pin the as-filtered state: tagged snapshots survive expiry, so
+    #    "the corpus this model trained on" stays reproducible
+    table = IcebergTable.load(table_dir)
+    table.tag("post-filter")
+
+    # 3. exact dedup IN PLACE: duplicates become position-delete files —
+    #    a write sized by the duplicate count, not by the corpus
+    dedup_corpus_deletes(spark, table_dir, text_col="content", order_col="path")
+
+    # 4. a repository opt-out request arrives AFTER the fact: one
+    #    equality-delete commit, no scan, no rewrite; re-crawls appended
+    #    later are unaffected (strict sequence rule)
+    optout_corpus_deletes(spark, table_dir, ["example-org/opted-out-repo"])
+
+    # 5. downstream consumers read merge-on-read (deletes applied), with
+    #    metadata-level pruning: keep-partition + column bounds
+    table = IcebergTable.load(table_dir)
+    kept = table.read(spark, partition_filter={"keep": True})
+    print("kept rows after maintenance:", kept.count())
+
+    # 6. when accumulated deletes warrant it, materialize and reclaim:
+    #    compact rewrites survivors, expiry drops superseded snapshots'
+    #    files (the tag from step 2 keeps its snapshot alive)
+    table.compact(spark)
+    table.expire_snapshots(keep_last=2)
+    table.remove_orphan_files()
+
+    for snap in IcebergTable.load(table_dir).snapshots():
+        s = snap["summary"]
+        print(snap["snapshot-id"], s.get("operation"), "records:", s.get("total-records"))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

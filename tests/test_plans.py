@@ -246,3 +246,22 @@ def test_iceberg_merge_on_read_plan(spark, docs, tmp_path_factory):
     assert tree.count("Exchange") == 1  # the broadcast exchange only
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("GreaterThan(doc_id,100)" in ln for ln in pushed)
+
+
+def test_iceberg_equality_delete_plan(spark, docs, tmp_path_factory):
+    """Equality-delete application must hash-join on the null-safe keys
+    (EqualNullSafe is a valid hash key) — a fallback to nested-loop would
+    be quadratic in corpus × opt-out list."""
+    from datatrove_spark.sources.iceberg_native import IcebergTable
+
+    loc = str(tmp_path_factory.mktemp("ice_eq_plan") / "tbl")
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(spark, docs)
+    lang0 = docs.select("lang").first()[0]
+    t.commit_equality_deletes(
+        spark, spark.createDataFrame([(lang0,)], "lang string"), ["lang"]
+    )
+    plan = _plan(spark, t.read(spark).select("doc_id"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
