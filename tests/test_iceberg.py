@@ -1302,3 +1302,88 @@ def test_deletes_with_hive_escaped_partition_values(spark, tmp_path):
     again = rows.filter(F.col("repo") == victim).limit(3)
     t.append(spark, again)
     assert t.read(spark).filter(F.col("repo") == victim).count() == again.count()
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: bound codec + file pruning soundness; murmur3 JVM oracle
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    v=st.one_of(
+        st.integers(-(2**31), 2**31 - 1),
+        st.integers(-(2**63), 2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=40),
+        st.booleans(),
+    )
+)
+def test_bound_bytes_roundtrip(v):
+    from datatrove_spark.sources.iceberg_native import _bound_bytes, _bound_decode
+
+    if isinstance(v, bool):
+        t = "boolean"
+    elif isinstance(v, int):
+        t = "int" if -(2**31) <= v < 2**31 else "long"
+    elif isinstance(v, float):
+        t = "double"
+    else:
+        t = "string"
+    raw = _bound_bytes(v, t)
+    assert raw is not None
+    assert _bound_decode(raw, t) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lo=st.integers(-1000, 1000),
+    span=st.integers(0, 500),
+    want_lo=st.one_of(st.none(), st.integers(-1200, 1200)),
+    want_span=st.integers(0, 600),
+    v=st.integers(-1200, 1200),
+)
+def test_file_pruning_never_drops_a_match(lo, span, want_lo, want_span, v):
+    """Soundness: if ANY value inside the file's bounds satisfies the
+    filter, the file must survive pruning (false positives are allowed --
+    they cost IO; false negatives would lose rows)."""
+    from datatrove_spark.sources.iceberg_native import (
+        _bound_bytes,
+        _file_may_match,
+    )
+
+    hi = lo + span
+    want_hi = None if want_lo is None else want_lo + want_span
+    data_file = {
+        "lower_bounds": [{"key": 1, "value": _bound_bytes(lo, "long")}],
+        "upper_bounds": [{"key": 1, "value": _bound_bytes(hi, "long")}],
+    }
+    compiled = [(1, "long", want_lo, want_hi)]
+    in_file = lo <= v <= hi
+    in_filter = (want_lo is None or v >= want_lo) and (want_hi is None or v <= want_hi)
+    if in_file and in_filter:
+        assert _file_may_match(data_file, compiled)
+
+
+def test_murmur3_matches_jvm_spark_hash_on_aligned_input(spark):
+    """Partial JVM oracle for the bucket-transform hash: Spark's F.hash is
+    Murmur3 x86-32 at seed 42 for the 4-byte-aligned body, but Spark mixes
+    TAIL bytes as full rounds (hashUnsafeBytes) instead of the canonical
+    tail handling — so the two agree exactly on inputs whose UTF-8 length
+    is a multiple of 4, which still independently pins our body loop and
+    finalizer against the JVM.  (The canonical tail is pinned separately by
+    the published vectors + the Iceberg spec's worked examples in
+    tests/test_kernels.py.)"""
+    import struct
+
+    from datatrove_spark.kernels.hashing import murmur3_32
+
+    texts = ["", "abcd", "x" * 100, "repo" * 3, "ice(" * 7, "éé"]
+    assert all(len(t.encode("utf-8")) % 4 == 0 for t in texts)
+    df = spark.createDataFrame([(t,) for t in set(texts)], "s string")
+    jvm_hashes = {r["s"]: r["h"] for r in df.selectExpr("s", "hash(s) AS h").collect()}
+    for t in set(texts):
+        ours = struct.unpack(
+            "<i", struct.pack("<I", murmur3_32(t.encode("utf-8"), seed=42))
+        )[0]
+        assert ours == jvm_hashes[t], t
