@@ -57,10 +57,24 @@ def read_corpus(spark: SparkSession, source: str, columns=CORPUS_COLUMNS) -> Dat
     return df.select(*columns)
 
 
-def write_corpus(df: DataFrame, target: str, mode: str = "append") -> None:
+def write_corpus(
+    df: DataFrame,
+    target: str,
+    mode: str = "append",
+    partition_by: tuple = (),
+    sort_by: tuple = (),
+) -> None:
     """Write to a catalog table (``writeTo`` — each call is one snapshot) or
     a native Iceberg table at a path (created on first write; every call is
-    one snapshot there too).  ``mode``: append | overwrite."""
+    one snapshot there too).  ``mode``: append | overwrite.
+
+    ``partition_by``/``sort_by`` shape the table ON FIRST WRITE only (an
+    existing table keeps its layout): e.g.
+    ``partition_by=("bucket(repo, 32)",)`` lays the corpus out by repo-hash
+    (the north rule's explicit repartitioning as a table property), and
+    ``sort_by=("repo",)`` range-clusters files so manifest column bounds
+    prune repo-scoped reads to a handful of files.
+    """
     from datatrove_spark.sources.iceberg_native import IcebergTable
 
     if is_table_identifier(target):
@@ -74,7 +88,9 @@ def write_corpus(df: DataFrame, target: str, mode: str = "append") -> None:
     if IcebergTable.exists(target):
         table = IcebergTable.load(target)
     else:
-        table = IcebergTable.create(target, df.schema)
+        table = IcebergTable.create(
+            target, df.schema, partition_by=list(partition_by), sort_by=list(sort_by)
+        )
     if mode == "overwrite":
         table.overwrite(spark, df)
     else:

@@ -1387,3 +1387,50 @@ def test_murmur3_matches_jvm_spark_hash_on_aligned_input(spark):
             "<i", struct.pack("<I", murmur3_32(t.encode("utf-8"), seed=42))
         )[0]
         assert ours == jvm_hashes[t], t
+
+
+def test_write_corpus_layout_knobs(spark, tmp_path):
+    """write_corpus shapes the table on first write (bucket partitioning +
+    sort clustering); later writes keep the layout."""
+    from datatrove_spark.corpus import synth_corpus
+    from datatrove_spark.sources.iceberg import read_corpus, write_corpus
+
+    rows = synth_corpus(spark, 400, partitions=2).drop("content_class")
+    loc = str(tmp_path / "corpus_tbl")
+    write_corpus(rows, loc, partition_by=("bucket(repo, 4)",), sort_by=("repo",))
+    t = IcebergTable.load(loc)
+    assert t.partition_spec["fields"][0]["transform"] == "bucket[4]"
+    assert t.sort_columns == ["repo"]
+    got = read_corpus(spark, loc)
+    assert got.count() == 400
+    # second write appends under the existing layout
+    write_corpus(rows.limit(50), loc)
+    assert read_corpus(spark, IcebergTable.load(loc).location).count() == 450
+
+
+def test_load_rejects_corrupt_metadata(tmp_path, docs):
+    """Torn catalog states fail LOUDLY, never by silently reading stale or
+    garbage metadata."""
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)
+    mdir = os.path.join(loc, "metadata")
+    # hint pointing at a missing version
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("999")
+    with pytest.raises(FileNotFoundError):
+        IcebergTable.load(loc)
+    # garbage hint
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("not-a-number")
+    with pytest.raises(ValueError):
+        IcebergTable.load(loc)
+    # torn metadata JSON
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        f.write('{"format-version": 2, "snapsho')
+    with pytest.raises(Exception):
+        IcebergTable.load(loc)
+    # no table at all
+    with pytest.raises(Exception, match="no Iceberg table"):
+        IcebergTable.load(str(tmp_path / "nowhere"))
