@@ -1434,3 +1434,31 @@ def test_load_rejects_corrupt_metadata(tmp_path, docs):
     # no table at all
     with pytest.raises(Exception, match="no Iceberg table"):
         IcebergTable.load(str(tmp_path / "nowhere"))
+
+
+def test_compact_loses_concurrent_race_safely(spark, docs, tmp_path):
+    """Compaction is an overwrite computed against a snapshot; if another
+    writer commits first, the compact MUST fail with CommitConflict rather
+    than commit a replacement that silently drops the racer's rows."""
+    loc = _fresh(tmp_path)
+    t1 = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t1.append(spark, docs.limit(100))
+    t1.delete_where(spark, "doc_id % 2 = 0")
+    # compact's read happens against t1's view...
+    materialized = t1.read(spark)
+    # ...but another writer lands an append first
+    t2 = IcebergTable.load(loc)
+    t2.append(spark, docs.limit(120).filter("doc_id >= 100"))
+    with pytest.raises(CommitConflict):
+        t1.overwrite(spark, materialized)  # what compact() would commit
+    # nothing was lost: the racer's rows and the deletes are all intact
+    t3 = IcebergTable.load(loc)
+    n_expected = (
+        docs.limit(100).filter("doc_id % 2 != 0").count()
+        + docs.limit(120).filter("doc_id >= 100").count()
+    )
+    assert t3.read(spark).count() == n_expected
+    # a compact retried on a FRESH view succeeds and preserves everything
+    t3.compact(spark)
+    assert IcebergTable.load(loc).read(spark).count() == n_expected
+    assert IcebergTable.load(loc).delete_files(content=None) == []
