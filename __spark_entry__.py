@@ -33,12 +33,36 @@ LINEIFY = "replace(text, ' table ', concat('.', chr(10), 'table '))"
 SENTENCIFY = "replace(text, ' value ', '. value ')"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Spread a single-file scan across the session's cores.
+
+    The test tables are one parquet file with ONE row group, so the native
+    scan is a single unsplittable task and every per-row kernel downstream
+    runs on one core (guide §2.5 "input skew": one huge unsplittable file —
+    repartition immediately after the read).  Hash-partitioning on the
+    unique id is deterministic under task retry (no round-robin
+    sort-before-repartition pass) and spreads evenly.  The shuffle moves a
+    few MB once; the kernels then use every core.  Scale-adaptive: the
+    width follows ``defaultParallelism`` (cores locally, cluster size on a
+    real deployment), never a constant.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unspread single-task scan — only for the Iceberg round-trip helpers,
+    where a 32-way input would explode each append into per-partition
+    per-lang small files for zero read-side benefit."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(_docs_raw(spark, sf_dir), "doc_id")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
 
 def _docs_via_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +79,7 @@ def _docs_via_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datatrove_spark.sources.iceberg_native import IcebergTable
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     loc = "/tmp/datatrove_spark_iceberg/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     shutil.rmtree(loc, ignore_errors=True)
     table = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
@@ -404,7 +428,7 @@ def q_perplexity(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sample = [
         r.text
-        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        for r in _docs_raw(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text")
         .orderBy("doc_id")
         .limit(PERPLEXITY_SAMPLE)
@@ -426,7 +450,7 @@ def q_perplexity_buckets(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sample = [
         r.text
-        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        for r in _docs_raw(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text")
         .orderBy("doc_id")
         .limit(PERPLEXITY_SAMPLE)
@@ -457,7 +481,7 @@ def q_perplexity_sp(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sample = [
         r.text
-        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        for r in _docs_raw(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text")
         .orderBy("doc_id")
         .limit(PERPLEXITY_SAMPLE)
@@ -589,7 +613,7 @@ def _docs_deduped_iceberg(spark, sf_dir):
     from datatrove_spark.sources.iceberg import dedup_corpus_deletes
     from datatrove_spark.sources.iceberg_native import IcebergTable
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(10_000_000)
     )

@@ -1,0 +1,132 @@
+"""Per-query isolation bench (guide §1.4): noop-sink timing of individual
+suite queries, without touching the FROZEN bench.py.
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py [-n N] q1 q2 ...
+  python bench_extra.py --list           # show query names
+  python bench_extra.py --explain q ...  # also dump explain("formatted")
+
+Queries are the same builders bench.py times (same session config, same
+noop-sink methodology); per-query numbers here are directly comparable to
+bench.py's `queries` map.  Results print one JSON line:
+  {"queries": {name: {"best": s, "median": s, "samples": [...]}}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    n = 3
+    if "-n" in args:
+        i = args.index("-n")
+        n = int(args[i + 1])
+        del args[i : i + 2]
+    do_explain = "--explain" in args
+    if do_explain:
+        args.remove("--explain")
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from datatrove_spark.operators import (
+        embedding_neardup,
+        exact_dedup,
+        minhash_dedup,
+        sentence_dedup,
+        with_doc_stats,
+        with_token_count,
+    )
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("bench-extra", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs_df():
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(int(cpus))
+
+    pipeline_cfg = QualityPipelineConfig(
+        text_col="text", languages=("en",), language_threshold=0.5
+    )
+
+    def code_pipeline():
+        from datatrove_spark.corpus import synth_corpus
+
+        code_df = synth_corpus(spark, 50_000, partitions=int(cpus))
+        return quality_pipeline(code_df, QualityPipelineConfig())
+
+    benches = {
+        "quality_pipeline": lambda: quality_pipeline(docs_df(), pipeline_cfg),
+        "code_pipeline": code_pipeline,
+        "gopher_quality": lambda: entrymod.q_gopher_quality(spark, sf_dir),
+        "gopher_repetition": lambda: entrymod.q_gopher_repetition(spark, sf_dir),
+        "c4_quality": lambda: entrymod.q_c4_quality(spark, sf_dir),
+        "fineweb_quality": lambda: entrymod.q_fineweb_quality(spark, sf_dir),
+        "pii_scrub": lambda: entrymod.q_pii_scrub(spark, sf_dir),
+        "language_id": lambda: entrymod.q_language_id(spark, sf_dir),
+        "stopword_lid": lambda: entrymod.q_stopword_lid(spark, sf_dir),
+        "perplexity": lambda: entrymod.q_perplexity(spark, sf_dir),
+        "unigram_logprob": lambda: entrymod.q_unigram_logprob(spark, sf_dir),
+        "exact_dedup": lambda: exact_dedup(docs_df(), text_col="text").select("doc_id", "keep"),
+        "minhash_dedup": lambda: minhash_dedup(docs_df(), text_col="text").select("doc_id", "keep"),
+        "sentence_dedup": lambda: sentence_dedup(
+            docs_df().withColumn("text2", F.expr(entrymod.SENTENCIFY)), text_col="text2"
+        ).select("doc_id", "keep"),
+        "ngram_decont": lambda: entrymod.q_ngram_decont(spark, sf_dir),
+        "doc_token_stats": lambda: with_token_count(with_doc_stats(docs_df()))
+        .groupBy("token_count")
+        .count(),
+        "ann_cosine_topk": lambda: entrymod.q_ann_cosine_topk(spark, sf_dir),
+        "embedding_neardup_lsh": lambda: embedding_neardup(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dim=64, threshold=0.45
+        ).select("vec_id", "keep"),
+        "events_sessions": lambda: entrymod.q_events_sessions(spark, sf_dir),
+        "lineitem_pricing": lambda: entrymod.q_lineitem_pricing(spark, sf_dir),
+    }
+
+    if "--list" in args:
+        print("\n".join(benches))
+        return
+    names = args or list(benches)
+
+    out: dict[str, dict] = {}
+    for name in names:
+        build = benches[name]
+        if do_explain:
+            print(f"===== explain: {name} =====")
+            build().explain("formatted")
+        samples = []
+        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+        for _ in range(n + 1):  # first run = warmup, dropped
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        warm = samples[1:]
+        s = sorted(warm)
+        out[name] = {
+            "best": s[0],
+            "median": s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2,
+            "samples": samples,
+        }
+        print(f"# {name}: best {out[name]['best']:.2f}s median {out[name]['median']:.2f}s "
+              f"(warmup {samples[0]:.2f}s)", file=sys.stderr)
+
+    print(json.dumps({"queries": out, "sf": sf, "cpus": int(cpus), "n": n}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

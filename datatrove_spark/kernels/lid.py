@@ -148,6 +148,135 @@ class NgramBayesLID:
     def to_dict(self) -> dict:
         return self.model
 
+    # ------------------------------------------------------------------
+    # batch scoring (the pipeline's hottest kernel)
+    # ------------------------------------------------------------------
+
+    _MAX_BATCH_ALPHABET = 128  # lut3 is (A+1)^3 int64 — cap the cube
+
+    def _batch_tables(self):
+        """Lazy direct-lookup tables for the vectorized batch path.
+
+        Chars are mapped to a small alphabet id (sentinel = A for anything
+        not in the vocab alphabet); 2-/3-gram codes become base-(A+1)
+        integers so gram→vocab-row resolution is a plain fancy-index gather
+        instead of per-gram dict lookups.  Entries not backed by a vocab
+        gram (including every code containing the sentinel) resolve to the
+        OOV row — exactly what ``predict``'s ``idx.get(g, oov)`` does.
+        Returns None when the vocab alphabet is too large for cubic tables
+        (callers then fall back to the scalar path).
+        """
+        import numpy as _np
+
+        bt = getattr(self, "_bt", None)
+        if bt is not None or getattr(self, "_bt_unavailable", False):
+            return bt
+        chars = sorted({c for g in self._gram_idx for c in g})
+        if len(chars) > self._MAX_BATCH_ALPHABET or any(
+            len(g) > 3 for g in self._gram_idx
+        ):
+            self._bt_unavailable = True
+            return None
+        A = len(chars)
+        B = A + 1  # sentinel id A
+        oov = self._oov_idx
+        lut_char = _np.full(0x110000, A, dtype=_np.int32)
+        for i, c in enumerate(chars):
+            lut_char[ord(c)] = i
+        cid = {c: i for i, c in enumerate(chars)}
+        lut1 = _np.full(B, oov, dtype=_np.int64)
+        lut2 = _np.full(B * B, oov, dtype=_np.int64)
+        lut3 = _np.full(B * B * B, oov, dtype=_np.int64)
+        for g, gi in self._gram_idx.items():
+            if len(g) == 1:
+                lut1[cid[g[0]]] = gi
+            elif len(g) == 2:
+                lut2[cid[g[0]] * B + cid[g[1]]] = gi
+            else:
+                lut3[(cid[g[0]] * B + cid[g[1]]) * B + cid[g[2]]] = gi
+        self._bt = (lut_char, lut1, lut2, lut3, B)
+        return self._bt
+
+    def predict_batch(self, texts: list[str]):
+        """Vectorized ``predict`` over a whole Arrow batch.
+
+        Same model, same n-gram window (1..3 chars over the padded,
+        lowercased, newline-folded text), same add-one-smoothed scores and
+        T=40 softmax, same (score, lang) tie-break — computed with numpy
+        over ONE concatenated character array instead of per-row Python
+        Counters.  Row boundaries are guarded by a 2-char sentinel
+        separator: every window that crosses a boundary contains a sentinel
+        char, therefore resolves to the OOV row, and is subtracted again by
+        exact window-count arithmetic — so each row's score sums exactly
+        the same (gram, count) multiset as the scalar path (summation order
+        differs, which only moves results by float ulps).
+
+        Returns ``(langs, scores)`` — list[str] and float ndarray.
+        """
+        import numpy as _np
+
+        n_rows = len(texts)
+        if n_rows == 0:
+            return [], _np.empty(0)
+        tables = self._batch_tables()
+        if tables is None:  # exotic vocab — scalar fallback
+            langs, scores = [], []
+            for t in texts:
+                (lg, sc), _ = self.predict(t)
+                langs.append(lg)
+                scores.append(sc)
+            return langs, _np.asarray(scores, dtype=_np.float64)
+        lut_char, lut1, lut2, lut3, B = tables
+        padded = [" " + t.lower().replace("\n", " ") + " " for t in texts]
+        lens = _np.fromiter((len(p) for p in padded), dtype=_np.int64, count=n_rows)
+        seg = lens + 2  # +2 sentinel chars after EVERY row (incl. the last)
+        offs = _np.zeros(n_rows, dtype=_np.int64)
+        _np.cumsum(seg[:-1], out=offs[1:])
+        joined = "\x00\x00".join(padded) + "\x00\x00"
+        arr = _np.frombuffer(joined.encode("utf-32-le"), dtype=_np.uint32)
+        a = lut_char[arr]
+        i1 = lut1[a]
+        c2 = a[:-1].astype(_np.int64) * B + a[1:]
+        i2 = lut2[c2]
+        i3 = lut3[c2[:-1] * B + a[2:]]
+        M = self._matrix
+        V1 = M.shape[0]
+        oov = self._oov_idx
+        # exact in-row window counts vs counted-segment window counts
+        # (boundary-crossing windows are all OOV by construction and are
+        # subtracted from the OOV count integer-exactly)
+        v1, v2, v3 = lens, lens - 1, _np.maximum(lens - 2, 0)
+        w1, w2, w3 = seg.copy(), seg.copy(), seg.copy()
+        w2[-1] -= 1  # the global c2/c3 arrays are 1/2 shorter than arr
+        w3[-1] -= 2
+        extras = (w1 - v1) + (w2 - v2) + (w3 - v3)
+        n = v1 + v2 + v3
+        # per-row scoring mirrors the scalar path — (gram counts) @ M over
+        # the distinct grams present — via bincount + nonzero gather, so
+        # every temp stays cache-sized (no (windows x langs) gather; big
+        # batch temps cost mmap/page-fault churn per call under parallel
+        # workers)
+        ends1 = offs + seg
+        n2, n3 = i2.size, i3.size
+        raw = _np.empty((n_rows, M.shape[1]))
+        for r in range(n_rows):
+            o = int(offs[r])
+            e = int(ends1[r])
+            ids = _np.concatenate((i1[o:e], i2[o:min(e, n2)], i3[o:min(e, n3)]))
+            counts = _np.bincount(ids, minlength=V1)
+            counts[oov] -= extras[r]
+            nz = _np.nonzero(counts)[0]
+            raw[r] = counts[nz].astype(_np.float64) @ M[nz]
+        raw /= n[:, None]
+        TEMPERATURE = 40.0
+        e = _np.exp(TEMPERATURE * (raw - raw.max(axis=1, keepdims=True)))
+        probs = e / e.sum(axis=1, keepdims=True)
+        # scalar tie-break: max by (score, lang) — last max in ascending
+        # lang order wins
+        best = probs.shape[1] - 1 - _np.argmax(probs[:, ::-1], axis=1)
+        langs = [self._langs[i] for i in best]
+        return langs, probs[_np.arange(n_rows), best]
+
     def predict(self, text: str) -> tuple[tuple[str, float], dict[str, float]]:
         import numpy as _np
 

@@ -65,6 +65,7 @@ def evaluate_document(
     scrubber,
     max_perplexity: float | None,
     multilingual: bool = False,
+    lid_result: tuple[str, float] | None = None,
 ) -> dict:
     """Full decision chain for one document.  Returns dict with keys
     keep, drop_reason, language, language_score, text, scrubbed, perplexity.
@@ -93,7 +94,10 @@ def evaluate_document(
         return result(False, "too_short", text)
     if n > max_chars:
         return result(False, "too_long", text)
-    (lang, score), _ = lid.predict(text)
+    if lid_result is not None:
+        lang, score = lid_result  # batch-scored upfront (same kernel)
+    else:
+        (lang, score), _ = lid.predict(text)
     score = float(score)
     if not (
         (lang_set is None and score > language_threshold)
@@ -199,8 +203,26 @@ def fused_quality_filter(
         for pdf in batches:
             texts = pdf[text_col].fillna("")
             alive = pdf["keep"].fillna(False).astype(bool)
+            # batch LID upfront for every alive row inside the length gates
+            # (exactly the rows the scalar chain would have scored) — the
+            # vectorized kernel amortizes the per-row Python cost ~5x
+            lid_results: dict[int, tuple[str, float]] = {}
+            if hasattr(lid, "predict_batch"):
+                import numpy as _np
+
+                tl = texts.str.len()
+                need = (alive & (tl >= min_chars) & (tl <= max_chars)).to_numpy()
+                idxs = _np.nonzero(need)[0]
+                if idxs.size:
+                    blangs, bscores = lid.predict_batch(
+                        [texts.iat[int(i)] for i in idxs]
+                    )
+                    lid_results = {
+                        int(i): (lg, float(sc))
+                        for i, lg, sc in zip(idxs, blangs, bscores)
+                    }
             out_rows = []
-            for text, is_alive in zip(texts, alive):
+            for row_i, (text, is_alive) in enumerate(zip(texts, alive)):
                 if not is_alive:
                     out_rows.append(None)  # previously dropped: pass through
                     continue
@@ -209,6 +231,7 @@ def fused_quality_filter(
                         text, min_chars, max_chars, lang_set, language_threshold,
                         gopher_cfg, c4_cfg, fineweb_cfg, lid, lm, scrubber, max_perplexity,
                         multilingual=multilingual,
+                        lid_result=lid_results.get(row_i),
                     )
                 )
             pdf = pdf.copy()

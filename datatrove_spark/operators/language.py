@@ -84,6 +84,13 @@ def annotate_language(
             return NgramBayesLID(model_dict)
 
         model = _singleton(_model_key, build)
+        if hasattr(model, "predict_batch"):
+            # vectorized whole-batch scoring (kernels/lid.py) — same model,
+            # same labels, scores within float ulps of the scalar path
+            langs, scores = model.predict_batch(texts.fillna("").tolist())
+            return pd.DataFrame(
+                {"language": langs, "language_score": [float(s) for s in scores]}
+            )
         langs, scores = [], []
         for t in texts.fillna(""):
             (lang, score), _ = model.predict(t)

@@ -245,6 +245,35 @@ def test_stopword_lid_basic():
     assert lang == "en" and score > 0.2
 
 
+def test_ngram_lid_predict_batch_matches_scalar():
+    """The vectorized batch path (r08 optimization) must agree with the
+    scalar path: identical labels, scores within float ulps (summation
+    order is the only difference), identical 4-decimal rounding."""
+    lid = default_lid()
+    texts = [
+        "",               # empty → padded "  " edge case
+        "a",
+        " ",
+        "\n\n",           # newline folding
+        TEXT_LF_1,
+        TEXT_LF_2,
+        TEXT_LF_3,
+        TEXT_LF_4,
+        "MIXED Case And\nNEWLINES here",
+        "色情 unicode 漢字 text ños châté",  # chars outside the vocab alphabet
+        "\x00sentinel\x01chars in the input itself",
+        "der schnelle braune fuchs springt über den faulen hund",
+        "the " * 500,     # long repetitive doc
+    ]
+    langs, scores = lid.predict_batch(texts)
+    assert len(langs) == len(texts) == len(scores)
+    for t, blang, bscore in zip(texts, langs, scores):
+        (elang, escore), _ = lid.predict(t)
+        assert blang == elang, (t[:40], blang, elang)
+        assert abs(float(bscore) - escore) < 1e-9
+        assert round(float(bscore), 4) == round(escore, 4)
+
+
 # --- normalization + minhash -----------------------------------------------------
 
 def test_normalize_text():

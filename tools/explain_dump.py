@@ -1,0 +1,95 @@
+"""Dump explain("formatted") for the bench-suite queries to files.
+
+Usage: python tools/explain_dump.py OUT_DIR SUFFIX [query ...]
+Writes OUT_DIR/<query>_<SUFFIX>.txt for each query (default: all).
+Run from the tree whose plans you want (round-start worktree for _before,
+the optimized tree for _after).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.getcwd())
+
+
+def main() -> None:
+    out_dir, suffix = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from datatrove_spark.operators import (
+        embedding_neardup,
+        exact_dedup,
+        minhash_dedup,
+        sentence_dedup,
+        with_doc_stats,
+        with_token_count,
+    )
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+    from datatrove_spark.session import get_spark
+
+    spark = get_spark("explain-dump", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs_df():
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(int(cpus))
+
+    pipeline_cfg = QualityPipelineConfig(
+        text_col="text", languages=("en",), language_threshold=0.5
+    )
+
+    benches = {
+        "quality_pipeline": lambda: quality_pipeline(docs_df(), pipeline_cfg),
+        "gopher_quality": lambda: entrymod.q_gopher_quality(spark, sf_dir),
+        "gopher_repetition": lambda: entrymod.q_gopher_repetition(spark, sf_dir),
+        "c4_quality": lambda: entrymod.q_c4_quality(spark, sf_dir),
+        "fineweb_quality": lambda: entrymod.q_fineweb_quality(spark, sf_dir),
+        "pii_scrub": lambda: entrymod.q_pii_scrub(spark, sf_dir),
+        "language_id": lambda: entrymod.q_language_id(spark, sf_dir),
+        "stopword_lid": lambda: entrymod.q_stopword_lid(spark, sf_dir),
+        "perplexity": lambda: entrymod.q_perplexity(spark, sf_dir),
+        "unigram_logprob": lambda: entrymod.q_unigram_logprob(spark, sf_dir),
+        "exact_dedup": lambda: exact_dedup(docs_df(), text_col="text").select("doc_id", "keep"),
+        "minhash_dedup": lambda: minhash_dedup(docs_df(), text_col="text").select("doc_id", "keep"),
+        "sentence_dedup": lambda: sentence_dedup(
+            docs_df().withColumn("text2", F.expr(entrymod.SENTENCIFY)), text_col="text2"
+        ).select("doc_id", "keep"),
+        "ngram_decont": lambda: entrymod.q_ngram_decont(spark, sf_dir),
+        "doc_token_stats": lambda: with_token_count(with_doc_stats(docs_df()))
+        .groupBy("token_count")
+        .count(),
+        "ann_cosine_topk": lambda: entrymod.q_ann_cosine_topk(spark, sf_dir),
+        "embedding_neardup_lsh": lambda: embedding_neardup(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dim=64, threshold=0.45
+        ).select("vec_id", "keep"),
+        "events_sessions": lambda: entrymod.q_events_sessions(spark, sf_dir),
+        "lineitem_pricing": lambda: entrymod.q_lineitem_pricing(spark, sf_dir),
+    }
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, build in benches.items():
+        if only and name not in only:
+            continue
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf):
+                build().explain("formatted")
+        except Exception as exc:  # noqa: BLE001
+            buf.write(f"EXPLAIN FAILED: {exc}\n")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
