@@ -53,7 +53,7 @@ def permutation_params(cfg: MinhashConfig = DEFAULT_MINHASH) -> tuple[np.ndarray
 def shingle_hashes(text: str, ngram_size: int, precision: int = 64) -> np.ndarray:
     """Distinct sha1 hashes (first 8 or 4 digest bytes per ``precision``) of
     space-joined word n-gram shingles."""
-    from .hashing import sha1_u32
+    import hashlib as _hashlib
 
     words = normalize_text(text).split()
     if len(words) < ngram_size:
@@ -62,10 +62,13 @@ def shingle_hashes(text: str, ngram_size: int, precision: int = 64) -> np.ndarra
         grams = [" ".join(words[i : i + ngram_size]) for i in range(len(words) - ngram_size + 1)]
     if not grams:
         return np.empty(0, dtype=np.uint64)
-    hash_fn = sha1_u64 if precision == 64 else sha1_u32
-    return np.unique(
-        np.fromiter((hash_fn(g) for g in grams), dtype=np.uint64, count=len(grams))
-    )
+    # one big-endian frombuffer over the joined digest prefixes replaces a
+    # per-shingle struct.unpack + fromiter pass — same values, ~2x cheaper
+    sha1 = _hashlib.sha1
+    nbytes = 8 if precision == 64 else 4
+    dig = b"".join(sha1(g.encode("utf-8")).digest()[:nbytes] for g in grams)
+    arr = np.frombuffer(dig, dtype=">u8" if precision == 64 else ">u4")
+    return np.unique(arr.astype(np.uint64))
 
 
 def minhash_signature(
@@ -93,16 +96,25 @@ def minhash_signature_matrix(
     """
     out: list[list[int] | None] = []
     mask = np.uint64((1 << cfg.precision) - 1) if cfg.precision < 64 else None
+    m61 = np.uint64(MERSENNE_61)
+    shift = np.uint64(61)
     with np.errstate(over="ignore"):
         for text in texts:
             sh = shingle_hashes(text, cfg.ngram_size, cfg.precision)
             if sh.size == 0:
                 out.append(None)
                 continue
-            vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE_61)
+            prod = sh[:, None] * a[None, :] + b[None, :]
+            # Mersenne fast reduction: x mod (2^61-1) == fold(high, low) with
+            # one conditional subtract — exact for every uint64 x (x = q*2^61
+            # + low = q*M + (q+low), q <= 7), ~5x cheaper than vector `%`
+            red = (prod >> shift) + (prod & m61)
+            vals = np.where(red >= m61, red - m61, red)
             if mask is not None:
                 vals = vals & mask  # reference minhash.py:183-185
-            out.append([to_i64(int(v)) for v in vals.min(axis=0)])
+            # values are < 2^61 (or masked smaller): astype int64 is exact,
+            # tolist() converts at C speed (vs a per-value Python loop)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
     return out
 
 
@@ -111,15 +123,19 @@ def signature_band_hashes(
 ) -> list[int]:
     """Collapse each LSH band of the signature to one signed-64-bit hash —
     the fixed-width shuffle key used by the bucket join."""
-    import struct as _struct
+    import hashlib as _hashlib
 
-    from .hashing import sha1_i64
+    from .hashing import to_i64
 
     r = cfg.hashes_per_bucket
+    sha1 = _hashlib.sha1
+    # one big-endian tobytes per band == struct.pack(">B{r}q", bi, *band)
+    sig_be = np.asarray(signature, dtype=np.int64).reshape(cfg.num_buckets, r).astype(">i8")
     out = []
     for bi in range(cfg.num_buckets):
-        payload = _struct.pack(f">B{r}q", bi, *signature[bi * r : (bi + 1) * r])
-        out.append(sha1_i64(payload))
+        payload = bytes([bi]) + sig_be[bi].tobytes()
+        h = int.from_bytes(sha1(payload).digest()[:8], "big")
+        out.append(to_i64(h))
     return out
 
 

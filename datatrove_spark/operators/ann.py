@@ -357,6 +357,11 @@ def embedding_neardup(
     planes = smaller buckets = lower per-pair recall at fixed threshold —
     "auto" holds COST constant while recall drifts down with corpus size;
     use ``with_lsh_tables``-based ANN when recall must be held instead."""
+    # NOT spread on read: the bucket-assign UDF is ~5us/vector, so a narrow
+    # single-file scan finishes faster than the repartition exchange it
+    # would take to spread it (r08 measured: 0.25s unspread vs 0.43s
+    # spread at 20k vectors); the groupBy(lsh_bucket) shuffle right after
+    # spreads the quadratic verify work across cores anyway.
     df = ensure_channel(df)
     if n_planes == "auto":
         import math

@@ -132,7 +132,14 @@ def _unionfind_components(edge_rows: list, spark, id_type: str = "long") -> Data
         if r not in comp_min or v < comp_min[r]:
             comp_min[r] = v
     rows = [(v, comp_min[find(v)]) for v in parent]
-    return spark.createDataFrame(rows, f"id {id_type}, component {id_type}")
+    out = spark.createDataFrame(rows, f"id {id_type}, component {id_type}")
+    if len(rows) <= 2_000_000:
+        # driver-UF graphs are bounded by construction; a broadcast hint
+        # lets the join-back skip shuffling + sorting BOTH sides (the static
+        # planner sees UnknownPartitioning and picks SMJ otherwise).  Gated
+        # on node count so a pathological graph never force-broadcasts.
+        out = out.hint("broadcast")
+    return out
 
 
 def connected_components(
@@ -316,6 +323,31 @@ def minhash_band_table(
     )
 
 
+def minhash_band_arrays(
+    df: DataFrame,
+    cfg: MinhashConfig = DEFAULT_MINHASH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, _bands: array<long>) — the pre-explode form of
+    ``minhash_band_table``.  Checkpointing THIS frame stores one array row
+    per doc instead of ``num_buckets`` flat rows; consumers posexplode the
+    cheap native way after the read (r08: smaller checkpoint, same rows)."""
+    a, b = permutation_params(cfg)
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def _bands_udf(texts: pd.Series) -> pd.Series:
+        from ..kernels.minhash import signature_band_hashes
+
+        sigs = minhash_signature_matrix(texts.fillna("").tolist(), a, b, cfg)
+        return pd.Series(
+            [signature_band_hashes(s, cfg) if s is not None else None for s in sigs]
+        )
+
+    bands_udf = _bands_udf.asNondeterministic()
+    return df.select(F.col(id_col).alias("id"), bands_udf(F.col(text_col)).alias("_bands"))
+
+
 def minhash_dedup(
     df: DataFrame,
     cfg: MinhashConfig = DEFAULT_MINHASH,
@@ -345,10 +377,13 @@ def minhash_dedup(
     # Catalyst does not exchange-reuse across them — the lazy localCheckpoint
     # materializes the expensive signature UDF exactly once (the Spark
     # analogue of the reference's signature files written between stages,
-    # minhash.py:324-497; MEMORY_AND_DISK, spills at scale).
-    bands = minhash_band_table(
+    # minhash.py:324-497; MEMORY_AND_DISK, spills at scale).  Checkpointed
+    # PRE-explode (one array row per doc, 1/num_buckets the rows); each
+    # consumer posexplodes natively after the read.
+    sig = minhash_band_arrays(
         df.select(F.col(id_col), F.col(text_col)), cfg, id_col, text_col
     ).localCheckpoint(eager=False)
+    bands = sig.select("id", F.posexplode("_bands").alias("band_idx", "band_hash"))
 
     if index_df is not None:
         idx_bands = minhash_band_table(
@@ -397,20 +432,31 @@ def _star_edges(bands: DataFrame) -> DataFrame:
     """Bucket-join: docs sharing (band_idx, band_hash); min id per bucket is
     the cluster seed — emit star edges (seed, member) instead of all pairs so
     the edge count is linear in bucket size (vs quadratic pair explosion).
-    The seed comes from an agg + re-join, not collect_list: a degenerate
-    bucket (e.g. millions of identical docs at 10^12 scale) must never
-    materialize one giant array in a single task.  Shared by the in-memory
-    and staged minhash operators so candidate semantics cannot drift."""
+    The seed comes from an agg + re-join, not collect_list or a window: a
+    degenerate bucket (e.g. millions of identical docs at 10^12 scale) must
+    never materialize one giant array — or one giant sorted window
+    partition, which AQE cannot split — in a single task.  Partial
+    aggregation keeps the min skew-free and AQE skew-join splitting handles
+    the hot bucket on the re-join (r08: a window-min variant measured
+    ~0.3s faster at sf1 but was rejected for exactly this skew ceiling).
+    Shared by the in-memory and staged minhash operators so candidate
+    semantics cannot drift."""
     seeds = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.min("id").alias("seed"), F.count("*").alias("n_members"))
         .filter(F.col("n_members") > 1)
     )
+    # no .distinct(): a (seed, member) pair repeats once per shared band —
+    # bounded by num_buckets — and every consumer already tolerates or
+    # removes duplicates (driver union-find is idempotent per edge; the
+    # star-contraction path opens with its own distinct; the count-based
+    # driver/cluster routing counts the inflated edge list, so the driver
+    # collect stays bounded by the same threshold).  Dropping it removes a
+    # full exchange from the minhash critical path (r08).
     return (
         bands.join(seeds, ["band_idx", "band_hash"])
         .filter(F.col("id") != F.col("seed"))
         .select(F.col("seed").alias("src"), F.col("id").alias("dst"))
-        .distinct()
     )
 
 

@@ -37,6 +37,12 @@ def get_spark(
         # Broadcast threshold: small dims (badword lists, LID profiles, eval
         # n-gram indexes) always broadcast; big tables never.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Allow shuffled-hash join where the per-partition build side fits
+        # (guide §3.1/§9): our equi-joins build on small derived tables
+        # (bucket seeds, survivor ids, component labels) — SHJ streams the
+        # big side with no sort, and AQE skew-splitting still applies.
+        # Sort-merge remains the planner's fallback when estimates are big.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.ui.explainMode", "formatted")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
