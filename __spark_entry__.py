@@ -62,7 +62,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
+    # not spread: after the r08 GEMM rewrite of cosine_topk the per-vector
+    # work is a few microseconds — the single-file scan finishes before a
+    # repartition exchange would (embedding ops that shuffle by bucket
+    # spread their heavy work through that shuffle instead)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _docs_via_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
