@@ -69,6 +69,26 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _iceberg_scratch(sf_dir: str, tag: str) -> str:
+    """Per-process scratch location for the Iceberg round-trip queries.
+
+    Keyed by PID (env-overridable via SPARK_GRAFT_SCRATCH): a fixed path
+    keyed only on sf_dir let two concurrent runs over the same data (e.g.
+    bench + correctness) rmtree each other's live table mid-read (r08
+    ADVICE fix).  Within one process the location is stable, so repeated
+    bench passes keep overwriting the same scratch instead of leaking one
+    table per call.
+    """
+    import hashlib
+    import os as _os
+    import tempfile
+
+    base = _os.environ.get("SPARK_GRAFT_SCRATCH") or _os.path.join(
+        tempfile.gettempdir(), f"datatrove_spark_iceberg_{_os.getpid()}"
+    )
+    return _os.path.join(base, hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:12])
+
+
 def _docs_via_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table routed through a from-spec Iceberg v2 round-trip
     (two append snapshots, lang-partitioned, then a current-snapshot read).
@@ -78,13 +98,12 @@ def _docs_via_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text included) every round — an Iceberg parity check that costs no
     verification-window slot.  See datatrove_spark/sources/iceberg_native.py.
     """
-    import hashlib
     import shutil
 
     from datatrove_spark.sources.iceberg_native import IcebergTable
 
     docs = _docs_raw(spark, sf_dir)
-    loc = "/tmp/datatrove_spark_iceberg/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = _iceberg_scratch(sf_dir, "roundtrip")
     shutil.rmtree(loc, ignore_errors=True)
     table = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
     table.append(spark, docs.filter(F.col("doc_id") % 2 == 0))
@@ -611,7 +630,6 @@ def _docs_deduped_iceberg(spark, sf_dir):
     per sha256(text) — written as position-delete files, no data rewrite —
     and returns the merge-on-read scan of the survivors.
     """
-    import hashlib
     import shutil
 
     from datatrove_spark.sources.iceberg import dedup_corpus_deletes
@@ -621,9 +639,7 @@ def _docs_deduped_iceberg(spark, sf_dir):
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(10_000_000)
     )
-    loc = "/tmp/datatrove_spark_iceberg/" + hashlib.md5(
-        (sf_dir + ":dedup").encode()
-    ).hexdigest()[:12]
+    loc = _iceberg_scratch(sf_dir, "dedup")
     shutil.rmtree(loc, ignore_errors=True)
     table = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
     table.append(spark, docs.unionByName(dupes))

@@ -767,7 +767,25 @@ class IcebergTable:
         except FileNotFoundError:
             raise IcebergError(f"no Iceberg table at {location!r} (no version-hint.text)") from None
         with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
-            return cls(location, json.load(f), version=version)
+            metadata = json.load(f)
+        # Probe PAST the hint, like Iceberg's HadoopTableOperations: a crash
+        # between the exclusive vN create and the hint swap leaves a fully
+        # written vN the hint does not point at — without this probe every
+        # future commit would collide with it (CommitConflict) forever,
+        # write-wedging the table (r08 ADVICE fix).  A vN that exists but
+        # does not parse is an in-flight or torn write: stop there, loudly
+        # unchanged behavior.
+        while True:
+            nxt = os.path.join(mdir, f"v{version + 1}.metadata.json")
+            if not os.path.exists(nxt):
+                break
+            try:
+                with open(nxt) as f:
+                    cand = json.load(f)
+            except (OSError, ValueError):
+                break
+            metadata, version = cand, version + 1
+        return cls(location, metadata, version=version)
 
     @classmethod
     def create(
@@ -800,6 +818,20 @@ class IcebergTable:
                 col, transform, name = spec, "identity", spec
             if col not in by_name:
                 raise IcebergError(f"partition column {col!r} not in schema")
+            src_type = by_name[col]["type"]
+            if isinstance(src_type, str) and src_type in ("date", "timestamp", "timestamptz"):
+                # loud UP FRONT: the hive partition-path codec and the Avro
+                # partition-struct encoding handle int/long/string/bool/float
+                # values; a date/timestamp identity (or truncate) partition
+                # would only fail AFTER the Spark data write, at publish
+                # (r08 ADVICE fix).  Use a derived string/int column, or the
+                # spec's year/month/day transforms once implemented.
+                raise IcebergError(
+                    f"partitioning on {col!r} ({src_type}) is not supported: "
+                    "date/timestamp partition values are not representable in "
+                    "this table's partition codec — partition on a derived "
+                    "string or integer column instead"
+                )
             spec_fields.append(
                 {
                     "name": name,
@@ -1033,16 +1065,31 @@ class IcebergTable:
                 df = df.withColumn(pf["name"], expr)
                 continue
 
-            def _make(n_buckets: int):
+            src_type = by_id[pf["source-id"]]["type"]
+
+            def _make(n_buckets: int, parse_int: bool):
                 from datatrove_spark.kernels.hashing import iceberg_bucket
 
                 @pandas_udf("int")
                 def _bucket(s):
+                    if parse_int:
+                        # int/long sources travel as STRINGS: pandas upcasts
+                        # an int64 column with nulls to float64 before the
+                        # UDF sees it, silently corrupting values above 2^53
+                        # prior to hashing — string transport round-trips
+                        # every 64-bit value exactly, nulls stay None
+                        # (r08 ADVICE fix, mechanism corrected: an astype
+                        # after the upcast cannot recover the lost bits)
+                        return s.map(
+                            lambda v: None if v is None else iceberg_bucket(int(v), n_buckets)
+                        )
                     return s.map(lambda v: iceberg_bucket(v, n_buckets))
 
                 return _bucket
 
-            df = df.withColumn(pf["name"], _make(n)(F.col(src)))
+            parse_int = src_type in ("int", "long")
+            col_in = F.col(src).cast("string") if parse_int else F.col(src)
+            df = df.withColumn(pf["name"], _make(n, parse_int)(col_in))
         return df
 
     def _publish_data_files(self, df: DataFrame, commit_uuid: str) -> list[dict]:
@@ -1219,6 +1266,25 @@ class IcebergTable:
             df = df.join(dd, cond, "left_anti")
         return df
 
+    def _read_schema(self, schema: T.StructType, part_cols: set) -> T.StructType:
+        """Reader schema for hive-layout data files: the table schema minus
+        partition columns (those live in the directory names), with every
+        partition-spec field appended under its transform's VALUE type
+        (identity/truncate → source type, bucket → int).  Declaring the
+        partition columns makes Spark cast the dir strings to these types
+        directly — no partitionColumnTypeInference, which would corrupt
+        numeric-looking string partition values ('007' → 7)."""
+        fields = [f for f in schema.fields if f.name not in part_cols]
+        for pf in self.partition_spec["fields"]:
+            fields.append(
+                T.StructField(
+                    pf["name"],
+                    spark_type_of(_partition_value_type(pf, self.schema)),
+                    True,
+                )
+            )
+        return T.StructType(fields)
+
     def _merged_scan(
         self,
         spark: SparkSession,
@@ -1247,7 +1313,7 @@ class IcebergTable:
 
         schema = self.spark_schema
         part_cols = set(self.partition_columns)
-        file_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        read_schema = self._read_schema(schema, part_cols)
         schema_names = {f.name for f in schema.fields}
         extra_part = [c for c in self.partition_columns if c not in schema_names]
 
@@ -1265,7 +1331,7 @@ class IcebergTable:
             reader = spark.read
             if part_cols:
                 reader = reader.option("basePath", os.path.join(self.location, "data"))
-            bdf = reader.schema(file_schema).parquet(*[f["file_path"] for f in fl])
+            bdf = reader.schema(read_schema).parquet(*[f["file_path"] for f in fl])
             bdf = bdf.select(
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
                 *[F.col(c) for c in extra_part],
@@ -1905,11 +1971,14 @@ class IcebergTable:
             reader = spark.read
             if part_cols:
                 reader = reader.option("basePath", os.path.join(self.location, "data"))
-            # file schema = table schema minus partition columns (hive layout)
-            file_schema = T.StructType(
-                [f for f in schema.fields if f.name not in part_cols]
+            # file schema = table schema minus partition columns (hive layout);
+            # partition columns are appended WITH their table-declared types so
+            # Spark casts the hive dir strings itself instead of inferring —
+            # partitionColumnTypeInference would read a numeric-looking string
+            # partition value like '007' as int 7 (r08 ADVICE fix)
+            df = reader.schema(self._read_schema(schema, part_cols)).parquet(
+                *[f["file_path"] for f in files]
             )
-            df = reader.schema(file_schema).parquet(*[f["file_path"] for f in files])
 
         # normalize column order + partition column types to the table schema
         df = df.select(

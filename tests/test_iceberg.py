@@ -1462,3 +1462,129 @@ def test_compact_loses_concurrent_race_safely(spark, docs, tmp_path):
     t3.compact(spark)
     assert IcebergTable.load(loc).read(spark).count() == n_expected
     assert IcebergTable.load(loc).delete_files(content=None) == []
+
+
+# --- r08 ADVICE fixes -------------------------------------------------------
+
+
+def test_load_adopts_orphaned_metadata_version(spark, docs, tmp_path):
+    """A crash between the exclusive vN create and the version-hint swap
+    leaves a complete vN the hint misses; load() must adopt it (finish the
+    interrupted swap) instead of letting every future commit collide with
+    it forever (write-wedged table)."""
+    import json as _json
+    import os as _os
+
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)
+    t.append(spark, docs.limit(10))  # v2 committed normally
+    # simulate the crashed commit: v3 fully written, hint still says v2
+    mdir = _os.path.join(loc, "metadata")
+    with open(_os.path.join(mdir, "v2.metadata.json")) as f:
+        md = _json.load(f)
+    md["properties"]["crash-marker"] = "orphan"
+    with open(_os.path.join(mdir, "v3.metadata.json"), "w") as f:
+        _json.dump(md, f)
+    assert open(_os.path.join(mdir, "version-hint.text")).read().strip() == "2"
+
+    reloaded = IcebergTable.load(loc)
+    assert reloaded._version == 3  # adopted the orphan
+    assert reloaded.metadata["properties"]["crash-marker"] == "orphan"
+    # and the table is NOT write-wedged: the next commit lands as v4
+    reloaded.append(spark, docs.limit(5))
+    assert IcebergTable.load(loc)._version == 4
+
+
+def test_load_stops_at_torn_metadata_version(spark, docs, tmp_path):
+    """An unparseable vN (torn mid-write or in-flight) must NOT be adopted —
+    load stays at the hinted version, loudly-conflicting behavior intact."""
+    import os as _os
+
+    loc = _fresh(tmp_path)
+    t = IcebergTable.create(loc, docs.schema)
+    t.append(spark, docs.limit(10))
+    mdir = _os.path.join(loc, "metadata")
+    with open(_os.path.join(mdir, "v3.metadata.json"), "w") as f:
+        f.write('{"truncated": ')
+    assert IcebergTable.load(loc)._version == 2
+
+
+def test_numeric_looking_string_partition_values_roundtrip(spark, tmp_path):
+    """An identity string partition whose values look numeric ('007') must
+    read back verbatim — partition columns are declared to the reader with
+    their table types, never left to partitionColumnTypeInference."""
+    import pyspark.sql.types as T_
+
+    loc = _fresh(tmp_path)
+    schema = T_.StructType(
+        [
+            T_.StructField("id", T_.LongType(), False),
+            T_.StructField("code", T_.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "007"), (2, "007"), (3, "7"), (4, "x10")], schema)
+    t = IcebergTable.create(loc, schema, partition_by=["code"])
+    t.append(spark, df)
+    got = sorted((r["id"], r["code"]) for r in t.read(spark).collect())
+    assert got == [(1, "007"), (2, "007"), (3, "7"), (4, "x10")]
+    # merge-on-read path (position deletes present) goes through _merged_scan
+    t.refresh().delete_where(spark, "id = 2")
+    got = sorted((r["id"], r["code"]) for r in IcebergTable.load(loc).read(spark).collect())
+    assert got == [(1, "007"), (3, "7"), (4, "x10")]
+
+
+def test_create_rejects_date_timestamp_partition(spark, tmp_path):
+    """date/timestamp identity partitions would only fail AFTER the data
+    write (at publish, int('2026-01-01')); create() must reject up front."""
+    import pyspark.sql.types as T_
+
+    loc = _fresh(tmp_path)
+    schema = T_.StructType(
+        [
+            T_.StructField("id", T_.LongType(), False),
+            T_.StructField("day", T_.DateType(), True),
+        ]
+    )
+    from datatrove_spark.sources.iceberg_native import IcebergError
+
+    with pytest.raises(IcebergError, match="date"):
+        IcebergTable.create(loc, schema, partition_by=["day"])
+    schema_ts = T_.StructType(
+        [
+            T_.StructField("id", T_.LongType(), False),
+            T_.StructField("ts", T_.TimestampType(), True),
+        ]
+    )
+    with pytest.raises(IcebergError):
+        IcebergTable.create(loc + "_ts", schema_ts, partition_by=["ts"])
+
+
+def test_bucket_partition_exact_above_2_53(spark, tmp_path):
+    """bucket(col, N) on an int64 column WITH NULLS must hash the true
+    64-bit values: the pandas float64 upcast of a nullable int column loses
+    integers above 2^53 before hashing, assigning spec-incorrect buckets."""
+    import pyspark.sql.types as T_
+
+    from datatrove_spark.kernels.hashing import iceberg_bucket
+
+    big = (1 << 60) + 12345  # not representable in float64
+    assert float(big) != big or int(float(big)) != big  # precision premise
+    loc = _fresh(tmp_path)
+    schema = T_.StructType(
+        [
+            T_.StructField("k", T_.LongType(), True),
+            T_.StructField("v", T_.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(big, "a"), (None, "b"), (7, "c")], schema)
+    t = IcebergTable.create(loc, schema, partition_by=["bucket(k, 8)"])
+    t.append(spark, df)
+    # the manifest partition value for the big key must be the bucket of the
+    # TRUE long, not of its float64 approximation
+    want = iceberg_bucket(big, 8)
+    parts = {
+        (f["partition"] or {}).get("k_bucket")
+        for f in t.data_files()
+    }
+    assert want in parts
+    assert t.read(spark).count() == 3
