@@ -33,20 +33,54 @@ LINEIFY = "replace(text, ' table ', concat('.', chr(10), 'table '))"
 SENTENCIFY = "replace(text, ' value ', '. value ')"
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Spread a single-file scan across the session's cores.
+# per-process cache of parquet scan-layout probes: (n_files, n_row_groups)
+# per path — metadata only, never results
+_SCAN_UNITS: dict[str, int] = {}
 
-    The test tables are one parquet file with ONE row group, so the native
-    scan is a single unsplittable task and every per-row kernel downstream
-    runs on one core (guide §2.5 "input skew": one huge unsplittable file —
-    repartition immediately after the read).  Hash-partitioning on the
-    unique id is deterministic under task retry (no round-robin
-    sort-before-repartition pass) and spreads evenly.  The shuffle moves a
-    few MB once; the kernels then use every core.  Scale-adaptive: the
-    width follows ``defaultParallelism`` (cores locally, cluster size on a
-    real deployment), never a constant.
+
+def _scan_units(path: str) -> int:
+    """Rough parallelizable-unit count of a parquet input: for a directory,
+    the file count (Spark bin-packs many small files into >= that many
+    splits); for a single file, its ROW-GROUP count (a single-row-group
+    file is one unsplittable task no matter how Spark splits byte ranges).
+    Unknown/remote layouts report 'wide' so no extra exchange is added."""
+    units = _SCAN_UNITS.get(path)
+    if units is None:
+        import glob
+        import os
+
+        try:
+            if os.path.isdir(path):
+                units = len(glob.glob(os.path.join(path, "*.parquet")))
+            else:
+                import pyarrow.parquet as pq
+
+                units = max(pq.ParquetFile(path).metadata.num_row_groups, 1)
+        except Exception:  # noqa: BLE001 — remote/exotic: assume wide
+            units = 1 << 30
+        _SCAN_UNITS[path] = units
+    return units
+
+
+def _spread(df: DataFrame, key: str, path: str) -> DataFrame:
+    """Spread a NARROW scan across the session's cores.
+
+    The shipped test tables are one parquet file with ONE row group, so the
+    native scan is a single unsplittable task and every per-row kernel
+    downstream runs on one core (guide §2.5 "input skew": one huge
+    unsplittable file — repartition immediately after the read).
+    Hash-partitioning on the unique id is deterministic under task retry
+    (no round-robin sort-before-repartition pass) and spreads evenly.
+
+    Scale-adaptive BOTH ways: the width follows ``defaultParallelism``
+    (cores locally, cluster size on a real deployment), and the exchange is
+    only added when the scan layout is actually narrower than that — a
+    many-file corpus (e.g. the sf10 scale point, 160 files) reads wide
+    natively and must not pay a pointless repartition of the whole table.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    if _scan_units(path) * 2 > n:
+        return df
     return df.repartition(n, F.col(key))
 
 
@@ -58,7 +92,7 @@ def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(_docs_raw(spark, sf_dir), "doc_id")
+    return _spread(_docs_raw(spark, sf_dir), "doc_id", f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

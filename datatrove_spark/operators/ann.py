@@ -88,11 +88,17 @@ def cosine_topk(
             out = [None] * len(vals)
         return pd.Series(out)
 
+    # asNondeterministic: InferFiltersFromGenerate otherwise inserts a
+    # size()>0 pre-filter below the posexplode that duplicates the UDF
+    # expression — two ArrowEvalPython nodes, every score computed twice
+    # (the minhash band UDF documents the same optimizer behavior).  The
+    # function is deterministic; the marking only disables duplication.
+    scores_udf = _scores.asNondeterministic()
     qid_arr = F.array(*[F.lit(r[0]) for r in q_rows])
     scored = (
         df.select(
             F.col(id_col).alias("neighbor_id"),
-            _scores(F.col(vec_col).cast("array<double>")).alias("_s"),
+            scores_udf(F.col(vec_col).cast("array<double>")).alias("_s"),
         )
         .select("neighbor_id", F.posexplode("_s").alias("_qi", "score"))
         .withColumn("query_id", F.element_at(qid_arr, F.col("_qi") + 1))

@@ -446,17 +446,17 @@ def _star_edges(bands: DataFrame) -> DataFrame:
         .agg(F.min("id").alias("seed"), F.count("*").alias("n_members"))
         .filter(F.col("n_members") > 1)
     )
-    # no .distinct(): a (seed, member) pair repeats once per shared band —
-    # bounded by num_buckets — and every consumer already tolerates or
-    # removes duplicates (driver union-find is idempotent per edge; the
-    # star-contraction path opens with its own distinct; the count-based
-    # driver/cluster routing counts the inflated edge list, so the driver
-    # collect stays bounded by the same threshold).  Dropping it removes a
-    # full exchange from the minhash critical path (r08).
+    # the trailing .distinct() stays: dropping it measured ~0.1s faster at
+    # sf1 (one less exchange) but a near-dup pair repeats once per shared
+    # band (x14 here), and at sf10 the inflated count (6.87M raw vs ~0.49M
+    # distinct edges) flipped the CC driver/cluster routing across its 2M
+    # threshold into star-contraction for a graph the driver union-find
+    # handles in seconds — a scale regression for a local micro-win (r08).
     return (
         bands.join(seeds, ["band_idx", "band_hash"])
         .filter(F.col("id") != F.col("seed"))
         .select(F.col("seed").alias("src"), F.col("id").alias("dst"))
+        .distinct()
     )
 
 
