@@ -33,33 +33,39 @@ LINEIFY = "replace(text, ' table ', concat('.', chr(10), 'table '))"
 SENTENCIFY = "replace(text, ' value ', '. value ')"
 
 
-# per-process cache of parquet scan-layout probes: (n_files, n_row_groups)
-# per path — metadata only, never results
-_SCAN_UNITS: dict[str, int] = {}
+# per-process cache of parquet scan-layout probes: (units, rows) per path —
+# metadata only, never results
+_SCAN_UNITS: dict[str, tuple[int, int]] = {}
 
 
-def _scan_units(path: str) -> int:
-    """Rough parallelizable-unit count of a parquet input: for a directory,
-    the file count (Spark bin-packs many small files into >= that many
-    splits); for a single file, its ROW-GROUP count (a single-row-group
-    file is one unsplittable task no matter how Spark splits byte ranges).
-    Unknown/remote layouts report 'wide' so no extra exchange is added."""
-    units = _SCAN_UNITS.get(path)
-    if units is None:
+def _scan_units(path: str) -> tuple[int, int]:
+    """(parallelizable units, total rows) of a parquet input: for a
+    directory, the file count (Spark bin-packs many small files into >=
+    that many splits); for a single file, its ROW-GROUP count (a
+    single-row-group file is one unsplittable task no matter how Spark
+    splits byte ranges).  Unknown/remote layouts report 'wide' so no extra
+    exchange is ever added for them."""
+    probed = _SCAN_UNITS.get(path)
+    if probed is None:
         import glob
         import os
 
         try:
-            if os.path.isdir(path):
-                units = len(glob.glob(os.path.join(path, "*.parquet")))
-            else:
-                import pyarrow.parquet as pq
+            import pyarrow.parquet as pq
 
-                units = max(pq.ParquetFile(path).metadata.num_row_groups, 1)
+            if os.path.isdir(path):
+                files = glob.glob(os.path.join(path, "*.parquet"))
+                rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files[:8])
+                if len(files) > 8:
+                    rows = rows * len(files) // 8  # estimate; only the gate uses it
+                probed = (len(files), rows)
+            else:
+                md = pq.ParquetFile(path).metadata
+                probed = (max(md.num_row_groups, 1), md.num_rows)
         except Exception:  # noqa: BLE001 — remote/exotic: assume wide
-            units = 1 << 30
-        _SCAN_UNITS[path] = units
-    return units
+            probed = (1 << 30, 1 << 60)
+        _SCAN_UNITS[path] = probed
+    return probed
 
 
 def _spread(df: DataFrame, key: str, path: str) -> DataFrame:
@@ -72,14 +78,19 @@ def _spread(df: DataFrame, key: str, path: str) -> DataFrame:
     Hash-partitioning on the unique id is deterministic under task retry
     (no round-robin sort-before-repartition pass) and spreads evenly.
 
-    Scale-adaptive BOTH ways: the width follows ``defaultParallelism``
-    (cores locally, cluster size on a real deployment), and the exchange is
-    only added when the scan layout is actually narrower than that — a
-    many-file corpus (e.g. the sf10 scale point, 160 files) reads wide
-    natively and must not pay a pointless repartition of the whole table.
+    Scale-adaptive in BOTH directions, everything derived from
+    ``defaultParallelism`` (cores locally, cluster size on a real
+    deployment), never a constant:
+    * a scan already wide enough (e.g. the sf10 point: 160 files) skips the
+      exchange — a many-file corpus must not pay a pointless full-table
+      repartition;
+    * a table too SMALL to amortize the exchange (< 512 rows per core —
+      e.g. sf0.1's 5k rows, where the batch-vectorized kernels finish on
+      one core faster than the shuffle round-trip) also skips it.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    if _scan_units(path) * 2 > n:
+    units, rows = _scan_units(path)
+    if units * 2 > n or rows < 512 * n:
         return df
     return df.repartition(n, F.col(key))
 
