@@ -165,17 +165,32 @@ def connected_components(
     # the id type follows the caller's id column (string ids are the norm
     # for WARC/path-derived corpora, numeric for synthetic ones)
     id_type = edges.schema["src"].dataType.simpleString()
-    n_edges = edges.count()
-    if stats is not None:
-        stats["n_edges"] = n_edges
+    # ONE job decides the route AND feeds the driver path: collect at most
+    # threshold+1 edge rows (GlobalLimit short-circuits, so an over-limit
+    # graph stops pulling early); <= threshold rows IS the whole edge list,
+    # saving the separate count() job the old two-pass routing paid on the
+    # dedup critical path (r08).  An over-limit probe costs one bounded
+    # collect and the cluster path re-reads edges from its checkpoint.
+    probe = [
+        (r[0], r[1])
+        for r in edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    ]
+    n_edges = len(probe)
     if n_edges == 0:
+        if stats is not None:
+            stats["n_edges"] = 0
         return edges.sparkSession.createDataFrame([], f"id {id_type}, component {id_type}")
     if n_edges <= driver_threshold:
         if stats is not None:
+            stats["n_edges"] = n_edges
             stats["path"] = "driver_unionfind"
-        rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
-        return _unionfind_components(rows, edges.sparkSession, id_type)
+        return _unionfind_components(probe, edges.sparkSession, id_type)
+    del probe
+    # over-limit: the rare huge-graph path — pay one count() job for the
+    # TRUE edge count (it sizes the contraction shuffle width below)
+    n_edges = edges.count()
     if stats is not None:
+        stats["n_edges"] = n_edges
         stats["path"] = "star_contraction"
     # dedup edge sets are tiny relative to the corpus — shrink the shuffle
     # width so each contraction round is a small fast job.
