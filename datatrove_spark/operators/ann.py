@@ -413,10 +413,10 @@ def embedding_neardup(
     )
     id_type = df.schema[id_col].dataType.simpleString()
 
-    def _bucket_dups(pdf: pd.Series) -> pd.DataFrame:
+    def _one_bucket(pdf: pd.DataFrame) -> list:
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"dup_id": pdf["id"][:0]})
+            return []
         # sims memory = chunk x m x 8B — scale the chunk INVERSELY with the
         # bucket so a mega-bucket costs ~256 MB per slab, not chunk-fixed
         # gigabytes (its O(m^2) compute stays, and stays explicit)
@@ -435,14 +435,30 @@ def embedding_neardup(
             ii, jj = np.nonzero(sims >= threshold)
             gi, gj = ids[s + ii], ids[jj]
             dups.update(gj[gi < gj].tolist())  # larger id of each hit pair
-        return pd.DataFrame({"dup_id": sorted(dups)})
+        return sorted(dups)
 
-    # no distinct: each vector lives in exactly ONE bucket of this single
-    # sign-LSH table and _bucket_dups emits a per-bucket set, so dup_id is
-    # globally unique by construction — a distinct here would be a pure
-    # extra exchange on the operator this rewrite optimizes
-    dups = b.groupBy("lsh_bucket").applyInPandas(
-        _bucket_dups, schema=f"dup_id {id_type}"
+    def _shard_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Python call per SHARD of buckets, per-bucket logic unchanged:
+        # grouping the applyInPandas on the raw bucket id cost one Python
+        # round-trip per bucket — ~2^n_planes tiny calls whose fixed
+        # overhead dominated small corpora (r7's measured sf0.1 regression)
+        out: list = []
+        for _, grp in pdf.groupby("lsh_bucket", sort=False):
+            out.extend(_one_bucket(grp))
+        return pd.DataFrame({"dup_id": out})
+
+    # no distinct: each vector lives in exactly ONE bucket (hence one
+    # shard) of this single sign-LSH table and the per-bucket sets are
+    # disjoint, so dup_id is globally unique by construction — a distinct
+    # here would be a pure extra exchange on the operator this optimizes.
+    # Shard count derives from the session's parallelism (4x cores keeps
+    # AQE-coalescible balance); a mega-bucket still lands whole in one
+    # shard, exactly as it landed whole in one group before.
+    n_shards = 4 * df.sparkSession.sparkContext.defaultParallelism
+    dups = (
+        b.withColumn("_shard", F.pmod(F.col("lsh_bucket"), F.lit(n_shards)))
+        .groupBy("_shard")
+        .applyInPandas(_shard_dups, schema=f"dup_id {id_type}")
     )
     out = df.join(dups, df[id_col] == dups["dup_id"], "left")
     out = apply_native_filter(out, F.col("dup_id").isNull(), "embedding_neardup")

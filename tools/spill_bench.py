@@ -1,0 +1,164 @@
+"""Exercise the spill path (VERDICT r7 next-round #2).
+
+Every scale point so far reported ZERO spill, so the "spills gracefully at
+scale" claims (sort/agg spill, minhash band localCheckpoint MEMORY_AND_DISK)
+were untested.  This tool runs the sf10 suite's heaviest queries twice —
+normal memory vs deliberately constrained execution memory — and records:
+
+* nonzero memory/disk spill bytes under constraint (from the UI REST API),
+* an order-independent decision checksum that must be IDENTICAL in both
+  runs (spill may slow a query, never change it),
+* the wall-time degradation.
+
+Each (query, profile) runs in a fresh subprocess (a JVM cannot change its
+heap after start).  Usage:
+
+  python tools/spill_bench.py                 # orchestrate, write BENCH/spill_sf10.json
+  python tools/spill_bench.py --run QUERY PROFILE   # internal single-run mode
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPILL_SF_DIR", "/root/repo/.bench_data/sf10")
+QUERIES = ("minhash_dedup", "quality_pipeline", "events_sessions")
+
+# normal = the bench profile; constrained = small heap + tiny execution
+# fraction, sized to force sort/agg spill at sf10 row counts while leaving
+# the driver enough to plan (local mode: driver heap IS the executor heap)
+PROFILES = {
+    "normal": {"driver_memory": "8g", "conf": {}},
+    "constrained": {
+        "driver_memory": "3g",
+        "conf": {
+            "spark.memory.fraction": "0.15",
+            "spark.memory.storageFraction": "0.2",
+        },
+    },
+}
+
+
+def _build(spark, query: str):
+    import pyspark.sql.functions as F
+
+    from datatrove_spark.operators import minhash_dedup
+    from datatrove_spark.pipeline import QualityPipelineConfig, quality_pipeline
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(32)
+    if query == "minhash_dedup":
+        out = minhash_dedup(docs, text_col="text")
+        return out.select("doc_id", "keep", "drop_reason")
+    if query == "quality_pipeline":
+        cfg = QualityPipelineConfig(text_col="text", languages=("en",), language_threshold=0.5)
+        out = quality_pipeline(docs, cfg)
+        return out.select(
+            "doc_id", "keep", "drop_reason", "content_sha256",
+            F.sha2("scrubbed_content", 256).alias("scrubbed_sha"),
+        )
+    if query == "events_sessions":
+        import __spark_entry__ as em
+
+        return em.q_events_sessions(spark, SF_DIR)
+    raise SystemExit(f"unknown query {query}")
+
+
+def _checksum(df) -> dict:
+    """Order-independent decision checksum: count + sum of per-row xxhash64
+    over every output column (cast to string, null-tagged)."""
+    import pyspark.sql.functions as F
+
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in df.columns]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: exact and overflow-free under ANSI (a long sum of
+        # 64-bit hashes overflows)
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("checksum"),
+    ).collect()[0]
+    return {"n": row["n"], "checksum": str(row["checksum"])}
+
+
+def run_single(query: str, profile: str) -> None:
+    import time
+    import urllib.request
+
+    os.environ["SPARK_UI"] = "true"
+    os.environ["SPARK_DRIVER_MEMORY"] = PROFILES[profile]["driver_memory"]
+    from datatrove_spark.session import get_spark
+
+    conf = dict(PROFILES[profile]["conf"])
+    conf["spark.ui.enabled"] = "true"
+    spark = get_spark(f"spill-{query}-{profile}", master="local[32]",
+                      shuffle_partitions=32, extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    df = _build(spark, query)
+    chk = _checksum(df)
+    wall = round(time.time() - t0, 2)
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete") as r:
+        stages = json.loads(r.read().decode())
+    mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    print(json.dumps({
+        "query": query, "profile": profile, "wall_sec": wall,
+        "memory_spill_bytes": mem, "disk_spill_bytes": disk, **chk,
+        "heap": PROFILES[profile]["driver_memory"],
+        "conf": PROFILES[profile]["conf"],
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        run_single(sys.argv[2], sys.argv[3])
+        return
+    results = []
+    for query in QUERIES:
+        per = {}
+        for profile in PROFILES:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", query, profile],
+                capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if out.returncode != 0 or not line:
+                per[profile] = {"error": (out.stderr or out.stdout)[-800:]}
+                print(f"# {query}/{profile}: FAILED", file=sys.stderr)
+                continue
+            per[profile] = json.loads(line[-1])
+            print(f"# {query}/{profile}: wall {per[profile]['wall_sec']}s "
+                  f"spill mem {per[profile]['memory_spill_bytes']} "
+                  f"disk {per[profile]['disk_spill_bytes']}", file=sys.stderr)
+        ok = (
+            "error" not in per.get("normal", {"error": 1})
+            and "error" not in per.get("constrained", {"error": 1})
+        )
+        results.append({
+            "query": query,
+            "normal": per.get("normal"),
+            "constrained": per.get("constrained"),
+            "decisions_match": bool(
+                ok
+                and per["normal"]["n"] == per["constrained"]["n"]
+                and per["normal"]["checksum"] == per["constrained"]["checksum"]
+            ),
+            "slowdown": round(per["constrained"]["wall_sec"] / per["normal"]["wall_sec"], 2)
+            if ok and per["normal"]["wall_sec"] else None,
+        })
+    record = {"sf_dir": SF_DIR, "results": results}
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "BENCH", "spill_sf10.json")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
