@@ -124,13 +124,34 @@ def _iceberg_scratch(sf_dir: str, tag: str) -> str:
     bench passes keep overwriting the same scratch instead of leaking one
     table per call.
     """
+    import atexit
     import hashlib
     import os as _os
+    import shutil as _shutil
     import tempfile
 
     base = _os.environ.get("SPARK_GRAFT_SCRATCH") or _os.path.join(
         tempfile.gettempdir(), f"datatrove_spark_iceberg_{_os.getpid()}"
     )
+    if not getattr(_iceberg_scratch, "_cleanup_registered", False):
+        _iceberg_scratch._cleanup_registered = True
+        # this process removes its own scratch at exit, and sweeps siblings
+        # whose creating process is gone (crashed runs must not accumulate
+        # one table copy per PID in /tmp)
+        atexit.register(_shutil.rmtree, base, ignore_errors=True)
+        parent = _os.path.dirname(base)
+        try:
+            for d in _os.listdir(parent):
+                if not d.startswith("datatrove_spark_iceberg_") or _os.path.join(parent, d) == base:
+                    continue
+                try:
+                    _os.kill(int(d.rsplit("_", 1)[-1]), 0)
+                except (ValueError, ProcessLookupError):
+                    _shutil.rmtree(_os.path.join(parent, d), ignore_errors=True)
+                except OSError:
+                    pass  # live (or not ours): leave it
+        except OSError:
+            pass
     return _os.path.join(base, hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:12])
 
 

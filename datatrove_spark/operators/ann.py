@@ -67,25 +67,55 @@ def cosine_topk(
                     "score double, rank int"
             )
         )
-    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # zero norms divide to inf/nan, like the expression form
-    qT = qmat.T  # (dim, Q)
+    # NULL semantics mirror the old zip_with/aggregate expression form: a
+    # null/mismatched/zero-norm vector on EITHER side yields a NULL score
+    # (Spark's `/` returns NULL on a zero divisor, and desc windows rank
+    # NULLs last) — never NaN, which Spark would rank ABOVE every real
+    # score, and never a dropped row.
+    q_vecs = [r[1] for r in q_rows]
+    dim = next((len(v) for v in q_vecs if v is not None), 0)
+    q_ok = np.array([v is not None and len(v) == dim for v in q_vecs])
+    qmat = (
+        np.stack([np.asarray(v, dtype=np.float64) for v, o in zip(q_vecs, q_ok) if o])
+        if q_ok.any()
+        else np.zeros((0, dim))
+    )
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    q_valid = np.zeros(len(q_vecs), dtype=bool)
+    q_valid[q_ok] = qnorm > 0.0
+    qT = qmat.T  # (dim, n_ok)
+    n_q = len(q_rows)
 
     @F.pandas_udf("array<double>")
     def _scores(vecs: pd.Series) -> pd.Series:
         out = []
         vals = vecs.to_numpy()
-        ok = [v is not None and len(v) == qT.shape[0] for v in vals]
-        if any(ok):
+        ok = [v is not None and len(v) == dim for v in vals]
+        null_row = [None] * n_q
+        if any(ok) and qT.shape[1]:
             mat = np.stack([np.asarray(vals[i], dtype=np.float64) for i, o in enumerate(ok) if o])
             cn = np.sqrt((mat * mat).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (mat @ qT) / (cn[:, None] * qnorm[None, :])  # (B, Q)
-            it = iter(sims)
+            safe = np.where(cn == 0.0, 1.0, cn)
+            sims_ok = (mat @ qT) / (safe[:, None] * qnorm[None, :])  # (B, n_ok)
+            it = iter(zip(sims_ok, cn))
             for o in ok:
-                out.append(next(it).tolist() if o else None)
+                if not o:
+                    out.append(null_row)
+                    continue
+                row, c = next(it)
+                if c == 0.0:
+                    out.append(null_row)
+                    continue
+                full = null_row.copy()
+                vi = 0
+                for qi in range(n_q):
+                    if q_ok[qi]:
+                        if q_valid[qi]:
+                            full[qi] = float(row[vi])
+                        vi += 1
+                out.append(full)
         else:
-            out = [None] * len(vals)
+            out = [null_row for _ in vals]
         return pd.Series(out)
 
     # asNondeterministic: InferFiltersFromGenerate otherwise inserts a

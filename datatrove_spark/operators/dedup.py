@@ -133,12 +133,18 @@ def _unionfind_components(edge_rows: list, spark, id_type: str = "long") -> Data
             comp_min[r] = v
     rows = [(v, comp_min[find(v)]) for v in parent]
     out = spark.createDataFrame(rows, f"id {id_type}, component {id_type}")
-    if len(rows) <= 2_000_000:
-        # driver-UF graphs are bounded by construction; a broadcast hint
-        # lets the join-back skip shuffling + sorting BOTH sides (the static
-        # planner sees UnknownPartitioning and picks SMJ otherwise).  Gated
-        # on node count so a pathological graph never force-broadcasts.
-        out = out.hint("broadcast")
+    # driver-UF graphs are bounded by construction; a broadcast hint lets
+    # the join-back skip shuffling + sorting BOTH sides (the static planner
+    # sees UnknownPartitioning and picks SMJ otherwise).  Gated on an
+    # ESTIMATED BYTE size, not row count alone: 2M rows of long ids fit any
+    # broadcast budget, but 2M long string ids (WARC/path ids) could be
+    # hundreds of MB and must not be force-broadcast past the session's
+    # 64MB threshold.
+    if rows:
+        sample = rows[:1000]
+        per_row = 32 + 2 * (sum(len(str(v)) for v, _ in sample) / len(sample))
+        if len(rows) * per_row <= 64 * 1024 * 1024:
+            out = out.hint("broadcast")
     return out
 
 
@@ -316,24 +322,7 @@ def minhash_band_table(
     band hash is the Spark analogue of the reference's per-bucket binary
     signature files (dedup/minhash.py:324-497).
     """
-    a, b = permutation_params(cfg)
-
-    @F.pandas_udf(_SIG_SCHEMA)
-    def _bands_udf(texts: pd.Series) -> pd.Series:
-        from ..kernels.minhash import signature_band_hashes
-
-        sigs = minhash_signature_matrix(texts.fillna("").tolist(), a, b, cfg)
-        return pd.Series(
-            [signature_band_hashes(s, cfg) if s is not None else None for s in sigs]
-        )
-
-    # asNondeterministic: InferFiltersFromGenerate otherwise inserts a
-    # size()>0 pre-filter that duplicates the UDF expression (two
-    # ArrowEvalPython nodes = the whole signature computed twice).  The UDF is
-    # deterministic; the marking only disables expression duplication.
-    # posexplode drops null/empty arrays itself, so no pre-filter is needed.
-    bands_udf = _bands_udf.asNondeterministic()
-    return df.select(F.col(id_col).alias("id"), bands_udf(F.col(text_col)).alias("_bands")).select(
+    return minhash_band_arrays(df, cfg, id_col, text_col).select(
         "id", F.posexplode("_bands").alias("band_idx", "band_hash")
     )
 

@@ -155,6 +155,33 @@ def test_cosine_topk(spark):
     assert top.neighbor_id == 4 and top.rank == 1
 
 
+def test_cosine_topk_null_and_zero_norm_semantics(spark):
+    """The r08 GEMM rewrite must keep the expression form's NULL semantics:
+    a zero-norm, null, or wrong-dimension vector on either side scores NULL
+    (ranked LAST in the desc window, never NaN ranked first) and corpus
+    rows are never silently dropped."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero-norm corpus vector
+        (3, None),                    # null corpus vector
+        (4, [0.5, 0.5]),              # wrong dimension
+        (5, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = ops.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=10).collect()
+    by_rank = {r.rank: r for r in res}
+    # real scores first, in cosine order; degenerate rows present with NULL
+    # scores and ranked last (never rank 1)
+    assert by_rank[1].neighbor_id == 1 and by_rank[1].score is not None
+    assert by_rank[2].neighbor_id == 5
+    assert {by_rank[3].neighbor_id, by_rank[4].neighbor_id, by_rank[5].neighbor_id} == {2, 3, 4}
+    assert all(by_rank[k].score is None for k in (3, 4, 5))
+    # null/zero-norm QUERY vector: present, all its scores NULL, no crash
+    res2 = ops.cosine_topk(df, df.filter(F.col("vec_id").isin(2, 3)), k=2).collect()
+    assert res2 and all(r.score is None for r in res2)
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
