@@ -97,6 +97,43 @@ def drop_exact_duplicates(df: DataFrame, **kwargs) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _numpy_components(src, dst, spark, id_type: str) -> DataFrame:
+    """Min-label connected components over NUMERIC id edge arrays — the
+    driver path's vectorized form (r08).  In-memory star contraction:
+    min-hooking via ``np.minimum.at`` + pointer jumping, O(log n) rounds,
+    each a few vector ops over the edge list.  Produces EXACTLY the dict
+    union-find's labeling (component = min member id) — pinned by
+    test_numpy_components_matches_dict_unionfind."""
+    import numpy as np
+
+    ids = np.concatenate([src, dst])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    e_src, e_dst = inv[: src.size], inv[src.size :]
+    parent = np.arange(uniq.size, dtype=np.int64)
+    while True:
+        p_src, p_dst = parent[e_src], parent[e_dst]
+        before = parent.copy()
+        np.minimum.at(parent, e_src, p_dst)
+        np.minimum.at(parent, e_dst, p_src)
+        while True:  # pointer jumping to fixpoint
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, before):
+            break
+    comp = uniq[parent]  # min member id per node: roots are minimal by hooking
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id": uniq, "component": comp})
+    out = spark.createDataFrame(pdf, schema=f"id {id_type}, component {id_type}")
+    if uniq.size * 32 <= 64 * 1024 * 1024:
+        # same byte-gated broadcast hint as the dict path: the join-back
+        # then skips shuffling + sorting both sides
+        out = out.hint("broadcast")
+    return out
+
+
 def _unionfind_components(edge_rows: list, spark, id_type: str = "long") -> DataFrame:
     """Driver-side union-find (path compression + union by size) — the
     reference's cluster stage (minhash.py:537-558), used when the collision
@@ -177,10 +214,12 @@ def connected_components(
     # saving the separate count() job the old two-pass routing paid on the
     # dedup critical path (r08).  An over-limit probe costs one bounded
     # collect and the cluster path re-reads edges from its checkpoint.
-    probe = [
-        (r[0], r[1])
-        for r in edges.select("src", "dst").limit(driver_threshold + 1).collect()
-    ]
+    import numpy as np
+
+    # Arrow collect (toPandas), not a py4j row collect: at 10^5-10^6 edges
+    # the row path spends tens of seconds in py4j serialization (21s for
+    # 5.2M edges measured at sf100) vs ~1s over Arrow.
+    probe = edges.select("src", "dst").limit(driver_threshold + 1).toPandas()
     n_edges = len(probe)
     if n_edges == 0:
         if stats is not None:
@@ -190,7 +229,17 @@ def connected_components(
         if stats is not None:
             stats["n_edges"] = n_edges
             stats["path"] = "driver_unionfind"
-        return _unionfind_components(probe, edges.sparkSession, id_type)
+        src = probe["src"].to_numpy()
+        if np.issubdtype(src.dtype, np.integer):
+            return _numpy_components(
+                src, probe["dst"].to_numpy(), edges.sparkSession, id_type
+            )
+        # non-numeric ids (WARC/path strings): the dict union-find
+        return _unionfind_components(
+            list(zip(probe["src"].tolist(), probe["dst"].tolist())),
+            edges.sparkSession,
+            id_type,
+        )
     del probe
     # over-limit: the rare huge-graph path — pay one count() job for the
     # TRUE edge count (it sizes the contraction shuffle width below)

@@ -155,6 +155,47 @@ def test_cosine_topk(spark):
     assert top.neighbor_id == 4 and top.rank == 1
 
 
+def test_numpy_components_matches_dict_unionfind(spark):
+    """The vectorized driver-path components (r08) must label exactly like
+    the dict union-find: component = min member id, on chains, stars,
+    cliques, self-loops, duplicate edges, and random graphs."""
+    import random
+
+    import numpy as np
+
+    from datatrove_spark.operators.dedup import (
+        _numpy_components,
+        _unionfind_components,
+    )
+
+    rng = random.Random(13)
+    cases = [
+        [(1, 2)],
+        [(5, 5)],                      # self-loop
+        [(1, 2), (2, 3), (3, 4), (4, 5)],  # chain
+        [(10, i) for i in range(11, 30)],  # star
+        [(i, j) for i in range(5) for j in range(i)],  # clique
+        [(2, 1), (1, 2), (2, 1)],      # duplicates both directions
+    ]
+    for _ in range(10):
+        n = rng.randint(1, 400)
+        cases.append(
+            [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(n)]
+        )
+    for edges in cases:
+        src = np.array([e[0] for e in edges], dtype=np.int64)
+        dst = np.array([e[1] for e in edges], dtype=np.int64)
+        got = {
+            r.id: r.component
+            for r in _numpy_components(src, dst, spark, "bigint").collect()
+        }
+        want = {
+            r.id: r.component
+            for r in _unionfind_components(edges, spark, "bigint").collect()
+        }
+        assert got == want, (edges[:8], got, want)
+
+
 def test_cosine_topk_null_and_zero_norm_semantics(spark):
     """The r08 GEMM rewrite must keep the expression form's NULL semantics:
     a zero-norm, null, or wrong-dimension vector on either side scores NULL
